@@ -1,0 +1,164 @@
+"""Book: the serial orchestration driver.
+
+Reference semantics (lib/book.js):
+- chapters registered with integer priorities, kept sorted
+  (lib/book.js:206-225), run strictly in series (async.series,
+  lib/book.js:297) — each chapter is a barrier.
+- chapter selection: ``chapters="1,4"`` lists or ``"100-300"`` ranges
+  (lib/book.js:25-38, 245-248).
+- pidfile single-instance lock (lib/book.js:79-106).
+- lifecycle ``state`` events with the fixed audit schema
+  {state, time, name, duration, data} (lib/book.js:234-241, 252-276,
+  302-310, 320-328), flushed to an ``empujar`` audit table
+  (books/etl/book.js:13-15).
+- fail-fast: the first page error stops the run and surfaces flattened
+  {chapter, page} context (lib/book.js:279-288, 314-331).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import json
+import logging
+import os
+import time
+from typing import Callable
+
+from empujar_spark.chapter import Chapter
+from empujar_spark.errors import PidLockError
+
+logger = logging.getLogger("empujar_spark")
+
+
+class Book:
+    def __init__(
+        self,
+        spark=None,
+        name: str = "book",
+        chapter_filter: str | None = None,
+        pid_dir: str | None = None,
+        get_all_limit: int | None = None,  # lib/book.js:74 getAllLimit
+        log_state_events: bool = True,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.chapters: list[Chapter] = []
+        self.chapter_filter = _parse_chapter_filter(chapter_filter)
+        self.pid_dir = pid_dir
+        self.get_all_limit = get_all_limit
+        self.log_state_events = log_state_events
+        self.state_events: list[dict] = []
+        self.connections: dict[str, object] = {}
+        self.on_state: list[Callable[[dict], None]] = []
+        self.on_error: list[Callable[[Exception], None]] = []
+        self._pidfile: str | None = None
+
+    # ------------------------------------------------------------ connections
+    def add_connection(self, name: str, connection) -> None:
+        """Registry of connections (lib/book.js:113-171 collapses to explicit
+        registration; discovery-from-config-dir is a thin wrapper)."""
+        self.connections[name] = connection
+        setattr(self, name, connection)
+
+    # --------------------------------------------------------------- chapters
+    def add_chapter(self, priority: int, name: str, threads: int = 1) -> Chapter:
+        chapter = Chapter(self, priority, name, threads)
+        self.chapters.append(chapter)
+        self.chapters.sort(key=lambda c: c.priority)  # lib/book.js:217-225
+        return chapter
+
+    def _selected_chapters(self) -> list[Chapter]:
+        if self.chapter_filter is None:
+            return list(self.chapters)
+        return [c for c in self.chapters if c.priority in self.chapter_filter]
+
+    # -------------------------------------------------------------- pid lock
+    def ensure_pid(self) -> None:
+        """Single-instance lock (lib/book.js:79-106)."""
+        if not self.pid_dir:
+            return
+        os.makedirs(self.pid_dir, exist_ok=True)
+        path = os.path.join(self.pid_dir, f"{self.name}.pid")
+        if os.path.exists(path):
+            with open(path) as f:
+                old = int(f.read().strip() or 0)
+            if old and _pid_running(old):
+                raise PidLockError(
+                    f"pidfile exists and process is running: {old}",
+                    {"pidfile": path},
+                )
+        with open(path, "w") as f:
+            f.write(str(os.getpid()))
+        self._pidfile = path
+
+    def remove_pid(self) -> None:
+        if self._pidfile and os.path.exists(self._pidfile):
+            os.remove(self._pidfile)
+        self._pidfile = None
+
+    # ----------------------------------------------------------- state events
+    def log_state(self, state: str, name: str = "", duration: float | None = None,
+                  data: dict | None = None) -> None:
+        event = {
+            "state": state,
+            "time": _dt.datetime.utcnow().replace(microsecond=0),
+            "name": name,
+            "duration": round(duration, 6) if duration is not None else None,
+            "data": json.dumps(data) if data else None,
+        }
+        self.state_events.append(event)
+        if self.log_state_events:
+            logger.info("%s %s %s", state, name,
+                        f"({duration:.2f}s)" if duration is not None else "")
+        for cb in self.on_state:
+            cb(event)
+
+    def flush_audit(self, warehouse, table: str = "empujar") -> None:
+        """Append state events to the audit table (books/etl/book.js:13-15)."""
+        if not self.state_events:
+            return
+        warehouse.insert_data(table, self.state_events, merge_on_duplicates=False)
+        self.state_events = []
+
+    # -------------------------------------------------------------------- run
+    def run(self) -> None:
+        self.ensure_pid()
+        self.log_state("book:start", name=self.name)
+        started = time.monotonic()
+        try:
+            for chapter in self._selected_chapters():  # serial barrier per chapter
+                chapter.run()
+        except Exception as exc:
+            for cb in self.on_error:
+                cb(exc)
+            self.log_state("book:error", name=self.name,
+                           data={"error": str(exc),
+                                 **getattr(exc, "context", {})})
+            raise
+        finally:
+            self.log_state("book:end", name=self.name,
+                           duration=time.monotonic() - started)
+            self.remove_pid()
+
+
+def _parse_chapter_filter(spec: str | None):
+    """Parse ``"1,4"`` / ``"100-300"`` selections (lib/book.js:25-38)."""
+    if spec is None or spec == "":
+        return None
+    selected: set[int] = set()
+    for part in str(spec).split(","):
+        part = part.strip()
+        if "-" in part:
+            lo, hi = part.split("-", 1)
+            selected.update(range(int(lo), int(hi) + 1))
+        elif part:
+            selected.add(int(part))
+    return selected
+
+
+def _pid_running(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except OSError:
+        return False
+    return True

@@ -1,0 +1,230 @@
+"""Type inference & promotion lattice.
+
+The reference has no declared schemas: column types are inferred from
+runtime values and promoted as data evolves (reference
+lib/connections/mysql.js:416-433 ``getColumnDefinition``,
+lib/connections/snowflake.js:703-724; promotion rules
+mysql.js:409-414, 486-488, 336-358). This module reproduces that
+observable lattice as pure Python over schemas — never per-row inside
+Spark jobs.
+
+The lattice (⊑ = "promotes to"):
+
+    unknown ⊑ everything          (varchar(0) sentinel, mysql.js:35-38)
+    long    ⊑ double              (int→float, mysql.js:412-414)
+    varchar(n) ⊑ varchar(m>n) ⊑ text   (widening, mysql.js:409-411, 336-350)
+    boolean/timestamp fixed points
+    any incompatible pair ⊑ text  (safe sink; the reference would error —
+                                   we choose the total lattice and document it)
+
+Spark mapping: unknown→NullType (pending), boolean→BooleanType,
+long→LongType, double→DoubleType, timestamp→TimestampType,
+varchar/text→StringType (char_length kept as engine metadata, since Spark
+strings are unbounded — the *observable* behavior preserved is the
+promotion sequencing and show_columns metadata, not physical truncation).
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass
+
+from pyspark.sql import types as T
+
+VARCHAR_DEFAULT_LENGTH = 255  # reference mysql.js:23-25 options.varCharLength
+
+UNKNOWN = "unknown"
+BOOLEAN = "boolean"
+LONG = "long"
+DOUBLE = "double"
+TIMESTAMP = "timestamp"
+VARCHAR = "varchar"
+TEXT = "text"
+
+ZERO_DATES = {"0000-00-00", "0000-00-00 00:00:00"}  # redshift.js:98-104
+
+
+@dataclass(frozen=True)
+class ColumnType:
+    """Engine-level column type: lattice kind + varchar length metadata."""
+
+    kind: str
+    char_length: int = 0
+
+    def to_spark(self) -> T.DataType:
+        return _SPARK_TYPES[self.kind]
+
+    def render(self) -> str:
+        """show_columns-style rendering (mysql.js:85-111 parity)."""
+        if self.kind == VARCHAR:
+            return f"varchar({self.char_length})"
+        if self.kind == UNKNOWN:
+            return "varchar(0)"
+        return {BOOLEAN: "tinyint(1)", LONG: "bigint(20)", DOUBLE: "float",
+                TIMESTAMP: "datetime", TEXT: "text"}[self.kind]
+
+
+_SPARK_TYPES: dict[str, T.DataType] = {
+    UNKNOWN: T.NullType(),
+    BOOLEAN: T.BooleanType(),
+    LONG: T.LongType(),
+    DOUBLE: T.DoubleType(),
+    TIMESTAMP: T.TimestampType(),
+    VARCHAR: T.StringType(),
+    TEXT: T.StringType(),
+}
+
+
+def infer_value_type(value, varchar_length: int = VARCHAR_DEFAULT_LENGTH) -> ColumnType:
+    """Infer the lattice type of one Python value (mysql.js:416-433).
+
+    Order matters: bool before int (bool is an int subclass in Python, and
+    the reference checks boolean first, mysql.js:417-418).
+    """
+    if value is None:
+        return ColumnType(UNKNOWN)
+    if isinstance(value, bool):
+        return ColumnType(BOOLEAN)
+    if isinstance(value, int):
+        return ColumnType(LONG)
+    if isinstance(value, float):
+        return ColumnType(DOUBLE)
+    if isinstance(value, (_dt.datetime, _dt.date)):
+        return ColumnType(TIMESTAMP)
+    if isinstance(value, str):
+        if value in ZERO_DATES:  # normalized to NULL before typing
+            return ColumnType(UNKNOWN)
+        if len(value) <= varchar_length:
+            return ColumnType(VARCHAR, varchar_length)
+        return ColumnType(TEXT)
+    if isinstance(value, (bytes, bytearray)):
+        return ColumnType(TEXT)
+    # dict/list/etc: the reference JSON-stringifies on write (snowflake.js:479-524)
+    return ColumnType(TEXT)
+
+
+def promote(a: ColumnType, b: ColumnType) -> ColumnType:
+    """Least upper bound of two lattice types (mysql.js:412-414, 486-488)."""
+    if a.kind == b.kind:
+        if a.kind == VARCHAR:
+            return ColumnType(VARCHAR, max(a.char_length, b.char_length))
+        return a
+    if a.kind == UNKNOWN:
+        return b
+    if b.kind == UNKNOWN:
+        return a
+    pair = {a.kind, b.kind}
+    if pair == {LONG, DOUBLE}:
+        return ColumnType(DOUBLE)
+    if pair == {VARCHAR, TEXT}:
+        return ColumnType(TEXT)
+    # any other mixed pair degrades to text (total-lattice choice)
+    return ColumnType(TEXT)
+
+
+def infer_column_types(
+    rows: list[dict], varchar_length: int = VARCHAR_DEFAULT_LENGTH
+) -> dict[str, ColumnType]:
+    """Infer per-column types across a heterogeneous row batch.
+
+    Key sets are unioned across rows (mysql.js:290-297); missing keys are
+    NULL; all-NULL columns stay ``unknown`` (the varchar(0) sentinel,
+    mysql.js:35-38) until later data re-types them.
+    """
+    out: dict[str, ColumnType] = {}
+    for row in rows:
+        for key, value in row.items():
+            t = infer_value_type(value, varchar_length)
+            out[key] = promote(out[key], t) if key in out else t
+    return out
+
+
+def to_struct_type(
+    col_types: dict[str, ColumnType], primary_key: str | None = None
+) -> T.StructType:
+    """Build a Spark schema; primary key sorted first (mysql.js:449-455)."""
+    names = list(col_types)
+    if primary_key and primary_key in names:
+        names.remove(primary_key)
+        names.insert(0, primary_key)
+    return T.StructType(
+        [
+            T.StructField(
+                n,
+                col_types[n].to_spark(),
+                nullable=not (primary_key and n == primary_key),
+            )
+            for n in names
+        ]
+    )
+
+
+def from_spark_type(dt: T.DataType, char_length: int = VARCHAR_DEFAULT_LENGTH) -> ColumnType:
+    """Map a Spark type back into the lattice (for schema diffing)."""
+    if isinstance(dt, T.NullType):
+        return ColumnType(UNKNOWN)
+    if isinstance(dt, T.BooleanType):
+        return ColumnType(BOOLEAN)
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return ColumnType(LONG)
+    if isinstance(dt, (T.FloatType, T.DoubleType, T.DecimalType)):
+        return ColumnType(DOUBLE)
+    if isinstance(dt, (T.TimestampType, T.DateType, T.TimestampNTZType)):
+        return ColumnType(TIMESTAMP)
+    if isinstance(dt, T.StringType):
+        return ColumnType(VARCHAR, char_length)
+    return ColumnType(TEXT)
+
+
+def normalize_value(value, col_type: ColumnType):
+    """Write-side value normalization (redshift.js:71-104,
+    snowflake.js:479-524): zero-dates→NULL, timestamps truncated to second
+    resolution (test/connections/mysql.js:241), numbers coerced to the
+    column's lattice kind, everything destined for a string column
+    stringified.
+    """
+    if value is None:
+        return None
+    if isinstance(value, str) and value in ZERO_DATES:
+        return None
+    kind = col_type.kind
+    if kind == TIMESTAMP:
+        if isinstance(value, _dt.datetime):
+            return value.replace(microsecond=0)
+        if isinstance(value, _dt.date):
+            return _dt.datetime(value.year, value.month, value.day)
+        return value
+    if kind == DOUBLE:
+        if isinstance(value, bool):
+            return float(value)
+        if isinstance(value, (int, float)):
+            return float(value)
+        return value
+    if kind == LONG:
+        if isinstance(value, bool):
+            return int(value)
+        return value
+    if kind == BOOLEAN:
+        return bool(value) if isinstance(value, (bool, int)) else value
+    if kind in (VARCHAR, TEXT):
+        if isinstance(value, str):
+            return value
+        if isinstance(value, bool):
+            return "true" if value else "false"
+        if isinstance(value, _dt.datetime):
+            return value.replace(microsecond=0).isoformat(sep=" ")
+        return str(value)
+    return value
+
+
+def normalize_rows(
+    rows: list[dict], col_types: dict[str, ColumnType]
+) -> list[tuple]:
+    """Project heterogeneous row dicts onto the unified column set, in
+    column order, with normalization applied. Missing keys → NULL
+    (redshift.js:246-247)."""
+    cols = list(col_types)
+    return [
+        tuple(normalize_value(row.get(c), col_types[c]) for c in cols)
+        for row in rows
+    ]

@@ -1,0 +1,118 @@
+"""Orchestrator tests mirroring test/lib/book.js and test/lib/chapter.js:
+ordering, chapter selection, loaders-before-pages, dynamic page addition,
+bounded parallelism timing, fail-fast, pid lock."""
+
+import time
+
+import pytest
+
+from empujar_spark.book import Book, _parse_chapter_filter
+from empujar_spark.errors import PageError, PidLockError, flatten, hash_merge
+
+
+def test_simplest_run_order():
+    # test/lib/book.js:14-27, 104-145: chapters run by priority order
+    book = Book(name="t", log_state_events=False)
+    order = []
+    for pri, nm in [(200, "b"), (100, "a"), (300, "c")]:
+        ch = book.add_chapter(pri, nm)
+        ch.add_page("p", lambda nm=nm: order.append(nm))
+    book.run()
+    assert order == ["a", "b", "c"]
+
+
+def test_chapter_selection_list_and_range():
+    # lib/book.js:25-38, 245-248
+    assert _parse_chapter_filter("1,4") == {1, 4}
+    assert _parse_chapter_filter("100-102") == {100, 101, 102}
+    book = Book(name="t", chapter_filter="100-300", log_state_events=False)
+    order = []
+    for pri in (50, 100, 300, 500):
+        book.add_chapter(pri, str(pri)).add_page("p", lambda p=pri: order.append(p))
+    book.run()
+    assert order == [100, 300]
+
+
+def test_loaders_before_pages_and_dynamic_pages():
+    # test/lib/chapter.js:7-24; lib/chapter.js:82-85
+    book = Book(name="t", log_state_events=False)
+    ch = book.add_chapter(1, "ch", threads=4)
+    order = []
+    ch.add_loader("l", lambda: (order.append("loader"),
+                                ch.add_page("dyn", lambda: order.append("dyn"))))
+    ch.add_page("static", lambda: order.append("static"))
+    book.run()
+    assert order[0] == "loader"
+    assert set(order[1:]) == {"static", "dyn"}
+
+
+def test_bounded_parallelism_timing():
+    # test/lib/chapter.js:26-70: 8×0.2s pages, threads=8 ⇒ ~1 slot;
+    # threads=4 ⇒ ~2 slots
+    def run_with(threads):
+        book = Book(name="t", log_state_events=False)
+        ch = book.add_chapter(1, "ch", threads=threads)
+        for i in range(8):
+            ch.add_page(f"p{i}", lambda: time.sleep(0.2))
+        t0 = time.monotonic()
+        book.run()
+        return time.monotonic() - t0
+
+    assert run_with(8) < 0.45
+    assert 0.35 <= run_with(4) < 0.75
+
+
+def test_fail_fast_with_context():
+    # lib/book.js:279-288: first page error stops the book, context flattened
+    book = Book(name="t", log_state_events=False)
+    ran = []
+    ch1 = book.add_chapter(1, "one")
+    ch1.add_page("bad", lambda: 1 / 0)
+    ch2 = book.add_chapter(2, "two")
+    ch2.add_page("never", lambda: ran.append("x"))
+    with pytest.raises(PageError) as exc:
+        book.run()
+    assert exc.value.context["chapter"] == "one"
+    assert exc.value.context["page"] == "bad"
+    assert ran == []
+    states = [e["state"] for e in book.state_events]
+    assert "book:error" in states and states[-1] == "book:end"
+
+
+def test_pid_lock(tmp_path):
+    # lib/book.js:79-106 + test/lib/book.js:29-43
+    b1 = Book(name="locked", pid_dir=str(tmp_path), log_state_events=False)
+    b1.ensure_pid()
+    b2 = Book(name="locked", pid_dir=str(tmp_path), log_state_events=False)
+    with pytest.raises(PidLockError):
+        b2.ensure_pid()
+    b1.remove_pid()
+    b2.ensure_pid()  # released → acquirable
+    b2.remove_pid()
+
+
+def test_state_events_schema():
+    # lib/book.js:234-241: {state, time, name, duration, data}
+    book = Book(name="t", log_state_events=False)
+    book.add_chapter(1, "c").add_page("p", lambda: None)
+    book.run()
+    ev = book.state_events[0]
+    assert set(ev) == {"state", "time", "name", "duration", "data"}
+    assert ev["state"] == "book:start"
+
+
+def test_utils():
+    # lib/utils.js:19-43, 133-156
+    assert hash_merge({"a": 1}, {"a": 2, "b": 3}) == {"a": 1, "b": 3}
+    assert flatten({"a": {"b": {"c": 1}}, "d": 2}) == {"a.b.c": 1, "d": 2}
+
+
+def test_audit_flush(warehouse):
+    # books/etl/book.js:13-15: state events land in the `empujar` table
+    book = Book(name="t", log_state_events=False)
+    book.add_chapter(1, "c").add_page("p", lambda: None)
+    book.run()
+    book.flush_audit(warehouse)
+    df = warehouse.read("empujar")
+    states = [r["state"] for r in df.collect()]
+    assert "book:start" in states and "book:end" in states

@@ -1,0 +1,188 @@
+"""Warehouse operator tests mirroring test/connections/mysql.js goldens:
+inference at create, upsert vs append, dynamic add-column, unknown-type
+promotion, varchar→text widening, mergeTables decision matrix, dedup
+keep-latest."""
+
+import datetime as dt
+
+import pytest
+
+from empujar_spark.catalog import TableNotFound
+
+
+def rows_by_id(wh, table):
+    return {r["id"]: r.asDict() for r in wh.read(table).collect()}
+
+
+def test_create_from_data_inference_goldens(warehouse):
+    # test/connections/mysql.js:216-248
+    warehouse.insert_data(
+        "things",
+        [
+            {
+                "id": 1,
+                "null_col": None,
+                "int_col": 5,
+                "float_col": 1.5,
+                "bool_col": True,
+                "short_text": "hello",
+                "long_text": "x" * 300,
+                "when": dt.datetime(2020, 1, 2, 3, 4, 5),
+            }
+        ],
+    )
+    cols = warehouse.show_columns("things")
+    assert cols["id"]["type"] == "bigint"
+    assert cols["null_col"]["type"] == "varchar" and cols["null_col"]["charLength"] == 0
+    assert cols["int_col"]["type"] == "bigint"
+    assert cols["float_col"]["type"] == "float"
+    assert cols["bool_col"]["type"] == "tinyint"
+    assert cols["short_text"]["type"] == "varchar"
+    assert cols["long_text"]["type"] == "text"
+    assert cols["when"]["type"] == "datetime"
+    # PK ordered first (mysql.js:449-455)
+    assert list(warehouse.column_types("things"))[0] == "id"
+
+
+def test_upsert_vs_append(warehouse):
+    # test/connections/mysql.js:250-291
+    warehouse.insert_data("users", [{"id": 1, "name": "evan"}, {"id": 2, "name": "brian"}])
+    warehouse.insert_data("users", [{"id": 1, "name": "EVAN"}])  # upsert default
+    data = rows_by_id(warehouse, "users")
+    assert len(data) == 2
+    assert data[1]["name"] == "EVAN"
+
+    warehouse.insert_data("users", [{"id": 1, "name": "evan2"}], merge_on_duplicates=False)
+    assert warehouse.table_size("users") == 3  # plain append keeps the dup
+
+
+def test_in_batch_dedup_last_wins(warehouse):
+    warehouse.insert_data("t", [{"id": 1, "v": "a"}, {"id": 1, "v": "b"}])
+    assert rows_by_id(warehouse, "t")[1]["v"] == "b"
+
+
+def test_dynamic_add_column(warehouse):
+    # test/connections/mysql.js:293-311
+    warehouse.insert_data("u", [{"id": 1, "a": "x"}])
+    warehouse.insert_data("u", [{"id": 2, "a": "y", "b": 5}])
+    data = rows_by_id(warehouse, "u")
+    assert data[1]["b"] is None
+    assert data[2]["b"] == 5
+    assert warehouse.show_columns("u")["b"]["type"] == "bigint"
+
+
+def test_unknown_type_promotion(warehouse):
+    # varchar(0) → typed on first non-null data (mysql.js:313-336)
+    warehouse.insert_data("p", [{"id": 1, "c": None}])
+    assert warehouse.show_columns("p")["c"]["charLength"] == 0
+    warehouse.insert_data("p", [{"id": 2, "c": "hi"}])
+    cols = warehouse.show_columns("p")
+    assert cols["c"]["type"] == "varchar" and cols["c"]["charLength"] == 255
+    data = rows_by_id(warehouse, "p")
+    assert data[1]["c"] is None and data[2]["c"] == "hi"
+
+
+def test_varchar_to_text_widening(warehouse):
+    # mysql.js:338-352
+    warehouse.insert_data("w", [{"id": 1, "c": "short"}])
+    warehouse.insert_data("w", [{"id": 2, "c": "y" * 300}])
+    assert warehouse.show_columns("w")["c"]["type"] == "text"
+    assert len(rows_by_id(warehouse, "w")[2]["c"]) == 300
+
+
+def test_int_to_float_promotion(warehouse):
+    warehouse.insert_data("f", [{"id": 1, "n": 2}])
+    warehouse.insert_data("f", [{"id": 2, "n": 2.5}])
+    assert warehouse.show_columns("f")["n"]["type"] == "float"
+    assert rows_by_id(warehouse, "f")[1]["n"] == 2.0
+
+
+def test_get_max_and_table_size(warehouse):
+    assert warehouse.get_max("missing", "x") is None
+    warehouse.insert_data("m", [{"id": 1, "ts": dt.datetime(2020, 1, 1)},
+                               {"id": 2, "ts": dt.datetime(2021, 6, 1)}])
+    assert warehouse.get_max("m", "ts") == dt.datetime(2021, 6, 1)
+    assert warehouse.get_max("m", "nope") is None
+    assert warehouse.table_size("m") == 2
+
+
+def test_get_all_chunks_and_limit(warehouse):
+    warehouse.insert_data("g", [{"id": i} for i in range(10)])
+    batches = list(warehouse.get_all("g", chunk_size=4))
+    assert [len(b) for b in batches] == [4, 4, 2]
+    assert warehouse.get_all("g", limit=3).count() == 3  # getAllLimit (book.js:74)
+
+
+def test_query_and_views(warehouse):
+    warehouse.insert_data("q1", [{"id": 1, "v": 10}, {"id": 2, "v": 20}])
+    assert warehouse.query("SELECT sum(v) AS s FROM q1").first()["s"] == 30
+
+
+def test_merge_tables_full_when_dest_missing(warehouse):
+    # mysql.js:560-570
+    warehouse.insert_data("src", [{"id": 1, "v": "a"}])
+    assert warehouse.merge_tables("src", "dest") == "full"
+    assert rows_by_id(warehouse, "dest")[1]["v"] == "a"
+
+
+def test_merge_tables_full_when_source_has_more_columns(warehouse):
+    warehouse.insert_data("s2", [{"id": 1, "v": "a", "extra": 1}])
+    warehouse.insert_data("d2", [{"id": 9, "v": "old"}])
+    assert warehouse.merge_tables("s2", "d2") == "full"
+    data = rows_by_id(warehouse, "d2")
+    assert set(data) == {1}  # full merge = rebuild (DROP+CREATE LIKE+INSERT)
+
+
+def test_merge_tables_incremental_upsert(warehouse):
+    warehouse.insert_data("s3", [{"id": 1, "v": "new"}, {"id": 3, "v": "three"}])
+    warehouse.insert_data("d3", [{"id": 1, "v": "old"}, {"id": 2, "v": "two"}])
+    assert warehouse.merge_tables("s3", "d3") == "incremental"
+    data = rows_by_id(warehouse, "d3")
+    assert data[1]["v"] == "new" and data[2]["v"] == "two" and data[3]["v"] == "three"
+
+
+def test_merge_missing_source_raises(warehouse):
+    with pytest.raises(TableNotFound):
+        warehouse.merge_tables("nope", "dest")
+
+
+def test_dedup_keep_latest(warehouse):
+    # redshift.js:399-413: keep max(updated_at) per id
+    warehouse.insert_data(
+        "dup",
+        [
+            {"id": 1, "v": "old", "updated_at": dt.datetime(2020, 1, 1)},
+            {"id": 1, "v": "new", "updated_at": dt.datetime(2021, 1, 1)},
+            {"id": 2, "v": "only", "updated_at": dt.datetime(2020, 1, 1)},
+        ],
+        merge_on_duplicates=False,
+    )
+    out = warehouse.dedup_keep_latest(warehouse.read("dup"), "id")
+    data = {r["id"]: r["v"] for r in out.collect()}
+    assert data == {1: "new", 2: "only"}
+
+
+def test_copy_table_schema(warehouse):
+    # mysql.js:601-605
+    warehouse.insert_data("orig", [{"id": 1, "v": "a"}])
+    warehouse.copy_table_schema("orig", "clone")
+    assert warehouse.table_size("clone") == 0
+    assert warehouse.show_columns("clone") == warehouse.show_columns("orig")
+
+
+def test_add_and_alter_column(warehouse):
+    warehouse.insert_data("ac", [{"id": 1, "v": "a"}])
+    warehouse.add_column("ac", "n", [1, 2])
+    assert warehouse.show_columns("ac")["n"]["type"] == "bigint"
+    warehouse.alter_column("ac", "n", "text")
+    assert warehouse.show_columns("ac")["n"]["type"] == "text"
+
+
+def test_dataframe_input_roundtrip(warehouse, spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    warehouse.insert_data("dfin", df)
+    assert warehouse.table_size("dfin") == 2
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    warehouse.insert_data("dfin", df2)
+    data = rows_by_id(warehouse, "dfin")
+    assert data[2]["v"] == "B" and len(data) == 3
