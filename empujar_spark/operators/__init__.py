@@ -1,0 +1,7 @@
+"""Scale/extension operators beyond the reference's surface (BASELINE.json
+north star): dedup, similarity search, text analysis, multimodal columns.
+
+Each operator is a DataFrame→DataFrame function, deterministic, JVM-side
+(built-in pyspark.sql.functions) unless genuinely impossible, and designed
+so the same computation is expressible as ANSI SQL for the DuckDB oracle.
+"""

@@ -1,0 +1,190 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design (the whole point of these at 100 TB):
+
+- ``exact_dedup``: one hash-groupBy on a fingerprint — a single shuffle on
+  an md5 key, uniformly distributed, no skew.
+- ``ngram_jaccard_pairs``: exact all-pairs Jaccard computed WITHOUT an O(n²)
+  cross join — explode shingles and self-join on the shingle key, so the
+  cost is Σ(bucket²) over shingle buckets, and |A∩B| falls out of the join
+  count. (An optional frequency cap drops stop-shingles to kill skew.)
+- ``minhash_lsh_pairs``: the sub-quadratic path — deterministic md5-derived
+  MinHash signatures, banded; candidate pairs share a band bucket. False
+  negatives possible by construction (documented); pair verification re-uses
+  the exact-Jaccard join.
+- ``simhash``: 64-bit (here 32 for SQL-twin arithmetic headroom) weighted
+  bit-vote fingerprint; near-dups = small Hamming distance.
+
+All deterministic (md5-based hashing, no Spark-internal hash functions) so
+each has an ANSI-SQL twin for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from empujar_spark.operators.text import fingerprint, shingles
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact-duplicate groups by normalized-text fingerprint: one row per
+    distinct content with the kept (min) doc_id and the duplicate count."""
+    fp = fingerprint(df, text_col)
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_dups")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Drop exact duplicates, keeping the smallest doc_id per content."""
+    from pyspark.sql import Window
+
+    fp = fingerprint(df, text_col).join(df, "doc_id")
+    keep = F.min("doc_id").over(Window.partitionBy("fingerprint"))
+    return (
+        fp.withColumn("__keep", keep)
+        .filter(F.col("doc_id") == F.col("__keep"))
+        .drop("__keep", "fingerprint")
+    )
+
+
+def doc_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-k-gram table."""
+    return df.select(
+        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over word-k-gram shingle sets.
+
+    Plan: explode → (optionally drop shingles with document frequency >
+    ``max_shingle_freq``: stop-shingle skew control; disabled by default so
+    the result stays exact) → self-join on shingle → count shared shingles
+    per pair = |A∩B| → join per-doc set sizes → Jaccard. One shuffle on the
+    shingle key + one on the pair key; never a cross join.
+    """
+    sh = doc_shingles(df, text_col, k)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        sh = (
+            sh.join(freq.filter(F.col("__df") <= max_shingle_freq), "shingle")
+            .drop("__df")
+        )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+        6,
+    )
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "n_shared", "jaccard")
+    )
+
+
+def _md5_bucket(col: Column, seed: int, buckets: int = 2_147_483_647) -> Column:
+    """Deterministic 31-bit hash from md5(seed|value) — identical in any
+    engine with md5 + hex parsing (the SQL twin uses the same 8 hex chars)."""
+    h = F.md5(F.concat(F.lit(f"{seed}|"), col))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", k: int = 3, num_hashes: int = 8
+) -> DataFrame:
+    """MinHash signature per doc: for each of ``num_hashes`` seeded hash
+    functions, the min over the doc's shingles. Wide layout mh_0..mh_{n-1}.
+
+    One explode + one groupBy (all mins computed in a single aggregation
+    pass — map-side partial min keeps the shuffle tiny)."""
+    sh = doc_shingles(df, text_col, k)
+    aggs = [
+        F.min(_md5_bucket(F.col("shingle"), i)).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding: docs sharing any band of
+    the MinHash signature. Sub-quadratic: the join key is the band bucket.
+    Output: (id_a, id_b, n_bands_shared). False negatives possible —
+    verify candidates with ``ngram_jaccard_pairs`` semantics downstream."""
+    sig = minhash_signatures(df, text_col, k, num_hashes)
+    n_bands = num_hashes // band_size
+    bands = []
+    for b in range(n_bands):
+        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
+        bands.append(
+            sig.select(
+                "doc_id",
+                F.lit(b).alias("band"),
+                F.concat_ws(":", *[c.cast("string") for c in cols]).alias("bucket"),
+            )
+        )
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash fingerprint: per-token deterministic hash; bit b of the
+    fingerprint is 1 when more tokens have bit b set than not. Computed as
+    exploded token→bit votes aggregated JVM-side (sum of ±1 per bit).
+
+    32 bits keeps every intermediate in exact int64 range for the SQL twin.
+    """
+    tokens = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
+        ).alias("token"),
+    )
+    h = _md5_bucket(F.col("token"), 0, 1 << bits)
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"v_{b}")
+        for b in range(bits)
+    ]
+    agg = tokens.groupBy("doc_id").agg(*votes)
+    fp = sum(
+        (F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)),
+        F.lit(0),
+    ).cast("bigint")
+    return agg.select("doc_id", fp.alias("simhash"))

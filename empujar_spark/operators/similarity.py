@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``cosine_topk``: brute-force exact top-k — the correctness baseline.
+  Query set is broadcast (it's small by construction); the corpus scan is
+  one pass, no shuffle until the per-query top-k (a tiny aggregate). Dot
+  products run JVM-side via F.aggregate folds in array-index order, so the
+  float semantics are bit-reproducible (and match the DuckDB oracle's
+  list_dot_product on double).
+- ``lsh_topk``: the scale path — random-hyperplane LSH bucketing so each
+  query only scans its bucket. Hyperplanes are derived deterministically
+  from md5, so results are reproducible across engines; approximate by
+  construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] as an ordered double fold (deterministic FP)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Output: (query_id, neighbor_id, cosine) — cosine rounded to 6 dp,
+    ranked by (rounded cosine desc, neighbor_id asc) for determinism;
+    self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def _hyperplane_sign(vec: Column, dim: int, seed: int) -> Column:
+    """Sign of ⟨vec, h⟩ for a deterministic ±1 hyperplane h derived from
+    md5(seed|index) parity — reproducible in any engine."""
+    signs = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda i: F.when(
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{seed}|"), i.cast("string"))), 1, 8),
+                16,
+                10,
+            ).cast("bigint") % 2
+            == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0)),
+    )
+    proj = F.aggregate(
+        F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (proj >= 0).cast("int")
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1)."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        bucket = bucket + _hyperplane_sign(vec, dim, p) * F.lit(1 << p)
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: bucket corpus and queries by hyperplane LSH and
+    rank only within the shared bucket. At 100 TB the bucket join replaces
+    the full scan per query; recall is tunable via n_planes (fewer planes →
+    bigger buckets → higher recall)."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        6,
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure built-in-function column expressions (JVM-side, codegen'd, no
+Python in the hot path) so they hold at 100 TB: embarrassingly parallel
+per-row maps, no shuffle, full predicate/column pushdown preserved.
+
+Determinism contract: every function here has an exact ANSI-SQL twin used
+as the DuckDB oracle (see plans/corpus.py) — same regexes, same rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# language-ID marker words (n-gram heuristic): counted as padded substrings
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": [" the ", " and ", " of "],
+    "de": [" der ", " und ", " die "],
+    "fr": [" le ", " et ", " les "],
+    "es": [" el ", " y ", " los "],
+}
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count. Empty/blank text → 0."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def char_classes(text: Column) -> dict[str, Column]:
+    """Character-class counts via length-of-stripped deltas (same trick is
+    exact in SQL: length(t) - length(regexp_replace(t, cls, '')))."""
+    n = F.length(text)
+    return {
+        "n_chars": n,
+        "n_alpha": n - F.length(F.regexp_replace(text, r"[A-Za-z]", "")),
+        "n_digit": n - F.length(F.regexp_replace(text, r"[0-9]", "")),
+        "n_punct": n - F.length(F.regexp_replace(text, r"[.,;:!?]", "")),
+        "n_space": n - F.length(F.regexp_replace(text, r"\s", "")),
+    }
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality features: length, token count, punctuation/digit/alpha
+    ratios (4-dp rounded doubles), short-doc flag. Mirrors the standard
+    pretraining-quality heuristics (length + symbol ratios)."""
+    t = F.col(text_col)
+    cls = char_classes(t)
+    tokens = token_count(t)
+    n = cls["n_chars"]
+    safe_n = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
+    avg_word = F.when(
+        tokens == 0, F.lit(0.0)
+    ).otherwise(F.round(cls["n_alpha"].cast("double") / tokens.cast("double"), 4))
+    return df.select(
+        F.col("doc_id"),
+        n.cast("bigint").alias("n_chars"),
+        tokens.cast("bigint").alias("n_tokens"),
+        F.round(cls["n_alpha"].cast("double") / safe_n, 4).alias("alpha_ratio"),
+        F.round(cls["n_digit"].cast("double") / safe_n, 4).alias("digit_ratio"),
+        F.round(cls["n_punct"].cast("double") / safe_n, 4).alias("punct_ratio"),
+        avg_word.alias("avg_word_len"),
+        (n < 100).cast("int").alias("is_short"),
+    )
+
+
+def _occurrences(padded: Column, marker: str) -> Column:
+    """Count marker occurrences via the length/replace delta (exact SQL twin:
+    (length(t) - length(replace(t, m, ''))) / length(m))."""
+    return (
+        F.length(padded) - F.length(F.replace(padded, F.lit(marker)))
+    ) / F.lit(len(marker))
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hit counts,
+    ties broken by language code order; 'und' (undetermined) when no marker
+    hits. Deterministic and SQL-twinned."""
+    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+    scores = {
+        lang: sum(
+            (_occurrences(padded, m) for m in markers), F.lit(0.0)
+        ).cast("bigint")
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    for lang in sorted(LANG_MARKERS):  # ties → first in code order
+        score = scores[lang]
+        if best is None:
+            best = (score, F.lit(lang))
+        else:
+            best = (
+                F.when(score > best[0], score).otherwise(best[0]),
+                F.when(score > best[0], F.lit(lang)).otherwise(best[1]),
+            )
+    best_score, best_lang = best
+    return df.select(
+        "doc_id",
+        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias("lang_pred"),
+        best_score.alias("marker_hits"),
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of whitespace-normalized lowercased text.
+    Identical bytes ⇒ identical fingerprint — the exact-dedup key."""
+    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    return df.select(
+        "doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint")
+    )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), lowercased. Built with
+    transform over the token array — JVM-side, no UDF."""
+    tokens = F.split(F.trim(F.lower(text)), r"\s+")
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)]),
+    )
+    return F.when(n >= k, F.array_distinct(grams)).otherwise(
+        F.array_distinct(F.array(F.concat_ws(" ", tokens)))
+    )

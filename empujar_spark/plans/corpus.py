@@ -1,0 +1,827 @@
+"""The engine's query corpus with DuckDB oracle twins.
+
+Each entry: a Spark DataFrame program (the real implementation, built on
+empujar_spark operators) + the equivalent ANSI SQL string DuckDB runs on
+the same parquet tables. The driver hash-compares results at sf0.01.
+
+Determinism rules used throughout (so value hashes match exactly):
+- Money/measure aggregates: cast to DECIMAL(18,6) first (exact arithmetic,
+  no float accumulation-order sensitivity), cast the FINAL value to DOUBLE
+  (both engines then emit identical float64).
+- Ratios/scores: round(…, 4..6) with identical expressions both sides.
+- Rankings: always a deterministic total order (value desc, id asc).
+- Hashing: md5-derived (never engine-internal hash functions).
+
+Reference query provenance is cited per entry (files under
+/root/reference/).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from empujar_spark.operators import dedup as D
+from empujar_spark.operators import multimodal as M
+from empujar_spark.operators import similarity as S
+from empujar_spark.operators import text as X
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
+        # natively: read nanos-as-long and floor to microseconds (DuckDB's
+        # reader truncates to micros the same way).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def dec(col) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("decimal(18,6)")
+
+
+@dataclass
+class Query:
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None → non-SQL-expressible (driver does rows-only check)
+
+
+CORPUS: dict[str, Query] = {}
+
+
+def q(name: str, sql: str | None):
+    def wrap(fn):
+        CORPUS[name] = Query(fn, sql)
+        return fn
+
+    return wrap
+
+
+# =====================================================================
+# §2.4 relational corpus — the reference's pushed-down SQL, native
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_base_price,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                    (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+               AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H-Q1-style pricing summary — the flagship aggregation (reference
+    transform corpus: join+group+sum, books/etl/chapters/transform/*.js).
+    Single scan, map-side partial aggregation, filter pushed to parquet."""
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(18,6)")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+        F.round(F.sum(dec("l_extendedprice")), 4).cast("double").alias("sum_base_price"),
+        F.round(F.sum(dec("l_extendedprice") * (one - dec("l_discount"))), 4)
+        .cast("double")
+        .alias("sum_disc_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@q("max_watermark", "SELECT max(o_orderdate) AS max_ts FROM orders")
+def max_watermark(spark, sf_dir):
+    """MAX-watermark read (reference getMax, mysql.js:193-216)."""
+    return load(spark, sf_dir, "orders").agg(F.max("o_orderdate").alias("max_ts"))
+
+
+@q("count_table", "SELECT count(1) AS total FROM lineitem")
+def count_table(spark, sf_dir):
+    """COUNT table size (reference tableSize, redshift.js:129-135)."""
+    return load(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("total"))
+
+
+@q(
+    "watermark_extract",
+    """
+    SELECT * FROM orders
+    WHERE o_orderdate >= (SELECT max(o_orderdate) - INTERVAL 90 DAY
+                          FROM orders WHERE o_orderstatus = 'F')
+    """,
+)
+def watermark_extract(spark, sf_dir):
+    """Incremental watermark extract (reference extract.js:15-28): read the
+    destination's max watermark, filter the source. The scalar watermark is
+    driver-side (one tiny agg), the filter pushes down to the scan."""
+    o = load(spark, sf_dir, "orders")
+    wm = (
+        o.filter(F.col("o_orderstatus") == "F")
+        .agg(F.max("o_orderdate").alias("m"))
+        .first()["m"]
+    )
+    import datetime as dt
+
+    return o.filter(F.col("o_orderdate") >= F.lit(wm - dt.timedelta(days=90)))
+
+
+@q(
+    "correlated_count",
+    """
+    SELECT c.c_custkey, c.c_name, coalesce(o.n, 0) AS n_orders
+    FROM customer c
+    LEFT JOIN (SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey) o
+      ON o.o_custkey = c.c_custkey
+    """,
+)
+def correlated_count(spark, sf_dir):
+    """Correlated scalar-subquery count (reference transform/users.js:9-17:
+    UPDATE users SET totalPurchases = (SELECT count(1) …)) — re-expressed
+    as aggregate + left join + coalesce. The aggregate side is small
+    (one row per customer) → broadcastable."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", F.coalesce(F.col("n"), F.lit(0)).alias("n_orders")
+    )
+
+
+@q(
+    "join_groupby_sum",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                    (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4) AS DOUBLE)
+               AS total_spent
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def join_groupby_sum(spark, sf_dir):
+    """The totalSpentCents transform (reference transform/users.js:19-34):
+    3-way equi-join + group-by + sum. Aggregate lineitem→orders first
+    (smaller shuffle), then join customers."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,6)")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, l.l_orderkey == o.o_orderkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * (one - dec("l_discount"))), 4)
+            .cast("double")
+            .alias("total_spent")
+        )
+    )
+
+
+@q(
+    "dedup_keep_latest",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events) t
+    WHERE rn = 1
+    """,
+)
+def dedup_keep_latest(spark, sf_dir):
+    """Dedup-keep-latest (reference redshift.js:399-413: keep the
+    max(updated_at) row per duplicated id) as a window argmax."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@q("dedup_all_columns", "SELECT DISTINCT user_id, event_type FROM events")
+def dedup_all_columns(spark, sf_dir):
+    """Group-by-all-columns row dedup (reference snowflake.js:350-364)."""
+    return load(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+_ORDER_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderdate", "o_orderpriority",
+]
+
+@q(
+    "merge_upsert",
+    """
+    WITH dest AS (SELECT * FROM orders WHERE o_orderdate <  TIMESTAMP '1997-06-01'),
+         src  AS (SELECT * FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    SELECT """
+    + ", ".join(f"coalesce(s.{c}, d.{c}) AS {c}" for c in _ORDER_COLS)
+    + """
+    FROM dest d FULL OUTER JOIN src s ON d.o_orderkey = s.o_orderkey
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """The mergeTables incremental-upsert plan (reference mysql.js:571-591,
+    snowflake.js:892-946: MERGE INTO … WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT) expressed relationally: full-outer join on the key, source
+    wins. This is exactly Warehouse.insert_data's plan shape."""
+    o = load(spark, sf_dir, "orders")
+    dest = o.filter(F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp")).alias("d")
+    src = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp")).alias("s")
+    joined = dest.join(src, F.col("d.o_orderkey") == F.col("s.o_orderkey"), "full_outer")
+    return joined.select(
+        *[
+            F.coalesce(F.col(f"s.{c}"), F.col(f"d.{c}")).alias(c)
+            for c in _ORDER_COLS
+        ]
+    )
+
+
+@q(
+    "topk_per_group",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K per group via ranked window (SURVEY §2.5 extension: the
+    reference has no top-k; Spark window exec gives it)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@q(
+    "rollup_agg",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_qty,
+           count(*) AS n
+    FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+)
+def rollup_agg(spark, sf_dir):
+    """ROLLUP grouping sets (free from Spark SQL; beyond the reference)."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(dec("l_quantity")), 4).cast("double").alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "anti_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def anti_join(spark, sf_dir):
+    """NOT EXISTS → left-anti join (customers with no orders)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "semi_join",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def semi_join(spark, sf_dir):
+    """EXISTS → left-semi join (customers with an urgent order)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "string_funcs",
+    """
+    SELECT p_partkey,
+           upper(p_name) AS name_upper,
+           length(p_name) AS name_len,
+           substr(p_name, 1, 5) AS name_prefix,
+           concat(p_brand, '#', p_type) AS brand_type
+    FROM part
+    """,
+)
+def string_funcs(spark, sf_dir):
+    """Scalar string-function surface (SURVEY §2.5: the reference has no
+    scalar library — Spark's built-ins provide it)."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit("#"), F.col("p_type")).alias("brand_type"),
+    )
+
+
+@q(
+    "date_funcs_monthly",
+    """
+    SELECT date_trunc('month', o_orderdate) AS order_month,
+           CAST(year(o_orderdate) AS BIGINT) AS order_year,
+           count(*) AS n_orders,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def date_funcs_monthly(spark, sf_dir):
+    """Date extraction + monthly aggregate."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_trunc("month", "o_orderdate").alias("order_month"),
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(dec("o_totalprice")), 4).cast("double").alias("revenue"),
+    )
+
+
+@q(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+               AS running_total
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    """Running total per customer (cumulative window; decimal-exact)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum(dec("o_totalprice")).over(w), 4).cast("double").alias("running_total"),
+    )
+
+
+@q(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL THEN 0
+                  WHEN epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                  ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS session_id
+      FROM g)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions via lag + cumulative sum
+    (streaming analogue: session_window in streaming/)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_sess = (
+        F.when(F.lag("ts").over(w).isNull(), 0)
+        .when(gap > 1800, 1)
+        .otherwise(0)
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_sess).over(cum).alias("session_id"),
+    )
+    return s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+@q(
+    "pivot_status",
+    """
+    SELECT o_orderpriority,
+           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_status(spark, sf_dir):
+    """Pivot expressed as conditional aggregation (identical plan to
+    .pivot() with explicit values, but with oracle-stable column names)."""
+    o = load(spark, sf_dir, "orders")
+
+    def n(status, alias):
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, 1).otherwise(0)
+        ).alias(alias)
+
+    return o.groupBy("o_orderpriority").agg(
+        n("O", "n_open"), n("F", "n_filled"), n("P", "n_pending")
+    )
+
+
+@q(
+    "json_extract",
+    """
+    SELECT event_id, CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT) AS k
+    FROM events
+    """,
+)
+def json_extract(spark, sf_dir):
+    """Semi-structured extraction from the JSON props column (regex-based
+    so both engines share exact semantics; ES-source parity, SURVEY §2.2)."""
+    e = load(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("bigint").alias("k"),
+    )
+
+
+@q(
+    "hourly_events",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def hourly_events(spark, sf_dir):
+    """Tumbling 1-hour window aggregate (batch twin of the streaming
+    windowed agg in streaming/)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec("value")), 4).cast("double").alias("total_value"),
+    )
+
+
+# =====================================================================
+# Scale-extension operators (BASELINE.json north star)
+# =====================================================================
+
+_NORM_TEXT_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+@q(
+    "doc_fingerprint",
+    f"SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint FROM documents",
+)
+def doc_fingerprint(spark, sf_dir):
+    """Content fingerprint: md5 of normalized text (operators/text.py)."""
+    return X.fingerprint(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT md5({_NORM_TEXT_SQL}) AS fingerprint,
+           min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup groups by fingerprint (operators/dedup.py): one uniform
+    hash-shuffle; at 100 TB this is the cheapest dedup pass and runs first."""
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+"""
+
+@q(
+    "ngram_jaccard_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) >= 0.1
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Exact 3-gram Jaccard near-dup pairs ≥ 0.1 (operators/dedup.py):
+    explode-join on the shingle key — |A∩B| from the join, never O(n²)."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, k=3, threshold=0.1)
+
+
+_MH_HASH = (
+    "CAST(('0x' || substr(md5('{seed}|' || shingle), 1, 8)) AS BIGINT) % 2147483647"
+)
+
+@q(
+    "minhash_signatures",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT doc_id,
+           {", ".join(f"min({_MH_HASH.format(seed=i)}) AS mh_{i}" for i in range(8))}
+    FROM sh GROUP BY doc_id
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    """MinHash signatures (8 md5-seeded hash functions) — the sub-quadratic
+    dedup building block; one explode + one aggregation with map-side
+    partial mins (operators/dedup.py)."""
+    return D.minhash_signatures(load(spark, sf_dir, "documents"), num_hashes=8)
+
+
+@q(
+    "minhash_lsh_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min({_MH_HASH.format(seed=i)}) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh_{2*b} AS VARCHAR) || ':' || CAST(mh_{2*b+1} AS VARCHAR) AS bucket FROM sig"
+        for b in range(4)
+      )})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_bands_shared
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def minhash_lsh_pairs(spark, sf_dir):
+    """LSH banding over MinHash signatures (4 bands × 2 rows): candidate
+    near-dup pairs join only within band buckets — the 100 TB-scale path
+    (operators/dedup.py)."""
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), num_hashes=8, band_size=2
+    )
+
+
+@q(
+    "simhash",
+    """
+    WITH toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token
+      FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5('0|' || token), 1, 8)) AS BIGINT) % 4294967296 AS hv
+          FROM toks),
+    votes AS (
+      SELECT doc_id, bits.b,
+             sum(CASE WHEN (hv >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+    FROM votes GROUP BY doc_id
+    """,
+)
+def simhash_fp(spark, sf_dir):
+    """32-bit SimHash fingerprints (operators/dedup.py): token-hash bit
+    votes aggregated JVM-side; near-dups = small Hamming distance."""
+    return D.simhash(load(spark, sf_dir, "documents"), bits=32)
+
+
+@q(
+    "embedding_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+    SELECT query_id, neighbor_id, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored) t
+    WHERE rnk <= 5
+    """,
+)
+def embedding_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for query vectors (vec_id < 5) —
+    operators/similarity.py. Broadcast queries; ordered double folds keep
+    FP bit-reproducible vs the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.cosine_topk(emb, queries, k=5)
+
+
+@q(
+    "token_count",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+           length(text) AS n_chars_computed
+    FROM documents
+    """,
+)
+def token_count(spark, sf_dir):
+    """Whitespace token counting (operators/text.py)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        X.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars_computed"),
+    )
+
+
+@q(
+    "text_quality",
+    r"""
+    WITH c AS (
+      SELECT doc_id, length(text) AS n,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
+             length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
+             length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct
+      FROM documents)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_alpha / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE), 4) AS alpha_ratio,
+           round(n_digit / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE), 4) AS digit_ratio,
+           round(n_punct / CAST(CASE WHEN n = 0 THEN 1 ELSE n END AS DOUBLE), 4) AS punct_ratio,
+           CASE WHEN n_tokens = 0 THEN 0.0
+                ELSE round(n_alpha / CAST(n_tokens AS DOUBLE), 4) END AS avg_word_len,
+           CAST(n < 100 AS INT) AS is_short
+    FROM c
+    """,
+)
+def text_quality(spark, sf_dir):
+    """Quality-score features (operators/text.py)."""
+    return X.quality_score(load(spark, sf_dir, "documents"))
+
+
+def _lang_sql() -> str:
+    score = lambda lang: " + ".join(
+        f"(length(p) - length(replace(p, '{m}', ''))) / {len(m)}"
+        for m in X.LANG_MARKERS[lang]
+    )
+    langs = sorted(X.LANG_MARKERS)
+    scores = ", ".join(
+        f"CAST({score(lang)} AS BIGINT) AS s_{lang}" for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    first_match = " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, ' ' || lower(text) || ' ' AS p FROM documents),
+    s AS (SELECT doc_id, {scores} FROM p),
+    b AS (SELECT *, {best} AS best FROM s)
+    SELECT doc_id,
+           CASE WHEN best > 0 THEN (CASE {first_match} END) ELSE 'und' END AS lang_pred,
+           best AS marker_hits
+    FROM b
+    """
+
+
+@q("lang_id", _lang_sql())
+def lang_id(spark, sf_dir):
+    """Marker-word language-ID heuristic (operators/text.py)."""
+    return X.lang_id(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "multimodal_meta",
+    """
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha
+    FROM documents
+    """,
+)
+def multimodal_meta(spark, sf_dir):
+    """Binary-column metadata plumbing (operators/multimodal.py): payload
+    byte length + sha over the opaque content column (testdata shim:
+    utf-8 text bytes stand in for encoded media)."""
+    d = M.text_as_binary(load(spark, sf_dir, "documents"))
+    d = M.attach_binary_metadata(d)
+    return d.select(
+        "doc_id",
+        F.col("mm_meta.mime").alias("mime"),
+        F.col("mm_meta.n_bytes").alias("n_bytes"),
+        F.col("mm_meta.sha").alias("sha"),
+    )
+
+
+@q(
+    "frame_sample",
+    """
+    SELECT doc_id,
+           CAST(unnest(generate_series(0, greatest(octet_length(encode(text)) // 1024 - 1, 0)))
+                AS BIGINT) AS frame_no,
+           CAST(unnest(generate_series(0, greatest(octet_length(encode(text)) // 1024 - 1, 0))) * 1024
+                AS BIGINT) AS byte_offset
+    FROM documents
+    """,
+)
+def frame_sample(spark, sf_dir):
+    """Frame-sampling plumbing (operators/multimodal.py): one row per
+    sampled frame offset, no decode, pure sequence explode."""
+    d = M.attach_binary_metadata(M.text_as_binary(load(spark, sf_dir, "documents")))
+    out = M.frame_sample_plan(d, every_n_bytes=1024)
+    return out.select(
+        "doc_id",
+        F.col("frame_no").cast("bigint").alias("frame_no"),
+        "byte_offset",
+    )
+
+
+# ---- non-SQL-expressible entries (driver records rows-only checks) ----
+
+@q("image_features", None)
+def image_features(spark, sf_dir):
+    """Arrow-batched binary feature extraction via mapInPandas with a
+    clearly-marked stub decoder (operators/multimodal.py). Not ANSI-SQL
+    expressible (Python kernel) → rows-only check."""
+    d = M.text_as_binary(load(spark, sf_dir, "documents"))
+    return M.extract_image_features(d)
+
+
+@q("embedding_lsh_topk", None)
+def embedding_lsh_topk(spark, sf_dir):
+    """Approximate ANN via random-hyperplane LSH bucketing
+    (operators/similarity.py). Approximate by construction → rows-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.lsh_topk(emb, queries, dim=64, k=5, n_planes=4)

@@ -1,0 +1,66 @@
+"""Corpus correctness: every queries() entry vs its DuckDB oracle at
+sf0.001 (the driver does the same at sf0.01 — this is the local gate).
+
+Comparison mimics the driver contract: row count + column names + exact
+value match after sorting columns by name and rows by all columns."""
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entry_mod
+from empujar_spark.plans.corpus import CORPUS, TABLES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object and df[c].map(lambda v: isinstance(v, (int,)), na_action="ignore").all():
+            df[c] = df[c].astype("int64")
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+SQL_QUERIES = sorted(n for n, q in CORPUS.items() if q.sql is not None)
+ROWS_ONLY = sorted(n for n, q in CORPUS.items() if q.sql is None)
+
+
+@pytest.mark.parametrize("name", SQL_QUERIES)
+def test_query_matches_oracle(spark, oracle, name):
+    query = CORPUS[name]
+    got = normalize(query.fn(spark, SF_DIR).toPandas())
+    exp = normalize(oracle.execute(query.sql).df())
+    assert list(got.columns) == list(exp.columns), (
+        f"columns differ: {list(got.columns)} vs {list(exp.columns)}"
+    )
+    assert len(got) == len(exp), f"row counts differ: {len(got)} vs {len(exp)}"
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, check_exact=True)
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_queries_run(spark, name):
+    df = CORPUS[name].fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0
+
+
+def test_entry_contract(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
