@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the corpus at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {"q1_pricing_summary": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized through the noop sink (realistic
+end-to-end execution incl. write-side costs, nothing collected to the
+driver). A final `etl_pipeline` entry measures the warehouse round-trip
+(extract → upsert → transform) — the reference's e2e ETL analogue
+(test/integration/etl.js:70)."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from empujar_spark.session import get_spark  # noqa: E402
+from empujar_spark.plans.corpus import CORPUS, load  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def etl_pipeline(spark) -> None:
+    """Extract→upsert→transform round trip through the Warehouse."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.catalog import Warehouse
+
+    with tempfile.TemporaryDirectory(prefix="bench-wh-") as tmp:
+        wh = Warehouse(spark, tmp, primary_key="o_orderkey")
+        orders = load(spark, SF_DIR, "orders")
+        wh.insert_data("orders", orders, merge_key="o_orderkey")
+        # incremental second load (watermark path) — the reference's loop
+        wm = wh.get_max("orders", "o_orderdate")
+        wh.insert_data(
+            "orders",
+            orders.filter(F.col("o_orderdate") >= F.lit(wm)),
+            merge_key="o_orderkey",
+        )
+        out = wh.query(
+            "SELECT o_orderpriority, count(1) AS n, "
+            "CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS total "
+            "FROM orders GROUP BY o_orderpriority"
+        )
+        materialize(out)
+
+
+def main() -> None:
+    spark = get_spark("bench")
+    timings: dict[str, float] = {}
+    for name, query in CORPUS.items():
+        t0 = time.monotonic()
+        materialize(query.fn(spark, SF_DIR))
+        timings[name] = round(time.monotonic() - t0, 3)
+    t0 = time.monotonic()
+    etl_pipeline(spark)
+    timings["etl_pipeline"] = round(time.monotonic() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "corpus_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
