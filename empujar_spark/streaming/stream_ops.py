@@ -1,0 +1,185 @@
+"""Streaming operators over the events stream.
+
+The reference's "incremental" processing is batch polling with a MAX()
+watermark (extract.js:15-28 + getMax mysql.js:193-216). Structured
+Streaming is the native Spark expression of the same contract: the source
+watermark tracks progress, late data is bounded by ``withWatermark``, and
+sinks receive exactly the incremental delta. These operators mirror the
+batch corpus (hourly_events / sessionize / dedup) in streaming form.
+
+Scale notes: all aggregations here are keyed on (window, event_type) or
+(user_id) — state is partitioned by key across executors; watermarks bound
+state size. foreachBatch upserts reuse Warehouse.insert_data, giving the
+reference's merge semantics on a stream (micro-batch CDC).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def _as_stream_dir(path: str) -> str:
+    """Spark's file stream source requires a DIRECTORY. The testdata tables
+    are single files, so expose one through a cached symlink dir (real
+    deployments point at a landing directory or kafka instead)."""
+    import os
+    import tempfile
+
+    if os.path.isdir(path):
+        return path
+    key = path.replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"empujar-stream-{key}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events table (real deployments swap in
+    kafka/kinesis — the downstream operators are source-agnostic)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
+    )
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def hourly_counts(events: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Tumbling 1-hour windowed counts with a late-data watermark —
+    streaming twin of corpus `hourly_events`."""
+    return (
+        events.withWatermark("ts", late)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour"), "event_type", "n", "total_value"
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows (30-min inactivity gap) — streaming twin of corpus
+    `sessionize`, via the native session_window operator."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, late: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon —
+    the streaming face of insert_data's key dedup."""
+    return events.withWatermark("ts", late).dropDuplicates(["event_id"])
+
+
+def stream_upsert(
+    events: DataFrame,
+    warehouse,
+    table: str,
+    key: str = "event_id",
+    checkpoint: str | None = None,
+):
+    """Micro-batch CDC: foreachBatch → Warehouse.insert_data upsert.
+    Each micro-batch gets the reference's merge-on-duplicates semantics
+    (mysql.js ON DUPLICATE KEY analogue) atomically per batch."""
+
+    def sink(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        warehouse.insert_data(table, batch_df, merge_key=key)
+
+    writer = events.writeStream.foreachBatch(sink).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+RUNNING_TOTALS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ]
+)
+
+
+def running_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count + value total
+    via applyInPandasWithState (the escape hatch for operators Spark's
+    built-in streaming aggs can't express). State is one tiny tuple per
+    user, partitioned by key across executors."""
+    import pandas as pd  # noqa: F401 (kernel runs on executors)
+
+    def update(key, pdf_iter, state):
+        n, total = state.get() if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield __import__("pandas").DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_TOTALS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf="NoTimeout",
+        )
+    )
+
+
+def run_to_completion(query) -> None:
+    """Drain all available input synchronously (local smoke contract)."""
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+
+
+def memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
+    """Start a memory-sink query for tests; read back via spark.sql."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .start()
+    )

@@ -1,0 +1,84 @@
+"""Structured Streaming operators: drain the sf0.001 events file through
+each streaming op and cross-check against the batch corpus twins."""
+
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.plans.corpus import load
+from empujar_spark.streaming import stream_ops as SO
+
+SF = "/root/testdata/sf0.001"
+
+
+def drain(spark, df, name, mode="append"):
+    q = SO.memory_sink(df, name, mode)
+    SO.run_to_completion(q)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_hourly_counts_matches_batch(spark):
+    out = drain(spark, SO.hourly_counts(SO.read_events_stream(spark, SF)),
+                "hourly_stream")
+    batch = (
+        load(spark, SF, "events")
+        .groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["hour"], r["event_type"]): r["n"] for r in out.collect()}
+    exp = {(r["hour"], r["event_type"]): r["n"] for r in batch.collect()}
+    # watermark may hold back the tail hour in append mode; everything
+    # emitted must match the batch result exactly
+    assert got
+    for k, v in got.items():
+        assert exp[k] == v
+
+
+def test_sessionized_runs(spark):
+    out = drain(spark, SO.sessionized(SO.read_events_stream(spark, SF)),
+                "sessions_stream")
+    rows = out.collect()
+    assert rows
+    assert all(r["session_start"] <= r["session_end"] for r in rows)
+
+
+def test_dedup_stream(spark):
+    out = drain(spark, SO.dedup_stream(SO.read_events_stream(spark, SF)),
+                "dedup_stream_out")
+    n_events = load(spark, SF, "events").count()
+    assert out.count() == n_events  # event_ids are unique already
+
+
+def test_stream_upsert_into_warehouse(spark, warehouse):
+    warehouse.primary_key = "event_id"
+    with tempfile.TemporaryDirectory() as ckpt:
+        q = SO.stream_upsert(
+            SO.read_events_stream(spark, SF), warehouse, "events_sink",
+            checkpoint=ckpt,
+        )
+        SO.run_to_completion(q)
+    assert warehouse.table_size("events_sink") == load(spark, SF, "events").count()
+    # upsert key present and deduplicated
+    df = warehouse.read("events_sink")
+    assert df.select("event_id").distinct().count() == df.count()
+
+
+def test_running_user_totals_stateful(spark):
+    out = drain(
+        spark,
+        SO.running_user_totals(SO.read_events_stream(spark, SF)),
+        "running_totals",
+        mode="update",
+    )
+    rows = {r["user_id"]: r for r in out.collect()}  # last update per user
+    batch = {
+        r["user_id"]: r
+        for r in load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .collect()
+    }
+    assert set(rows) == set(batch)
+    for uid, r in rows.items():
+        assert r["n_events"] == batch[uid]["n_events"]
