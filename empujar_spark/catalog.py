@@ -388,15 +388,17 @@ class Warehouse:
         table: str,
         data,
         merge_on_duplicates: bool = True,
-        merge_key: str | None = None,
+        merge_key: str | list[str] | None = None,
     ) -> int:
         """Adaptive load (mysql.js:258-393 / snowflake.js:254-426).
 
         auto-create → reconcile schema → upsert (last-write-wins per key,
         MySQL ``ON DUPLICATE KEY UPDATE`` semantics) or plain append.
-        Returns the number of incoming rows written.
+        ``merge_key`` may be a composite (list of columns) — the reference
+        supports only single-column keys (mysql.js:27-29); composites are a
+        Spark-era extension. Returns the number of incoming rows written.
         """
-        key = merge_key or self.primary_key
+        key = _as_key_list(merge_key or self.primary_key)
         if not self.table_exists(table):
             existing_types = None
         else:
@@ -406,7 +408,7 @@ class Warehouse:
             return 0
         if not self.table_exists(table):
             # upsert semantics still apply within the creating batch itself
-            if merge_on_duplicates and key in incoming:
+            if merge_on_duplicates and all(k in incoming for k in key):
                 df = self._dedup_last_wins(df, key)
             self._create_table(table, df, incoming)
             return self.table_size(table)
@@ -418,12 +420,13 @@ class Warehouse:
         new_df = self._conform(df, meta)
         existing = self._conform(existing_raw, meta)
 
-        if merge_on_duplicates and key in [c["name"] for c in meta["columns"]]:
+        table_cols = [c["name"] for c in meta["columns"]]
+        if merge_on_duplicates and all(k in table_cols for k in key):
             new_df = self._dedup_last_wins(new_df, key)
             # broadcast the (typically small) incremental batch for the
             # anti-join so the big stored table never shuffles
             kept = existing.join(
-                F.broadcast(new_df.select(key)), on=key, how="left_anti"
+                F.broadcast(new_df.select(*key)), on=key, how="left_anti"
             )
             result = kept.unionByName(new_df)
         else:
@@ -433,12 +436,12 @@ class Warehouse:
         return n
 
     @staticmethod
-    def _dedup_last_wins(df: DataFrame, key: str) -> DataFrame:
+    def _dedup_last_wins(df: DataFrame, key: str | list[str]) -> DataFrame:
         """In-batch dedup by merge key. The reference differs per backend
         (Snowflake keeps FIRST, snowflake.js:617-636; MySQL ON DUPLICATE
         keeps LAST): we standardize on last-wins, tie-broken
         deterministically by a monotonic batch position."""
-        w = Window.partitionBy(key).orderBy(F.col("__pos").desc())
+        w = Window.partitionBy(*_as_key_list(key)).orderBy(F.col("__pos").desc())
         return (
             df.withColumn("__pos", F.monotonically_increasing_id())
             .withColumn("__rn", F.row_number().over(w))
@@ -550,6 +553,10 @@ class Warehouse:
             .filter(F.col("__rn") == 1)
             .drop("__pos", "__rn")
         )
+
+
+def _as_key_list(key: str | list[str]) -> list[str]:
+    return [key] if isinstance(key, str) else list(key)
 
 
 def _parse_rendered(s: str, varchar_length: int) -> ColumnType:
