@@ -30,6 +30,9 @@ _DEFAULTS = {
     # joins on dim tables (region/nation/supplier at any SF) should broadcast
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.ui.enabled": "false",
+    # lenient decode (replacement chars) — functions.sanitize_string's
+    # byte-budget truncation decodes a mid-codepoint binary slice
+    "spark.sql.legacy.codingErrorAction": "true",
     "spark.driver.maxResultSize": "4g",
 }
 

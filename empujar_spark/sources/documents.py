@@ -1,0 +1,130 @@
+"""DocumentIndex: the Elasticsearch connection surface
+(lib/connections/elasticsearch.js) over DataFrames.
+
+The reference treats ES indices as tables of flat documents with:
+- ``showIndices``  (es.js:25-28)          → list registered indices
+- ``getAll(index, query, fields, …)``     → scroll scan with a bool/range
+  query DSL + ``_source`` projection (es.js:68-131) — here the DSL is
+  compiled to Catalyst filters (so it pushes down to the scan) and the
+  field list to a column projection.
+- ``insertData``   (es.js:30-66)          → per-doc upsert (update-else-
+  create) → batch upsert through the same key-join plan as the Warehouse.
+- ISO-8601 date revival (es.js:109-114)   → regex-matched string columns
+  cast to timestamps.
+
+Only the query-DSL subset the reference itself uses is implemented:
+``bool.must``, ``range`` (gte/gt/lte/lt), ``term``, ``match_all``
+(es.js test corpus: test/connections/elasticsearch.js:195-217).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+ISO_DATE_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d*Z$"  # es.js:109-114
+
+
+class DocumentIndex:
+    def __init__(self, spark: SparkSession) -> None:
+        self.spark = spark
+        self._indices: dict[str, DataFrame] = {}
+
+    def register(self, name: str, df: DataFrame) -> None:
+        self._indices[name] = df
+
+    def show_indices(self) -> list[str]:
+        return sorted(self._indices)
+
+    # ---------------------------------------------------------------- query
+    def _compile(self, df: DataFrame, query: dict | None) -> Column:
+        """ES query DSL → Catalyst predicate (pushdown-friendly)."""
+        if not query or "match_all" in query:
+            return F.lit(True)
+        if "bool" in query:
+            must = query["bool"].get("must", [])
+            if isinstance(must, dict):
+                must = [must]
+            pred = F.lit(True)
+            for clause in must:
+                pred = pred & self._compile(df, clause)
+            return pred
+        if "range" in query:
+            pred = F.lit(True)
+            for field, ops in query["range"].items():
+                c = F.col(field)
+                for op, v in ops.items():
+                    pred = pred & {
+                        "gte": c >= v, "gt": c > v, "lte": c <= v, "lt": c < v
+                    }[op]
+            return pred
+        if "term" in query:
+            ((field, v),) = query["term"].items()
+            return F.col(field) == v
+        raise ValueError(f"unsupported query DSL: {list(query)}")
+
+    def get_all(
+        self,
+        index: str,
+        query: dict | None = None,
+        fields: list[str] | None = None,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Scroll scan → filtered/projected DataFrame (es.js:68-131). The
+        8-minute scroll window and per-page chunking disappear: Spark
+        partitions are the scan unit."""
+        df = self._indices[index]
+        df = df.filter(self._compile(df, query))
+        if fields:
+            df = df.select(*fields)  # _source projection (es.js:80-82)
+        if limit is not None:
+            df = df.limit(limit)
+        return self._revive_dates(df)
+
+    def _revive_dates(self, df: DataFrame) -> DataFrame:
+        """ISO-8601 string columns → timestamps (es.js:109-114). Column-
+        level decision (sampled), value-level cast."""
+        from pyspark.sql import types as T
+
+        string_cols = [
+            f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
+        ]
+        if not string_cols:
+            return df
+        sample = df.select(string_cols).first()
+        if sample is None:
+            return df
+        for c in string_cols:
+            v = sample[c]
+            if isinstance(v, str) and re.match(ISO_DATE_RE, v):
+                df = df.withColumn(c, F.to_timestamp(F.col(c)))
+        return df
+
+    # ---------------------------------------------------------------- write
+    def insert_data(self, index: str, data, key: str = "id") -> DataFrame:
+        """Per-doc upsert (es.js:30-66 update-else-create, writeLimit=20
+        bounded parallelism) → one batch upsert plan: new docs win by key,
+        existing non-matching docs survive. Executor parallelism replaces
+        the manual concurrency cap."""
+        from empujar_spark.catalog import Warehouse  # reuse the upsert plan
+
+        if not isinstance(data, DataFrame):
+            from empujar_spark import types as lattice
+
+            rows = list(data)
+            col_types = lattice.infer_column_types(rows)
+            tuples = lattice.normalize_rows(rows, col_types)
+            data = self.spark.createDataFrame(
+                tuples, lattice.to_struct_type(col_types)
+            )
+        if index not in self._indices:
+            self._indices[index] = data
+            return data
+        existing = self._indices[index]
+        deduped = Warehouse._dedup_last_wins(data, key)
+        kept = existing.join(F.broadcast(deduped.select(key)), on=key, how="left_anti")
+        merged = kept.unionByName(deduped, allowMissingColumns=True)
+        self._indices[index] = merged
+        return merged
