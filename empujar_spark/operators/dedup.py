@@ -49,9 +49,18 @@ def exact_dedup(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def doc_shingles(df: DataFrame, text_col: str = "text", k: int = 3) -> DataFrame:
-    """(doc_id, shingle) exploded distinct word-k-gram table."""
-    return df.select(
+def doc_shingles(
+    df: DataFrame, text_col: str = "text", k: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """(doc_id, shingle) exploded distinct word-k-gram table.
+
+    Repartitions the input first: document corpora often arrive as few
+    large files (locally: ONE file → one task), and the shingle/hash work
+    is CPU-bound — without this the whole pipeline serializes on a single
+    core regardless of cluster size."""
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, "doc_id").select(
         "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
     )
 
@@ -119,11 +128,23 @@ def minhash_signatures(
     One explode + one groupBy (all mins computed in a single aggregation
     pass — map-side partial min keeps the shuffle tiny)."""
     sh = doc_shingles(df, text_col, k)
-    aggs = [
-        F.min(_md5_bucket(F.col("shingle"), i)).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    # hash the DISTINCT shingle vocabulary once, then join it back: text
+    # token/shingle frequencies are Zipfian, so |vocab| ≪ |occurrences| —
+    # this trades num_hashes×|occurrences| md5 computations for
+    # num_hashes×|vocab| plus one (auto-broadcast when small) join
+    vocab = sh.select("shingle").distinct()
+    hashed = vocab.select(
+        "shingle",
+        *[
+            _md5_bucket(F.col("shingle"), i).alias(f"__h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+    return (
+        sh.join(hashed, "shingle")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"__h{i}").alias(f"mh_{i}") for i in range(num_hashes)])
+    )
 
 
 def minhash_lsh_pairs(
@@ -169,7 +190,8 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
 
     32 bits keeps every intermediate in exact int64 range for the SQL twin.
     """
-    tokens = df.select(
+    n = df.sparkSession.sparkContext.defaultParallelism
+    tokens = df.repartition(n, "doc_id").select(
         "doc_id",
         F.explode(
             F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
