@@ -55,10 +55,28 @@ class Book:
 
     # ------------------------------------------------------------ connections
     def add_connection(self, name: str, connection) -> None:
-        """Registry of connections (lib/book.js:113-171 collapses to explicit
-        registration; discovery-from-config-dir is a thin wrapper)."""
+        """Registry of connections (lib/book.js:124-129 hash shape)."""
         self.connections[name] = connection
         setattr(self, name, connection)
+
+    def connect(self, config_dir: str) -> None:
+        """Config-driven connection discovery (lib/book.js:113-171): glob
+        ``<config_dir>/connections/*.json``, each ``{"name", "type",
+        "options": {...}}``, build via the type registry. Custom types
+        register through :func:`register_connection_type` — the analogue of
+        the reference's local ``connections/TYPE.js`` overrides
+        (lib/book.js:176-184: local resolution wins over builtin)."""
+        import glob as _glob
+        import json as _json
+
+        pattern = os.path.join(config_dir, "connections", "*.json")
+        for path in sorted(_glob.glob(pattern)):
+            with open(path) as f:
+                cfg = _json.load(f)
+            conn = build_connection(
+                self.spark, cfg["type"], cfg.get("options", {})
+            )
+            self.add_connection(cfg.get("name", os.path.basename(path)[:-5]), conn)
 
     # --------------------------------------------------------------- chapters
     def add_chapter(self, priority: int, name: str, threads: int = 1) -> Chapter:
@@ -139,6 +157,39 @@ class Book:
             self.log_state("book:end", name=self.name,
                            duration=time.monotonic() - started)
             self.remove_pid()
+
+
+# ---------------------------------------------------------------------
+# Connection type registry (buildConnection, lib/book.js:173-192).
+# Custom (user) registrations take precedence over builtins, mirroring
+# the reference's local-connections-dir override resolution.
+_CUSTOM_CONNECTION_TYPES: dict = {}
+
+
+def register_connection_type(type_name: str, factory) -> None:
+    """Register a custom connection factory: ``factory(spark, **options)``."""
+    _CUSTOM_CONNECTION_TYPES[type_name] = factory
+
+
+def _builtin_connection_types() -> dict:
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.sources import DocumentIndex, FileStore, JdbcSource
+
+    return {
+        "warehouse": lambda spark, **o: Warehouse(spark, **o),
+        "files": lambda spark, **o: FileStore(spark, **o),
+        "documents": lambda spark, **o: DocumentIndex(spark),
+        "jdbc": lambda spark, **o: JdbcSource(spark, **o),
+    }
+
+
+def build_connection(spark, type_name: str, options: dict):
+    factory = _CUSTOM_CONNECTION_TYPES.get(type_name)
+    if factory is None:
+        factory = _builtin_connection_types().get(type_name)
+    if factory is None:
+        raise KeyError(f"unknown connection type: {type_name}")
+    return factory(spark, **options)
 
 
 def _parse_chapter_filter(spec: str | None):

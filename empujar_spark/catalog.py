@@ -492,6 +492,38 @@ class Warehouse:
         self._write(dest, empty, meta)
         self.show_tables()
 
+    def get_variable(self, name: str, default=None):
+        """Read an engine setting (reference getVariable, mysql.js:181-191
+        — used there for max_allowed_packet batch budgets; Spark's
+        equivalent knobs live in spark.conf)."""
+        try:
+            return self.spark.conf.get(name)
+        except Exception:
+            return default
+
+    def dump(
+        self,
+        table: str,
+        path: str,
+        fmt: str = "csv",
+        compression: str | None = "gzip",
+        header: bool = True,
+        single_file: bool = False,
+    ) -> None:
+        """Table export (reference `dump`, mysql.js:607-660: shells out to
+        mysqldump with optional gzip). Distributed writer replaces the
+        single-process dump; ``single_file`` coalesces for small tables
+        when one artifact is required (the mysqldump-shaped output)."""
+        df = self.read(table)
+        if single_file:
+            df = df.coalesce(1)
+        writer = df.write.mode("overwrite").format(fmt)
+        if fmt == "csv":
+            writer = writer.option("header", str(header).lower())
+        if compression:
+            writer = writer.option("compression", compression)
+        writer.save(path)
+
     def drop_table(self, table: str) -> None:
         if os.path.isdir(self._table_dir(table)):
             shutil.rmtree(self._table_dir(table))

@@ -825,3 +825,103 @@ def embedding_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_topk(emb, queries, dim=64, k=5, n_planes=4)
+
+
+@q(
+    "asof_join_events",
+    """
+    SELECT e.event_id, e.user_id, e.ts, p.value AS last_purchase_value
+    FROM events e
+    ASOF LEFT JOIN (SELECT user_id, ts, value FROM events
+                    WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id AND e.ts >= p.ts
+    """,
+)
+def asof_join_events(spark, sf_dir):
+    """Backward as-of join (operators/asof.py): every event gets the most
+    recent purchase value at-or-before its timestamp per user. Spark has
+    no native ASOF — this is the union+window linear plan; DuckDB's native
+    ASOF JOIN is the oracle."""
+    from empujar_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("value_asof").alias("last_purchase_value"),
+    )
+
+
+@q(
+    "cube_agg",
+    """
+    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE) AS revenue
+    FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_agg(spark, sf_dir):
+    """CUBE grouping sets (free from Spark SQL; beyond the reference)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec("o_totalprice")), 4).cast("double").alias("revenue"),
+        )
+    )
+
+
+@q(
+    "quantiles",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.25), 6) AS q25,
+           round(quantile_cont(l_quantity, 0.50), 6) AS q50,
+           round(quantile_cont(l_quantity, 0.75), 6) AS q75,
+           round(quantile_cont(l_quantity, 0.99), 6) AS q99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def quantiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont, both linear interpolation). The approx path for scale
+    is `approx_percentile` (rows-only cousin: not oracle-stable)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_quantity", F.lit(p)), 6).alias(f"q{int(p*100)}")
+            for p in (0.25, 0.50, 0.75, 0.99)
+        ]
+    )
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+@q(
+    "bpe_token_count",
+    f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def bpe_token_count(spark, sf_dir):
+    """BPE-ish subword counting: letter-runs / digit-runs / single symbols
+    (the GPT-2 pre-tokenizer shape, ASCII-simplified so RE2 and Java regex
+    agree). JVM-side regexp_count — no tokenizer library needed for
+    budget-scale token accounting."""
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
+    )

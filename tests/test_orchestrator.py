@@ -116,3 +116,30 @@ def test_audit_flush(warehouse):
     df = warehouse.read("empujar")
     states = [r["state"] for r in df.collect()]
     assert "book:start" in states and "book:end" in states
+
+
+def test_config_driven_connect(spark, tmp_path):
+    # lib/book.js:113-192: glob config/connections/*, build via registry
+    import json, os
+    from empujar_spark.book import register_connection_type, build_connection
+
+    cfg = tmp_path / "config" / "connections"
+    os.makedirs(cfg)
+    (cfg / "dest.json").write_text(json.dumps(
+        {"name": "dest", "type": "warehouse",
+         "options": {"path": str(tmp_path / "wh"), "primary_key": "id"}}))
+    (cfg / "store.json").write_text(json.dumps(
+        {"name": "store", "type": "files", "options": {"base": f"file:{tmp_path}"}}))
+    book = Book(spark=spark, name="t", log_state_events=False)
+    book.connect(str(tmp_path / "config"))
+    assert set(book.connections) == {"dest", "store"}
+    book.dest.insert_data("t", [{"id": 1}])
+    assert book.dest.table_size("t") == 1
+
+    # custom type overrides builtin resolution (local connections/TYPE.js)
+    register_connection_type("warehouse", lambda spark, **o: "custom!")
+    try:
+        assert build_connection(spark, "warehouse", {}) == "custom!"
+    finally:
+        from empujar_spark import book as book_mod
+        book_mod._CUSTOM_CONNECTION_TYPES.clear()

@@ -186,3 +186,16 @@ def test_dataframe_input_roundtrip(warehouse, spark):
     warehouse.insert_data("dfin", df2)
     data = rows_by_id(warehouse, "dfin")
     assert data[2]["v"] == "B" and len(data) == 3
+
+
+def test_dump_and_get_variable(warehouse, tmp_path, spark):
+    warehouse.insert_data("d", [{"id": 1, "v": "a"}, {"id": 2, "v": "b"}])
+    out = str(tmp_path / "dump")
+    warehouse.dump("d", out, fmt="csv", compression="gzip", single_file=True)
+    import glob
+    files = glob.glob(out + "/*.csv.gz")
+    assert len(files) == 1
+    back = spark.read.csv(out, header=True, inferSchema=True)
+    assert back.count() == 2
+    assert warehouse.get_variable("spark.sql.session.timeZone") == "UTC"
+    assert warehouse.get_variable("nope.nope", "dflt") == "dflt"
