@@ -160,19 +160,24 @@ def minhash_lsh_pairs(
     verify candidates with ``ngram_jaccard_pairs`` semantics downstream."""
     sig = minhash_signatures(df, text_col, k, num_hashes)
     n_bands = num_hashes // band_size
-    bands = []
-    for b in range(n_bands):
-        cols = [F.col(f"mh_{b * band_size + j}") for j in range(band_size)]
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(b).alias("band"),
-                F.concat_ws(":", *[c.cast("string") for c in cols]).alias("bucket"),
-            )
+    # one explode, NOT a self-union per band — a union would re-evaluate
+    # the whole signature plan (explode+distinct+join) n_bands times
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat_ws(
+                ":",
+                *[
+                    F.col(f"mh_{b * band_size + j}").cast("string")
+                    for j in range(band_size)
+                ],
+            ).alias("bucket"),
         )
-    banded = bands[0]
-    for extra in bands[1:]:
-        banded = banded.unionByName(extra)
+        for b in range(n_bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = banded.alias("a")
     b = banded.alias("b")
     return (

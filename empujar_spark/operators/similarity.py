@@ -70,21 +70,22 @@ def cosine_topk(
     )
 
 
+def _hyperplane_signs_py(dim: int, seed: int) -> list[float]:
+    """±1 hyperplane from md5(seed|index) parity, precomputed driver-side
+    (identical values to any engine computing the same md5 — the plane is
+    a constant, so hashing per ROW would be pure waste)."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{seed}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+        else -1.0
+        for i in range(dim)
+    ]
+
+
 def _hyperplane_sign(vec: Column, dim: int, seed: int) -> Column:
-    """Sign of ⟨vec, h⟩ for a deterministic ±1 hyperplane h derived from
-    md5(seed|index) parity — reproducible in any engine."""
-    signs = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda i: F.when(
-            F.conv(
-                F.substring(F.md5(F.concat(F.lit(f"{seed}|"), i.cast("string"))), 1, 8),
-                16,
-                10,
-            ).cast("bigint") % 2
-            == 0,
-            F.lit(1.0),
-        ).otherwise(F.lit(-1.0)),
-    )
+    """Sign of ⟨vec, h⟩ for the deterministic hyperplane ``seed``."""
+    signs = F.array(*[F.lit(s) for s in _hyperplane_signs_py(dim, seed)])
     proj = F.aggregate(
         F.zip_with(vec, signs, lambda x, s: x.cast("double") * s),
         F.lit(0.0),

@@ -1,0 +1,49 @@
+"""Skew-mitigation helpers: salting for hot keys.
+
+AQE's skew-join splitting (on by default in session.py) handles most
+cases at runtime; these explicit helpers cover the patterns AQE can't —
+skewed AGGREGATIONS (two-phase salted aggregate) and broadcast-infeasible
+joins against a skewed fact side (replicated-dimension salted join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
+    """Two-phase count per key: pre-aggregate on (key, salt) — spreading a
+    hot key over ``salt`` reducers — then merge the partials. Identical
+    result to ``groupBy(key).count()``; the hot key's work parallelizes."""
+    partial = (
+        df.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias("n"))
+
+
+def salted_agg(df: DataFrame, key: str, agg_col: str, salt: int = 16) -> DataFrame:
+    """Two-phase sum per key (decimal-exact): same shape as salted_count."""
+    partial = (
+        df.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+        .groupBy(key, "__salt")
+        .agg(F.sum(F.col(agg_col).cast("decimal(18,6)")).alias("__partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias("total"))
+
+
+def salted_join(
+    fact: DataFrame, dim: DataFrame, key: str, salt: int = 8
+) -> DataFrame:
+    """Skewed equi-join without broadcast: salt the fact side's key and
+    replicate each dimension row ``salt`` times so every (key, salt) bucket
+    co-locates. Trades ``salt``× dimension replication for even task sizes
+    — the classic salting plan when the dimension is too big to broadcast
+    and one fact key dominates."""
+    f = fact.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    return f.join(d, [key, "__salt"]).drop("__salt")

@@ -43,10 +43,17 @@ def char_classes(text: Column) -> dict[str, Column]:
     }
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Documents often arrive as few large files (locally: one) — spread
+    CPU-heavy per-row work across cores before the map."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features: length, token count, punctuation/digit/alpha
     ratios (4-dp rounded doubles), short-doc flag. Mirrors the standard
     pretraining-quality heuristics (length + symbol ratios)."""
+    df = _spread(df)
     t = F.col(text_col)
     cls = char_classes(t)
     tokens = token_count(t)
@@ -97,7 +104,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(score > best[0], F.lit(lang)).otherwise(best[1]),
             )
     best_score, best_lang = best
-    return df.select(
+    return _spread(df).select(
         "doc_id",
         F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias("lang_pred"),
         best_score.alias("marker_hits"),

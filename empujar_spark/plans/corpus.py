@@ -925,3 +925,103 @@ def bpe_token_count(spark, sf_dir):
         "doc_id",
         F.regexp_count(F.col("text"), F.lit(_BPE_RE)).cast("bigint").alias("n_bpe_tokens"),
     )
+
+
+@q(
+    "window_rank_funcs",
+    """
+    SELECT o_orderkey, o_custkey,
+           rank()       OVER w AS rnk,
+           dense_rank() OVER w AS drnk,
+           ntile(4)     OVER w AS quartile,
+           lag(o_orderkey)  OVER w AS prev_key,
+           lead(o_orderkey) OVER w AS next_key
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_rank_funcs(spark, sf_dir):
+    """Window-function surface: rank/dense_rank/ntile/lag/lead over a
+    deterministic total order (SURVEY §2.5 — free from Spark, absent in
+    the reference)."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.lag("o_orderkey").over(w).alias("prev_key"),
+        F.lead("o_orderkey").over(w).alias("next_key"),
+    )
+
+
+@q(
+    "set_ops",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    INTERSECT
+    SELECT c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    """,
+)
+def set_ops(spark, sf_dir):
+    """Set operations (INTERSECT/EXCEPT — SURVEY §2.5: absent as named
+    operators in the reference, native in Spark)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    urgent = c.join(
+        o.filter(F.col("o_orderpriority") == "1-URGENT"),
+        c.c_custkey == o.o_custkey, "left_semi",
+    ).select("c_custkey")
+    filled = c.join(
+        o.filter(F.col("o_orderstatus") == "F"),
+        c.c_custkey == o.o_custkey, "left_semi",
+    ).select("c_custkey")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    return urgent.intersect(filled).exceptAll(building).distinct()
+
+
+@q(
+    "streaming_hourly_events",
+    """
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_events(spark, sf_dir):
+    """STRUCTURED STREAMING, oracle-checked: drain the events file through
+    a complete-mode windowed streaming aggregation (streaming/stream_ops
+    hourly windows) — the materialized state equals the batch result, so
+    the same SQL oracle applies. Proves the streaming path computes the
+    batch-equivalent answer, not just that it runs."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    events = SO.read_events_stream(spark, sf_dir)
+    agg = (
+        events.groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
+    )
+    q_stream = (
+        agg.writeStream.format("memory")
+        .queryName("__streaming_hourly_events")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q_stream.processAllAvailable()
+    finally:
+        q_stream.stop()
+    return spark.table("__streaming_hourly_events")
