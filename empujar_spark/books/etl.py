@@ -166,3 +166,39 @@ def run_etl(
     book.run()
     book.flush_audit(wh)  # book.js:13-15: state events → empujar table
     return wh
+
+
+def main(argv: list[str] | None = None) -> None:
+    """CLI parity with the reference's book scripts (books/etl/book.js:7:
+    `--logLevel debug`, `--chapters 100`, `--getAllLimit N`)."""
+    import argparse
+
+    from empujar_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="Run the ETL book")
+    p.add_argument("--source", default="/root/testdata/sf0.001")
+    p.add_argument("--warehouse", required=True)
+    p.add_argument("--chapters", default=None,
+                   help='priority filter: "100,300" or "100-300"')
+    p.add_argument("--getAllLimit", type=int, default=None, dest="get_all_limit")
+    p.add_argument("--threads", type=int, default=5)
+    p.add_argument("--logLevel", default="INFO")
+    args = p.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(level=getattr(logging, args.logLevel.upper(), logging.INFO))
+    spark = get_spark("etl-book")
+    wh = Warehouse(spark, args.warehouse, primary_key="id")
+    book = build_etl_book(spark, args.source, wh, threads=args.threads)
+    book.chapter_filter = __import__("empujar_spark.book", fromlist=["x"])._parse_chapter_filter(args.chapters)
+    book.get_all_limit = args.get_all_limit
+    book.log_state_events = True
+    book.run()
+    book.flush_audit(wh)
+    for t in wh.show_tables():
+        print(f"{t}: {wh.table_size(t)} rows")
+
+
+if __name__ == "__main__":
+    main()

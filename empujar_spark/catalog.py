@@ -81,6 +81,7 @@ class Warehouse:
         varchar_length: int = VARCHAR_DEFAULT_LENGTH,
         partition_rows_threshold: int = 5_000_000,
         target_partitions: int | None = None,
+        partition_cols: dict[str, list[str]] | None = None,
     ) -> None:
         self.spark = spark
         self.path = os.path.abspath(path)
@@ -89,6 +90,9 @@ class Warehouse:
         self.varchar_length = varchar_length
         self.partition_rows_threshold = partition_rows_threshold
         self.target_partitions = target_partitions
+        # table → hive-partition columns (date/category layout: partition
+        # pruning turns time-range scans into directory selection at 100 TB)
+        self.partition_cols = partition_cols or {}
         self.tables: list[str] = []  # cached like reference self.tables (mysql.js:78-80)
         self._lock = threading.RLock()
         os.makedirs(self.path, exist_ok=True)
@@ -161,7 +165,8 @@ class Warehouse:
         data_dir = self._data_dir(table)
         schema = self._physical_schema(meta)
         if not os.path.isdir(data_dir) or not any(
-            f.endswith(".parquet") for f in os.listdir(data_dir)
+            f.endswith(".parquet") or "=" in f  # hive partition dirs
+            for f in os.listdir(data_dir)
         ):
             return self.spark.createDataFrame([], schema)
         df = self.spark.read.schema(schema).parquet(data_dir)
@@ -303,6 +308,9 @@ class Warehouse:
                 {"name": n, "kind": ct.kind, "char_length": ct.char_length}
                 for n, ct in incoming.items()
             ],
+            "partition_cols": [
+                c for c in self.partition_cols.get(table, []) if c in incoming
+            ],
         }
         self._save_meta(table, meta)
         self._write(table, df, meta)
@@ -326,7 +334,11 @@ class Warehouse:
         if sort_col:
             df = df.sortWithinPartitions(sort_col)
         staging = self._data_dir(table) + f".staging-{uuid.uuid4().hex[:8]}"
-        df.write.mode("overwrite").parquet(staging)
+        writer = df.write.mode("overwrite")
+        part_cols = meta.get("partition_cols") or []
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(staging)
         data_dir = self._data_dir(table)
         trash = data_dir + f".old-{uuid.uuid4().hex[:8]}"
         with self._lock:

@@ -1,0 +1,65 @@
+"""Physical-plan audits: the properties that make these queries survive a
+100× scale-up — filters reach the parquet scan, small sides broadcast,
+aggregates partial map-side, no driver-side collection in operators."""
+
+import pytest
+
+from empujar_spark.plans.corpus import CORPUS
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = CORPUS[name].fn(spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(spark, name: str) -> str:
+    df = CORPUS[name].fn(spark, SF)
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_q1_filter_pushed_to_scan(spark):
+    full = CORPUS["q1_pricing_summary"].fn(spark, SF)._jdf.queryExecution().toString()
+    assert "PushedFilters" in full
+    assert "LessThanOrEqual(l_shipdate" in full
+
+
+def test_q1_partial_aggregation(spark):
+    # map-side combine: HashAggregate appears twice (partial + final)
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_joins_broadcast_small_sides(spark):
+    for name in ["join_groupby_sum", "correlated_count", "anti_join", "semi_join"]:
+        assert "BroadcastHashJoin" in plan_of(spark, name), name
+
+
+def test_column_pruning_token_count(spark):
+    # a 2-column projection must not read the whole documents schema
+    full = CORPUS["token_count"].fn(spark, SF)._jdf.queryExecution().toString()
+    scan_schema = [l for l in full.splitlines() if "ReadSchema" in l]
+    assert scan_schema and "lang" not in scan_schema[0] and "source" not in scan_schema[0]
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    plan = plan_of(spark, "ngram_jaccard_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_single_shuffle_no_range_join(spark):
+    plan = plan_of(spark, "asof_join_events")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the union+window plan: exactly one exchange on the by-key feeds the sort
+    assert "Window" in plan
+
+
+def test_whole_stage_codegen_active(spark):
+    # AQE hides codegen spans in the lazy plan — use the codegen explain
+    df = CORPUS["text_quality"].fn(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    txt = df._jdf.queryExecution().explainString(mode)
+    assert "WholeStageCodegen" in txt

@@ -199,3 +199,31 @@ def test_dump_and_get_variable(warehouse, tmp_path, spark):
     assert back.count() == 2
     assert warehouse.get_variable("spark.sql.session.timeZone") == "UTC"
     assert warehouse.get_variable("nope.nope", "dflt") == "dflt"
+
+
+def test_partitioned_table_layout_and_pruning(spark, tmp_path):
+    from empujar_spark.catalog import Warehouse
+    import os
+
+    wh = Warehouse(spark, str(tmp_path / "pwh"), primary_key="event_id",
+                   partition_cols={"ev": ["event_type"]})
+    rows = [{"event_id": i, "event_type": ["click", "view"][i % 2], "value": float(i)}
+            for i in range(20)]
+    wh.insert_data("ev", rows)
+    # hive layout on disk
+    subdirs = os.listdir(wh._data_dir("ev"))
+    assert any(d.startswith("event_type=") for d in subdirs)
+    # full read intact (partition col restored)
+    assert wh.table_size("ev") == 20
+    assert wh.read("ev").filter("event_type = 'click'").count() == 10
+    # pruning: the filter lands in PartitionFilters (directory selection,
+    # not data reading) — inputFiles() ignores pruning, so check the plan
+    df = wh.read("ev").filter("event_type = 'click'")
+    full = df._jdf.queryExecution().toString()
+    pf_lines = [l for l in full.splitlines() if "PartitionFilters" in l]
+    assert pf_lines and "event_type" in pf_lines[0]
+    # upsert still works on a partitioned table
+    wh.insert_data("ev", [{"event_id": 0, "event_type": "click", "value": 99.0}])
+    assert wh.table_size("ev") == 20
+    got = wh.read("ev").filter("event_id = 0").first()
+    assert got["value"] == 99.0
