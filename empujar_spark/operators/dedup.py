@@ -215,3 +215,98 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
         F.lit(0),
     ).cast("bigint")
     return agg.select("doc_id", fp.alias("simhash"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """End-to-end near-dup pipeline: similar pairs → connected components
+    → one kept doc per cluster.
+
+    Components run as iterative min-label propagation (the standard
+    DataFrame-only connected-components loop): each round every vertex
+    takes the min label over itself and its neighbors; converges in
+    O(diameter) rounds. Each round is one join + one aggregate — at scale,
+    edges shuffle on vertex id and the loop persists the label frontier.
+    Output: (doc_id, cluster_id, is_kept) — cluster_id = min doc_id of the
+    component, is_kept = 1 for the representative.
+    """
+    pairs = ngram_jaccard_pairs(df, text_col, k, threshold).select("id_a", "id_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).persist()
+    labels = df.select(
+        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
+    ).persist()
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.doc_id)
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("__nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "doc_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_kept"),
+    )
+
+
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (exact): all (a < b) pairs with
+    cosine ≥ threshold. Brute-force correctness baseline — the LSH-bucketed
+    path (similarity.lsh_topk's bucketing) is the 100 TB route; this exact
+    variant is the oracle-checkable one. Norms are precomputed per vector
+    (one pass) before the pair join."""
+    from empujar_spark.operators.similarity import _dot, _norm
+
+    n = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        _norm(F.col(vec_col)).alias("nrm"),
+    )
+    a = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+    )
+    b = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    )
+    cos = F.round(
+        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

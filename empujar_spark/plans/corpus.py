@@ -1025,3 +1025,80 @@ def streaming_hourly_events(spark, sf_dir):
     finally:
         q_stream.stop()
     return spark.table("__streaming_hourly_events")
+
+
+_PAIRS_SQL = f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) >= 0.1)
+"""
+
+@q(
+    "near_dup_clusters",
+    f"""
+    {_PAIRS_SQL},
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    conn AS (
+      WITH RECURSIVE walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+      ) SELECT * FROM walk)
+    SELECT d.doc_id,
+           least(d.doc_id, coalesce(min(c.v), d.doc_id)) AS cluster_id,
+           CAST(d.doc_id = least(d.doc_id, coalesce(min(c.v), d.doc_id)) AS INT) AS is_kept
+    FROM documents d LEFT JOIN conn c ON c.u = d.doc_id
+    GROUP BY d.doc_id
+    """,
+)
+def near_dup_clusters(spark, sf_dir):
+    """END-TO-END near-dup dedup (operators/dedup.py): Jaccard-similar
+    pairs → connected components via iterative min-label propagation
+    (an iterative DataFrame algorithm — each round one join+agg) → one
+    kept representative per cluster. Oracle: recursive-CTE transitive
+    closure over the same pairs."""
+    return D.near_dup_clusters(load(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@q(
+    "embedding_dup_pairs",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings)
+    SELECT a.id AS id_a, b.id AS id_b,
+           round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) AS cosine
+    FROM base a JOIN base b ON a.id < b.id
+    WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.3
+    """,
+)
+def embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs ≥ 0.3 (operators/dedup.py) — the
+    exact baseline; similarity.lsh_topk's bucketing is the scale path.
+    (0.3 chosen so the synthetic random embeddings actually produce pairs
+    — random high-dim cosines concentrate near 0.)"""
+    return D.embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@q("approx_stats", None)
+def approx_stats(spark, sf_dir):
+    """Approximate aggregates for scale (approx_count_distinct HLL,
+    approx_percentile t-digest) — engine-specific sketches, no cross-engine
+    oracle → rows-only check."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    )
