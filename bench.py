@@ -66,6 +66,10 @@ def etl_pipeline(spark) -> None:
 
 def main() -> None:
     spark = get_spark("bench")
+    # Untimed warmup: first Spark action pays one-off JVM/codegen/parquet
+    # footer costs (~5s) that would otherwise be billed to whichever query
+    # happens to run first. Timings below are steady-state.
+    materialize(CORPUS["q1_pricing_summary"].fn(spark, SF_DIR))
     timings: dict[str, float] = {}
     for name, query in CORPUS.items():
         t0 = time.monotonic()

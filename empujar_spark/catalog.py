@@ -536,6 +536,62 @@ class Warehouse:
             writer = writer.option("compression", compression)
         writer.save(path)
 
+    def save_bucketed(
+        self,
+        table: str,
+        df: DataFrame,
+        key: str | list[str],
+        buckets: int = 32,
+        sort: bool = True,
+    ) -> str:
+        """Write a catalog-managed BUCKETED table (hash-bucketed on ``key``
+        into ``buckets`` files per partition, optionally sorted within each
+        bucket).
+
+        This is the co-located-join layout: two tables bucketed on the
+        same key with the same bucket count join with ZERO shuffle
+        Exchange — each task zips bucket i with bucket i. At 100 TB this
+        converts every recurring fact⋈fact join on the distribution key
+        from a full-network shuffle into a local merge (the Spark analogue
+        of Redshift ``distkey`` co-location, redshift.js:340-342, done
+        properly via the session catalog since plain parquet dirs cannot
+        carry bucket metadata).
+
+        The bucket layout lives in the session catalog (bucketBy requires
+        ``saveAsTable``); data files land under the warehouse root so the
+        table also remains readable as plain parquet by path (without the
+        bucket-pruning benefit). Read back with :meth:`read_bucketed`.
+        """
+        keys = _as_key_list(key)
+        name = self._bucketed_name(table)
+        path = os.path.join(self.path, f"{table}.bucketed")
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        if os.path.isdir(path):
+            shutil.rmtree(path, ignore_errors=True)
+        writer = (
+            df.write.format("parquet")
+            .mode("overwrite")
+            .bucketBy(buckets, *keys)
+        )
+        if sort:
+            writer = writer.sortBy(*keys)
+        writer.option("path", path).saveAsTable(name)
+        return name
+
+    def _bucketed_name(self, table: str) -> str:
+        """Catalog identifier for a bucketed table — includes a digest of
+        the warehouse path so two Warehouse instances with the default
+        ``name`` never collide in the shared session catalog."""
+        import hashlib
+
+        digest = hashlib.md5(self.path.encode()).hexdigest()[:8]
+        return f"{self.name}_{digest}_{table}_bucketed"
+
+    def read_bucketed(self, table: str) -> DataFrame:
+        """Catalog read of a bucketed table — the scan carries the bucket
+        spec, so joins/aggregations on the bucket key skip the Exchange."""
+        return self.spark.table(self._bucketed_name(table))
+
     def drop_table(self, table: str) -> None:
         if os.path.isdir(self._table_dir(table)):
             shutil.rmtree(self._table_dir(table))

@@ -583,6 +583,36 @@ def ngram_jaccard_pairs(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, k=3, threshold=0.1)
 
 
+@q(
+    "ngram_jaccard_capped",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    f AS (SELECT shingle, count(*) AS df FROM sh0 GROUP BY 1),
+    sh AS (SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN f USING (shingle)
+           WHERE f.df <= 5),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT id_a, id_b, n_shared,
+           round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) AS jaccard
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6) >= 0.1
+    """,
+)
+def ngram_jaccard_capped(spark, sf_dir):
+    """Frequency-capped Jaccard pairs (operators/dedup.py
+    max_shingle_freq): shingles appearing in > 5 docs are dropped before
+    the self-join — the skew control that keeps the shingle-key join from
+    going bucket-quadratic on stop-shingles at 100 TB. Jaccard is then
+    computed over the capped sets on both engines."""
+    docs = load(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(docs, k=3, threshold=0.1, max_shingle_freq=5)
+
+
 _MH_HASH = (
     "CAST(('0x' || substr(md5('{seed}|' || shingle), 1, 8)) AS BIGINT) % 2147483647"
 )
@@ -1090,6 +1120,55 @@ def embedding_dup_pairs(spark, sf_dir):
     (0.3 chosen so the synthetic random embeddings actually produce pairs
     — random high-dim cosines concentrate near 0.)"""
     return D.embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+_BUCKETED_WH: dict = {}
+
+
+@q(
+    "bucketed_join_agg",
+    """
+    SELECT o.o_orderpriority,
+           count(*) AS n,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS revenue
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def bucketed_join_agg(spark, sf_dir):
+    """Co-located bucketed join (catalog.py save_bucketed): orders and
+    lineitem hash-bucketed on the order key, so the fact⋈fact join runs
+    with ZERO shuffle Exchange — each task merges bucket i with bucket i.
+    The 100 TB answer to recurring joins on a distribution key (Redshift
+    distkey analogue, redshift.js:340-342). Bucketing happens once per
+    (session, sf_dir) here; results are identical to the plain join the
+    oracle runs."""
+    import tempfile
+
+    from empujar_spark.catalog import Warehouse
+
+    key = (id(spark), sf_dir)
+    if key not in _BUCKETED_WH:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="bucketed-wh-"))
+        wh.save_bucketed("orders", load(spark, sf_dir, "orders"),
+                         key="o_orderkey", buckets=16)
+        wh.save_bucketed("lineitem", load(spark, sf_dir, "lineitem"),
+                         key="l_orderkey", buckets=16)
+        _BUCKETED_WH[key] = wh
+    wh = _BUCKETED_WH[key]
+    o = wh.read_bucketed("orders")
+    li = wh.read_bucketed("lineitem")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)")), 4
+            ).cast("double").alias("revenue"),
+        )
+    )
 
 
 @q("approx_stats", None)
