@@ -857,6 +857,19 @@ def embedding_lsh_topk(spark, sf_dir):
     return S.lsh_topk(emb, queries, dim=64, k=5, n_planes=4)
 
 
+@q("embedding_ivf_topk", None)
+def embedding_ivf_topk(spark, sf_dir):
+    """Approximate ANN via an IVF index (operators/similarity.py): coarse
+    quantizer trained on a deterministic sample, corpus partitioned into
+    inverted lists by nearest centroid, queries probe nprobe lists via an
+    equi-join — per query only nprobe/n_centroids of the corpus is
+    scanned. Approximate by construction → rows-only (exactness at
+    nprobe=n_centroids is pinned in tests/test_similarity.py)."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(emb, queries, k=5, n_centroids=16, nprobe=4)
+
+
 @q(
     "asof_join_events",
     """
