@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from empujar_spark.operators import dedup as D
 from empujar_spark.operators import multimodal as M
 from empujar_spark.operators import similarity as S
+from empujar_spark.operators import ranges as R
 from empujar_spark.operators import text as X
 
 TABLES = [
@@ -1133,6 +1134,51 @@ def embedding_dup_pairs(spark, sf_dir):
     (0.3 chosen so the synthetic random embeddings actually produce pairs
     — random high-dim cosines concentrate near 0.)"""
     return D.embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+@q(
+    "range_join_events",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM events e
+    JOIN (SELECT event_id, user_id, ts AS w_start,
+                 ts + INTERVAL 90 MINUTE AS w_end, value
+          FROM events WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.w_start AND e.ts <= p.w_end
+     AND e.event_id <> p.event_id
+    """,
+)
+def range_join_events(spark, sf_dir):
+    """Binned range join (operators/ranges.py): every event matched to the
+    same user's 90-minute post-purchase windows it falls inside. Intervals
+    explode into the 1-hour bins they span, the match runs as an equi-join
+    on (user, bin) — never the BroadcastNestedLoopJoin Spark would pick
+    for a raw inequality join. Oracle: DuckDB's native inequality join."""
+    ev = load(spark, sf_dir, "events")
+    windows = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("w_start"),
+            (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("w_end"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    out = R.range_join(
+        ev.select("event_id", "user_id", "ts"),
+        windows,
+        point="ts",
+        start="w_start",
+        end="w_end",
+        by="user_id",
+        bin_width_seconds=3600,
+    )
+    return out.filter(F.col("event_id") != F.col("purchase_id")).select(
+        "event_id", "user_id", "ts", "purchase_id", "purchase_value"
+    )
 
 
 _BUCKETED_WH: dict = {}

@@ -1,0 +1,79 @@
+"""Binned range join: equivalence with the naive inequality join,
+exactly-once matching across bin boundaries, equi-join physical plan."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.operators.ranges import range_join
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    base = dt.datetime(2024, 1, 1)
+    pts = spark.createDataFrame(
+        [(i, base + dt.timedelta(minutes=7 * i)) for i in range(200)],
+        "pid long, ts timestamp",
+    )
+    # intervals of 10..190 min: many span multiple 1h bins
+    iv = spark.createDataFrame(
+        [
+            (
+                j,
+                base + dt.timedelta(minutes=11 * j),
+                base + dt.timedelta(minutes=11 * j + 10 + (j % 10) * 20),
+            )
+            for j in range(60)
+        ],
+        "iid long, ts_start timestamp, ts_end timestamp",
+    )
+    return pts, iv
+
+
+def _naive(pts, iv):
+    return pts.join(
+        iv,
+        (pts.ts >= iv.ts_start) & (pts.ts <= iv.ts_end),
+    ).select("pid", "iid")
+
+
+def test_range_join_matches_naive(toy):
+    pts, iv = toy
+    got = {
+        (r.pid, r.iid)
+        for r in range_join(
+            pts, iv, "ts", "ts_start", "ts_end", bin_width_seconds=3600
+        )
+        .select("pid", "iid")
+        .collect()
+    }
+    exp = {(r.pid, r.iid) for r in _naive(pts, iv).collect()}
+    assert got == exp and len(got) > 0
+
+
+def test_range_join_exactly_once(toy):
+    """A pair that overlaps several bins must still be emitted once."""
+    pts, iv = toy
+    out = range_join(pts, iv, "ts", "ts_start", "ts_end", bin_width_seconds=600)
+    dups = (
+        out.groupBy("pid", "iid").count().filter(F.col("count") > 1).count()
+    )
+    assert dups == 0
+
+
+def test_range_join_left_keeps_unmatched(toy):
+    pts, iv = toy
+    out = range_join(pts, iv, "ts", "ts_start", "ts_end", how="left")
+    assert out.filter(F.col("iid").isNull()).count() > 0
+    assert out.select("pid").distinct().count() == 200
+
+
+def test_range_join_plan_is_equi(toy):
+    """Even with NO by-key the bin column gives the join an equi component
+    — never a nested-loop/cartesian plan."""
+    pts, iv = toy
+    out = range_join(pts, iv, "ts", "ts_start", "ts_end")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
