@@ -235,44 +235,65 @@ def near_dup_clusters(
     component, is_kept = 1 for the representative.
     """
     pairs = ngram_jaccard_pairs(df, text_col, k, threshold).select("id_a", "id_b")
-    edges = pairs.unionByName(
-        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
-    ).persist()
-    labels = df.select(
-        F.col("doc_id"), F.col("doc_id").alias("cluster_id")
-    ).persist()
+    # Symmetrize via struct-explode, NOT a self-union: a union would
+    # evaluate the whole shingle-join pipeline twice.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint(eager=True)
+    )
+    # Only vertices that HAVE an edge need iterating — at scale the dup
+    # subgraph is a sliver of the corpus; isolated docs are appended as
+    # their own singleton cluster at the end, never shuffled per round.
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.col("doc_id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
     while True:
         neighbor_min = (
-            edges.join(labels, edges.id_b == labels.doc_id)
-            .groupBy(F.col("id_a").alias("doc_id"))
+            edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("__nmin"))
         )
-        updated = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("__nmin"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .persist()
-        )
+        updated = labels.select(
+            "doc_id", F.col("cluster_id").alias("__prev")
+        ).join(neighbor_min, "doc_id").select(
+            "doc_id",
+            "__prev",
+            F.least(F.col("__prev"), F.col("__nmin")).alias("cluster_id"),
+        ).localCheckpoint(eager=True)
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "doc_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("cluster_id") < F.col("__prev")).limit(1).count()
         )
-        labels.unpersist()
-        labels = updated
+        labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    edges.unpersist()
-    return labels.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_kept"),
+    clustered = labels
+    return (
+        df.select("doc_id")
+        .join(clustered, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_kept"),
+        )
     )
 
 

@@ -1137,6 +1137,57 @@ def embedding_dup_pairs(spark, sf_dir):
 
 
 @q(
+    "time_rollup_hierarchy",
+    """
+    WITH base AS (
+      SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+             date_trunc('month', ts) AS m, event_type,
+             CAST(value AS DECIMAL(18,6)) AS v
+      FROM events)
+    SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                WHEN grouping(d) = 0 THEN 'day'
+                ELSE 'month' END AS grain,
+           coalesce(h, d, m) AS bucket, event_type,
+           count(*) AS n,
+           CAST(round(sum(v), 4) AS DOUBLE) AS total_value
+    FROM base
+    GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (m, event_type))
+    """,
+)
+def time_rollup_hierarchy(spark, sf_dir):
+    """Hypertable-style rollup: hour/day/month continuous aggregates of the
+    events stream in ONE pass — grouping sets expand rows once (Expand
+    operator) and aggregate under a single shuffle, instead of three scans
+    of a 100 TB fact table. grain + coalesced bucket identify the level."""
+    ev = load(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("month", "ts").alias("m"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+    )
+    grain = (
+        F.when(F.grouping("h") == 0, F.lit("hour"))
+        .when(F.grouping("d") == 0, F.lit("day"))
+        .otherwise(F.lit("month"))
+    )
+    return (
+        base.groupingSets(
+            [["h", "event_type"], ["d", "event_type"], ["m", "event_type"]],
+            "h", "d", "m", "event_type",
+        )
+        .agg(
+            grain.alias("grain"),
+            F.coalesce("h", "d", "m").alias("bucket"),
+            F.count("*").alias("n"),
+            F.round(F.sum("v"), 4).cast("double").alias("total_value"),
+        )
+        .select("grain", "bucket", "event_type", "n", "total_value")
+    )
+
+
+@q(
     "range_join_events",
     """
     SELECT e.event_id, e.user_id, e.ts,
