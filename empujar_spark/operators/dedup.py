@@ -87,26 +87,35 @@ def ngram_jaccard_pairs(
             sh.join(freq.filter(F.col("__df") <= max_shingle_freq), "shingle")
             .drop("__df")
         )
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    # Carry |set| alongside each exploded shingle via a window count over
+    # doc_id — the explode already hash-partitioned on doc_id, so this
+    # adds a sort but NO exchange, and it spares two whole re-derivations
+    # of the shingle table (Spark does not share identical subplans across
+    # a self-join, so a separate sizes branch re-runs the explode).
+    from pyspark.sql import Window
+
+    sh = sh.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
     a = sh.alias("a")
     b = sh.alias("b")
     shared = (
         a.join(b, "shingle")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
     )
-    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("nb"))
     jac = F.round(
         F.col("n_shared").cast("double")
         / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
         6,
     )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn("jaccard", jac)
+        shared.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "n_shared", "jaccard")
     )
