@@ -145,17 +145,6 @@ def lsh_topk(
     )
 
 
-def _dot_const(vec: Column, centroid) -> Column:
-    """⟨vec, c⟩ for a driver-side constant centroid (array literal —
-    evaluated inside whole-stage codegen, no Python in the loop)."""
-    c = F.array(*[F.lit(float(v)) for v in centroid])
-    return F.aggregate(
-        F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
 def ivf_train(
     corpus: DataFrame,
     n_centroids: int = 16,
@@ -202,15 +191,31 @@ def ivf_train(
 def _nearest_centroids(vec: Column, centroids, nprobe: int) -> Column:
     """Array of the ``nprobe`` centroid ids nearest to ``vec`` by dot
     product (‖vec‖ is constant across centroids, so raw dots rank the
-    same as cosine). Ties break to the smaller centroid id."""
-    entries = [
-        F.struct(
-            (-_dot_const(vec, centroids[j])).alias("nd"),
-            F.lit(j).alias("j"),
+    same as cosine). Ties break to the smaller centroid id.
+
+    The centroid matrix is ONE array-of-arrays literal walked by a single
+    indexed ``transform`` — per-centroid fold expressions would grow the
+    codegen'd method linearly with n_centroids and blow the JVM's 64 KB
+    method limit around a few hundred lists; this form stays O(1) in
+    expression count so n_centroids is a free parameter."""
+    c_mat = F.array(
+        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    )
+    ranked = F.sort_array(
+        F.transform(
+            c_mat,
+            lambda c, j: F.struct(
+                (
+                    -F.aggregate(
+                        F.zip_with(vec, c, lambda x, y: x.cast("double") * y),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ).alias("nd"),
+                j.alias("j"),
+            ),
         )
-        for j in range(len(centroids))
-    ]
-    ranked = F.sort_array(F.array(*entries))
+    )
     return F.slice(F.transform(ranked, lambda s: s["j"]), 1, nprobe)
 
 

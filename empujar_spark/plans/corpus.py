@@ -1137,6 +1137,28 @@ def embedding_dup_pairs(spark, sf_dir):
 
 
 @q(
+    "global_topk",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY round(o_totalprice, 6) DESC, o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def global_topk(spark, sf_dir):
+    """Global top-k: ORDER BY ... LIMIT plans as TakeOrderedAndProject —
+    each partition keeps its local top-100 and only those reach the
+    driver-side merge; a 100 TB table never performs a full range-shuffle
+    sort. Total order (rounded price desc, key asc) for determinism."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.round("o_totalprice", 6).desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+@q(
     "time_rollup_hierarchy",
     """
     WITH base AS (
