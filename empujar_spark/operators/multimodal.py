@@ -126,3 +126,100 @@ def frame_sample_plan(
             (F.col("frame_no") * every_n_bytes).cast("bigint").alias("byte_offset"),
         )
     )
+
+
+def resize_image_stub(content: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB — deterministic fake resize.
+
+    A real deployment decodes, resamples, and re-encodes here (PIL
+    ``Image.resize`` inside the same kernel). The fake produces a payload
+    whose length encodes the target box so output metadata is checkable:
+    min(len, target_w*target_h) bytes sliced from the input.
+    """
+    if content is None:
+        raise NotImplementedError("no payload")
+    return bytes(content[: max(1, min(len(content), target_w * target_h))])
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 64,
+    target_h: int = 64,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+) -> DataFrame:
+    """Batch image resize over binary payloads via mapInPandas — the
+    transform-and-rewrite shape (payload in, payload out) as opposed to
+    extract_image_features' payload-in-scalars-out shape. Arrow moves the
+    bytes both directions; nothing crosses py4j row-at-a-time."""
+    src = df.select(id_col, content_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[content_col].map(
+                lambda c: resize_image_stub(c, target_w, target_h)
+            )
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "content": out,
+                    "n_bytes": out.map(len),
+                }
+            )
+
+    return src.mapInPandas(kernel, RESIZED_SCHEMA)
+
+
+def decode_audio_stub(content: bytes, sample_rate: int = 16_000) -> dict:
+    """STUB — deterministic fake audio decode (a real deployment uses
+    soundfile/librosa in the same kernel). Derives duration and a fake
+    loudness from the payload bytes."""
+    if content is None:
+        raise NotImplementedError("no payload")
+    n = len(content)
+    return {
+        "duration_s": round(n / float(sample_rate), 6),
+        "rms": round((sum(content[:256]) % 1000) / 1000.0, 6) if n else 0.0,
+        "n_samples": n,
+    }
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("n_samples", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(
+    df: DataFrame, id_col: str = "doc_id", content_col: str = "content"
+) -> DataFrame:
+    """Arrow-batched audio feature extraction — same plumbing contract as
+    extract_image_features with an audio-shaped kernel."""
+    src = df.select(id_col, content_col)
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = pdf[content_col].map(decode_audio_stub)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "duration_s": [f["duration_s"] for f in feats],
+                    "rms": [f["rms"] for f in feats],
+                    "n_samples": [f["n_samples"] for f in feats],
+                }
+            )
+
+    return src.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)

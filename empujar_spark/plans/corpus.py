@@ -849,6 +849,34 @@ def image_features(spark, sf_dir):
     return M.extract_image_features(d)
 
 
+@q(
+    "image_resize",
+    """
+    SELECT doc_id,
+           greatest(1, least(octet_length(encode(text)), 4096)) AS n_bytes
+    FROM documents
+    """,
+)
+def image_resize(spark, sf_dir):
+    """Payload-in/payload-out multimodal transform (operators/multimodal.py
+    resize_images): mapInPandas kernel rewrites the binary column, Arrow
+    both directions. The stub's output length is deterministic (min(len,
+    64*64) capped slice), so the byte count is oracle-checkable even though
+    the decode itself is faked."""
+    d = M.text_as_binary(load(spark, sf_dir, "documents"))
+    return M.resize_images(d, target_w=64, target_h=64).select(
+        "doc_id", "n_bytes"
+    )
+
+
+@q("audio_features", None)
+def audio_features(spark, sf_dir):
+    """Arrow-batched audio feature stub (operators/multimodal.py) — Python
+    kernel (mapInPandas) → rows-only check."""
+    d = M.text_as_binary(load(spark, sf_dir, "documents"))
+    return M.extract_audio_features(d)
+
+
 @q("embedding_lsh_topk", None)
 def embedding_lsh_topk(spark, sf_dir):
     """Approximate ANN via random-hyperplane LSH bucketing
