@@ -568,8 +568,14 @@ class Warehouse:
         self.spark.sql(f"DROP TABLE IF EXISTS {name}")
         if os.path.isdir(path):
             shutil.rmtree(path, ignore_errors=True)
+        # Pre-shuffle onto the bucket hash (repartition and bucketBy both
+        # use Murmur3 hash partitioning): each task then owns exactly one
+        # bucket and writes ONE file, instead of every task writing a
+        # sliver of every bucket (tasks × buckets small files — metadata
+        # poison at 100 TB).
         writer = (
-            df.write.format("parquet")
+            df.repartition(buckets, *keys)
+            .write.format("parquet")
             .mode("overwrite")
             .bucketBy(buckets, *keys)
         )
