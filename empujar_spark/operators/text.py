@@ -133,3 +133,50 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array_distinct(F.array(F.concat_ws(" ", tokens)))
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str = "text", k_top: int = 3,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document: (doc_id, term, tf, score, rnk).
+
+    Plan shape for 100 TB: tokens explode once; term frequency and
+    document frequency are two aggregations off that single explode
+    (partial map-side combine on both); N arrives as a one-row broadcast
+    cross join — NEVER a global window, which would funnel the corpus
+    through one partition. Ranking is total-ordered (rounded score desc,
+    term asc) for cross-engine determinism.
+    """
+    from pyspark.sql import Window
+
+    n = parallelism or df.sparkSession.sparkContext.defaultParallelism
+    toks = df.repartition(n, "doc_id").select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = toks.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k_top)
+        .select("doc_id", "term", "tf", "score", "rnk")
+    )

@@ -850,6 +850,34 @@ def image_features(spark, sf_dir):
 
 
 @q(
+    "tfidf_top_terms",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf,
+             round(tf.tf * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)), 6) AS score
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+    SELECT doc_id, term, tf, score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, term ASC) AS rnk
+      FROM scored) t
+    WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/text.py): one token
+    explode feeding both the term-frequency and document-frequency
+    aggregations; corpus size N joins in as a one-row broadcast, never a
+    global window."""
+    return X.tfidf_top_terms(load(spark, sf_dir, "documents"), k_top=3)
+
+
+@q(
     "image_resize",
     """
     SELECT doc_id,
