@@ -56,6 +56,13 @@ def text_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content", F.encode(F.col(text_col), "UTF-8"))
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-spread rows across the cluster before a CPU-bound Python
+    kernel (single-file parquet input = one partition = one core)."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n)
+
+
 # --------------------------------------------------------------------- kernels
 def decode_image_stub(content: bytes) -> dict:
     """STUB — deterministic fake image decode.
@@ -88,8 +95,10 @@ def extract_image_features(
     mapInPandas: each Arrow batch arrives as a pandas DataFrame; the kernel
     is vectorized per batch, never per-row over py4j. Only (id, content)
     columns are read — column pruning keeps everything else on disk.
+    Repartitions first: corpora often arrive as few large files and the
+    kernel is CPU-bound — without this it serializes on one core.
     """
-    src = df.select(id_col, content_col)
+    src = _spread(df).select(id_col, content_col)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -161,7 +170,7 @@ def resize_images(
     transform-and-rewrite shape (payload in, payload out) as opposed to
     extract_image_features' payload-in-scalars-out shape. Arrow moves the
     bytes both directions; nothing crosses py4j row-at-a-time."""
-    src = df.select(id_col, content_col)
+    src = _spread(df).select(id_col, content_col)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -208,7 +217,7 @@ def extract_audio_features(
 ) -> DataFrame:
     """Arrow-batched audio feature extraction — same plumbing contract as
     extract_image_features with an audio-shaped kernel."""
-    src = df.select(id_col, content_col)
+    src = _spread(df).select(id_col, content_col)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
