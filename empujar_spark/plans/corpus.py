@@ -1127,6 +1127,44 @@ def streaming_hourly_events(spark, sf_dir):
     return spark.table("__streaming_hourly_events")
 
 
+@q(
+    "streaming_join_events",
+    """
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM events e
+    JOIN (SELECT event_id, user_id, ts, value FROM events
+          WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE e.event_type <> 'purchase'
+    """,
+)
+def streaming_join_events(spark, sf_dir):
+    """STREAM-STREAM interval join, oracle-checked (streaming/stream_ops
+    purchase_followers_join): two watermarked file streams joined on user
+    within a 30-minute bound — the time bound is what lets Spark evict
+    buffered state instead of keeping every purchase forever. Drained to a
+    memory sink; result equals the batch inequality join the oracle runs."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    joined = SO.purchase_followers_join(
+        SO.read_events_stream(spark, sf_dir),
+        SO.read_events_stream(spark, sf_dir),
+    )
+    q_stream = (
+        joined.writeStream.format("memory")
+        .queryName("__streaming_join_events")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q_stream.processAllAvailable()
+    finally:
+        q_stream.stop()
+    return spark.table("__streaming_join_events")
+
+
 _PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

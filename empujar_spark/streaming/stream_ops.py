@@ -183,3 +183,43 @@ def memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
         .outputMode(output_mode)
         .start()
     )
+
+
+def purchase_followers_join(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    window: str = "30 minutes",
+    late: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join: each non-purchase event matched to the
+    same user's purchases it follows within ``window``.
+
+    Both sides carry watermarks so the join state is bounded: a buffered
+    purchase can be evicted once the other stream's watermark passes
+    p_ts + window + late — without the time bound in the join condition
+    Spark would have to keep EVERY purchase forever. Inner join ⇒ rows
+    emit as soon as both sides arrive (no watermark wait)."""
+    purchases = (
+        events_a.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", late)
+    )
+    others = (
+        events_b.filter(F.col("event_type") != "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", late)
+    )
+    return others.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("ts") >= F.col("p_ts"))
+        & (F.col("ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window}")),
+        "inner",
+    ).select(
+        "event_id", "user_id", "ts", "event_type", "purchase_id", "purchase_value"
+    )
