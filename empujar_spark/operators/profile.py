@@ -1,0 +1,55 @@
+"""Dataset profiling and deterministic sampling — the first two things a
+training-data pipeline does to a new 100 TB corpus.
+
+- ``hash_sample``: reproducible subsample by md5(id) threshold. Purely
+  partition-local (a Filter — no shuffle, no RNG state, no seed drift
+  across retries/executors), and stable under re-runs and repartitioning,
+  unlike ``df.sample`` whose output depends on partition layout.
+- ``profile_numeric``: per-column n/nulls/distinct/min/max in ONE scan —
+  a single aggregate computes every column's stats as struct expressions,
+  then an inline explode pivots to long form. Never one scan per column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_sample(
+    df: DataFrame, rate_permille: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~rate_permille/1000 of rows, chosen by md5(id) bucket.
+
+    md5-derived (never Spark's hash()) so any engine computing the same
+    expression selects the identical subset — the reproducibility contract
+    a corpus snapshot needs."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    return df.filter(bucket < rate_permille)
+
+
+def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """(column, n_rows, n_null, n_distinct, min_v, max_v) per column —
+    one aggregation pass over the table, every stat a partial-aggregatable
+    expression (map-side combine; one shuffle of a single row)."""
+    aggs = []
+    for c in cols:
+        col = F.col(c)
+        aggs.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum(col.isNull().cast("bigint")).alias("n_null"),
+                F.count_distinct(col).alias("n_distinct"),
+                F.min(col).cast("double").alias("min_v"),
+                F.max(col).cast("double").alias("max_v"),
+            ).alias(f"__p_{c}")
+        )
+    one = df.agg(*aggs)
+    return one.select(
+        F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
+    ).select("p.*")

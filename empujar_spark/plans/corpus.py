@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from empujar_spark.operators import dedup as D
 from empujar_spark.operators import multimodal as M
 from empujar_spark.operators import similarity as S
+from empujar_spark.operators import profile as P
 from empujar_spark.operators import ranges as R
 from empujar_spark.operators import text as X
 
@@ -847,6 +848,68 @@ def image_features(spark, sf_dir):
     expressible (Python kernel) → rows-only check."""
     d = M.text_as_binary(load(spark, sf_dir, "documents"))
     return M.extract_image_features(d)
+
+
+@q(
+    "hash_sample",
+    """
+    SELECT doc_id, n_tokens
+    FROM (SELECT doc_id, length(trim(text)) - length(replace(trim(text), ' ', '')) + 1
+                 AS n_tokens,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                 % 1000 AS bucket
+          FROM documents)
+    WHERE bucket < 200
+    """,
+)
+def hash_sample(spark, sf_dir):
+    """Deterministic 20% corpus sample by md5(doc_id) bucket
+    (operators/profile.py): a pure Filter — no shuffle, no RNG, identical
+    subset on any engine/partitioning — unlike df.sample whose output
+    depends on partition layout. Projects a token-ish count so the sample
+    carries a derived column through."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.trim(F.col("text"))
+    sampled = P.hash_sample(docs, rate_permille=200)
+    return sampled.select(
+        "doc_id",
+        (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1).alias("n_tokens"),
+    )
+
+
+@q(
+    "profile_table",
+    """
+    SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
+           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           count(DISTINCT o_orderkey) AS n_distinct,
+           CAST(min(o_orderkey) AS DOUBLE) AS min_v,
+           CAST(max(o_orderkey) AS DOUBLE) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', count(*),
+           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_custkey),
+           CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', count(*),
+           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           count(DISTINCT o_totalprice),
+           CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
+    FROM orders
+    """,
+)
+def profile_table(spark, sf_dir):
+    """Single-pass numeric profiling (operators/profile.py): every
+    column's n/nulls/distinct/min/max as struct aggregates in ONE scan +
+    one single-row shuffle, pivoted long via inline explode. The oracle
+    spells it as one scan per column — same answer, N× the IO; the plan
+    difference IS the point at 100 TB."""
+    return P.profile_numeric(
+        load(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_custkey", "o_totalprice"],
+    )
 
 
 @q(
