@@ -603,6 +603,50 @@ class Warehouse:
             shutil.rmtree(self._table_dir(table))
         self.show_tables()
 
+    def compact(self, table: str, target_file_bytes: int = 256 * 1024 * 1024) -> int:
+        """Rewrite a table into ~target_file_bytes files (small-file
+        compaction). Incremental upserts accrete one file set per merge;
+        at scale thousands of KB-files turn every scan's planning and
+        open() phase into the bottleneck. Returns the file count written.
+
+        Uses the same stage-and-swap path as every write, so readers never
+        see a half-compacted table."""
+        meta = self._load_meta(table)
+        df = self.read(table)
+        data_dir = self._data_dir(table)
+        total = sum(
+            os.path.getsize(os.path.join(dp, f))
+            for dp, _, fs in os.walk(data_dir)
+            for f in fs
+        )
+        n_files = max(1, int(total // target_file_bytes) + (1 if total % target_file_bytes else 0))
+        saved_target = self.target_partitions
+        self.target_partitions = n_files
+        try:
+            self._write(table, df, meta)
+        finally:
+            self.target_partitions = saved_target
+        return n_files
+
+    def vacuum(self) -> list[str]:
+        """Remove leftover ``.staging-*`` / ``.old-*`` directories from
+        writes that crashed between stage and swap. Safe anytime: live
+        data dirs never carry those suffixes."""
+        removed = []
+        for root in [self.path] + [
+            os.path.join(self.path, t)
+            for t in sorted(os.listdir(self.path))
+            if os.path.isdir(os.path.join(self.path, t))
+        ]:
+            for entry in sorted(os.listdir(root)):
+                full = os.path.join(root, entry)
+                if os.path.isdir(full) and (
+                    ".staging-" in entry or ".old-" in entry
+                ):
+                    shutil.rmtree(full, ignore_errors=True)
+                    removed.append(os.path.relpath(full, self.path))
+        return removed
+
     # ------------------------------------------------------------- merge ops
     def merge_tables(self, source: str, destination: str) -> str:
         """Incremental upsert of one table into another (mysql.js:547-599).

@@ -291,3 +291,33 @@ def test_bucketed_groupby_no_shuffle(spark, tmp_path):
     plan = agg._jdf.queryExecution().executedPlan().toString()
     assert "Exchange hashpartitioning" not in plan
     assert agg.count() == orders.select("o_custkey").distinct().count()
+
+
+def test_compact_and_vacuum(spark, tmp_path):
+    import os
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "cwh"), primary_key="o_orderkey")
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    # several incremental loads -> several file sets
+    for lo, hi in [(0, 500), (500, 1000), (1000, 1500)]:
+        batch = orders.filter(
+            (orders.o_orderkey % 1500 >= lo) & (orders.o_orderkey % 1500 < hi)
+        )
+        wh.insert_data("orders", batch, merge_key="o_orderkey")
+    before = wh.table_size("orders")
+    data_dir = wh._data_dir("orders")
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(data_dir))
+    n_target = wh.compact("orders")
+    assert wh.table_size("orders") == before  # lossless
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(data_dir))
+    assert n_after <= max(n_target, 1) + 1
+    assert n_after <= n_before
+
+    # vacuum removes a faked crashed-write leftover, not live data
+    fake = data_dir + ".staging-deadbeef"
+    os.makedirs(fake)
+    removed = wh.vacuum()
+    assert any("staging-deadbeef" in r for r in removed)
+    assert not os.path.isdir(fake)
+    assert wh.table_size("orders") == before
