@@ -1091,6 +1091,32 @@ def bpe_token_count(spark, sf_dir):
 
 
 @q(
+    "user_event_profile",
+    """
+    SELECT user_id, count(*) AS n_events,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',')
+               AS event_types,
+           min(ts) AS first_ts, max(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def user_event_profile(spark, sf_dir):
+    """Per-user profile with an array aggregation: collect_set is
+    unordered by construction, so the set is array_sort-ed then joined to
+    a string — the deterministic spelling that hash-matches any engine.
+    One shuffle; collect_set partial-aggregates map-side."""
+    ev = load(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.array_join(F.array_sort(F.collect_set("event_type")), ",").alias(
+            "event_types"
+        ),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
+@q(
     "window_rank_funcs",
     """
     SELECT o_orderkey, o_custkey,
