@@ -63,3 +63,34 @@ def test_whole_stage_codegen_active(spark):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
     txt = df._jdf.queryExecution().explainString(mode)
     assert "WholeStageCodegen" in txt
+
+
+def test_time_rollup_single_expand_single_scan(spark):
+    """Grouping sets = ONE Expand over ONE scan — not three scans."""
+    plan = plan_of(spark, "time_rollup_hierarchy")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_profile_single_scan(spark):
+    """All column stats in one aggregation pass over one scan."""
+    plan = plan_of(spark, "profile_table")
+    assert plan.count("Scan parquet") == 1
+
+
+def test_hash_sample_no_shuffle(spark):
+    """Deterministic sampling is a pure Filter — zero exchanges."""
+    plan = plan_of(spark, "hash_sample")
+    assert "Exchange" not in plan
+
+
+def test_range_join_no_nested_loop(spark):
+    plan = plan_of(spark, "range_join_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_broadcasts_corpus_size(spark):
+    """N joins in as a broadcast single row, never a global window."""
+    plan = plan_of(spark, "tfidf_top_terms")
+    assert "BroadcastExchange" in plan
