@@ -1091,6 +1091,34 @@ def bpe_token_count(spark, sf_dir):
 
 
 @q(
+    "skew_salted_agg",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+    FROM events GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark, sf_dir):
+    """Two-phase salted aggregation (operators/skew.py) over the
+    low-cardinality event_type key — the skewed-AGGREGATION pattern AQE's
+    skew-join splitting cannot help with: phase 1 pre-aggregates on
+    (key, salt) so a hot key spreads over `salt` reducers, phase 2 merges
+    the tiny partials. Result is identical to the plain groupBy the
+    oracle runs; only the shuffle distribution differs."""
+    from empujar_spark.operators import skew as K
+
+    ev = load(spark, sf_dir, "events")
+    counts = K.salted_count(ev, "event_type")
+    sums = K.salted_agg(ev, "event_type", "value")
+    return counts.join(sums, "event_type").select(
+        "event_type",
+        "n",
+        F.round(F.col("total"), 4).cast("double").alias("total"),
+    )
+
+
+@q(
     "user_event_profile",
     """
     SELECT user_id, count(*) AS n_events,
