@@ -1514,6 +1514,26 @@ def bucketed_join_agg(spark, sf_dir):
     )
 
 
+@q("hll_rolling_distinct", None)
+def hll_rolling_distinct(spark, sf_dir):
+    """MERGEABLE sketches — the pattern that makes rolling distincts cheap
+    at 100 TB: one HLL sketch per (day, event_type) materialized once,
+    then month-level distinct users come from unioning the tiny sketches,
+    never rescanning the fact table. Engine-specific binary sketches →
+    rows-only check; the estimate-vs-exact error is pinned in tests."""
+    ev = load(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return (
+        daily.groupBy(F.date_trunc("month", "day").alias("month"), "event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+        )
+        .select("month", "event_type", "approx_users")
+    )
+
+
 @q("approx_stats", None)
 def approx_stats(spark, sf_dir):
     """Approximate aggregates for scale (approx_count_distinct HLL,

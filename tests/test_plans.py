@@ -94,3 +94,27 @@ def test_tfidf_broadcasts_corpus_size(spark):
     """N joins in as a broadcast single row, never a global window."""
     plan = plan_of(spark, "tfidf_top_terms")
     assert "BroadcastExchange" in plan
+
+
+def test_hll_sketch_union_accuracy(spark):
+    """Sketch-merge distinct must land within HLL error (~2% at default
+    lgConfigK=12) of the exact distinct — and sketches must merge across
+    the pre-aggregation boundary, not rescan."""
+    from pyspark.sql import functions as F
+
+    got = {
+        (r.month, r.event_type): r.approx_users
+        for r in CORPUS["hll_rolling_distinct"].fn(spark, SF).collect()
+    }
+    from empujar_spark.plans.corpus import load
+
+    exact = {
+        (r.month, r.event_type): r.n
+        for r in load(spark, SF, "events")
+        .groupBy(F.date_trunc("month", "ts").alias("month"), "event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
