@@ -1231,17 +1231,9 @@ def streaming_hourly_events(spark, sf_dir):
         )
         .select(F.col("win.start").alias("hour"), "event_type", "n", "total_value")
     )
-    q_stream = (
-        agg.writeStream.format("memory")
-        .queryName("__streaming_hourly_events")
-        .outputMode("complete")
-        .start()
+    return SO.drain_to_memory(
+        agg, "__streaming_hourly_events", output_mode="complete"
     )
-    try:
-        q_stream.processAllAvailable()
-    finally:
-        q_stream.stop()
-    return spark.table("__streaming_hourly_events")
 
 
 @q(
@@ -1269,17 +1261,7 @@ def streaming_join_events(spark, sf_dir):
         SO.read_events_stream(spark, sf_dir),
         SO.read_events_stream(spark, sf_dir),
     )
-    q_stream = (
-        joined.writeStream.format("memory")
-        .queryName("__streaming_join_events")
-        .outputMode("append")
-        .start()
-    )
-    try:
-        q_stream.processAllAvailable()
-    finally:
-        q_stream.stop()
-    return spark.table("__streaming_join_events")
+    return SO.drain_to_memory(joined, "__streaming_join_events")
 
 
 _PAIRS_SQL = f"""
