@@ -461,6 +461,82 @@ class Warehouse:
             .drop("__pos", "__rn")
         )
 
+    def merge_scd2(
+        self,
+        table: str,
+        updates,
+        merge_key: str | list[str] | None = None,
+        ts_col: str = "updated_at",
+        tracked_cols: list[str] | None = None,
+    ) -> int:
+        """Slowly-changing-dimension Type 2 merge: keep full attribute
+        history with validity intervals instead of overwriting.
+
+        Table layout: key + tracked columns + ``scd_valid_from`` /
+        ``scd_valid_to`` (NULL = open) / ``scd_is_current``. Incoming rows
+        open a new version only when tracked attributes actually changed;
+        the previous version closes at the new version's timestamp.
+
+        Plan (one shuffle on the key): closed history rows pass through
+        untouched; current rows union the update batch, a window per key
+        ordered by timestamp drops no-change versions (lag struct
+        comparison) and derives each interval as lead() of the next
+        version — the whole history recomputation is two window functions,
+        no iterative driver logic. Returns the row count of the stored
+        table after the merge.
+        """
+        keys = _as_key_list(merge_key or self.primary_key)
+        exists = self.table_exists(table)
+        df, _ = self._normalize_input(updates)
+        tracked = tracked_cols or [
+            c for c in df.columns if c not in keys and c != ts_col
+        ]
+        upd = df.select(
+            *keys, F.col(ts_col).alias("scd_valid_from"), *tracked
+        )
+        upd = self._dedup_last_wins(upd, keys + ["scd_valid_from"])
+
+        if exists:
+            stored = self.read(table)
+            history = stored.filter(F.col("scd_is_current") == 0)
+            current = stored.filter(F.col("scd_is_current") == 1).select(
+                *keys, "scd_valid_from", *tracked
+            )
+            versions = current.unionByName(upd)
+        else:
+            history = None
+            versions = upd
+
+        w = Window.partitionBy(*keys).orderBy(F.col("scd_valid_from").asc())
+        attrs = F.struct(*[F.col(c) for c in tracked])
+        changed_only = (
+            versions.withColumn("__prev", F.lag(attrs).over(w))
+            .filter(
+                F.col("__prev").isNull()
+                | ~(attrs.eqNullSafe(F.col("__prev")))
+            )
+            .drop("__prev")
+        )
+        rebuilt = changed_only.select(
+            *keys,
+            *tracked,
+            F.col("scd_valid_from"),
+            F.lead("scd_valid_from").over(w).alias("scd_valid_to"),
+        ).withColumn(
+            "scd_is_current",
+            F.col("scd_valid_to").isNull().cast("int"),
+        )
+        final = (
+            history.unionByName(rebuilt) if history is not None else rebuilt
+        )
+        final_df, incoming = self._normalize_input(final)
+        if not exists:
+            self._create_table(table, final_df, incoming)
+        else:
+            meta = self._reconcile_schema(table, incoming)
+            self._write(table, self._conform(final_df, meta), meta)
+        return self.table_size(table)
+
     # -------------------------------------------------------------- DDL ops
     def add_column(self, table: str, column: str, sample_values=None) -> None:
         """ADD COLUMN with type inferred from sample values

@@ -1447,6 +1447,65 @@ def range_join_events(spark, sf_dir):
     )
 
 
+_SCD2_WH: dict = {}
+
+
+@q(
+    "scd2_history",
+    """
+    WITH upd AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority
+      FROM (SELECT o_custkey, o_orderdate, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders) t
+      WHERE rn = 1),
+    chg AS (
+      SELECT o_custkey, scd_valid_from, o_orderpriority FROM (
+        SELECT o_custkey, o_orderdate AS scd_valid_from, o_orderpriority,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate) AS prev
+        FROM upd) t2
+      WHERE prev IS NULL OR prev <> o_orderpriority)
+    SELECT o_custkey, o_orderpriority, scd_valid_from,
+           lead(scd_valid_from) OVER w AS scd_valid_to,
+           CAST(lead(scd_valid_from) OVER w IS NULL AS INT) AS scd_is_current
+    FROM chg
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY scd_valid_from)
+    """,
+)
+def scd2_history(spark, sf_dir):
+    """SCD Type 2 dimension history (catalog.py merge_scd2) driven
+    end-to-end: orders act as a change feed of each customer's order
+    priority; the Warehouse rebuilds validity intervals (open version per
+    key, consecutive no-change versions suppressed) through its staged
+    atomic write. Oracle recomputes the same intervals with window
+    functions."""
+    import tempfile
+
+    from empujar_spark.catalog import Warehouse
+
+    key = (id(spark), sf_dir)
+    if key not in _SCD2_WH:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="scd2-wh-"),
+                       primary_key="o_custkey")
+        o = load(spark, sf_dir, "orders")
+        w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+            F.col("o_orderkey").desc()
+        )
+        updates = (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("o_custkey", "o_orderdate", "o_orderpriority")
+        )
+        wh.merge_scd2(
+            "dim_cust_priority", updates,
+            merge_key="o_custkey", ts_col="o_orderdate",
+        )
+        _SCD2_WH[key] = wh
+    return _SCD2_WH[key].read("dim_cust_priority")
+
+
 _BUCKETED_WH: dict = {}
 
 

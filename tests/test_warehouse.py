@@ -321,3 +321,48 @@ def test_compact_and_vacuum(spark, tmp_path):
     assert any("staging-deadbeef" in r for r in removed)
     assert not os.path.isdir(fake)
     assert wh.table_size("orders") == before
+
+
+def test_merge_scd2_history(spark, tmp_path):
+    import datetime as dt
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "scd"), primary_key="cust_id")
+    t0 = dt.datetime(2024, 1, 1)
+    t1 = dt.datetime(2024, 2, 1)
+    t2 = dt.datetime(2024, 3, 1)
+
+    wh.merge_scd2("dim_customer", [
+        {"cust_id": 1, "updated_at": t0, "tier": "bronze", "city": "lyon"},
+        {"cust_id": 2, "updated_at": t0, "tier": "gold", "city": "oslo"},
+    ])
+    rows = {(r.cust_id, r.tier): r for r in wh.read("dim_customer").collect()}
+    assert len(rows) == 2
+    assert all(r.scd_is_current == 1 and r.scd_valid_to is None for r in rows.values())
+
+    # customer 1 changes tier; customer 2 re-arrives unchanged (no new version)
+    wh.merge_scd2("dim_customer", [
+        {"cust_id": 1, "updated_at": t1, "tier": "silver", "city": "lyon"},
+        {"cust_id": 2, "updated_at": t1, "tier": "gold", "city": "oslo"},
+    ])
+    got = wh.read("dim_customer").collect()
+    c1 = sorted([r for r in got if r.cust_id == 1], key=lambda r: r.scd_valid_from)
+    c2 = [r for r in got if r.cust_id == 2]
+    assert [r.tier for r in c1] == ["bronze", "silver"]
+    assert c1[0].scd_is_current == 0 and c1[0].scd_valid_to == t1
+    assert c1[1].scd_is_current == 1 and c1[1].scd_valid_to is None
+    assert len(c2) == 1 and c2[0].scd_is_current == 1  # no-change suppressed
+
+    # another change: history accumulates, exactly one current per key
+    wh.merge_scd2("dim_customer", [
+        {"cust_id": 1, "updated_at": t2, "tier": "gold", "city": "paris"},
+    ])
+    c1 = sorted(
+        [r for r in wh.read("dim_customer").collect() if r.cust_id == 1],
+        key=lambda r: r.scd_valid_from,
+    )
+    assert [r.tier for r in c1] == ["bronze", "silver", "gold"]
+    assert [r.scd_is_current for r in c1] == [0, 0, 1]
+    assert c1[1].scd_valid_to == t2
+    cur = [r for r in wh.read("dim_customer").collect() if r.scd_is_current == 1]
+    assert sorted(r.cust_id for r in cur) == [1, 2]
