@@ -537,6 +537,95 @@ class Warehouse:
             self._write(table, self._conform(final_df, meta), meta)
         return self.table_size(table)
 
+    def refresh_rollup(
+        self,
+        rollup_table: str,
+        src: DataFrame,
+        group_cols: list[str],
+        sum_cols: list[str],
+        watermark_col: str,
+    ) -> int:
+        """Incrementally maintain an additive rollup (count + sums per
+        group): aggregate ONLY source rows newer than the stored
+        watermark, then merge the partials into the rollup by summing
+        overlapping groups — the reference's getMax watermark pattern
+        (mysql.js:193-216, extract.js:15-28) applied to aggregates, so a
+        100 TB fact table is never re-scanned to refresh its rollup.
+
+        Contract: ``watermark_col`` must be strictly increasing across
+        refresh batches (strict ``>`` filter — additive merges would
+        double-count reprocessed rows; the reference's ``>=`` is safe only
+        because its upsert dedups by key). Columns written: group_cols +
+        ``n_rows`` + ``sum_<col>`` per sum col, where sums are stored as
+        SCALE-6 INTEGERS (value × 1e6 as bigint): exact integer addition
+        across refreshes — float accumulation would drift from a one-shot
+        aggregate; divide by 1e6 at read time. (Headroom: bigint caps a
+        scaled sum at ~9.2e12 units — switch the storage to decimal(38,6)
+        if a single group can exceed that.) Returns rows newly
+        aggregated."""
+        meta_key = "rollup_watermark"
+        wm = None
+        if self.table_exists(rollup_table):
+            wm = self._load_meta(rollup_table).get(meta_key)
+        fresh = src if wm is None else src.filter(F.col(watermark_col) > F.lit(wm))
+        aggs = [F.count(F.lit(1)).alias("n_rows")] + [
+            F.sum(
+                (F.col(c).cast("decimal(18,6)") * F.lit(1_000_000)).cast(
+                    "bigint"
+                )
+            ).alias(f"sum_{c}")
+            for c in sum_cols
+        ]
+        partial = fresh.groupBy(*group_cols).agg(
+            *aggs, F.max(watermark_col).alias("__new_wm")
+        )
+        row = partial.select(
+            F.max("__new_wm").alias("wm"), F.sum("n_rows").alias("n")
+        ).first()
+        new_wm, n_new = row["wm"], row["n"] or 0
+        partial = partial.drop("__new_wm")
+        if n_new == 0:
+            return 0
+        if self.table_exists(rollup_table):
+            existing = self.read(rollup_table)
+            val_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
+            merged = (
+                existing.select(
+                    *group_cols,
+                    *[F.col(c).alias(f"__e_{c}") for c in val_cols],
+                )
+                .join(
+                    partial.select(
+                        *group_cols,
+                        *[F.col(c).alias(f"__p_{c}") for c in val_cols],
+                    ),
+                    group_cols,
+                    "full_outer",
+                )
+                .select(
+                    *group_cols,
+                    *[
+                        (
+                            F.coalesce(F.col(f"__e_{c}"), F.lit(0))
+                            + F.coalesce(F.col(f"__p_{c}"), F.lit(0))
+                        ).alias(c)
+                        for c in val_cols
+                    ],
+                )
+            )
+        else:
+            merged = partial
+        df, incoming = self._normalize_input(merged)
+        if not self.table_exists(rollup_table):
+            self._create_table(rollup_table, df, incoming)
+        else:
+            meta = self._reconcile_schema(rollup_table, incoming)
+            self._write(rollup_table, self._conform(df, meta), meta)
+        meta = self._load_meta(rollup_table)
+        meta[meta_key] = new_wm.isoformat() if hasattr(new_wm, "isoformat") else new_wm
+        self._save_meta(rollup_table, meta)
+        return int(n_new)
+
     # -------------------------------------------------------------- DDL ops
     def add_column(self, table: str, column: str, sample_values=None) -> None:
         """ADD COLUMN with type inferred from sample values

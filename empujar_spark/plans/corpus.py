@@ -1447,6 +1447,51 @@ def range_join_events(spark, sf_dir):
     )
 
 
+_ROLLUP_WH: dict = {}
+
+
+@q(
+    "incremental_rollup",
+    """
+    SELECT o_orderpriority, count(*) AS n_rows,
+           CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS total
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_rollup(spark, sf_dir):
+    """Incrementally-maintained rollup (catalog.py refresh_rollup): built
+    in TWO watermarked refreshes (orders before/after 1998), partials
+    merged by exact scale-6 integer addition — the result must equal the
+    one-shot GROUP BY the oracle runs, bit for bit. At 100 TB the fact
+    table is never rescanned; only rows past the stored watermark
+    aggregate."""
+    import tempfile
+
+    from empujar_spark.catalog import Warehouse
+
+    key = (id(spark), sf_dir)
+    if key not in _ROLLUP_WH:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="rollup-wh-"))
+        o = load(spark, sf_dir, "orders")
+        for feed in (o.filter(F.col("o_orderdate") < "1998-01-01"), o):
+            wh.refresh_rollup(
+                "orders_rollup", feed,
+                group_cols=["o_orderpriority"],
+                sum_cols=["o_totalprice"],
+                watermark_col="o_orderdate",
+            )
+        _ROLLUP_WH[key] = wh
+    return _ROLLUP_WH[key].read("orders_rollup").select(
+        "o_orderpriority",
+        "n_rows",
+        F.round(
+            (F.col("sum_o_totalprice").cast("decimal(28,6)") / F.lit(1_000_000))
+            .cast("decimal(18,6)"), 4
+        ).cast("double").alias("total"),
+    )
+
+
 _SCD2_WH: dict = {}
 
 

@@ -366,3 +366,47 @@ def test_merge_scd2_history(spark, tmp_path):
     assert c1[1].scd_valid_to == t2
     cur = [r for r in wh.read("dim_customer").collect() if r.scd_is_current == 1]
     assert sorted(r.cust_id for r in cur) == [1, 2]
+
+
+def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
+    from empujar_spark.catalog import Warehouse
+    from pyspark.sql import functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "rwh"))
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    split = "1998-01-01"
+    n1 = wh.refresh_rollup(
+        "orders_rollup",
+        orders.filter(F.col("o_orderdate") < split),
+        group_cols=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        watermark_col="o_orderdate",
+    )
+    n2 = wh.refresh_rollup(
+        "orders_rollup",
+        orders,  # full feed again — watermark filters to only the new rows
+        group_cols=["o_orderpriority"],
+        sum_cols=["o_totalprice"],
+        watermark_col="o_orderdate",
+    )
+    assert n1 > 0 and n2 > 0 and n1 + n2 == orders.count()
+    got = {
+        r.o_orderpriority: (r.n_rows, r.sum_o_totalprice)
+        for r in wh.read("orders_rollup").collect()
+    }
+    exp = {
+        r.o_orderpriority: (r.n, r.s)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,6)") * 1_000_000).cast("bigint")
+            ).alias("s"),
+        )
+        .collect()
+    }
+    assert got == exp  # exact, not approximately
+    # third refresh with no new rows is a no-op
+    assert wh.refresh_rollup(
+        "orders_rollup", orders, ["o_orderpriority"], ["o_totalprice"], "o_orderdate"
+    ) == 0
