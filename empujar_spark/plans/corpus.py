@@ -11,6 +11,13 @@ Determinism rules used throughout (so value hashes match exactly):
 - Ratios/scores: round(…, 4..6) with identical expressions both sides.
 - Rankings: always a deterministic total order (value desc, id asc).
 - Hashing: md5-derived (never engine-internal hash functions).
+- Set/array aggregates: sort the collected set, join to a string
+  (collect_set order is undefined on both engines).
+- Additive partials stored across incremental refreshes: scale-6 integers
+  (value × 1e6 as bigint), never floats — integer addition is exact in
+  any merge order.
+- Transcendental functions (ln in tf-idf): identical expression + round 6
+  both sides; both engines' libm agree at that precision on this data.
 
 Reference query provenance is cited per entry (files under
 /root/reference/).
