@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from empujar_spark.operators.text import fingerprint, shingles
+from empujar_spark.operators.text import fingerprint, shingles_of_tokens
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -60,8 +60,12 @@ def doc_shingles(
     is CPU-bound — without this the whole pipeline serializes on a single
     core regardless of cluster size."""
     n = parallelism or df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, "doc_id").select(
-        "doc_id", F.explode(shingles(F.col(text_col), k)).alias("shingle")
+    toks = df.repartition(n, "doc_id").select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+    )
+    return toks.select(
+        "doc_id", F.explode(shingles_of_tokens(F.col("__toks"), k)).alias("shingle")
     )
 
 

@@ -120,10 +120,12 @@ def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def shingles(text: Column, k: int = 3) -> Column:
-    """Word k-gram shingle array (distinct), lowercased. Built with
-    transform over the token array — JVM-side, no UDF."""
-    tokens = F.split(F.trim(F.lower(text)), r"\s+")
+def shingles_of_tokens(tokens: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct) from an ALREADY-SPLIT token
+    array. Callers should materialize the token array in its own
+    projection first: expression trees inside higher-order lambdas get no
+    common-subexpression elimination, so inlining split() here would
+    re-tokenize the document once per element_at."""
     n = F.size(tokens)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     grams = F.transform(
@@ -133,6 +135,14 @@ def shingles(text: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
         F.array_distinct(F.array(F.concat_ws(" ", tokens)))
     )
+
+
+def shingles(text: Column, k: int = 3) -> Column:
+    """Word k-gram shingle array (distinct), lowercased. Built with
+    transform over the token array — JVM-side, no UDF. Prefer
+    tokenizing into a separate projection + ``shingles_of_tokens`` in hot
+    paths (see that docstring)."""
+    return shingles_of_tokens(F.split(F.trim(F.lower(text)), r"\s+"), k)
 
 
 def tfidf_top_terms(
