@@ -115,6 +115,15 @@ class Book:
         self._pidfile = None
 
     # ----------------------------------------------------------- state events
+    @staticmethod
+    def log_emphatically(message: str, width: int = 60) -> None:
+        """Banner logging (reference lib/logger.js:44-66 ``emphatically``):
+        the run-delimiting marker operators use around chapter boundaries."""
+        bar = "#" * width
+        logger.info(bar)
+        logger.info("#  %s", message)
+        logger.info(bar)
+
     def log_state(self, state: str, name: str = "", duration: float | None = None,
                   data: dict | None = None) -> None:
         event = {
