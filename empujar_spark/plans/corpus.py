@@ -1337,6 +1337,55 @@ def embedding_dup_pairs(spark, sf_dir):
 
 
 @q(
+    "q5_local_supplier_volume",
+    """
+    SELECT n.n_name AS nation,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                    (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4)
+                AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+                    AND s.s_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_local_supplier_volume(spark, sf_dir):
+    """TPC-H-Q5-shaped six-table join: revenue from lineitems where the
+    supplier and customer share a nation. The scale shape Catalyst should
+    produce — and the plan audit asserts — is ONE shuffle pair for the
+    single fact⋈fact join (lineitem⋈orders) with every dimension
+    (customer/supplier/nation/region) broadcast; join order is
+    Catalyst's, declared not hand-scheduled."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    rev = dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n),
+            (c.c_nationkey == n.n_nationkey) & (s.s_nationkey == n.n_nationkey),
+        )
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(F.sum(rev), 4).cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+@q(
     "global_topk",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

@@ -118,3 +118,16 @@ def test_hll_sketch_union_accuracy(spark):
     assert set(got) == set(exact)
     for k, est in got.items():
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
+def test_q5_one_shuffle_join_dims_broadcast(spark):
+    """Six-table join: exactly one sort-merge/shuffle join (the fact⋈fact
+    lineitem⋈orders); customer/supplier/nation/region all broadcast."""
+    plan = plan_of(spark, "q5_local_supplier_volume")
+    n_broadcast_joins = plan.count("BroadcastHashJoin")
+    n_shuffle_joins = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    # all four dims broadcast; at most the fact⋈fact join shuffles (at tiny
+    # SF even orders broadcasts — 5 BHJ, 0 shuffle joins)
+    assert n_broadcast_joins >= 4
+    assert n_shuffle_joins <= 1
+    assert "CartesianProduct" not in plan
