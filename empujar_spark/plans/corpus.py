@@ -1386,6 +1386,44 @@ def q5_local_supplier_volume(spark, sf_dir):
 
 
 @q(
+    "q14_promo_share",
+    """
+    SELECT p.p_brand,
+           count(*) AS n_items,
+           CAST(round(sum(CASE WHEN p.p_type = 'PROMO'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                          (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE) AS promo_revenue,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                    (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4)
+                AS DOUBLE) AS total_revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_brand
+    """,
+)
+def q14_promo_share(spark, sf_dir):
+    """TPC-H-Q14-shaped promo revenue per brand: conditional decimal
+    aggregation through a broadcast fact⋈dim join (part is always the
+    small side). Exercises the last previously-uncovered table."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.round(
+                F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero)), 4
+            ).cast("double").alias("promo_revenue"),
+            F.round(F.sum(rev), 4).cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@q(
     "global_topk",
     """
     SELECT o_orderkey, o_custkey, o_totalprice
