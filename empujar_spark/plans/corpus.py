@@ -18,6 +18,10 @@ Determinism rules used throughout (so value hashes match exactly):
   any merge order.
 - Transcendental functions (ln in tf-idf): identical expression + round 6
   both sides; both engines' libm agree at that precision on this data.
+- Integer SUMs in the ORACLE (sum(CASE…), sum over windows, any sum of
+  ints): always CAST(… AS BIGINT). DuckDB types integer SUM as HUGEINT
+  (int128) while Spark returns BIGINT, and the driver's hash distinguishes
+  the types even when values are identical.
 
 Reference query provenance is cited per entry (files under
 /root/reference/).
@@ -433,9 +437,9 @@ def window_running_sum(spark, sf_dir):
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     s AS (
       SELECT user_id, event_id, ts,
-             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 AS session_id
+             CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
       FROM g)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end
@@ -447,7 +451,10 @@ def sessionize(spark, sf_dir):
     (streaming analogue: session_window in streaming/)."""
     e = load(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    # Fractional-second gap: ts.cast("double") keeps sub-second precision,
+    # matching the oracle's epoch(ts) exactly (unix_timestamp truncates to
+    # whole seconds and can flip sessions whose gap is within 1s of 1800).
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     new_sess = (
         F.when(F.lag("ts").over(w).isNull(), 0)
         .when(gap > 1800, 1)
@@ -471,9 +478,9 @@ def sessionize(spark, sf_dir):
     "pivot_status",
     """
     SELECT o_orderpriority,
-           sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-           sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -686,7 +693,8 @@ def minhash_lsh_pairs(spark, sf_dir):
       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
       GROUP BY 1, 2)
     SELECT doc_id,
-           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END) AS simhash
+           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
+                AS BIGINT) AS simhash
     FROM votes GROUP BY doc_id
     """,
 )
@@ -888,20 +896,20 @@ def hash_sample(spark, sf_dir):
     "profile_table",
     """
     SELECT 'o_orderkey' AS "column", count(*) AS n_rows,
-           sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_null,
+           CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
            count(DISTINCT o_orderkey) AS n_distinct,
            CAST(min(o_orderkey) AS DOUBLE) AS min_v,
            CAST(max(o_orderkey) AS DOUBLE) AS max_v
     FROM orders
     UNION ALL
     SELECT 'o_custkey', count(*),
-           sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_custkey),
            CAST(min(o_custkey) AS DOUBLE), CAST(max(o_custkey) AS DOUBLE)
     FROM orders
     UNION ALL
     SELECT 'o_totalprice', count(*),
-           sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            count(DISTINCT o_totalprice),
            CAST(min(o_totalprice) AS DOUBLE), CAST(max(o_totalprice) AS DOUBLE)
     FROM orders
