@@ -190,6 +190,7 @@ def drain_to_memory(
     name: str,
     output_mode: str = "append",
     state_partitions: int = 8,
+    timeout_s: float = 240.0,
 ) -> DataFrame:
     """Drain a (possibly stateful) stream into a memory table and return it.
 
@@ -200,7 +201,14 @@ def drain_to_memory(
     rows). The partition count binds at query START, so it's set just for
     the stream and restored after; on a real cluster size it to state
     volume, not to the batch shuffle default.
+
+    ``timeout_s`` is a hard wall-time bound: a watchdog stops the query if
+    the drain has not settled by then, so a misbehaving stream can never
+    hang a caller (the driver correctness gate runs these synchronously —
+    an unbounded processAllAvailable() would stall every query after it).
     """
+    import threading
+
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
@@ -212,9 +220,13 @@ def drain_to_memory(
             .outputMode(output_mode)
             .start()
         )
+        watchdog = threading.Timer(timeout_s, q.stop)
+        watchdog.daemon = True
+        watchdog.start()
         try:
             q.processAllAvailable()
         finally:
+            watchdog.cancel()
             q.stop()
     finally:
         spark.conf.set(key, old)
