@@ -315,32 +315,108 @@ def embedding_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    method: str = "ivf",
+    n_centroids: int = 16,
+    nprobe: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (exact): all (a < b) pairs with
-    cosine ≥ threshold. Brute-force correctness baseline — the LSH-bucketed
-    path (similarity.lsh_topk's bucketing) is the 100 TB route; this exact
-    variant is the oracle-checkable one. Norms are precomputed per vector
-    (one pass) before the pair join."""
-    from empujar_spark.operators.similarity import _dot, _norm
+    """Embedding-cosine near-dup pairs: all (a < b) pairs with cosine ≥
+    threshold.
 
-    n = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(n).select(
+    ``method='ivf'`` (default, the 100 TB shape): candidates come from an
+    IVF-bucketed equi-join, never a cross join. Every vector is assigned
+    to its nearest coarse centroid; the probe side explodes each vector
+    into its ``nprobe`` nearest centroid lists; candidate pairs are the
+    (probe ⋈ assignment) equi-join on centroid id, exact-cosine re-scored
+    and thresholded. With ``nprobe = n_centroids`` (the default) the
+    candidate set is provably complete — a probes every list, so each
+    (a < b) pair surfaces exactly once via b's assigned list — making the
+    result EXACT while the plan stays a hash-partitioned equi-join (no
+    CartesianProduct / BroadcastNestedLoopJoin; asserted in test_plans).
+    At production scale run ``nprobe < n_centroids``: each vector then
+    scans only nprobe/n_centroids of the corpus — the sub-quadratic,
+    recall-tunable regime near-dup thresholds (≥0.9) live in.
+
+    ``method='exact'``: the brute-force crossJoin baseline, kept ONLY as
+    an explicit small-n fallback / oracle cross-check. O(n²) through one
+    executor pair at a time — do not use beyond ~10⁵ vectors.
+    """
+    from empujar_spark.operators.similarity import (
+        _dot, _norm, _nearest_centroids, ivf_train,
+    )
+
+    n_part = df.sparkSession.sparkContext.defaultParallelism
+    base = df.repartition(n_part).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),
     )
-    a = base.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"), F.col("nrm").alias("na")
+
+    if method == "exact":
+        a = base.select(
+            F.col("id").alias("id_a"), F.col("vec").alias("va"),
+            F.col("nrm").alias("na"),
+        )
+        b = base.select(
+            F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+            F.col("nrm").alias("nb"),
+        )
+        cos = F.round(
+            _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
+        )
+        return (
+            a.crossJoin(b)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", cos.alias("cosine"))
+            .filter(F.col("cosine") >= threshold)
+        )
+
+    if method != "ivf":
+        raise ValueError(f"unknown method {method!r} (use 'ivf' or 'exact')")
+
+    nprobe = n_centroids if nprobe is None else nprobe
+    exact_recall = nprobe >= n_centroids
+    C = ivf_train(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    assigned = base.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"),
+        _nearest_centroids(F.col("vec"), C, 1)[0].alias("cid"),
     )
-    b = base.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"), F.col("nrm").alias("nb")
+    probes = base.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"),
+        F.explode(_nearest_centroids(F.col("vec"), C, nprobe)).alias("cid"),
     )
     cos = F.round(
         _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
     )
-    return (
-        a.crossJoin(b)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+    if exact_recall:
+        # Complete candidates: keep the single canonical direction. The
+        # whole predicate rides INSIDE the join, conjuncts ordered
+        # cheap-first: the id_a < id_b test short-circuits half the pair
+        # space before any cosine fold runs (a post-join .filter gets
+        # pushed into the join with the expensive conjunct FIRST — ~2.5×
+        # slower, measured).
+        cand = probes.join(
+            assigned,
+            (probes.cid == assigned.cid)
+            & (probes.id_a < assigned.id_b)
+            & (cos >= threshold),
+        )
+        return cand.select("id_a", "id_b", cos.alias("cosine"))
+    # Approximate: a pair can surface in either probe direction (or both) —
+    # canonicalize and dedup BEFORE the (cheap) re-score filter.
+    cand = (
+        probes.join(
+            assigned,
+            (probes.cid == assigned.cid) & (probes.id_a != assigned.id_b),
+        )
+        .select(
+            F.least("id_a", "id_b").alias("pid_a"),
+            F.greatest("id_a", "id_b").alias("pid_b"),
+            cos.alias("cosine"),
+        )
+        .dropDuplicates(["pid_a", "pid_b"])
     )
+    return cand.select(
+        F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"), "cosine"
+    ).filter(F.col("cosine") >= threshold)

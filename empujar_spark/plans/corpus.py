@@ -1337,11 +1337,18 @@ def near_dup_clusters(spark, sf_dir):
     """,
 )
 def embedding_dup_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs ≥ 0.3 (operators/dedup.py) — the
-    exact baseline; similarity.lsh_topk's bucketing is the scale path.
+    """Embedding-cosine near-dup pairs ≥ 0.3 (operators/dedup.py) via
+    IVF-bucketed candidate generation + exact re-scoring: probe rows join
+    assignment rows on centroid id — a hash equi-join, never a
+    CartesianProduct (asserted in test_plans). Run here at
+    nprobe = n_centroids, where the candidate set is provably complete, so
+    the result is exact and the brute-force SQL is still the oracle; at
+    production scale nprobe < n_centroids makes it sub-quadratic.
     (0.3 chosen so the synthetic random embeddings actually produce pairs
     — random high-dim cosines concentrate near 0.)"""
-    return D.embedding_dup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.3)
+    return D.embedding_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.3, method="ivf"
+    )
 
 
 @q(

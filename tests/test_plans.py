@@ -120,6 +120,44 @@ def test_hll_sketch_union_accuracy(spark):
         assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
 
 
+def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
+    """IVF candidate generation: a hash equi-join on centroid id — the
+    crossJoin survives only as the explicit method='exact' fallback."""
+    plan = plan_of(spark, "embedding_dup_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+# The ONLY corpus entries allowed a cartesian/nested-loop join:
+# - embedding_topk: documented exact brute-force baseline (broadcast query
+#   side, bounded by a tiny query set; scale paths are its lsh/ivf siblings)
+# - tfidf_top_terms: corpus size N joined in as a ONE-ROW broadcast — a
+#   scalar join, constant-size build side at any scale
+_CROSS_JOIN_ALLOWED = {"embedding_topk", "tfidf_top_terms"}
+
+# Entries whose fn() actually executes work at call time (streaming drains,
+# warehouse builds) — their returned DataFrame is a read of the result, so
+# a plan audit of it would be vacuous; they're audited by their own tests.
+_PLAN_AUDIT_SKIP = {
+    "streaming_hourly_events",
+    "streaming_join_events",
+    "incremental_rollup",
+    "scd2_history",
+    "bucketed_join_agg",
+}
+
+
+def test_no_cartesian_products_corpus_wide(spark):
+    """No corpus plan may contain a CartesianProduct or
+    BroadcastNestedLoopJoin, except the documented exact baselines."""
+    for name in CORPUS:
+        if name in _CROSS_JOIN_ALLOWED or name in _PLAN_AUDIT_SKIP:
+            continue
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_q5_one_shuffle_join_dims_broadcast(spark):
     """Six-table join: exactly one sort-merge/shuffle join (the fact⋈fact
     lineitem⋈orders); customer/supplier/nation/region all broadcast."""

@@ -49,3 +49,29 @@ def test_ivf_plan_is_equi_join(emb):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_pairs_ivf_full_probe_equals_exact(emb):
+    """embedding_dup_pairs at nprobe == n_centroids must reproduce the
+    brute-force pair set exactly (complete candidate generation)."""
+    from empujar_spark.operators import dedup as D
+
+    ivf = sorted(map(tuple, D.embedding_dup_pairs(
+        emb, threshold=0.3, method="ivf", n_centroids=8).collect()))
+    exact = sorted(map(tuple, D.embedding_dup_pairs(
+        emb, threshold=0.3, method="exact").collect()))
+    assert ivf == exact and len(exact) > 0
+
+
+def test_dup_pairs_partial_probe_subset_no_false_positives(emb):
+    """Approximate mode (nprobe < n_centroids) may miss pairs but must
+    never invent one: the result is a subset of the exact pair set with
+    identical cosines."""
+    from empujar_spark.operators import dedup as D
+
+    exact = {(r.id_a, r.id_b): r.cosine for r in D.embedding_dup_pairs(
+        emb, threshold=0.3, method="exact").collect()}
+    approx = {(r.id_a, r.id_b): r.cosine for r in D.embedding_dup_pairs(
+        emb, threshold=0.3, method="ivf", n_centroids=8, nprobe=2).collect()}
+    assert set(approx) <= set(exact)
+    assert all(exact[k] == v for k, v in approx.items())
