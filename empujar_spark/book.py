@@ -79,6 +79,37 @@ class Book:
             self.add_connection(cfg.get("name", os.path.basename(path)[:-5]), conn)
 
     # --------------------------------------------------------------- chapters
+    def load_chapters(self, chapter_files: str | None = None) -> list[str]:
+        """Chapter-module discovery (lib/book.js:194-204): glob the chapter
+        files — default ``<cwd>/chapters/**/*.py``, mirroring the
+        reference's ``chapterFiles`` default (lib/book.js:65) — import each
+        file, and call every public module-level function it defines as a
+        ``loader(book)`` (the reference calls every export). Returns the
+        ``path:function`` names invoked, in deterministic (sorted) order."""
+        import glob as _glob
+        import importlib.util
+        import inspect
+        import re
+
+        pattern = chapter_files or os.path.join(os.getcwd(), "chapters", "**", "*.py")
+        invoked: list[str] = []
+        for path in sorted(_glob.glob(pattern, recursive=True)):
+            if os.path.basename(path).startswith("_"):
+                continue
+            mod_name = "empujar_chapters_" + re.sub(r"\W", "_", os.path.abspath(path))
+            spec = importlib.util.spec_from_file_location(mod_name, path)
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            for key in sorted(vars(mod)):
+                fn = getattr(mod, key)
+                if key.startswith("_") or not inspect.isfunction(fn):
+                    continue
+                if fn.__module__ != mod.__name__:  # imported, not defined here
+                    continue
+                fn(self)
+                invoked.append(f"{path}:{key}")
+        return invoked
+
     def add_chapter(self, priority: int, name: str, threads: int = 1) -> Chapter:
         chapter = Chapter(self, priority, name, threads)
         self.chapters.append(chapter)

@@ -185,14 +185,23 @@ class Warehouse:
         for t in self.show_tables():
             self.read(t).createOrReplaceTempView(prefix + t)
 
-    def query(self, sql: str) -> DataFrame:
+    def query(self, sql: str | list[str]) -> DataFrame | list[DataFrame]:
         """Raw SQL over the warehouse (reference ``query``, mysql.js:113-179).
 
-        Multi-statement transactional arrays collapse to sequential
-        execution; per-table writes are atomic via staged swap (documented
-        semantic difference — the reference's own cross-statement atomicity
-        is best-effort, mysql.js:124-156).
-        """
+        A LIST of statements runs sequentially with abort-on-first-error,
+        matching the reference's array contract (mysql.js:124-156:
+        START TRANSACTION → statements → COMMIT, ROLLBACK on error) and
+        returns the per-statement results. Atomicity is per table via
+        staged swap, not cross-statement (documented semantic difference —
+        the reference's own cross-statement atomicity is best-effort too:
+        MySQL DDL auto-commits mid-transaction). Statements after the
+        first failure never run."""
+        if isinstance(sql, (list, tuple)):
+            results: list[DataFrame] = []
+            for stmt in sql:
+                self.register_views()  # earlier statements may create tables
+                results.append(self.spark.sql(stmt))
+            return results
         self.register_views()
         return self.spark.sql(sql)
 
@@ -401,6 +410,7 @@ class Warehouse:
         data,
         merge_on_duplicates: bool = True,
         merge_key: str | list[str] | None = None,
+        dedup_keep: str = "last",
     ) -> int:
         """Adaptive load (mysql.js:258-393 / snowflake.js:254-426).
 
@@ -408,8 +418,11 @@ class Warehouse:
         MySQL ``ON DUPLICATE KEY UPDATE`` semantics) or plain append.
         ``merge_key`` may be a composite (list of columns) — the reference
         supports only single-column keys (mysql.js:27-29); composites are a
-        Spark-era extension. Returns the number of incoming rows written.
-        """
+        Spark-era extension. ``dedup_keep`` picks which row survives when
+        the INCOMING batch itself repeats a key: 'last' (MySQL ON DUPLICATE
+        semantics, the default) or 'first' (Snowflake's createtemporaryTable
+        insert-order guard, snowflake.js:617-636). Returns the number of
+        incoming rows written."""
         key = _as_key_list(merge_key or self.primary_key)
         if not self.table_exists(table):
             existing_types = None
@@ -421,7 +434,7 @@ class Warehouse:
         if not self.table_exists(table):
             # upsert semantics still apply within the creating batch itself
             if merge_on_duplicates and all(k in incoming for k in key):
-                df = self._dedup_last_wins(df, key)
+                df = self._dedup_batch(df, key, keep=dedup_keep)
             self._create_table(table, df, incoming)
             return self.table_size(table)
 
@@ -434,7 +447,7 @@ class Warehouse:
 
         table_cols = [c["name"] for c in meta["columns"]]
         if merge_on_duplicates and all(k in table_cols for k in key):
-            new_df = self._dedup_last_wins(new_df, key)
+            new_df = self._dedup_batch(new_df, key, keep=dedup_keep)
             # broadcast the (typically small) incremental batch for the
             # anti-join so the big stored table never shuffles
             kept = existing.join(
@@ -448,18 +461,28 @@ class Warehouse:
         return n
 
     @staticmethod
-    def _dedup_last_wins(df: DataFrame, key: str | list[str]) -> DataFrame:
-        """In-batch dedup by merge key. The reference differs per backend
-        (Snowflake keeps FIRST, snowflake.js:617-636; MySQL ON DUPLICATE
-        keeps LAST): we standardize on last-wins, tie-broken
-        deterministically by a monotonic batch position."""
-        w = Window.partitionBy(*_as_key_list(key)).orderBy(F.col("__pos").desc())
+    def _dedup_batch(
+        df: DataFrame, key: str | list[str], keep: str = "last"
+    ) -> DataFrame:
+        """In-batch dedup by merge key. The reference differs per backend:
+        Snowflake keeps the FIRST row per key (snowflake.js:617-636,
+        mapOfMergeKeys insert-order guard), MySQL ON DUPLICATE keeps the
+        LAST. ``keep`` selects either semantic; position within the batch
+        is a monotonic id, so both orders are deterministic."""
+        if keep not in ("first", "last"):
+            raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
+        pos = F.col("__pos").desc() if keep == "last" else F.col("__pos").asc()
+        w = Window.partitionBy(*_as_key_list(key)).orderBy(pos)
         return (
             df.withColumn("__pos", F.monotonically_increasing_id())
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__pos", "__rn")
         )
+
+    @staticmethod
+    def _dedup_last_wins(df: DataFrame, key: str | list[str]) -> DataFrame:
+        return Warehouse._dedup_batch(df, key, keep="last")
 
     def merge_scd2(
         self,

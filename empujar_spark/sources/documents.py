@@ -19,8 +19,6 @@ Only the query-DSL subset the reference itself uses is implemented:
 
 from __future__ import annotations
 
-import re
-
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -31,9 +29,11 @@ class DocumentIndex:
     def __init__(self, spark: SparkSession) -> None:
         self.spark = spark
         self._indices: dict[str, DataFrame] = {}
+        self._date_cols: dict[str, list[str]] = {}
 
     def register(self, name: str, df: DataFrame) -> None:
         self._indices[name] = df
+        self._date_cols[name] = self._infer_date_cols(df)
 
     def show_indices(self) -> list[str]:
         return sorted(self._indices)
@@ -81,26 +81,40 @@ class DocumentIndex:
             df = df.select(*fields)  # _source projection (es.js:80-82)
         if limit is not None:
             df = df.limit(limit)
-        return self._revive_dates(df)
+        for c in self._date_cols.get(index, []):
+            if c in df.columns:
+                df = df.withColumn(c, F.to_timestamp(F.col(c)))
+        return df
 
-    def _revive_dates(self, df: DataFrame) -> DataFrame:
-        """ISO-8601 string columns → timestamps (es.js:109-114). Column-
-        level decision (sampled), value-level cast."""
+    def _infer_date_cols(self, df: DataFrame) -> list[str]:
+        """ISO-8601 string columns → revived to timestamps (es.js:109-114).
+
+        Decided ONCE at register time — not per get_all call — with one
+        aggregate over the whole index, not a single sampled row: a column
+        counts as a date column when it has values and every non-null value
+        matches the ISO pattern (a first-row null/non-ISO value therefore
+        cannot mask a date column, and no read-path query ever fires a
+        Spark job just to decide)."""
         from pyspark.sql import types as T
 
         string_cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
         ]
         if not string_cols:
-            return df
-        sample = df.select(string_cols).first()
-        if sample is None:
-            return df
-        for c in string_cols:
-            v = sample[c]
-            if isinstance(v, str) and re.match(ISO_DATE_RE, v):
-                df = df.withColumn(c, F.to_timestamp(F.col(c)))
-        return df
+            return []
+        flags = df.agg(
+            *[
+                (
+                    (F.count(F.when(F.col(c).rlike(ISO_DATE_RE), 1)) > 0)
+                    & (
+                        F.count(F.when(~F.col(c).rlike(ISO_DATE_RE), 1))
+                        == 0
+                    )
+                ).alias(c)
+                for c in string_cols
+            ]
+        ).first()
+        return [c for c in string_cols if bool(flags[c])]
 
     # ---------------------------------------------------------------- write
     def insert_data(self, index: str, data, key: str = "id") -> DataFrame:
@@ -120,11 +134,11 @@ class DocumentIndex:
                 tuples, lattice.to_struct_type(col_types)
             )
         if index not in self._indices:
-            self._indices[index] = data
+            self.register(index, data)  # keeps the date-column cache fresh
             return data
         existing = self._indices[index]
         deduped = Warehouse._dedup_last_wins(data, key)
         kept = existing.join(F.broadcast(deduped.select(key)), on=key, how="left_anti")
         merged = kept.unionByName(deduped, allowMissingColumns=True)
-        self._indices[index] = merged
+        self.register(index, merged)
         return merged

@@ -143,3 +143,62 @@ def test_config_driven_connect(spark, tmp_path):
     finally:
         from empujar_spark import book as book_mod
         book_mod._CUSTOM_CONNECTION_TYPES.clear()
+
+
+def test_load_chapters_discovers_and_invokes(tmp_path):
+    """lib/book.js:194-204: glob chapter files, import each, call every
+    exported loader with the book. Underscore files and functions imported
+    from elsewhere are not loaders."""
+    ch_dir = tmp_path / "chapters" / "nested"
+    ch_dir.mkdir(parents=True)
+    (ch_dir / "one.py").write_text(
+        "from os.path import join  # imported — must NOT be called\n"
+        "def chapter_loader(book):\n"
+        "    book.add_chapter(100, 'from-one').add_page('p', lambda: None)\n"
+        "def second_loader(book):\n"
+        "    book.add_chapter(200, 'also-one').add_page('p', lambda: None)\n"
+        "def _private(book):\n"
+        "    raise AssertionError('underscore functions are not loaders')\n"
+    )
+    (ch_dir / "_skipped.py").write_text(
+        "def chapter_loader(book):\n"
+        "    raise AssertionError('underscore files are not loaded')\n"
+    )
+    book = Book(name="t", log_state_events=False)
+    invoked = book.load_chapters(str(tmp_path / "chapters" / "**" / "*.py"))
+    assert [c.name for c in book.chapters] == ["from-one", "also-one"]
+    assert len(invoked) == 2 and all("one.py" in i for i in invoked)
+    book.run()  # the discovered book is runnable
+
+
+def test_load_chapters_default_pattern_is_cwd(tmp_path, monkeypatch):
+    """Default glob is <cwd>/chapters/**/*.py (lib/book.js:65)."""
+    ch_dir = tmp_path / "chapters"
+    ch_dir.mkdir()
+    (ch_dir / "c.py").write_text(
+        "def chapter_loader(book):\n"
+        "    book.add_chapter(1, 'cwd-chapter')\n"
+    )
+    monkeypatch.chdir(tmp_path)
+    book = Book(name="t", log_state_events=False)
+    book.load_chapters()
+    assert [c.name for c in book.chapters] == ["cwd-chapter"]
+
+
+def test_etl_book_assembled_from_chapter_directory():
+    """The ETL book's chapters come from its chapters/ directory via
+    load_chapters — the reference's book.js:26 flow — not from code."""
+    import empujar_spark.books.etl as etl
+
+    book = Book(name="probe", log_state_events=False)
+    book.spark = None
+    book.source_dir = "/nonexistent"
+    book.destination = object()
+    book.add_connection("destination", book.destination)
+    invoked = book.load_chapters(etl.CHAPTER_FILES)
+    names = [c.name for c in book.chapters]
+    assert names == [
+        "extract+load", "transform-addColumns",
+        "transform-customers", "transform-parts",
+    ]
+    assert len(invoked) == 4

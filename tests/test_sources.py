@@ -135,3 +135,24 @@ def test_rename_reserved(spark):
     df = spark.createDataFrame([(1, "x", "y")], ["id", "tag", "system"])
     out = rename_reserved(df)
     assert out.columns == ["id", "tag_", "system_"]
+
+
+def test_es_date_revival_decided_at_register_not_per_read(spark):
+    """Date revival is inferred ONCE at register() over ALL rows — a null
+    or non-ISO FIRST row no longer masks a date column, and a mixed
+    (non-date) column is never revived."""
+    idx = DocumentIndex(spark)
+    idx.register(
+        "docs",
+        spark.createDataFrame(
+            [
+                (0, None, "not-a-date"),
+                (1, "2021-06-01T12:30:00.000Z", "2021-06-01T12:30:00.000Z"),
+            ],
+            ["id", "when", "mixed"],
+        ),
+    )
+    rows = {r["id"]: r for r in idx.get_all("docs").collect()}
+    assert rows[1]["when"] == dt.datetime(2021, 6, 1, 12, 30)  # revived
+    assert rows[0]["when"] is None
+    assert rows[1]["mixed"] == "2021-06-01T12:30:00.000Z"      # untouched

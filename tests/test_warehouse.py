@@ -410,3 +410,54 @@ def test_refresh_rollup_incremental_equals_full(spark, tmp_path):
     assert wh.refresh_rollup(
         "orders_rollup", orders, ["o_orderpriority"], ["o_totalprice"], "o_orderdate"
     ) == 0
+
+
+def test_query_multi_statement_list(spark, tmp_path):
+    """mysql.js:124-156 array contract: statements run sequentially,
+    abort-on-first-error, later statements see earlier statements'
+    effects (test/connections/mysql.js:98-127 shape)."""
+    import pytest as _pytest
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh-multi"), primary_key="id")
+    wh.insert_data("users", [{"id": 1, "counter": 10}, {"id": 2, "counter": 20}])
+    results = wh.query([
+        "SELECT count(*) AS n FROM users",
+        "SELECT max(counter) AS m FROM users",
+    ])
+    assert [r.first()[0] for r in results] == [2, 20]
+    # abort-on-first-error: the bad statement raises, the rest never run
+    with _pytest.raises(Exception):
+        wh.query(["SELECT * FROM users", "SELECT * FROM no_such_table",
+                  "SELECT 1"])
+
+
+def test_insert_data_dedup_keep_first_and_last(spark, tmp_path):
+    """snowflake.js:617-636 keeps the FIRST row per merge key within a
+    batch; MySQL ON DUPLICATE keeps the LAST. Both semantics exposed."""
+    from empujar_spark.catalog import Warehouse
+
+    batch = [
+        {"id": 1, "v": "a"},
+        {"id": 1, "v": "b"},
+        {"id": 2, "v": "c"},
+    ]
+    wh_last = Warehouse(spark, str(tmp_path / "wh-last"), primary_key="id")
+    wh_last.insert_data("t", batch, merge_key="id")  # default keep='last'
+    assert {r["id"]: r["v"] for r in wh_last.read("t").collect()} == {1: "b", 2: "c"}
+
+    wh_first = Warehouse(spark, str(tmp_path / "wh-first"), primary_key="id")
+    wh_first.insert_data("t", batch, merge_key="id", dedup_keep="first")
+    assert {r["id"]: r["v"] for r in wh_first.read("t").collect()} == {1: "a", 2: "c"}
+
+    # and on the merge-into-existing path too
+    wh_first.insert_data(
+        "t",
+        [{"id": 2, "v": "x"}, {"id": 2, "v": "y"}, {"id": 3, "v": "z"}],
+        merge_key="id",
+        dedup_keep="first",
+    )
+    assert {r["id"]: r["v"] for r in wh_first.read("t").collect()} == {
+        1: "a", 2: "x", 3: "z",
+    }
