@@ -197,9 +197,18 @@ def _nearest_centroids(vec: Column, centroids, nprobe: int) -> Column:
     indexed ``transform`` — per-centroid fold expressions would grow the
     codegen'd method linearly with n_centroids and blow the JVM's 64 KB
     method limit around a few hundred lists; this form stays O(1) in
-    expression count so n_centroids is a free parameter."""
-    c_mat = F.array(
-        *[F.array(*[F.lit(float(v)) for v in c]) for c in centroids]
+    expression count so n_centroids is a free parameter. The matrix is
+    built as ONE parsed SQL expression, not n×dim F.lit() Column objects —
+    each lit() is a py4j round-trip, and at 32×64 elements that costs ~2s
+    of driver time per plan build (measured); repr() doubles round-trip
+    exactly through the SQL parser, so values are bit-identical."""
+    c_mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+            for c in centroids
+        )
+        + ")"
     )
     ranked = F.sort_array(
         F.transform(

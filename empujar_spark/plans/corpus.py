@@ -1347,7 +1347,8 @@ def embedding_dup_pairs(spark, sf_dir):
     (0.3 chosen so the synthetic random embeddings actually produce pairs
     — random high-dim cosines concentrate near 0.)"""
     return D.embedding_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.3, method="ivf"
+        load(spark, sf_dir, "embeddings"), threshold=0.3, method="ivf",
+        n_centroids=32,  # one inverted list per local core → full fan-out
     )
 
 
