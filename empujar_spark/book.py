@@ -31,21 +31,50 @@ logger = logging.getLogger("empujar_spark")
 
 
 class Book:
+    @staticmethod
+    def defaults() -> dict:
+        """The reference's defaults hash (lib/book.js:59-75): cwd-derived
+        book name + conventional directory layout. Ctor kwargs/``options``
+        overlay these, exactly like the reference's options merge."""
+        cwd = os.getcwd()
+        name = os.path.basename(cwd) or "book"
+        return {
+            "name": name,
+            "chapter_files": os.path.join(cwd, "chapters", "**", "*.py"),
+            "config_path": os.path.join(cwd, "config"),
+            "log_path": os.path.join(cwd, "log"),
+            "pids_path": os.path.join(cwd, "pids"),
+            "log_file": f"{name}.log",
+            "tmp_path": os.path.join(cwd, "tmp"),
+            "log_stdout": True,
+            "log_level": "info",
+            "chapters": [],
+            "get_all_limit": None,  # reference: Infinity = no cap
+            "fail_on_connection_error": True,
+            "dump_log_timer_s": 30.0,  # mysql.js:31-33 dumpLogTimer
+        }
+
     def __init__(
         self,
         spark=None,
-        name: str = "book",
+        name: str | None = None,
         chapter_filter: str | None = None,
         pid_dir: str | None = None,
         get_all_limit: int | None = None,  # lib/book.js:74 getAllLimit
         log_state_events: bool = True,
+        options: dict | None = None,
     ) -> None:
+        self.options = {**self.defaults(), **(options or {})}
+        if name is not None:
+            self.options["name"] = name
+        if get_all_limit is not None:
+            self.options["get_all_limit"] = get_all_limit
         self.spark = spark
-        self.name = name
+        self.name = self.options["name"]
         self.chapters: list[Chapter] = []
         self.chapter_filter = _parse_chapter_filter(chapter_filter)
         self.pid_dir = pid_dir
-        self.get_all_limit = get_all_limit
+        self.get_all_limit = self.options["get_all_limit"]
         self.log_state_events = log_state_events
         self.state_events: list[dict] = []
         self.connections: dict[str, object] = {}
@@ -73,9 +102,20 @@ class Book:
         for path in sorted(_glob.glob(pattern)):
             with open(path) as f:
                 cfg = _json.load(f)
-            conn = build_connection(
-                self.spark, cfg["type"], cfg.get("options", {})
-            )
+            try:
+                conn = build_connection(
+                    self.spark, cfg["type"], cfg.get("options", {})
+                )
+            except KeyError:
+                # lib/book.js:188-190: unknown type → log + skip (unless
+                # failOnConnectionError)
+                if self.options.get("fail_on_connection_error", True):
+                    raise
+                logger.error(
+                    "unknown connection type: %s; skipping connection: %s",
+                    cfg["type"], cfg.get("name", path),
+                )
+                continue
             self.add_connection(cfg.get("name", os.path.basename(path)[:-5]), conn)
 
     # --------------------------------------------------------------- chapters
@@ -91,7 +131,7 @@ class Book:
         import inspect
         import re
 
-        pattern = chapter_files or os.path.join(os.getcwd(), "chapters", "**", "*.py")
+        pattern = chapter_files or self.options["chapter_files"]
         invoked: list[str] = []
         for path in sorted(_glob.glob(pattern, recursive=True)):
             if os.path.basename(path).startswith("_"):

@@ -709,14 +709,54 @@ class Warehouse:
         compression: str | None = "gzip",
         header: bool = True,
         single_file: bool = False,
+        progress_interval_s: float = 30.0,
+        progress_log=None,
     ) -> None:
         """Table export (reference `dump`, mysql.js:607-660: shells out to
         mysqldump with optional gzip). Distributed writer replaces the
         single-process dump; ``single_file`` coalesces for small tables
-        when one artifact is required (the mysqldump-shaped output)."""
+        when one artifact is required (the mysqldump-shaped output).
+
+        While the write runs, a watcher logs the dumped size every
+        ``progress_interval_s`` (reference dumpLogTimer, mysql.js:31-33,
+        651-659: 30s cadence). ``progress_log`` overrides the logger for
+        tests."""
+        import logging as _logging
+
+        log = progress_log or _logging.getLogger("empujar_spark").info
+
+        def _dir_size(p: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(p):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            return total
+
+        stop = threading.Event()
+
+        def _watch() -> None:
+            while not stop.wait(progress_interval_s):
+                if os.path.exists(path):
+                    log(f"dumped to {path}: {_dir_size(path)} bytes")
+                else:
+                    log(f"cannot find dumpfile: {path}")
+
         df = self.read(table)
         if single_file:
             df = df.coalesce(1)
+        watcher = threading.Thread(target=_watch, daemon=True)
+        watcher.start()
+        try:
+            self._dump_write(df, path, fmt, compression, header)
+        finally:
+            stop.set()
+            watcher.join(timeout=5)
+
+    @staticmethod
+    def _dump_write(df, path, fmt, compression, header):
         writer = df.write.mode("overwrite").format(fmt)
         if fmt == "csv":
             writer = writer.option("header", str(header).lower())

@@ -202,3 +202,39 @@ def test_etl_book_assembled_from_chapter_directory():
         "transform-customers", "transform-parts",
     ]
     assert len(invoked) == 4
+
+
+def test_book_defaults_object():
+    """lib/book.js:59-75: cwd-derived defaults hash, overlaid by options."""
+    d = Book.defaults()
+    assert d["name"] == __import__("os").path.basename(__import__("os").getcwd())
+    assert d["chapter_files"].endswith("chapters/**/*.py")
+    assert d["fail_on_connection_error"] is True
+    assert d["get_all_limit"] is None
+
+    book = Book(name="x", options={"log_level": "debug", "get_all_limit": 7})
+    assert book.options["name"] == "x"          # explicit kwarg wins
+    assert book.options["log_level"] == "debug"
+    assert book.get_all_limit == 7              # options feed behavior
+
+
+def test_connect_skips_unknown_type_when_tolerant(tmp_path):
+    """lib/book.js:188-190: unknown connection type logs + skips when
+    failOnConnectionError is false, raises when true (default)."""
+    import json as _json
+
+    conn_dir = tmp_path / "config" / "connections"
+    conn_dir.mkdir(parents=True)
+    (conn_dir / "bad.json").write_text(
+        _json.dumps({"name": "bad", "type": "no-such-type", "options": {}})
+    )
+    strict = Book(name="t", log_state_events=False)
+    with pytest.raises(KeyError):
+        strict.connect(str(tmp_path / "config"))
+
+    tolerant = Book(
+        name="t", log_state_events=False,
+        options={"fail_on_connection_error": False},
+    )
+    tolerant.connect(str(tmp_path / "config"))  # no raise
+    assert "bad" not in tolerant.connections

@@ -461,3 +461,18 @@ def test_insert_data_dedup_keep_first_and_last(spark, tmp_path):
     assert {r["id"]: r["v"] for r in wh_first.read("t").collect()} == {
         1: "a", 2: "x", 3: "z",
     }
+
+
+def test_dump_logs_progress_cadence(spark, tmp_path):
+    """mysql.js:31-33, 651-659: dump logs the output size on a timer while
+    the export runs."""
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh-dump"), primary_key="id")
+    wh.insert_data("t", [{"id": i, "v": f"row-{i}"} for i in range(1000)])
+    seen = []
+    wh.dump(
+        "t", str(tmp_path / "out.csv"),
+        progress_interval_s=0.05, progress_log=seen.append,
+    )
+    assert any("out.csv" in m for m in seen)  # at least one cadence tick
