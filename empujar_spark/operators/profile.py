@@ -53,3 +53,67 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     return one.select(
         F.explode(F.array(*[F.col(f"__p_{c}") for c in cols])).alias("p")
     ).select("p.*")
+
+
+def stratified_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split a training-data
+    pipeline freezes before anything else.
+
+    The split key is md5(id) mod 1000 (never RNG, never Spark's hash()):
+    the assignment is a pure per-row expression, identical on any engine,
+    any partitioning, any rerun — and stable under corpus growth (a doc
+    keeps its split forever; new docs land proportionally). Buckets
+    [0, test) → test, [test, test+val) → val, rest → train. A pure
+    projection: no shuffle, fully pushdown-transparent at 100 TB.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    split = (
+        F.when(bucket < test_permille, F.lit("test"))
+        .when(bucket < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def numeric_histogram(
+    df: DataFrame, col: str, n_bins: int = 20
+) -> DataFrame:
+    """Equal-width histogram of a numeric column: (bin, lo, hi, n).
+
+    Two aggregates: one tiny (min, max) pass whose single row broadcasts
+    into the binning projection (never a global window), then one
+    groupBy(bin) count — at 100 TB that is two scans of one column with
+    map-side partial aggregation, the minimal exact plan. The top edge
+    closes into the last bin (least(bin, n_bins-1)), the classic
+    histogram boundary rule."""
+    rng = df.agg(
+        F.min(F.col(col)).cast("double").alias("lo"),
+        F.max(F.col(col)).cast("double").alias("hi"),
+    )
+    binned = df.select(F.col(col).cast("double").alias("x")).crossJoin(
+        F.broadcast(rng)
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_ = F.least(
+        F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+        F.lit(n_bins - 1).cast("bigint"),
+    )
+    return (
+        binned.filter(F.col("x").isNotNull())
+        .select(
+            bin_.alias("bin"),
+            (F.col("lo") + bin_ * width).alias("lo"),
+            (F.col("lo") + (bin_ + 1) * width).alias("hi"),
+        )
+        .groupBy("bin", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

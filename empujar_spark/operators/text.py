@@ -190,3 +190,88 @@ def tfidf_top_terms(
         .filter(F.col("rnk") <= k_top)
         .select("doc_id", "term", "tf", "score", "rnk")
     )
+
+
+def modp_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, p: int = 8
+) -> DataFrame:
+    """Rolling-hash document fingerprinting by 0-mod-p sampling (the
+    content-defined variant of winnowing, Schleimer et al. 2003 §2): hash
+    every character k-gram, keep the k-grams whose hash ≡ 0 (mod p) — a
+    deterministic ~1/p sample that two documents sharing content select
+    IDENTICALLY, so shared passages yield shared fingerprints regardless
+    of position or surrounding edits (the property plain chunking lacks).
+
+    Output: (doc_id, fp) — one row per distinct selected fingerprint.
+    Cost: one explode + filter + distinct; hashes are md5-derived so the
+    selection is engine-independent (exact SQL twin in the corpus). The
+    explode is CPU-bound → spread across cores first. At 100 TB this is
+    the cheap first pass that feeds passage-level dup/contamination
+    checks; the hash is conceptually "rolling" (position-independent
+    content sample) — Spark evaluates each k-gram hash independently
+    inside codegen, which vectorizes better than a stateful scan anyway.
+    """
+    df = _spread(df)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # guard: Spark's sequence(1, stop) runs DESCENDING when stop < 1
+    # (text shorter than k) — emit no grams instead
+    grams = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = (
+        df.select("doc_id", F.explode(grams).alias("g"))
+        .select(
+            "doc_id",
+            F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10)
+            .cast("bigint")
+            .alias("fp"),
+        )
+    )
+    return hashed.filter(F.col("fp") % p == 0).distinct()
+
+
+def benchmark_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: which corpus documents share word
+    k-grams with a benchmark/eval set — the overlap check every serious
+    pretraining pipeline runs before training (n-gram collision style,
+    GPT-3 appendix C / PaLM-era decontamination).
+
+    Output: (doc_id, n_shared_ngrams, is_contaminated) for every corpus
+    doc. Plan shape: both sides explode to (k-gram) keys and meet in an
+    equi-join — the benchmark side is tiny by construction (eval sets are
+    thousands of docs, the corpus is billions) so it BROADCASTS and the
+    100 TB side never shuffles; counts are distinct benchmark grams per
+    corpus doc."""
+    c_sh = (
+        _spread(corpus)
+        .select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("g"))
+    )
+    b_sh = (
+        benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("g"))
+        .distinct()
+    )
+    hits = (
+        c_sh.join(F.broadcast(b_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared_ngrams"))
+    )
+    return (
+        corpus.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared_ngrams", F.lit(0)).alias("n_shared_ngrams"),
+            (F.coalesce("n_shared_ngrams", F.lit(0)) > 0)
+            .cast("int")
+            .alias("is_contaminated"),
+        )
+    )

@@ -1742,6 +1742,134 @@ def approx_stats(spark, sf_dir):
     )
 
 
+_MD5_BUCKET = (
+    "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
+)
+
+@q(
+    "stratified_split",
+    f"""
+    SELECT lang, split, count(*) AS n FROM (
+      SELECT lang,
+             CASE WHEN {_MD5_BUCKET} < 100 THEN 'test'
+                  WHEN {_MD5_BUCKET} < 200 THEN 'val'
+                  ELSE 'train' END AS split
+      FROM documents) t
+    GROUP BY lang, split
+    """,
+)
+def stratified_split(spark, sf_dir):
+    """Deterministic train/val/test split (operators/profile.py): md5(id)
+    mod 1000 buckets — pure projection, no RNG, identical assignment on
+    any engine/partitioning/rerun, stable as the corpus grows. The entry
+    reports per-(lang, split) counts, i.e. the stratification report a
+    pipeline checks before freezing a split."""
+    docs = load(spark, sf_dir, "documents")
+    return (
+        P.stratified_split(docs, val_permille=100, test_permille=100)
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_SHINGLES5_SQL = """
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t) - 4),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2], t[i+3], t[i+4])))) AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 5
+"""
+
+@q(
+    "benchmark_contamination",
+    f"""
+    WITH c AS ({_SHINGLES5_SQL}),
+    b AS (SELECT DISTINCT g FROM ({_SHINGLES5_SQL}) s WHERE s.doc_id < 10),
+    hits AS (
+      SELECT c.doc_id, count(DISTINCT c.g) AS n_shared_ngrams
+      FROM c JOIN b USING (g) GROUP BY c.doc_id)
+    SELECT d.doc_id,
+           coalesce(h.n_shared_ngrams, 0) AS n_shared_ngrams,
+           CAST(coalesce(h.n_shared_ngrams, 0) > 0 AS INT) AS is_contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """,
+)
+def benchmark_contamination(spark, sf_dir):
+    """Benchmark decontamination (operators/text.py): corpus docs sharing
+    word 5-grams with an eval set (here: docs with doc_id < 10 stand in
+    for the benchmark). The benchmark shingle set is tiny by construction
+    → broadcast; the 100 TB corpus side never shuffles for the probe."""
+    docs = load(spark, sf_dir, "documents")
+    return X.benchmark_contamination(
+        docs, docs.filter(F.col("doc_id") < 10), k=5
+    )
+
+
+@q(
+    "modp_fingerprints",
+    r"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_transform(
+               generate_series(1, length(nt) - 7), i -> substr(nt, i, 8))) AS g
+      FROM (SELECT doc_id,
+                   regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+            FROM documents)
+      WHERE length(nt) >= 8),
+    fp AS (SELECT DISTINCT doc_id,
+                  CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS fp
+           FROM g)
+    SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+    FROM fp WHERE fp % 8 = 0 GROUP BY doc_id
+    """,
+)
+def modp_fingerprints(spark, sf_dir):
+    """Rolling-hash fingerprint sampling (operators/text.py): hash every
+    char 8-gram, keep hashes ≡ 0 mod 8 — the 0-mod-p winnowing variant
+    (Schleimer et al. 2003): two docs sharing a passage select IDENTICAL
+    fingerprints regardless of position, unlike fixed chunking. Entry
+    reports per-doc fingerprint count + min fingerprint."""
+    docs = load(spark, sf_dir, "documents")
+    fps = X.modp_fingerprints(docs, k=8, p=8)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("fp").alias("min_fp")
+    )
+
+
+@q(
+    "histogram_price",
+    """
+    WITH r AS (SELECT CAST(min(o_totalprice) AS DOUBLE) AS rlo,
+                      CAST(max(o_totalprice) AS DOUBLE) AS rhi
+               FROM orders),
+    b AS (SELECT least(CAST(floor((CAST(o_totalprice AS DOUBLE) - rlo)
+                                  / ((rhi - rlo) / 20.0)) AS BIGINT),
+                       CAST(19 AS BIGINT)) AS bin,
+                 rlo, rhi
+          FROM orders, r WHERE o_totalprice IS NOT NULL)
+    SELECT bin,
+           round(rlo + bin * ((rhi - rlo) / 20.0), 6) AS lo,
+           round(rlo + (bin + 1) * ((rhi - rlo) / 20.0), 6) AS hi,
+           count(*) AS n
+    FROM b GROUP BY 1, 2, 3
+    """,
+)
+def histogram_price(spark, sf_dir):
+    """Equal-width numeric histogram (operators/profile.py): one tiny
+    (min,max) aggregate broadcasts into the binning projection, one
+    groupBy(bin) count — two single-column scans with map-side partials,
+    the minimal exact plan at 100 TB. Edges rounded to 6dp for the
+    cross-engine hash."""
+    o = load(spark, sf_dir, "orders")
+    h = P.numeric_histogram(o, "o_totalprice", n_bins=20)
+    return h.select(
+        "bin",
+        F.round("lo", 6).alias("lo"),
+        F.round("hi", 6).alias("hi"),
+        "n",
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

@@ -1,0 +1,107 @@
+"""Property tests for the training-data pipeline operators added in round
+2: stratified split, benchmark decontamination, rolling-hash (0-mod-p)
+fingerprints, numeric histogram."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.operators import profile as P
+from empujar_spark.operators import text as X
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_stratified_split_stable_and_proportional(docs):
+    out = P.stratified_split(docs, val_permille=100, test_permille=100)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    total = sum(counts.values())
+    assert total == docs.count()
+    # md5 buckets ⇒ roughly proportional (generous bounds at 500 docs)
+    assert counts["train"] > 0.7 * total
+    assert 0.03 * total < counts.get("val", 0) < 0.2 * total
+    # assignment is a pure function of the id: identical across reruns
+    # and unchanged when the corpus shrinks (docs keep their split)
+    again = P.stratified_split(docs, val_permille=100, test_permille=100)
+    assert (
+        out.select("doc_id", "split").exceptAll(
+            again.select("doc_id", "split")
+        ).count() == 0
+    )
+    subset = P.stratified_split(
+        docs.filter(F.col("doc_id") < 100), val_permille=100, test_permille=100
+    )
+    merged = subset.select("doc_id", F.col("split").alias("s2")).join(
+        out.select("doc_id", "split"), "doc_id"
+    )
+    assert merged.filter(F.col("split") != F.col("s2")).count() == 0
+
+
+def test_benchmark_contamination_flags_benchmark_itself(docs):
+    """A doc IS its own 5-grams: every benchmark doc long enough to have
+    a 5-gram must be flagged; output covers the whole corpus."""
+    bench = docs.filter(F.col("doc_id") < 10)
+    out = X.benchmark_contamination(docs, bench, k=5)
+    assert out.count() == docs.count()
+    long_bench_ids = {
+        r["doc_id"]
+        for r in bench.select(
+            "doc_id", F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("nt")
+        ).collect()
+        if r["nt"] >= 5
+    }
+    flagged = {
+        r["doc_id"]
+        for r in out.filter(F.col("is_contaminated") == 1).collect()
+    }
+    assert long_bench_ids <= flagged
+
+
+def test_modp_fingerprints_shared_passage_shares_fingerprints(spark):
+    """The winnowing property: a passage shared between two docs selects
+    the SAME fingerprints in both, regardless of position/surroundings."""
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIX padding text " + passage),
+            (2, passage + " totally different suffix content here"),
+            (3, "unrelated words that share no eight gram at all xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = X.modp_fingerprints(df, k=8, p=4)
+    by_doc = {
+        i: {r["fp"] for r in fps.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared passage must share fingerprints"
+    assert not (by_doc[1] & by_doc[2] & by_doc[3])
+
+
+def test_modp_fingerprints_short_text_empty(spark):
+    df = spark.createDataFrame([(1, "short")], ["doc_id", "text"])
+    assert X.modp_fingerprints(df, k=8, p=2).count() == 0
+
+
+def test_numeric_histogram_partitions_all_rows(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    h = P.numeric_histogram(orders, "o_totalprice", n_bins=10)
+    rows = h.collect()
+    assert sum(r["n"] for r in rows) == orders.filter(
+        F.col("o_totalprice").isNotNull()
+    ).count()
+    assert {r["bin"] for r in rows} <= set(range(10))
+    # bins tile [min, max] in order with equal width
+    lo = min(r["lo"] for r in rows)
+    hi = max(r["hi"] for r in rows)
+    stats = orders.agg(
+        F.min("o_totalprice").cast("double").alias("lo"),
+        F.max("o_totalprice").cast("double").alias("hi"),
+    ).first()
+    assert lo == pytest.approx(stats["lo"])
+    assert hi == pytest.approx(stats["hi"])

@@ -131,9 +131,10 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 # The ONLY corpus entries allowed a cartesian/nested-loop join:
 # - embedding_topk: documented exact brute-force baseline (broadcast query
 #   side, bounded by a tiny query set; scale paths are its lsh/ivf siblings)
-# - tfidf_top_terms: corpus size N joined in as a ONE-ROW broadcast — a
-#   scalar join, constant-size build side at any scale
-_CROSS_JOIN_ALLOWED = {"embedding_topk", "tfidf_top_terms"}
+# - tfidf_top_terms / histogram_price: a ONE-ROW aggregate (corpus size N /
+#   global min-max) joined in as a broadcast — scalar joins, constant-size
+#   build side at any scale
+_CROSS_JOIN_ALLOWED = {"embedding_topk", "tfidf_top_terms", "histogram_price"}
 
 # Entries whose fn() actually executes work at call time (streaming drains,
 # warehouse builds) — their returned DataFrame is a read of the result, so
