@@ -117,3 +117,55 @@ def numeric_histogram(
         .groupBy("bin", "lo", "hi")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def grouped_linear_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x,
+    y,
+) -> DataFrame:
+    """Per-group least-squares slope/intercept — computed with EXACT
+    decimal sums, never float accumulation, so the result is identical in
+    any partitioning / merge order / engine (the corpus oracle recomputes
+    it in SQL and hash-matches).
+
+    ``x`` must be an integer-valued column expression (e.g. hours since a
+    fixed origin), ``y`` a decimal expression. slope = (nΣxy − ΣxΣy) /
+    (nΣx² − (Σx)²): the four sums aggregate exactly in decimal, the
+    numerator/denominator are rounded to scale 0 and cast to
+    DECIMAL(38,0) before the double division — an integer-valued decimal
+    ≤ 2^53 converts to double exactly on any engine, sidestepping the
+    engines' differing decimal→double rounding. Magnitude envelope: with
+    |x| ≤ 1e4, |y| ≤ 1e4 and ≤ 1e6 rows per group the numerator stays
+    < 2^53; beyond that, rescale x (coarser origin units).
+    Distributed cost: ONE map-side-partial aggregation, one tiny shuffle.
+    """
+    xd = x.cast("decimal(18,0)")
+    yd = y.cast("decimal(18,6)")
+    agg = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,6)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,6)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    num = F.round(nd * F.col("sxy") - F.col("sx") * F.col("sy"), 0).cast(
+        "decimal(38,0)"
+    ).cast("double")
+    den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "decimal(38,0)"
+    ).cast("double")
+    slope = F.round(num / den, 6)
+    # intercept from the already-rounded slope: every operand below is an
+    # exactly-converted double, so both engines compute identical values
+    sy_d = F.col("sy").cast("double")  # scale 6, |scaled| < 2^53: exact
+    sx_d = F.col("sx").cast("double")
+    intercept = F.round((sy_d - slope * sx_d) / F.col("n").cast("double"), 6)
+    return agg.select(
+        *group_cols,
+        "n",
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )

@@ -1870,6 +1870,132 @@ def histogram_price(spark, sf_dir):
     )
 
 
+# Hours since 2024-01-01 00:00 UTC (events data starts there) — integer x
+# keeps the regression sums exactly representable.
+_TREND_ORIGIN_H = 1704067200 // 3600
+
+@q(
+    "event_value_trend",
+    f"""
+    WITH b AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 3600) AS BIGINT) - {_TREND_ORIGIN_H} AS x,
+             CAST(value AS DECIMAL(18,6)) AS y
+      FROM events),
+    a AS (
+      SELECT event_type, count(*) AS n,
+             sum(CAST(x AS DECIMAL(18,0))) AS sx, sum(y) AS sy,
+             sum(CAST(x AS DECIMAL(18,0)) * y) AS sxy,
+             sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0))) AS sxx
+      FROM b GROUP BY event_type),
+    d AS (
+      SELECT event_type, n,
+             CAST(CAST(round(CAST(n AS DECIMAL(38,0)) * sxy - sx * sy, 0)
+                       AS DECIMAL(38,0)) AS DOUBLE) AS num,
+             CAST(CAST(CAST(n AS DECIMAL(38,0)) * sxx - sx * sx
+                       AS DECIMAL(38,0)) AS DOUBLE) AS den,
+             CAST(sy AS DOUBLE) AS sy_d, CAST(sx AS DOUBLE) AS sx_d
+      FROM a)
+    SELECT event_type, n,
+           round(num / den, 6) AS slope,
+           round((sy_d - round(num / den, 6) * sx_d) / CAST(n AS DOUBLE), 6)
+               AS intercept
+    FROM d
+    """,
+)
+def event_value_trend(spark, sf_dir):
+    """Per-event-type least-squares trend of value over time
+    (operators/profile.py grouped_linear_trend): exact decimal sums →
+    integer-valued DECIMAL(38,0) → exact double conversion → identical
+    slope/intercept on any engine or partitioning. One map-side-partial
+    aggregation; the distributed-exact regression a monitoring pipeline
+    wants at 100 TB (float accumulation would drift per partitioning)."""
+    ev = load(spark, sf_dir, "events")
+    x = (
+        F.floor(F.col("ts").cast("double") / 3600).cast("bigint")
+        - F.lit(_TREND_ORIGIN_H)
+    )
+    return P.grouped_linear_trend(ev, ["event_type"], x, F.col("value"))
+
+
+_PART_WH: dict = {}
+
+@q(
+    "partitioned_prune",
+    """
+    SELECT date_trunc('day', ts) AS day, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+    FROM events WHERE event_type = 'purchase' GROUP BY 1
+    """,
+)
+def partitioned_prune(spark, sf_dir):
+    """Hive-partitioned table + partition pruning (catalog.py
+    partition_cols): events stored partitioned by event_type, so the
+    single-type query selects ONE directory at planning time
+    (PartitionFilters — asserted in test_plans) instead of scanning all
+    types. At 100 TB this is the difference between reading 1/5 of the
+    table and all of it. Results equal the plain filtered scan the
+    oracle runs."""
+    import tempfile
+
+    from empujar_spark.catalog import Warehouse
+
+    key = (id(spark), sf_dir)
+    if key not in _PART_WH:
+        wh = Warehouse(
+            spark, tempfile.mkdtemp(prefix="part-wh-"),
+            partition_cols={"events": ["event_type"]},
+        )
+        wh.insert_data("events", load(spark, sf_dir, "events"),
+                       merge_on_duplicates=False)
+        _PART_WH[key] = wh
+    ev = _PART_WH[key].read("events")
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec("value")), 4).cast("double").alias("total"),
+        )
+    )
+
+
+@q(
+    "unpivot_metrics",
+    """
+    SELECT l_orderkey, l_linenumber, metric,
+           CAST(round(CAST(v AS DECIMAL(18,6)), 4) AS DOUBLE) AS value
+    FROM (
+      SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS v
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+      FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem) t
+    """,
+)
+def unpivot_metrics(spark, sf_dir):
+    """Wide→long unpivot (DataFrame.unpivot / melt): four measure columns
+    become (metric, value) rows in ONE scan — the physical plan is a
+    single Expand over one pass, where the oracle's UNION ALL spelling
+    scans the table four times. Same rows, quarter the IO — the plan
+    difference is the point at 100 TB (asserted in test_plans)."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "v",
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", "metric",
+        F.round(F.col("v").cast("decimal(18,6)"), 4).cast("double").alias("value"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================

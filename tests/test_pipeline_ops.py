@@ -105,3 +105,36 @@ def test_numeric_histogram_partitions_all_rows(spark):
     ).first()
     assert lo == pytest.approx(stats["lo"])
     assert hi == pytest.approx(stats["hi"])
+
+
+def test_grouped_linear_trend_matches_numpy(spark):
+    """The decimal-exact slope must agree with a float least-squares fit
+    to ~1e-6, and be identical across repartitionings (float accumulation
+    would not be)."""
+    import numpy as np
+
+    from empujar_spark.plans.corpus import load
+
+    ev = load(spark, SF, "events")
+    origin = 1704067200 // 3600
+    x = F.floor(F.col("ts").cast("double") / 3600).cast("bigint") - F.lit(origin)
+    out = {r["event_type"]: (r["slope"], r["intercept"]) for r in
+           P.grouped_linear_trend(ev, ["event_type"], x, F.col("value")).collect()}
+    rows = ev.select(
+        "event_type", x.alias("x"), F.col("value").alias("y")
+    ).collect()
+    by_type: dict = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+    for et, pts in by_type.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        assert out[et][0] == pytest.approx(slope, abs=1e-4), et
+        assert out[et][1] == pytest.approx(intercept, abs=1e-2), et
+    # partitioning invariance: exact decimal sums ⇒ bit-identical output
+    re = P.grouped_linear_trend(
+        ev.repartition(7), ["event_type"], x, F.col("value")
+    )
+    assert {r["event_type"]: (r["slope"], r["intercept"])
+            for r in re.collect()} == out

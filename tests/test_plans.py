@@ -159,6 +159,24 @@ def test_no_cartesian_products_corpus_wide(spark):
         assert "BroadcastNestedLoopJoin" not in plan, name
 
 
+def test_unpivot_single_scan_single_expand(spark):
+    """Wide→long is ONE Expand over ONE scan — the oracle's UNION ALL
+    spelling scans four times; this plan difference is the operator's
+    point."""
+    plan = plan_of(spark, "unpivot_metrics")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1
+
+
+def test_partitioned_prune_selects_one_directory(spark):
+    """The event_type filter must land in PartitionFilters (directory
+    selection at planning time), not in the post-scan Filter."""
+    df = CORPUS["partitioned_prune"].fn(spark, SF)
+    full = df._jdf.queryExecution().toString()
+    pf = [l for l in full.splitlines() if "PartitionFilters" in l]
+    assert pf and "event_type" in pf[0]
+
+
 def test_q5_one_shuffle_join_dims_broadcast(spark):
     """Six-table join: exactly one sort-merge/shuffle join (the fact⋈fact
     lineitem⋈orders); customer/supplier/nation/region all broadcast."""
