@@ -9,6 +9,7 @@ so the same computation is expressible as ANSI SQL for the DuckDB oracle.
 
 from empujar_spark.operators import (  # noqa: F401
     asof,
+    curation,
     dedup,
     multimodal,
     profile,
@@ -20,6 +21,7 @@ from empujar_spark.operators import (  # noqa: F401
 
 __all__ = [
     "asof",
+    "curation",
     "dedup",
     "multimodal",
     "profile",

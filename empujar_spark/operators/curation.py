@@ -1,0 +1,209 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Beyond the reference's ETL surface (its pipeline stops at warehouse loads,
+reference lib/connections/*.js): the quality-filter / packing / mixture
+stages a pretraining data pipeline runs between raw ingest and the
+tokenizer. Everything here is built-in-function column expressions plus
+per-key aggregations — no Python in the hot path — so the ops are
+embarrassingly parallel and hold at 100 TB.
+
+Determinism contract: every op has an exact ANSI-SQL twin (plans/corpus.py)
+— md5-derived hashing only, rounded doubles, BIGINT casts per the corpus
+header rules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from empujar_spark.operators.text import _spread, token_count
+
+# PII patterns: RE2-compatible (no lookaround/backrefs) so the Java-regex
+# Spark side and the RE2 DuckDB oracle match byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+\d{7,15}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def _hash_unit(id_col: Column, offset: int, modulus: int) -> Column:
+    """Deterministic uniform integer in [0, modulus) from an md5 slice —
+    the only cross-engine-stable hash (corpus header rule). Different
+    ``offset`` values give independent streams off one md5."""
+    return (
+        F.conv(F.substring(F.md5(id_col.cast("string")), offset, 8), 16, 10)
+        .cast("bigint")
+        % modulus
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document (Rae et al.
+    2021 §A1.1 repetition filters, re-expressed relationally):
+
+    - ``type_token_ratio``: distinct tokens / tokens (low = repetitive)
+    - ``frac_dup_ngrams``: 1 − distinct k-grams / k-gram occurrences
+    - ``top_gram_frac``: occurrences of the modal k-gram × k / tokens
+      (fraction of the doc covered by its single most repeated phrase)
+
+    Plan shape for 100 TB: token stats are pure per-row array expressions
+    (no shuffle); k-gram stats are ONE explode feeding a two-level
+    aggregation keyed by (doc_id, gram) then doc_id — high-cardinality,
+    well-distributed keys with map-side partial aggregation, then a
+    doc_id equi-join back. No window over a global ordering anywhere.
+    """
+    df = _spread(df)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = F.split(norm, " ")
+    n_tok = F.when(F.trim(F.col(text_col)) == "", F.lit(0)).otherwise(
+        F.size(toks)
+    )
+    grams = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    base = df.select(
+        "doc_id",
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.when(n_tok == 0, F.lit(0))
+        .otherwise(F.size(F.array_distinct(toks)))
+        .cast("bigint")
+        .alias("n_distinct_tokens"),
+        grams.alias("grams"),
+    )
+    gram_counts = (
+        base.select("doc_id", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    gram_stats = gram_counts.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_grams"),
+        F.count(F.lit(1)).alias("n_distinct_grams"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    joined = base.drop("grams").join(gram_stats, "doc_id", "left")
+    ng = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
+    ndg = F.coalesce(F.col("n_distinct_grams"), F.lit(0)).cast("bigint")
+    top = F.coalesce(F.col("top_cnt"), F.lit(0)).cast("bigint")
+    safe_tok = F.when(F.col("n_tokens") == 0, F.lit(1)).otherwise(
+        F.col("n_tokens")
+    )
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        ng.alias("n_grams"),
+        F.round(
+            F.col("n_distinct_tokens").cast("double")
+            / safe_tok.cast("double"),
+            4,
+        ).alias("type_token_ratio"),
+        F.when(ng == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(1.0) - ndg.cast("double") / ng.cast("double"), 4))
+        .alias("frac_dup_ngrams"),
+        F.round(
+            (top * k).cast("double") / safe_tok.cast("double"), 4
+        ).alias("top_gram_frac"),
+    )
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """PII scrubbing: count then redact emails, E.164-ish phone numbers,
+    and IPv4 literals (<EMAIL>/<PHONE>/<IP> placeholders). Counts are
+    taken on the ORIGINAL text; replacements are applied in a fixed
+    order (email → phone → ip) so the output is deterministic.
+
+    Pure per-row regex map — Spark's regexp_replace replaces all
+    occurrences (the DuckDB twin needs the 'g' flag). No shuffle; regexes
+    are RE2-safe so both engines match identically. Returns the redacted
+    text plus its md5 so downstream hash-compares don't need the payload.
+    """
+    t = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+        ),
+        IPV4_RE,
+        "<IP>",
+    )
+    return _spread(df).select(
+        id_col,
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        redacted.alias("clean_text"),
+        F.md5(F.encode(redacted, "UTF-8")).alias("clean_md5"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    budget: int = 256,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign each document a training
+    sequence id and token offset, as if the corpus were tokenized,
+    concatenated in (shard, id) order, and sliced into ``budget``-token
+    sequences — the standard pretraining packing layout.
+
+    Scale design: a single global running sum would funnel 100 TB through
+    ONE window partition. Instead documents are md5-sharded into
+    ``n_shards`` independent streams and packed within each shard — the
+    window partitions by shard, so the sort/scan parallelizes and each
+    shard's packing is independent (exactly how multi-worker data loaders
+    shard anyway). Offsets are exact: seq_id = ⌊excl_cumsum / budget⌋.
+    """
+    ntok = token_count(F.col(text_col)).cast("bigint")
+    base = df.select(
+        id_col,
+        _hash_unit(F.col(id_col), 1, n_shards).alias("shard"),
+        ntok.alias("n_tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    excl = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "shard",
+        "n_tokens",
+        F.floor(excl / budget).cast("bigint").alias("seq_id"),
+        (excl % budget).cast("bigint").alias("seq_offset"),
+    )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 10000,
+) -> DataFrame:
+    """Deterministic domain-mixture downsampling: keep a document iff its
+    md5-uniform draw u ∈ [0,1) falls under its domain's sampling weight —
+    the reweighting step that turns raw domain counts into a target
+    training mixture (DoReMi/Pile-style mixture control, done as a
+    stateless filter).
+
+    Domains absent from ``weights`` default to weight 0 (dropped).
+    Stateless per-row filter — no shuffle, no state, reproducible across
+    runs/partitionings/engines; at 100 TB it composes with partition
+    pruning since it touches only (id, domain).
+    """
+    thresholds = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    u = _hash_unit(F.col(id_col), 9, scale)
+    keep = u < F.coalesce(
+        thresholds[F.col(domain_col)] * scale, F.lit(0.0)
+    )
+    return df.filter(keep)

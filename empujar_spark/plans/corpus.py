@@ -35,6 +35,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from empujar_spark.operators import curation as C
 from empujar_spark.operators import dedup as D
 from empujar_spark.operators import multimodal as M
 from empujar_spark.operators import similarity as S
@@ -1994,6 +1995,163 @@ def unpivot_metrics(spark, sf_dir):
         "l_orderkey", "l_linenumber", "metric",
         F.round(F.col("v").cast("decimal(18,6)"), 4).cast("double").alias("value"),
     )
+
+
+@q(
+    "repetition_signals",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
+                          ' ') AS toks,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split(
+                      regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
+             END AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE len(list_distinct(toks)) END AS n_distinct_tokens,
+             CASE WHEN len(toks) >= 3
+                  THEN list_transform(
+                      generate_series(1, len(toks) - 2),
+                      i -> array_to_string(toks[i:i+2], ' '))
+                  ELSE [] END AS grams
+      FROM t),
+    g AS (SELECT doc_id, unnest(grams) AS gram FROM b),
+    c AS (SELECT doc_id, gram, count(*) AS cnt FROM g GROUP BY 1, 2),
+    s AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_grams,
+                 CAST(count(*) AS BIGINT) AS n_distinct_grams,
+                 CAST(max(cnt) AS BIGINT) AS top_cnt
+          FROM c GROUP BY 1)
+    SELECT b.doc_id, CAST(b.n_tokens AS BIGINT) AS n_tokens,
+           COALESCE(s.n_grams, 0) AS n_grams,
+           round(CAST(b.n_distinct_tokens AS DOUBLE) /
+                 (CASE WHEN b.n_tokens = 0 THEN 1 ELSE b.n_tokens END), 4)
+               AS type_token_ratio,
+           CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
+                ELSE round(1.0 - CAST(s.n_distinct_grams AS DOUBLE) / s.n_grams,
+                           4) END AS frac_dup_ngrams,
+           round(CAST(COALESCE(s.top_cnt, 0) * 3 AS DOUBLE) /
+                 (CASE WHEN b.n_tokens = 0 THEN 1 ELSE b.n_tokens END), 4)
+               AS top_gram_frac
+    FROM b LEFT JOIN s USING (doc_id)
+    """,
+)
+def repetition_signals(spark, sf_dir):
+    """Gopher-style repetition quality filters (operators/curation.py):
+    type-token ratio, duplicate-3-gram fraction, modal-3-gram coverage.
+    One explode, two partial-agg shuffles on well-distributed doc keys —
+    the per-doc repetition pass a quality pipeline runs corpus-wide."""
+    docs = load(spark, sf_dir, "documents")
+    return C.repetition_signals(docs, "text", k=3)
+
+
+@q(
+    "pii_redaction",
+    rf"""
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com or +1415555' ||
+             lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+             ' at 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7 end' AS t
+      FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{C.EMAIL_RE}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(t, '{C.PHONE_RE}')) AS BIGINT)
+               AS n_phones,
+           CAST(len(regexp_extract_all(t, '{C.IPV4_RE}')) AS BIGINT) AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(
+               t, '{C.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{C.PHONE_RE}', '<PHONE>', 'g'),
+               '{C.IPV4_RE}', '<IP>', 'g')) AS clean_md5
+    FROM p
+    """,
+)
+def pii_redaction(spark, sf_dir):
+    """PII count + redact (operators/curation.py redact_pii). The corpus
+    documents carry no PII, so the entry injects a deterministic
+    email/phone/IP per doc (identical concat in the oracle) and verifies
+    counts and the redacted text's md5 — the regex mechanics are what's
+    under test. Stateless per-row map; RE2-safe patterns."""
+    docs = load(spark, sf_dir, "documents")
+    pii = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1415555"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            F.lit(" at 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 end"),
+        ).alias("text"),
+    )
+    return C.redact_pii(pii).select(
+        "doc_id", "n_emails", "n_phones", "n_ips", "clean_md5"
+    )
+
+
+@q(
+    "pack_sequences",
+    r"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                  AS BIGINT) % 8 AS shard,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                  - n_tokens AS BIGINT) AS excl
+      FROM b)
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(excl / 256.0) AS BIGINT) AS seq_id,
+           excl % 256 AS seq_offset
+    FROM c
+    """,
+)
+def pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/curation.py): md5
+    sharding into 8 independent streams, per-shard running token sum →
+    (seq_id, offset). The window partitions by shard — the packing
+    parallelizes instead of funnelling the corpus through one sort."""
+    docs = load(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, "text", budget=256, n_shards=8)
+
+
+# Target mixture for the corpus entry: up-kept head domains, tapered tail
+# (what a DoReMi-style reweighting emits). Keys absent → weight 0.
+MIXTURE_WEIGHTS = {
+    f"src{i}": (1.0 if i < 5 else 0.5 if i < 10 else 0.2) for i in range(20)
+}
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in MIXTURE_WEIGHTS.items()
+)
+
+@q(
+    "mixture_sample",
+    f"""
+    SELECT doc_id, source FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)
+               AS BIGINT) % 10000
+          < (CASE source {_MIX_CASE} ELSE 0 END) * 10000
+    """,
+)
+def mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixture downsampling (operators/curation.py):
+    md5-uniform draw per doc vs per-source target weight — a stateless,
+    reproducible filter that composes with pushdown at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return C.mixture_sample(docs, MIXTURE_WEIGHTS).select("doc_id", "source")
 
 
 # =====================================================================

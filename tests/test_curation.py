@@ -1,0 +1,96 @@
+"""Unit/property tests for corpus-curation operators (curation.py):
+repetition signals, PII redaction, sequence packing, mixture sampling."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.operators import curation as C
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # 9 tok / 3 distinct; 7 grams, 3 distinct
+            (2, "w1 w2 w3 w4 w5"),     # all unique
+            (3, "a b"),                # shorter than k: no grams
+            (4, ""),                   # empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in C.repetition_signals(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 9 and r1["n_grams"] == 7
+    assert r1["type_token_ratio"] == pytest.approx(3 / 9, abs=1e-4)
+    assert r1["frac_dup_ngrams"] == pytest.approx(1 - 3 / 7, abs=1e-4)
+    # modal gram "a b c" occurs 3×, covers 3*3/9 of the tokens
+    assert r1["top_gram_frac"] == pytest.approx(1.0)
+    r2 = out[2]
+    assert r2["frac_dup_ngrams"] == 0.0 and r2["type_token_ratio"] == 1.0
+    assert out[3]["n_grams"] == 0 and out[3]["n_tokens"] == 2
+    r4 = out[4]
+    assert r4["n_tokens"] == 0 and r4["type_token_ratio"] == 0.0
+    assert r4["frac_dup_ngrams"] == 0.0 and r4["top_gram_frac"] == 0.0
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.co and c.d+x@e-f.org call +14155550042 ip 10.0.3.7"),
+            (2, "nothing here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r.asDict() for r in C.redact_pii(df).collect()}
+    r1 = out[1]
+    assert (r1["n_emails"], r1["n_phones"], r1["n_ips"]) == (2, 1, 1)
+    assert r1["clean_text"] == "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP>"
+    r2 = out[2]
+    assert (r2["n_emails"], r2["n_phones"], r2["n_ips"]) == (0, 0, 0)
+    assert r2["clean_text"] == "nothing here"
+
+
+def test_pack_sequences_offsets_exact(docs):
+    budget, shards = 256, 8
+    rows = C.pack_sequences(docs, budget=budget, n_shards=shards).collect()
+    by_shard: dict = {}
+    for r in rows:
+        assert 0 <= r["seq_offset"] < budget
+        assert 0 <= r["shard"] < shards
+        by_shard.setdefault(r["shard"], []).append(r)
+    # replay each shard's packing serially and compare exactly
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["seq_id"] == cum // budget, (shard, r)
+            assert r["seq_offset"] == cum % budget, (shard, r)
+            cum += r["n_tokens"]
+    # partitioning invariance
+    again = C.pack_sequences(
+        docs.repartition(7), budget=budget, n_shards=shards
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_mixture_sample_deterministic_and_weighted(docs):
+    w = {"src0": 1.0, "src1": 0.5}
+    kept = C.mixture_sample(docs, w).select("doc_id", "source").collect()
+    srcs = {r["source"] for r in kept}
+    assert srcs <= {"src0", "src1"}  # absent domains dropped entirely
+    # weight 1.0 keeps every doc of that domain
+    n_src0_all = docs.filter(F.col("source") == "src0").count()
+    assert sum(1 for r in kept if r["source"] == "src0") == n_src0_all
+    # deterministic across reruns
+    again = C.mixture_sample(docs, w).select("doc_id", "source").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, kept))
+    # weight 0.5 keeps a nontrivial strict subset
+    n_src1_all = docs.filter(F.col("source") == "src1").count()
+    n_src1_kept = sum(1 for r in kept if r["source"] == "src1")
+    assert 0 < n_src1_kept < n_src1_all

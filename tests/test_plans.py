@@ -177,6 +177,15 @@ def test_partitioned_prune_selects_one_directory(spark):
     assert pf and "event_type" in pf[0]
 
 
+def test_pack_sequences_window_parallel_by_shard(spark):
+    """The packing window must partition by shard — a global-ordering
+    window (SinglePartition exchange) would funnel 100 TB through one
+    task."""
+    plan = plan_of(spark, "pack_sequences")
+    assert "hashpartitioning(shard" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_q5_one_shuffle_join_dims_broadcast(spark):
     """Six-table join: exactly one sort-merge/shuffle join (the fact⋈fact
     lineitem⋈orders); customer/supplier/nation/region all broadcast."""
