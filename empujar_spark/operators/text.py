@@ -211,8 +211,16 @@ def modp_fingerprints(
     content sample) — Spark evaluates each k-gram hash independently
     inside codegen, which vectorizes better than a stateful scan anyway.
     """
-    df = _spread(df)
-    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    # Materialize the normalized text in its own projection: a lambda body
+    # gets no common-subexpression elimination, so inlining the
+    # regexp_replace chain would re-normalize the document once per gram.
+    normed = _spread(df).select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.lower(F.col(text_col))), r"\s+", " "
+        ).alias("__norm"),
+    )
+    norm = F.col("__norm")
     # guard: Spark's sequence(1, stop) runs DESCENDING when stop < 1
     # (text shorter than k) — emit no grams instead
     grams = F.when(
@@ -223,7 +231,7 @@ def modp_fingerprints(
         ),
     ).otherwise(F.array().cast("array<string>"))
     hashed = (
-        df.select("doc_id", F.explode(grams).alias("g"))
+        normed.select("doc_id", F.explode(grams).alias("g"))
         .select(
             "doc_id",
             F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10)
@@ -251,12 +259,24 @@ def benchmark_contamination(
     thousands of docs, the corpus is billions) so it BROADCASTS and the
     100 TB side never shuffles; counts are distinct benchmark grams per
     corpus doc."""
+    # Tokenize in a separate projection (see shingles_of_tokens docstring:
+    # no CSE inside the gram lambda — inline split() re-tokenizes per gram).
     c_sh = (
         _spread(corpus)
-        .select("doc_id", F.explode(shingles(F.col(text_col), k)).alias("g"))
+        .select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),
+        )
+        .select(
+            "doc_id",
+            F.explode(shingles_of_tokens(F.col("__toks"), k)).alias("g"),
+        )
     )
     b_sh = (
-        benchmark.select(F.explode(shingles(F.col(text_col), k)).alias("g"))
+        benchmark.select(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks")
+        )
+        .select(F.explode(shingles_of_tokens(F.col("__toks"), k)).alias("g"))
         .distinct()
     )
     hits = (
