@@ -318,6 +318,7 @@ def embedding_dup_pairs(
     method: str = "ivf",
     n_centroids: int = 16,
     nprobe: int | None = None,
+    centroids=None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (a < b) pairs with cosine ≥
     threshold.
@@ -375,7 +376,11 @@ def embedding_dup_pairs(
 
     nprobe = n_centroids if nprobe is None else nprobe
     exact_recall = nprobe >= n_centroids
-    C = ivf_train(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_train(df, n_centroids, id_col=id_col, vec_col=vec_col)
+    )
     assigned = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),

@@ -237,6 +237,7 @@ def ivf_topk(
     iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids=None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the second
     scale path beside ``lsh_topk``.
@@ -249,7 +250,11 @@ def ivf_topk(
     the corpus is scanned instead of all of it. Recall is tunable with
     ``nprobe``; exact when nprobe = n_centroids.
     """
-    C = ivf_train(corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col)
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_train(corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col)
+    )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
