@@ -85,6 +85,7 @@ def main() -> None:
     from empujar_spark.streaming import stream_ops as _SO
 
     _SO._as_stream_dir(f"{SF_DIR}/events.parquet")
+    _SO.read_events_stream_flushed(spark, SF_DIR)  # pre-create sentinel dir
     with tempfile.TemporaryDirectory(prefix="bench-stream-warm-") as wdir:
         spark.range(8).selectExpr("id", "timestamp_micros(id) AS ts").write.mode(
             "overwrite"

@@ -1273,6 +1273,97 @@ def streaming_hourly_events(spark, sf_dir):
 
 
 @q(
+    "streaming_sessionize",
+    """
+    WITH o AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+                       OR epoch(ts) - epoch(lag(ts) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id)) >= 1800
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    s AS (
+      SELECT user_id, ts,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+                  ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS sid
+      FROM o)
+    SELECT user_id, min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize(spark, sf_dir):
+    """STREAMING session windows, oracle-checked (stream_ops.sessionized:
+    native session_window, 30-min gap). Spark merges an event into a
+    session iff it starts strictly before last+gap, so a gap of EXACTLY
+    1800s opens a new session — the oracle's lag-island logic uses >= to
+    match. Session windows only support append output, which emits a
+    session once the watermark passes its end — so the bounded replay
+    carries a far-future flush sentinel (read_events_stream_flushed) that
+    finalizes every real session; the sentinel's own user is filtered."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    ev = SO.read_events_stream_flushed(spark, sf_dir)
+    out = SO.drain_to_memory(
+        SO.sessionized(ev, gap="30 minutes"),
+        "__streaming_sessionize",
+        output_mode="append",
+    )
+    return out.filter(F.col("user_id") != SO.FLUSH_USER_ID)
+
+
+@q(
+    "streaming_user_totals",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS total_value
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_user_totals(spark, sf_dir):
+    """CUSTOM STATEFUL streaming operator, oracle-checked
+    (stream_ops.running_user_totals: applyInPandasWithState, one state
+    tuple per user). Drained state equals the batch aggregate; totals
+    round to 4dp on both sides because the stateful kernel accumulates
+    float64 (pairwise in pandas) while the oracle sums in scan order —
+    identical to 1e-9, identical at 4dp."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    ev = SO.read_events_stream(spark, sf_dir)
+    res = SO.drain_to_memory(
+        SO.running_user_totals(ev),
+        "__streaming_user_totals",
+        output_mode="update",
+    )
+    return res.select(
+        "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+    )
+
+
+@q(
+    "streaming_dedup",
+    """
+    SELECT event_id, ts, user_id, event_type, value, props FROM events
+    """,
+)
+def streaming_dedup(spark, sf_dir):
+    """STREAMING exact dedup on event_id within the watermark horizon
+    (stream_ops.dedup_stream: watermarked dropDuplicates — the streaming
+    face of insert_data's key dedup). event_id is unique in the table, so
+    the deduped stream must reproduce it exactly — what's under test is
+    that the state-backed dedup neither drops nor duplicates rows."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    ev = SO.read_events_stream(spark, sf_dir)
+    return SO.drain_to_memory(
+        SO.dedup_stream(ev), "__streaming_dedup", output_mode="append"
+    )
+
+
+@q(
     "streaming_join_events",
     """
     SELECT e.event_id, e.user_id, e.ts, e.event_type,
@@ -2187,6 +2278,7 @@ def mixture_sample(spark, sf_dir):
 
 _GATE_ORDER_FIRST = [
     "q1_pricing_summary",
+    # r1 recorded no rows for these (gate truncated at 50) — evidence-first
     "q5_local_supplier_volume",
     "q14_promo_share",
     "global_topk",
@@ -2197,6 +2289,21 @@ _GATE_ORDER_FIRST = [
     "bucketed_join_agg",
     "near_dup_clusters",
     "embedding_dup_pairs",
+    # round-2 additions: zero driver evidence yet — before the r1-proven block
+    "stratified_split",
+    "benchmark_contamination",
+    "modp_fingerprints",
+    "histogram_price",
+    "event_value_trend",
+    "partitioned_prune",
+    "unpivot_metrics",
+    "repetition_signals",
+    "pii_redaction",
+    "pack_sequences",
+    "mixture_sample",
+    "streaming_sessionize",
+    "streaming_user_totals",
+    "streaming_dedup",
     "streaming_hourly_events",
 ]
 _GATE_ORDER_LAST = [

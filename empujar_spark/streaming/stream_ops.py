@@ -60,6 +60,46 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
 
 
+# Sentinel event-time: 2030-01-01 UTC in nanos — far past every testdata
+# event, so the watermark it advances finalizes every real window/session.
+FLUSH_SENTINEL_NS = 1_893_456_000 * 1_000_000_000
+FLUSH_USER_ID = -1
+
+
+def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events stream plus ONE far-future sentinel event (user_id = -1).
+
+    Append-mode stateful output (session windows, final windowed aggs)
+    emits a result only when the watermark passes its end — on a bounded
+    replay the tail results would otherwise never flush. The sentinel
+    advances the watermark past every real event; callers filter
+    ``user_id != FLUSH_USER_ID`` after the drain. (Streaming jargon:
+    a punctuation / flush marker.) The sentinel file lives in a separate
+    cached stream dir so the un-flushed stream used by complete-mode
+    queries is untouched."""
+    import os
+    import tempfile
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    key = src.replace("/", "_")
+    d = os.path.join(tempfile.gettempdir(), f"empujar-stream-flush-{key}")
+    if not os.path.isdir(d):
+        os.makedirs(d, exist_ok=True)
+        os.symlink(src, os.path.join(d, "events.parquet"))
+        sentinel = spark.createDataFrame(
+            [(-1, FLUSH_SENTINEL_NS, FLUSH_USER_ID, "flush", 0.0, "{}")],
+            schema=EVENTS_SCHEMA,
+        )
+        sentinel.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(d, "zz_sentinel")
+        )
+    raw = spark.readStream.schema(EVENTS_SCHEMA).option(
+        "recursiveFileLookup", "true"
+    ).parquet(d)
+    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
 def hourly_counts(events: DataFrame, late: str = "10 minutes") -> DataFrame:
     """Tumbling 1-hour windowed counts with a late-data watermark —
     streaming twin of corpus `hourly_events`."""
