@@ -630,16 +630,20 @@ def ngram_jaccard_capped(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, k=3, threshold=0.1, max_shingle_freq=5)
 
 
-_MH_HASH = (
-    "CAST(('0x' || substr(md5('{seed}|' || shingle), 1, 8)) AS BIGINT) % 2147483647"
-)
+# Windowed md5 scheme (dedup._md5_bucket): seed i slices the 8-hex-char
+# window i%4 of md5('{i//4}|' || v) — 4 hash functions per digest.
+def _mh_hash(seed: int) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('{seed // 4}|' || shingle), "
+        f"{1 + 8 * (seed % 4)}, 8)) AS BIGINT) % 2147483647"
+    )
 
 @q(
     "minhash_signatures",
     f"""
     WITH sh AS ({_SHINGLES_SQL})
     SELECT doc_id,
-           {", ".join(f"min({_MH_HASH.format(seed=i)}) AS mh_{i}" for i in range(8))}
+           {", ".join(f"min({_mh_hash(i)}) AS mh_{i}" for i in range(8))}
     FROM sh GROUP BY doc_id
     """,
 )
@@ -656,7 +660,7 @@ def minhash_signatures(spark, sf_dir):
     WITH sh AS ({_SHINGLES_SQL}),
     sig AS (
       SELECT doc_id,
-             {", ".join(f"min({_MH_HASH.format(seed=i)}) AS mh_{i}" for i in range(8))}
+             {", ".join(f"min({_mh_hash(i)}) AS mh_{i}" for i in range(8))}
       FROM sh GROUP BY doc_id),
     banded AS (
       {" UNION ALL ".join(
