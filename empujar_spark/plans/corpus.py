@@ -2270,6 +2270,148 @@ def mixture_sample(spark, sf_dir):
     return C.mixture_sample(docs, MIXTURE_WEIGHTS).select("doc_id", "source")
 
 
+@q(
+    "source_overlap",
+    r"""
+    WITH nt AS (SELECT doc_id,
+                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+                FROM documents),
+    g AS (SELECT doc_id, unnest(list_transform(
+                 generate_series(1, length(nt) - 7), i -> substr(nt, i, 8))) AS g
+          FROM nt WHERE length(nt) >= 8),
+    fp AS (SELECT DISTINCT doc_id,
+                  CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) AS fp
+           FROM g),
+    sf AS (SELECT DISTINCT d.source, f.fp
+           FROM fp f JOIN documents d ON f.doc_id = d.doc_id
+           WHERE f.fp % 8 = 0)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM sf a JOIN sf b ON a.fp = b.fp AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def source_overlap(spark, sf_dir):
+    """Cross-source duplicate-overlap matrix: for every pair of corpus
+    sources, how many distinct 0-mod-p rolling-hash fingerprints
+    (operators/text.py modp_fingerprints) they share — the
+    domain-contamination heat map a curation pipeline reads before
+    setting mixture weights. Plan shape: distinct (source, fp) pairs meet
+    in a fingerprint equi-join; per-fp fan-out is bounded by the source
+    count (≤ 20²), so the join cannot skew regardless of how common a
+    passage is — the 100 TB-safe shape."""
+    docs = load(spark, sf_dir, "documents")
+    fps = X.modp_fingerprints(docs, k=8, p=8)
+    tagged = (
+        fps.join(docs.select("doc_id", "source"), "doc_id")
+        .select("source", "fp")
+        .distinct()
+    )
+    a = tagged.select(F.col("source").alias("source_a"), "fp")
+    b = tagged.select(F.col("source").alias("source_b"), "fp")
+    return (
+        a.join(b, (a.fp == b.fp) & (a.source_a < b.source_b))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+
+
+_CURATE_REP_SQL = r"""
+    rt AS (SELECT doc_id,
+                  string_split(regexp_replace(trim(lower(text)), '\s+', ' ',
+                               'g'), ' ') AS toks
+           FROM documents),
+    rg AS (SELECT doc_id, unnest(list_transform(
+                  generate_series(1, len(toks) - 2),
+                  i -> array_to_string(toks[i:i+2], ' '))) AS gram
+           FROM rt WHERE len(toks) >= 3),
+    rc AS (SELECT doc_id, gram, count(*) AS cnt FROM rg GROUP BY 1, 2),
+    rs AS (SELECT doc_id, sum(cnt) AS n_grams, count(*) AS nd
+           FROM rc GROUP BY 1),
+    rep AS (SELECT d.doc_id,
+                   CASE WHEN COALESCE(rs.n_grams, 0) = 0 THEN 0.0
+                        ELSE round(1.0 - CAST(rs.nd AS DOUBLE) / rs.n_grams, 4)
+                   END AS frac_dup_ngrams
+            FROM documents d LEFT JOIN rs ON d.doc_id = rs.doc_id)
+"""
+
+
+@q(
+    "curated_corpus",
+    rf"""
+    WITH qy AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             END AS n_tokens,
+             round((length(text) -
+                    length(regexp_replace(text, '[A-Za-z]', '', 'g'))) /
+                   CAST(CASE WHEN length(text) = 0 THEN 1
+                        ELSE length(text) END AS DOUBLE), 4) AS alpha_ratio
+      FROM documents),
+    {_CURATE_REP_SQL},
+    lang AS (SELECT doc_id, lang_pred FROM ({_lang_sql()})),
+    j AS (SELECT d.doc_id, d.source, qy.n_tokens, qy.alpha_ratio,
+                 rep.frac_dup_ngrams, lang.lang_pred
+          FROM documents d
+          JOIN qy ON d.doc_id = qy.doc_id
+          JOIN rep ON d.doc_id = rep.doc_id
+          JOIN lang ON d.doc_id = lang.doc_id),
+    k AS (SELECT *, CASE WHEN n_tokens BETWEEN 10 AND 5000
+                          AND alpha_ratio >= 0.5
+                          AND frac_dup_ngrams <= 0.9
+                          AND lang_pred <> 'und'
+                     THEN 1 ELSE 0 END AS keep
+          FROM j)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN keep = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS kept_tokens,
+           round(CAST(sum(keep) AS DOUBLE) / count(*), 4) AS kept_rate
+    FROM k GROUP BY source
+    """,
+)
+def curated_corpus(spark, sf_dir):
+    """END-TO-END curation pipeline composition: quality scores ⋈
+    repetition signals ⋈ language-ID → filter chain (token range, alpha
+    ratio, dup-n-gram cap, known language) → per-source keep stats — the
+    one-pass summary a data team reads to sign off a training mixture.
+    All three operator outputs key by doc_id, so the joins co-shuffle on
+    one well-distributed key; every filter compares 4-dp rounded values
+    computed identically in the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    q_ = X.quality_score(docs).select("doc_id", "n_tokens", "alpha_ratio")
+    r_ = C.repetition_signals(docs).select("doc_id", "frac_dup_ngrams")
+    l_ = X.lang_id(docs).select("doc_id", "lang_pred")
+    j = (
+        docs.select("doc_id", "source")
+        .join(q_, "doc_id")
+        .join(r_, "doc_id")
+        .join(l_, "doc_id")
+    )
+    keep = (
+        F.col("n_tokens").between(10, 5000)
+        & (F.col("alpha_ratio") >= 0.5)
+        & (F.col("frac_dup_ngrams") <= 0.9)
+        & (F.col("lang_pred") != "und")
+    ).cast("int")
+    return (
+        j.withColumn("keep", keep)
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("keep") == 1, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_tokens"),
+            F.round(
+                F.sum("keep").cast("double") / F.count(F.lit(1)), 4
+            ).alias("kept_rate"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -2305,6 +2447,8 @@ _GATE_ORDER_FIRST = [
     "pii_redaction",
     "pack_sequences",
     "mixture_sample",
+    "source_overlap",
+    "curated_corpus",
     "streaming_sessionize",
     "streaming_user_totals",
     "streaming_dedup",
