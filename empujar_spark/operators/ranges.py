@@ -81,3 +81,60 @@ def range_join(
     # left join: a left row with N matching bins... cannot happen (one bin
     # per left row), but unmatched rows survive exactly once per the join.
     return joined.select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    start: str = "s",
+    end: str = "e",
+    bin_width: float = 600.0,
+) -> DataFrame:
+    """Join every left interval to every right interval it OVERLAPS
+    (closed intervals on a numeric axis: l.start ≤ r.end ∧ r.start ≤
+    l.end). Both inputs carry numeric ``start``/``end`` columns (callers
+    convert timestamps to epoch seconds); output is all left columns then
+    all right columns, renamed with ``_a``/``_b`` suffixes.
+
+    Scale shape: each interval explodes into its covering fixed-width
+    bins; candidates meet in a bin equi-join (never a
+    BroadcastNestedLoopJoin) with the exact overlap predicate riding
+    inside the join. A pair overlapping across several bins would
+    surface once per shared bin, so the join keeps only the FIRST
+    overlap bin — the bin of max(start_a, start_b), which both sides
+    provably cover — making each pair emit exactly once with no
+    dropDuplicates shuffle. Pick ``bin_width`` ≈ typical interval length:
+    candidates per bin stay bounded and the explode factor stays ~2.
+    """
+    w = float(bin_width)
+    a = left.select(
+        *[F.col(c).alias(f"{c}_a") for c in left.columns]
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"{start}_a") / w).cast("bigint"),
+                F.floor(F.col(f"{end}_a") / w).cast("bigint"),
+            )
+        ),
+    )
+    b = right.select(
+        *[F.col(c).alias(f"{c}_b") for c in right.columns]
+    ).withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(f"{start}_b") / w).cast("bigint"),
+                F.floor(F.col(f"{end}_b") / w).cast("bigint"),
+            )
+        ),
+    )
+    sa, ea = F.col(f"{start}_a"), F.col(f"{end}_a")
+    sb, eb = F.col(f"{start}_b"), F.col(f"{end}_b")
+    on = (
+        (a["__bin"] == b["__bin"])
+        & (sa <= eb)
+        & (sb <= ea)
+        & (a["__bin"] == F.floor(F.greatest(sa, sb) / w).cast("bigint"))
+    )
+    return a.join(b, on).drop("__bin")

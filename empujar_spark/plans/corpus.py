@@ -2271,6 +2271,46 @@ def mixture_sample(spark, sf_dir):
 
 
 @q(
+    "interval_overlap_events",
+    """
+    WITH p AS (SELECT event_id, epoch(ts) AS s, epoch(ts) + value AS e
+               FROM events WHERE event_type = 'purchase'),
+    r AS (SELECT event_id, epoch(ts) AS s, epoch(ts) + value AS e
+          FROM events WHERE event_type = 'error')
+    SELECT p.event_id AS event_id_a, r.event_id AS event_id_b,
+           round(least(p.e, r.e) - greatest(p.s, r.s), 4) AS overlap_s
+    FROM p JOIN r ON p.s <= r.e AND r.s <= p.e
+    """,
+)
+def interval_overlap_events(spark, sf_dir):
+    """Interval×interval overlap join (operators/ranges.py
+    interval_overlap_join): purchase activity windows [ts, ts+value s]
+    overlapping error windows. Bin-exploded equi-join with the exact
+    overlap predicate inside the join and first-overlap-bin dedup — no
+    BroadcastNestedLoopJoin (asserted in test_plans), where the oracle
+    spells the naive quadratic overlap join."""
+    ev = load(spark, sf_dir, "events")
+    s = F.col("ts").cast("double")
+
+    def side(t):
+        return ev.filter(F.col("event_type") == t).select(
+            "event_id", s.alias("s"), (s + F.col("value")).alias("e")
+        )
+
+    out = R.interval_overlap_join(side("purchase"), side("error"),
+                                  "s", "e", bin_width=600.0)
+    return out.select(
+        "event_id_a",
+        "event_id_b",
+        F.round(
+            F.least(F.col("e_a"), F.col("e_b"))
+            - F.greatest(F.col("s_a"), F.col("s_b")),
+            4,
+        ).alias("overlap_s"),
+    )
+
+
+@q(
     "source_overlap",
     r"""
     WITH nt AS (SELECT doc_id,
@@ -2447,6 +2487,7 @@ _GATE_ORDER_FIRST = [
     "pii_redaction",
     "pack_sequences",
     "mixture_sample",
+    "interval_overlap_events",
     "source_overlap",
     "curated_corpus",
     "streaming_sessionize",

