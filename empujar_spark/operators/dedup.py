@@ -234,6 +234,75 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     return agg.select("doc_id", fp.alias("simhash"))
 
 
+def simhash_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Hamming-LSH near-dup pairs over SimHash fingerprints: candidates
+    are docs sharing ANY of the ``bands`` equal-width bit windows of the
+    signature, exact-Hamming re-checked (``bit_count(a XOR b)``) inside
+    the join. Pigeonhole guarantee: a pair within Hamming distance
+    bands−1 MUST agree on at least one band, so recall is exact up to
+    that distance and probabilistic beyond it — the standard
+    Hamming-space LSH trade (Manku et al. 2007, the simhash web-dedup
+    paper's block-permutation idea with fixed blocks).
+
+    Plan shape: signatures explode ×bands into (band, window) keys; the
+    candidate join is a hash equi-join on those keys (never a cross
+    join); the per-pair groupBy dedups multi-band agreements and counts
+    them. All shuffles key on well-distributed hash values."""
+    sig = simhash(df, text_col, bits)
+    width = bits // bands
+    mask = (1 << width) - 1
+    bv = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("simhash"), b * width)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("val"),
+                )
+                for b in range(bands)
+            ]
+        )
+    )
+    banded = sig.select("doc_id", "simhash", bv.alias("bv")).select(
+        "doc_id", "simhash", "bv.band", "bv.val"
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("simhash").alias("sig_a"),
+        F.col("band").alias("band_a"),
+        F.col("val").alias("val_a"),
+    )
+    b2 = banded.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("simhash").alias("sig_b"),
+        F.col("band").alias("band_b"),
+        F.col("val").alias("val_b"),
+    )
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    cand = a.join(
+        b2,
+        (F.col("band_a") == F.col("band_b"))
+        & (F.col("val_a") == F.col("val_b"))
+        & (F.col("id_a") < F.col("id_b"))
+        & (ham <= max_hamming),
+    )
+    return (
+        cand.select("id_a", "id_b", ham.alias("hamming"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.min("hamming").alias("hamming"),
+            F.count(F.lit(1)).alias("n_bands_shared"),
+        )
+    )
+
+
 def near_dup_clusters(
     df: DataFrame,
     text_col: str = "text",

@@ -682,10 +682,8 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-@q(
-    "simhash",
-    """
-    WITH toks AS (
+_SIMHASH_SIG_SQL = """
+    toks AS (
       SELECT DISTINCT doc_id,
              unnest(list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+'))) AS token
       FROM documents),
@@ -696,17 +694,55 @@ def minhash_lsh_pairs(spark, sf_dir):
       SELECT doc_id, bits.b,
              sum(CASE WHEN (hv >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
       FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
-      GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)
-                AS BIGINT) AS simhash
-    FROM votes GROUP BY doc_id
-    """,
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id)
+"""
+
+
+@q(
+    "simhash",
+    f"WITH {_SIMHASH_SIG_SQL} SELECT doc_id, simhash FROM sig",
 )
 def simhash_fp(spark, sf_dir):
     """32-bit SimHash fingerprints (operators/dedup.py): token-hash bit
     votes aggregated JVM-side; near-dups = small Hamming distance."""
     return D.simhash(load(spark, sf_dir, "documents"), bits=32)
+
+
+@q(
+    "simhash_dup_pairs",
+    f"""
+    WITH {_SIMHASH_SIG_SQL},
+    banded AS (
+      SELECT doc_id, simhash, bb.b AS band,
+             (simhash >> (bb.b * 8)) & 255 AS val
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(min(bit_count(xor(a.simhash, b.simhash))) AS BIGINT)
+               AS hamming,
+           CAST(count(*) AS BIGINT) AS n_bands_shared
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    GROUP BY 1, 2
+    """,
+)
+def simhash_dup_pairs(spark, sf_dir):
+    """Hamming-LSH near-dup pairs over SimHash (operators/dedup.py
+    simhash_dup_pairs): 4×8-bit band buckets generate candidates via an
+    equi-join, exact bit_count(XOR) ≤ 1 re-check rides inside the join
+    (these synthetic docs share near-identical vocabularies, so the
+    32-bit signature space saturates above that). Recall is exact up to
+    Hamming 3 (pigeonhole over 4 bands) — the
+    oracle mirrors the banded candidate rule, so results match by
+    construction."""
+    return D.simhash_dup_pairs(
+        load(spark, sf_dir, "documents"), bits=32, bands=4, max_hamming=1
+    )
 
 
 @q(
@@ -2488,6 +2524,7 @@ _GATE_ORDER_FIRST = [
     "pack_sequences",
     "mixture_sample",
     "interval_overlap_events",
+    "simhash_dup_pairs",
     "source_overlap",
     "curated_corpus",
     "streaming_sessionize",

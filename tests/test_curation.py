@@ -94,3 +94,25 @@ def test_mixture_sample_deterministic_and_weighted(docs):
     n_src1_all = docs.filter(F.col("source") == "src1").count()
     n_src1_kept = sum(1 for r in kept if r["source"] == "src1")
     assert 0 < n_src1_kept < n_src1_all
+
+
+def test_simhash_dup_pairs_matches_bruteforce(spark, docs):
+    """Banded Hamming-LSH must find EXACTLY the brute-force pairs within
+    the pigeonhole-guaranteed radius (hamming <= bands-1)."""
+    from empujar_spark.operators import dedup as D
+
+    sub = docs.limit(200)
+    max_h = 3  # bands=4 ⇒ exact recall up to 3
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_dup_pairs(sub, bands=4, max_hamming=max_h).collect()
+    }
+    sigs = {r["doc_id"]: r["simhash"] for r in D.simhash(sub).collect()}
+    ids = sorted(sigs)
+    expected = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin(sigs[a] ^ sigs[b]).count("1")
+            if h <= max_h:
+                expected[(a, b)] = h
+    assert got == expected
