@@ -745,9 +745,7 @@ def simhash_dup_pairs(spark, sf_dir):
     )
 
 
-@q(
-    "embedding_topk",
-    """
+_BRUTE_TOPK_SQL = """
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
                FROM embeddings WHERE vec_id < 5),
     scored AS (
@@ -762,8 +760,10 @@ def simhash_dup_pairs(spark, sf_dir):
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rnk
       FROM scored) t
     WHERE rnk <= 5
-    """,
-)
+    """
+
+
+@q("embedding_topk", _BRUTE_TOPK_SQL)
 def embedding_topk(spark, sf_dir):
     """Brute-force exact cosine top-5 for query vectors (vec_id < 5) —
     operators/similarity.py. Broadcast queries; ordered double folds keep
@@ -1031,6 +1031,22 @@ def embedding_lsh_topk(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return S.lsh_topk(emb, queries, dim=64, k=5, n_planes=4)
+
+
+@q("embedding_ivf_exact", _BRUTE_TOPK_SQL)
+def embedding_ivf_exact(spark, sf_dir):
+    """IVF ANN at nprobe = n_centroids, hash-checked against the
+    BRUTE-FORCE oracle: with every inverted list probed the candidate set
+    is provably complete, so the index must reproduce exact top-k —
+    driver-verified evidence for the recall claim the approximate entries
+    (embedding_ivf_topk, nprobe=4) rely on. Same probe-join plan either
+    way; only nprobe changes."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.ivf_topk(
+        emb, queries, k=5, n_centroids=16, nprobe=16,
+        centroids=_ivf_centroids(spark, sf_dir, 16),
+    )
 
 
 # IVF coarse quantizers, trained once per (session, table, n_centroids):
@@ -2525,6 +2541,7 @@ _GATE_ORDER_FIRST = [
     "mixture_sample",
     "interval_overlap_events",
     "simhash_dup_pairs",
+    "embedding_ivf_exact",
     "source_overlap",
     "curated_corpus",
     "streaming_sessionize",
