@@ -856,6 +856,75 @@ class Warehouse:
             self.target_partitions = saved_target
         return n_files
 
+    # ------------------------------------------------------- snapshots
+    def _snapshot_dir(self, table: str, tag: str) -> str:
+        if "/" in tag or tag.startswith("."):
+            raise ValueError(f"bad snapshot tag {tag!r}")
+        return os.path.join(self._table_dir(table), "snapshots", tag)
+
+    def snapshot(self, table: str, tag: str) -> str:
+        """Zero-copy table snapshot: hardlink-clone the current data files
+        plus a frozen copy of the table meta under ``snapshots/<tag>``.
+
+        Parquet data files are immutable here (every write stages a NEW
+        file set and swaps directories), so hardlinks give true snapshot
+        isolation at O(n_files) metadata cost and zero extra bytes — the
+        same trick Delta/Iceberg get from their manifest layer, done
+        directly on the directory layout. Later upserts/compactions swap
+        in new files and the snapshot's links keep the old inodes alive;
+        ``vacuum`` never touches ``snapshots/``."""
+        if not self.table_exists(table):
+            raise TableNotFound(table)
+        dst = self._snapshot_dir(table, tag)
+        if os.path.isdir(dst):
+            raise ValueError(f"snapshot {tag!r} already exists for {table}")
+        src = self._data_dir(table)
+        with self._lock:
+            data_dst = os.path.join(dst, "data")
+            for dp, dirs, files in os.walk(src):
+                rel = os.path.relpath(dp, src)
+                tgt = data_dst if rel == "." else os.path.join(data_dst, rel)
+                os.makedirs(tgt, exist_ok=True)
+                for f in files:
+                    os.link(os.path.join(dp, f), os.path.join(tgt, f))
+            shutil.copyfile(
+                self._meta_path(table), os.path.join(dst, "meta.json")
+            )
+        return dst
+
+    def list_snapshots(self, table: str) -> list[str]:
+        root = os.path.join(self._table_dir(table), "snapshots")
+        if not os.path.isdir(root):
+            return []
+        return sorted(os.listdir(root))
+
+    def read_snapshot(self, table: str, tag: str) -> DataFrame:
+        """Read a table as of a snapshot — time travel for audits and
+        reproducible training runs (pin the corpus a model trained on)."""
+        dst = self._snapshot_dir(table, tag)
+        if not os.path.isdir(dst):
+            raise TableNotFound(f"{table}@{tag}")
+        with open(os.path.join(dst, "meta.json")) as fh:
+            meta = json.load(fh)
+        return self.spark.read.schema(self._physical_schema(meta)).parquet(
+            os.path.join(dst, "data")
+        )
+
+    def restore_snapshot(self, table: str, tag: str) -> None:
+        """Roll the live table back to a snapshot (stage-and-swap, so
+        readers never see a half-restored table; the snapshot remains)."""
+        df = self.read_snapshot(table, tag)
+        dst = self._snapshot_dir(table, tag)
+        with open(os.path.join(dst, "meta.json")) as fh:
+            meta = json.load(fh)
+        self._save_meta(table, meta)
+        self._write(table, df, meta)
+
+    def drop_snapshot(self, table: str, tag: str) -> None:
+        dst = self._snapshot_dir(table, tag)
+        if os.path.isdir(dst):
+            shutil.rmtree(dst, ignore_errors=True)
+
     def vacuum(self) -> list[str]:
         """Remove leftover ``.staging-*`` / ``.old-*`` directories from
         writes that crashed between stage and swap. Safe anytime: live

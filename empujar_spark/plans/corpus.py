@@ -2129,6 +2129,45 @@ def partitioned_prune(spark, sf_dir):
     )
 
 
+_SNAP_WH: dict = {}
+
+
+@q(
+    "snapshot_read",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def snapshot_read(spark, sf_dir):
+    """Zero-copy snapshot time travel (catalog.py snapshot/read_snapshot):
+    load orders, snapshot, then UPSERT mutated rows over the live table —
+    reading the snapshot must return the ORIGINAL data byte-for-byte
+    (the oracle is the untouched source table). Hardlink clones of
+    immutable staged parquet: Delta/Iceberg-style pinning for
+    reproducible training runs, at zero copy cost."""
+    import tempfile
+
+    from empujar_spark.catalog import Warehouse
+
+    key = (id(spark), sf_dir)
+    if key not in _SNAP_WH:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="snap-wh-"),
+                       primary_key="o_orderkey")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        wh.insert_data("orders", orders, merge_key="o_orderkey")
+        wh.snapshot("orders", "v1")
+        mutated = orders.limit(500).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        wh.insert_data("orders", mutated, merge_key="o_orderkey")
+        _SNAP_WH[key] = wh
+    return _SNAP_WH[key].read_snapshot("orders", "v1").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 @q(
     "unpivot_metrics",
     """
@@ -2542,6 +2581,7 @@ _GATE_ORDER_FIRST = [
     "interval_overlap_events",
     "simhash_dup_pairs",
     "embedding_ivf_exact",
+    "snapshot_read",
     "source_overlap",
     "curated_corpus",
     "streaming_sessionize",

@@ -476,3 +476,38 @@ def test_dump_logs_progress_cadence(spark, tmp_path):
         progress_interval_s=0.05, progress_log=seen.append,
     )
     assert any("out.csv" in m for m in seen)  # at least one cadence tick
+
+
+def test_snapshot_time_travel_and_restore(spark, tmp_path):
+    """Zero-copy snapshots: isolation from later upserts AND from
+    compaction (hardlinked parquet is immutable); restore rolls back;
+    vacuum leaves snapshots alone."""
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    wh.insert_data("t", df1, merge_key="id")
+    wh.snapshot("t", "before")
+    assert wh.list_snapshots("t") == ["before"]
+
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], ["id", "v"])
+    wh.insert_data("t", df2, merge_key="id")
+    assert {tuple(r) for r in wh.read("t").collect()} == {
+        (1, "a"), (2, "B"), (3, "c")}
+    assert {tuple(r) for r in wh.read_snapshot("t", "before").collect()} == {
+        (1, "a"), (2, "b")}
+
+    wh.compact("t")
+    wh.vacuum()
+    assert {tuple(r) for r in wh.read_snapshot("t", "before").collect()} == {
+        (1, "a"), (2, "b")}
+
+    wh.restore_snapshot("t", "before")
+    assert {tuple(r) for r in wh.read("t").collect()} == {(1, "a"), (2, "b")}
+    assert wh.list_snapshots("t") == ["before"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        wh.snapshot("t", "before")
+    wh.drop_snapshot("t", "before")
+    assert wh.list_snapshots("t") == []
