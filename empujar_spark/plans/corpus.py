@@ -1399,6 +1399,45 @@ def streaming_user_totals(spark, sf_dir):
     )
 
 
+_CDC_WH: dict = {}
+
+
+@q(
+    "streaming_cdc_upsert",
+    """
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+)
+def streaming_cdc_upsert(spark, sf_dir):
+    """Micro-batch CDC into the Warehouse (stream_ops.stream_upsert:
+    foreachBatch → insert_data upsert, the reference's ON DUPLICATE KEY
+    loop as a stream sink, mysql.js:258-393). event_id is unique, so the
+    warehouse's final state must equal the source exactly — what's under
+    test is that the stream→merge path neither drops, duplicates, nor
+    mangles rows across micro-batches."""
+    import tempfile
+
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.streaming import stream_ops as SO
+
+    key = (id(spark), sf_dir)
+    if key not in _CDC_WH:
+        wh = Warehouse(spark, tempfile.mkdtemp(prefix="cdc-wh-"),
+                       primary_key="event_id")
+        ev = SO.read_events_stream(spark, sf_dir).select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        q_ = SO.stream_upsert(ev, wh, "events_cdc", key="event_id")
+        try:
+            q_.processAllAvailable()
+        finally:
+            q_.stop()
+        _CDC_WH[key] = wh
+    return _CDC_WH[key].read("events_cdc").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+
+
 @q(
     "streaming_dedup",
     """
@@ -2587,6 +2626,7 @@ _GATE_ORDER_FIRST = [
     "streaming_sessionize",
     "streaming_user_totals",
     "streaming_dedup",
+    "streaming_cdc_upsert",
     "streaming_hourly_events",
 ]
 _GATE_ORDER_LAST = [
