@@ -2628,6 +2628,11 @@ _GATE_ORDER_FIRST = [
     "streaming_dedup",
     "streaming_cdc_upsert",
     "streaming_hourly_events",
+    # r1 hash-fails (HUGEINT oracle casts) — the fixes need driver rows
+    "simhash",
+    "profile_table",
+    "pivot_status",
+    "sessionize",
 ]
 _GATE_ORDER_LAST = [
     "streaming_join_events",
