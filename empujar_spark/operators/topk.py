@@ -1,0 +1,66 @@
+"""Bounded-shuffle exact top-k per group.
+
+The standard window formulation (row_number over partitionBy(group)
+orderBy(value)) shuffles and sorts EVERY input row — at 100 TB the sort
+exchange is the whole cost even though only k × |groups| rows survive.
+Spark's public aggregate surface has no bounded-state top-k accumulator
+(collect_list partials carry the full list through the exchange), so the
+pre-shuffle truncation is exactly the case the task reserves for an
+Arrow-batched kernel: a ``mapInPandas`` head-k per batch prunes the input
+to ≤ batches × |groups| × k rows with zero shuffle, and the exact window
+then runs on that sliver.
+
+Lossless by construction: if row r is in group g's GLOBAL top k, then
+fewer than k rows of g beat it anywhere — in particular inside r's own
+Arrow batch — so r survives the batch cut; the final window re-ranks the
+survivors exactly.
+
+Determinism contract: total order (value desc/asc, id asc) — identical to
+the ANSI row_number twin in plans/corpus.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def grouped_topk(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    id_col: str,
+    k: int = 3,
+    ascending: bool = False,
+) -> DataFrame:
+    """Exact top-k rows per group, ties broken by ``id_col`` ascending.
+
+    Output: group_cols + id_col + order_col + rnk (1-based). The plan is
+    MapInPandas (per-batch head-k, no shuffle) → one tiny window; the
+    exchange moves only the per-batch heads (plan-asserted in
+    test_plans: the Window's input is the pruned kernel output).
+    """
+    cols = [*group_cols, id_col, order_col]
+    src = df.select(*cols)
+    schema = src.schema
+    asc_flags = [True] * len(group_cols) + [ascending, True]
+
+    def head_k(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            yield (
+                pdf.sort_values(by=[*group_cols, order_col, id_col],
+                                ascending=asc_flags, kind="mergesort")
+                .groupby(list(group_cols), sort=False)
+                .head(k)
+            )
+
+    pruned = src.mapInPandas(head_k, schema)
+    order = F.col(order_col) if ascending else F.col(order_col).desc()
+    w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col).asc())
+    return (
+        pruned.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(*group_cols, id_col, order_col, "rnk")
+    )

@@ -301,6 +301,32 @@ def topk_per_group(spark, sf_dir):
 
 
 @q(
+    "topk_partial_agg",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, rnk FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def topk_partial_agg(spark, sf_dir):
+    """Bounded-shuffle exact top-k (operators/topk.py grouped_topk): an
+    Arrow head-k kernel prunes each batch to ≤ |groups|×k rows BEFORE any
+    exchange, then a window ranks the sliver — same exact answer as the
+    every-row window sort in `topk_per_group` (identical oracle), with
+    shuffle volume independent of table size. The shape that matters when
+    the table is 100 TB and the answer is 15 rows."""
+    from empujar_spark.operators.topk import grouped_topk
+
+    o = load(spark, sf_dir, "orders")
+    return grouped_topk(
+        o, ["o_orderpriority"], "o_totalprice", "o_orderkey", k=3
+    )
+
+
+@q(
     "rollup_agg",
     """
     SELECT l_returnflag, l_linestatus,
@@ -2621,6 +2647,7 @@ _GATE_ORDER_FIRST = [
     "simhash_dup_pairs",
     "embedding_ivf_exact",
     "snapshot_read",
+    "topk_partial_agg",
     "source_overlap",
     "curated_corpus",
     "streaming_sessionize",

@@ -116,3 +116,26 @@ def test_simhash_dup_pairs_matches_bruteforce(spark, docs):
             if h <= max_h:
                 expected[(a, b)] = h
     assert got == expected
+
+
+def test_grouped_topk_partition_invariant_with_ties(spark):
+    """Bounded top-k must equal the window answer under adversarial
+    partitioning, including exact value ties broken by id."""
+    from empujar_spark.operators.topk import grouped_topk
+
+    rows = [(g, i, float(v)) for g in ("a", "b")
+            for i, v in enumerate([5, 5, 5, 3, 3, 9, 1, 9, 9, 2])]
+    df = spark.createDataFrame(rows, ["g", "id", "v"])
+    expected = {
+        ("a", 5, 9.0, 1), ("a", 7, 9.0, 2), ("a", 8, 9.0, 3),
+        ("b", 5, 9.0, 1), ("b", 7, 9.0, 2), ("b", 8, 9.0, 3),
+    }
+    for parts in (1, 3, 20):
+        got = {tuple(r) for r in
+               grouped_topk(df.repartition(parts), ["g"], "v", "id", k=3).collect()}
+        assert got == expected, parts
+    # ascending variant
+    asc = {tuple(r) for r in
+           grouped_topk(df, ["g"], "v", "id", k=2, ascending=True).collect()}
+    assert asc == {("a", 6, 1.0, 1), ("a", 9, 2.0, 2),
+                   ("b", 6, 1.0, 1), ("b", 9, 2.0, 2)}

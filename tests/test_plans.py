@@ -177,6 +177,15 @@ def test_partitioned_prune_selects_one_directory(spark):
     assert pf and "event_type" in pf[0]
 
 
+def test_topk_partial_prunes_before_window(spark):
+    """The head-k Arrow kernel must sit BELOW the window's exchange —
+    the shuffle then carries per-batch heads, not the table."""
+    plan = plan_of(spark, "topk_partial_agg")
+    assert "MapInPandas" in plan and "Window" in plan
+    # kernel (child) appears after the window node in the plan tree print
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
 def test_interval_overlap_no_nested_loop(spark):
     """Interval×interval overlap must be the bin equi-join, not a
     BroadcastNestedLoopJoin over the raw overlap predicate."""
