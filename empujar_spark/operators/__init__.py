@@ -17,6 +17,7 @@ from empujar_spark.operators import (  # noqa: F401
     similarity,
     skew,
     text,
+    topk,
 )
 
 __all__ = [
@@ -29,4 +30,5 @@ __all__ = [
     "similarity",
     "skew",
     "text",
+    "topk",
 ]
