@@ -229,7 +229,7 @@ def drain_to_memory(
     df: DataFrame,
     name: str,
     output_mode: str = "append",
-    state_partitions: int = 8,
+    state_partitions: int = 4,
     timeout_s: float = 240.0,
 ) -> DataFrame:
     """Drain a (possibly stateful) stream into a memory table and return it.
@@ -237,7 +237,7 @@ def drain_to_memory(
     Stateful operators commit one state store PER shuffle partition PER
     micro-batch — with the batch-sized default (32+) the commit overhead
     dwarfs the work for any state that fits a handful of stores (a
-    stream-stream join here runs 4× faster at 8 partitions, identical
+    stream-stream join here runs 4-5× faster at 4 partitions, identical
     rows). The partition count binds at query START, so it's set just for
     the stream and restored after; on a real cluster size it to state
     volume, not to the batch shuffle default.
