@@ -44,6 +44,13 @@ def grouped_topk(
     src = df.select(*cols)
     schema = src.schema
     asc_flags = [True] * len(group_cols) + [ascending, True]
+    # NULL alignment with the Spark window below (and its ANSI twin):
+    # Spark orders nulls FIRST on ascending and LAST on descending — pandas
+    # sorts NaN last unconditionally, so pin na_position to the Spark rule
+    # or an ascending null-valued row that should rank 1 gets pruned by the
+    # batch head-k. Likewise pandas groupby drops NaN keys by default,
+    # which would silently delete whole null-keyed groups pre-window.
+    na_position = "first" if ascending else "last"
 
     def head_k(batches):
         for pdf in batches:
@@ -51,13 +58,18 @@ def grouped_topk(
                 continue
             yield (
                 pdf.sort_values(by=[*group_cols, order_col, id_col],
-                                ascending=asc_flags, kind="mergesort")
-                .groupby(list(group_cols), sort=False)
+                                ascending=asc_flags, kind="mergesort",
+                                na_position=na_position)
+                .groupby(list(group_cols), sort=False, dropna=False)
                 .head(k)
             )
 
     pruned = src.mapInPandas(head_k, schema)
-    order = F.col(order_col) if ascending else F.col(order_col).desc()
+    order = (
+        F.col(order_col).asc_nulls_first()
+        if ascending
+        else F.col(order_col).desc_nulls_last()
+    )
     w = Window.partitionBy(*group_cols).orderBy(order, F.col(id_col).asc())
     return (
         pruned.withColumn("rnk", F.row_number().over(w))

@@ -2611,16 +2611,55 @@ def curated_corpus(spark, sf_dir):
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
-# The correctness gate walks CORPUS in registration order and may stop
-# early (round 1 recorded exactly 50 of 63 rows, cutting off right before
-# the stream-stream join). Order by evidence value so a truncated run
-# still lands the rows that matter: flagship + previously-unrecorded
-# batch queries first, the remaining oracle-paired batch corpus next,
-# then streaming, with the rows-only (no-oracle) entries last.
+# The correctness gate walks CORPUS in registration order and records at
+# most ~50 rows per round. Order by evidence value so a truncated run
+# still lands the rows that matter. Round-3 rotation (VERDICT r2 item 1):
+#   1. streaming_join_events — the ONLY oracle-paired query with zero
+#      driver evidence in either round (the r1 gate died in front of it;
+#      the drain watchdog at stream_ops.py makes it gate-safe now).
+#   2. The 28 entries whose only green row is from round 1 (stale —
+#      evidence is two rounds old by judging time).
+#   3. Anything NOT pinned below — i.e. corpus entries added THIS round,
+#      which have no evidence yet — lands here automatically.
+#   4. The 50 entries proven green in round 2 (freshest evidence).
+#   5. The 6 rows-only (no-oracle) entries the driver can never hash.
 
 _GATE_ORDER_FIRST = [
+    "streaming_join_events",
+    # --- green in r1 only; no r2 row (gate 50-cap) — refresh these ---
+    "asof_join_events",
+    "bpe_token_count",
+    "cube_agg",
+    "date_funcs_monthly",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_topk",
+    "frame_sample",
+    "hash_sample",
+    "hourly_events",
+    "image_resize",
+    "json_extract",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multimodal_meta",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "quantiles",
+    "set_ops",
+    "skew_salted_agg",
+    "string_funcs",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count",
+    "user_event_profile",
+    "window_rank_funcs",
+    "window_running_sum",
+]
+# Green in CORRECTNESS_r02.json — freshest evidence, so they yield their
+# gate slots to never-checked and stale entries.
+_GATE_ORDER_R2_PROVEN = [
     "q1_pricing_summary",
-    # r1 recorded no rows for these (gate truncated at 50) — evidence-first
     "q5_local_supplier_volume",
     "q14_promo_share",
     "global_topk",
@@ -2631,7 +2670,6 @@ _GATE_ORDER_FIRST = [
     "bucketed_join_agg",
     "near_dup_clusters",
     "embedding_dup_pairs",
-    # round-2 additions: zero driver evidence yet — before the r1-proven block
     "stratified_split",
     "benchmark_contamination",
     "modp_fingerprints",
@@ -2655,14 +2693,24 @@ _GATE_ORDER_FIRST = [
     "streaming_dedup",
     "streaming_cdc_upsert",
     "streaming_hourly_events",
-    # r1 hash-fails (HUGEINT oracle casts) — the fixes need driver rows
     "simhash",
     "profile_table",
     "pivot_status",
     "sessionize",
+    "max_watermark",
+    "count_table",
+    "watermark_extract",
+    "correlated_count",
+    "join_groupby_sum",
+    "dedup_keep_latest",
+    "dedup_all_columns",
+    "merge_upsert",
+    "topk_per_group",
+    "rollup_agg",
+    "anti_join",
+    "semi_join",
 ]
 _GATE_ORDER_LAST = [
-    "streaming_join_events",
     "image_features",
     "audio_features",
     "embedding_lsh_topk",
@@ -2673,9 +2721,13 @@ _GATE_ORDER_LAST = [
 
 
 def _gate_ordered() -> dict[str, Query]:
-    pinned = set(_GATE_ORDER_FIRST) | set(_GATE_ORDER_LAST)
-    middle = [n for n in CORPUS if n not in pinned]
-    order = _GATE_ORDER_FIRST + middle + _GATE_ORDER_LAST
+    pinned = (
+        set(_GATE_ORDER_FIRST)
+        | set(_GATE_ORDER_R2_PROVEN)
+        | set(_GATE_ORDER_LAST)
+    )
+    middle = [n for n in CORPUS if n not in pinned]  # new this round
+    order = _GATE_ORDER_FIRST + middle + _GATE_ORDER_R2_PROVEN + _GATE_ORDER_LAST
     missing = [n for n in order if n not in CORPUS]
     assert not missing, f"gate order names unknown queries: {missing}"
     assert len(order) == len(CORPUS)
