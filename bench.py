@@ -120,17 +120,22 @@ def main() -> None:
     etl_pipeline(spark)
     timings["etl_pipeline"] = round(time.monotonic() - t0, 3)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "corpus_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_of(SF_DIR),
-            }
-        )
+    payload = {
+        "metric": "corpus_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_of(SF_DIR),
+    }
+    line = json.dumps(payload)
+    # Persist the full result in-repo: the driver's stdout capture has
+    # truncated the per-query tail before, so keep a canonical copy.
+    out_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )
+    with open(out_path, "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

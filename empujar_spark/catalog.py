@@ -411,6 +411,7 @@ class Warehouse:
         merge_on_duplicates: bool = True,
         merge_key: str | list[str] | None = None,
         dedup_keep: str = "last",
+        dedup_order_col: str | None = None,
     ) -> int:
         """Adaptive load (mysql.js:258-393 / snowflake.js:254-426).
 
@@ -421,8 +422,10 @@ class Warehouse:
         Spark-era extension. ``dedup_keep`` picks which row survives when
         the INCOMING batch itself repeats a key: 'last' (MySQL ON DUPLICATE
         semantics, the default) or 'first' (Snowflake's createtemporaryTable
-        insert-order guard, snowflake.js:617-636). Returns the number of
-        incoming rows written."""
+        insert-order guard, snowflake.js:617-636). ``dedup_order_col``
+        names the column that DEFINES first/last — pass it whenever
+        ``data`` is a DataFrame that has been shuffled (see _dedup_batch).
+        Returns the number of incoming rows written."""
         key = _as_key_list(merge_key or self.primary_key)
         if not self.table_exists(table):
             existing_types = None
@@ -434,7 +437,9 @@ class Warehouse:
         if not self.table_exists(table):
             # upsert semantics still apply within the creating batch itself
             if merge_on_duplicates and all(k in incoming for k in key):
-                df = self._dedup_batch(df, key, keep=dedup_keep)
+                df = self._dedup_batch(
+                    df, key, keep=dedup_keep, order_col=dedup_order_col
+                )
             self._create_table(table, df, incoming)
             return self.table_size(table)
 
@@ -447,7 +452,9 @@ class Warehouse:
 
         table_cols = [c["name"] for c in meta["columns"]]
         if merge_on_duplicates and all(k in table_cols for k in key):
-            new_df = self._dedup_batch(new_df, key, keep=dedup_keep)
+            new_df = self._dedup_batch(
+                new_df, key, keep=dedup_keep, order_col=dedup_order_col
+            )
             # broadcast the (typically small) incremental batch for the
             # anti-join so the big stored table never shuffles
             kept = existing.join(
@@ -462,17 +469,34 @@ class Warehouse:
 
     @staticmethod
     def _dedup_batch(
-        df: DataFrame, key: str | list[str], keep: str = "last"
+        df: DataFrame,
+        key: str | list[str],
+        keep: str = "last",
+        order_col: str | None = None,
     ) -> DataFrame:
         """In-batch dedup by merge key. The reference differs per backend:
         Snowflake keeps the FIRST row per key (snowflake.js:617-636,
         mapOfMergeKeys insert-order guard), MySQL ON DUPLICATE keeps the
-        LAST. ``keep`` selects either semantic; position within the batch
-        is a monotonic id, so both orders are deterministic."""
+        LAST. ``keep`` selects either semantic.
+
+        ORDER CONTRACT: "first"/"last" needs an order to be meaningful.
+        ``order_col`` names the column that defines it (e.g. an updated_at
+        watermark); ties fall back to physical position. Without
+        ``order_col``, position alone decides — that is the row-list /
+        insert-order semantic of the reference, deterministic for
+        createDataFrame(list) inputs and narrow-lineage reads, but NOT for
+        a DataFrame that has been shuffled (join/groupBy reorder rows, so
+        monotonically_increasing_id() encodes an arbitrary partition
+        layout). Shuffled inputs must pass ``order_col``."""
         if keep not in ("first", "last"):
             raise ValueError(f"keep must be 'first' or 'last', got {keep!r}")
-        pos = F.col("__pos").desc() if keep == "last" else F.col("__pos").asc()
-        w = Window.partitionBy(*_as_key_list(key)).orderBy(pos)
+        last = keep == "last"
+        pos = F.col("__pos").desc() if last else F.col("__pos").asc()
+        order = [pos]
+        if order_col is not None:
+            o = F.col(order_col)
+            order = [o.desc_nulls_last() if last else o.asc_nulls_first(), pos]
+        w = Window.partitionBy(*_as_key_list(key)).orderBy(*order)
         return (
             df.withColumn("__pos", F.monotonically_increasing_id())
             .withColumn("__rn", F.row_number().over(w))

@@ -64,7 +64,24 @@ def grouped_topk(
                 .head(k)
             )
 
-    pruned = src.mapInPandas(head_k, schema)
+    # Losslessness hazards: pandas float64 cannot tell Spark NULL from
+    # Spark NaN, and the two sort DIFFERENTLY in Spark (NaN is GREATEST —
+    # desc puts NaN first but nulls last; asc puts nulls first but NaN
+    # last). A NaN-valued row the window would rank #1 could therefore be
+    # cut by the batch head-k; a NULL id breaks the pandas tie-break the
+    # same way. Route those rows AROUND the prefilter straight into the
+    # exact window — they are rare in real data, so the bounded-shuffle
+    # property is preserved (a pathological all-NaN input degrades
+    # gracefully to the plain window plan, still exact).
+    order_f = src.schema[order_col].dataType.typeName() in ("double", "float")
+    hazard = F.col(id_col).isNull() | F.col(order_col).isNull()
+    if order_f:
+        hazard = hazard | F.isnan(F.col(order_col))
+    pruned = (
+        src.filter(~hazard)
+        .mapInPandas(head_k, schema)
+        .unionByName(src.filter(hazard))
+    )
     order = (
         F.col(order_col).asc_nulls_first()
         if ascending

@@ -51,12 +51,22 @@ TABLES = [
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark cannot read
-        # natively: read nanos-as-long and floor to microseconds (DuckDB's
-        # reader truncates to micros the same way).
+        # events.ts has shipped as both TIMESTAMP(NANOS) (which Spark can
+        # only read via the nanos-as-long legacy flag, floored to micros the
+        # way DuckDB's reader truncates) and plain timestamp[us]. Branch on
+        # the type the scan actually produces; anything else fails loudly
+        # rather than silently shifting every event time.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # TIMESTAMP(NANOS) read as raw int64 nanos
+            return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if ts_type in ("timestamp", "timestamp_ntz"):
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        raise TypeError(
+            f"events.ts read as {ts_type!r}; expected bigint (nanos) or "
+            "timestamp[_ntz] — testdata format changed, update load()"
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -2613,73 +2623,30 @@ def curated_corpus(spark, sf_dir):
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round. Order by evidence value so a truncated run
-# still lands the rows that matter. Round-3 rotation (VERDICT r2 item 1):
-#   1. streaming_join_events — the ONLY oracle-paired query with zero
-#      driver evidence in either round (the r1 gate died in front of it;
-#      the drain watchdog at stream_ops.py makes it gate-safe now).
-#   2. The 28 entries whose only green row is from round 1 (stale —
-#      evidence is two rounds old by judging time).
-#   3. Anything NOT pinned below — i.e. corpus entries added THIS round,
-#      which have no evidence yet — lands here automatically.
-#   4. The 50 entries proven green in round 2 (freshest evidence).
-#   5. The 6 rows-only (no-oracle) entries the driver can never hash.
+# still lands the rows that matter. Round-5 rotation (VERDICT r4 item 3):
+#   1. The 29 oracle-paired entries with no r3/r4 row (last green r2) —
+#      the §2.4 core queries among them are two rounds stale.
+#   2. The 10 entries that erred or mismatched in r4 on the events
+#      timestamp regression — fixed this round, need fresh green proof.
+#   3. Anything NOT pinned below — corpus entries added THIS round.
+#   4. The 6 rows-only (no-oracle) entries the driver can never hash.
+#   5. The entries proven green in r4 (freshest evidence) yield slots.
 
 _GATE_ORDER_FIRST = [
-    "streaming_join_events",
-    # --- green in r1 only; no r2 row (gate 50-cap) — refresh these ---
-    "asof_join_events",
-    "bpe_token_count",
-    "cube_agg",
-    "date_funcs_monthly",
-    "dedup_exact",
-    "doc_fingerprint",
-    "embedding_topk",
-    "frame_sample",
-    "hash_sample",
-    "hourly_events",
-    "image_resize",
-    "json_extract",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "multimodal_meta",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "quantiles",
-    "set_ops",
-    "skew_salted_agg",
-    "string_funcs",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_count",
-    "user_event_profile",
-    "window_rank_funcs",
-    "window_running_sum",
-]
-# Green in CORRECTNESS_r02.json — freshest evidence, so they yield their
-# gate slots to never-checked and stale entries.
-_GATE_ORDER_R2_PROVEN = [
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q14_promo_share",
-    "global_topk",
-    "time_rollup_hierarchy",
-    "range_join_events",
-    "incremental_rollup",
-    "scd2_history",
-    "bucketed_join_agg",
-    "near_dup_clusters",
-    "embedding_dup_pairs",
-    "stratified_split",
-    "benchmark_contamination",
-    "modp_fingerprints",
-    "histogram_price",
-    "event_value_trend",
-    "partitioned_prune",
-    "unpivot_metrics",
-    "repetition_signals",
-    "pii_redaction",
-    "pack_sequences",
+    # --- green in r2 only; no r3/r4 row (gate 50-cap) — refresh these ---
+    "max_watermark",
+    "count_table",
+    "watermark_extract",
+    "correlated_count",
+    "join_groupby_sum",
+    "dedup_keep_latest",
+    "dedup_all_columns",
+    "merge_upsert",
+    "topk_per_group",
+    "rollup_agg",
+    "anti_join",
+    "semi_join",
+    "sessionize",
     "mixture_sample",
     "interval_overlap_events",
     "simhash_dup_pairs",
@@ -2696,21 +2663,22 @@ _GATE_ORDER_R2_PROVEN = [
     "simhash",
     "profile_table",
     "pivot_status",
-    "sessionize",
-    "max_watermark",
-    "count_table",
-    "watermark_extract",
-    "correlated_count",
-    "join_groupby_sum",
-    "dedup_keep_latest",
-    "dedup_all_columns",
-    "merge_upsert",
-    "topk_per_group",
-    "rollup_agg",
-    "anti_join",
-    "semi_join",
+    # --- broken by the events timestamp regression in r3/r4, fixed this
+    #     round — need fresh green rows proving the fix ---
+    "streaming_join_events",
+    "asof_join_events",
+    "hourly_events",
+    "json_extract",
+    "skew_salted_agg",
+    "user_event_profile",
+    "time_rollup_hierarchy",
+    "range_join_events",
+    "event_value_trend",
+    "partitioned_prune",
 ]
-_GATE_ORDER_LAST = [
+# Rows-only (no-oracle) entries: weaker check, keep them inside the
+# ~50-row window but after everything oracle-paired and unproven.
+_GATE_ORDER_ROWS_ONLY = [
     "image_features",
     "audio_features",
     "embedding_lsh_topk",
@@ -2718,16 +2686,65 @@ _GATE_ORDER_LAST = [
     "hll_rolling_distinct",
     "approx_stats",
 ]
+# Green in CORRECTNESS_r04.json — freshest evidence, so they yield their
+# gate slots to stale and newly-fixed entries.
+_GATE_ORDER_R4_PROVEN = [
+    "bpe_token_count",
+    "cube_agg",
+    "date_funcs_monthly",
+    "dedup_exact",
+    "doc_fingerprint",
+    "embedding_topk",
+    "frame_sample",
+    "hash_sample",
+    "image_resize",
+    "lang_id",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "multimodal_meta",
+    "ngram_jaccard_capped",
+    "ngram_jaccard_pairs",
+    "quantiles",
+    "set_ops",
+    "string_funcs",
+    "text_quality",
+    "tfidf_top_terms",
+    "token_count",
+    "window_rank_funcs",
+    "window_running_sum",
+    "q1_pricing_summary",
+    "q5_local_supplier_volume",
+    "q14_promo_share",
+    "global_topk",
+    "incremental_rollup",
+    "scd2_history",
+    "bucketed_join_agg",
+    "near_dup_clusters",
+    "embedding_dup_pairs",
+    "stratified_split",
+    "benchmark_contamination",
+    "modp_fingerprints",
+    "histogram_price",
+    "unpivot_metrics",
+    "repetition_signals",
+    "pii_redaction",
+    "pack_sequences",
+]
 
 
 def _gate_ordered() -> dict[str, Query]:
     pinned = (
         set(_GATE_ORDER_FIRST)
-        | set(_GATE_ORDER_R2_PROVEN)
-        | set(_GATE_ORDER_LAST)
+        | set(_GATE_ORDER_ROWS_ONLY)
+        | set(_GATE_ORDER_R4_PROVEN)
     )
     middle = [n for n in CORPUS if n not in pinned]  # new this round
-    order = _GATE_ORDER_FIRST + middle + _GATE_ORDER_R2_PROVEN + _GATE_ORDER_LAST
+    order = (
+        _GATE_ORDER_FIRST
+        + middle
+        + _GATE_ORDER_ROWS_ONLY
+        + _GATE_ORDER_R4_PROVEN
+    )
     missing = [n for n in order if n not in CORPUS]
     assert not missing, f"gate order names unknown queries: {missing}"
     assert len(order) == len(CORPUS)

@@ -22,7 +22,12 @@ from pyspark.sql import types as T
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # TIMESTAMP(NANOS) read as long
+        # Current testdata writes ts as timestamp[us] (no timezone). The
+        # file-stream source needs an explicit schema, so a format change
+        # here surfaces as an immediate read error, not a silent unit shift
+        # (the old nanos-as-long schema once collapsed a month of events
+        # into ~43 minutes).
+        T.StructField("ts", T.TimestampNTZType()),
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
@@ -52,17 +57,16 @@ def _as_stream_dir(path: str) -> str:
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (real deployments swap in
     kafka/kinesis — the downstream operators are source-agnostic)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
     )
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
-# Sentinel event-time: 2030-01-01 UTC in nanos — far past every testdata
-# event, so the watermark it advances finalizes every real window/session.
-FLUSH_SENTINEL_NS = 1_893_456_000 * 1_000_000_000
+# Sentinel event-time: 2030-01-01 — far past every testdata event, so the
+# watermark it advances finalizes every real window/session.
+FLUSH_SENTINEL_TS = __import__("datetime").datetime(2030, 1, 1)
 FLUSH_USER_ID = -1
 
 
@@ -80,15 +84,16 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     src = f"{sf_dir}/events.parquet"
     key = src.replace("/", "_")
-    d = os.path.join(tempfile.gettempdir(), f"empujar-stream-flush-{key}")
+    # v2: cache key versioned with the sentinel schema — a dir written by an
+    # older schema generation must not be re-read with this one.
+    d = os.path.join(tempfile.gettempdir(), f"empujar-stream-flush-v2-{key}")
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)
         os.symlink(src, os.path.join(d, "events.parquet"))
         sentinel = spark.createDataFrame(
-            [(-1, FLUSH_SENTINEL_NS, FLUSH_USER_ID, "flush", 0.0, "{}")],
+            [(-1, FLUSH_SENTINEL_TS, FLUSH_USER_ID, "flush", 0.0, "{}")],
             schema=EVENTS_SCHEMA,
         )
         sentinel.coalesce(1).write.mode("overwrite").parquet(
@@ -97,7 +102,7 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.readStream.schema(EVENTS_SCHEMA).option(
         "recursiveFileLookup", "true"
     ).parquet(d)
-    return raw.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts(events: DataFrame, late: str = "10 minutes") -> DataFrame:

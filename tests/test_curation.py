@@ -139,3 +139,55 @@ def test_grouped_topk_partition_invariant_with_ties(spark):
            grouped_topk(df, ["g"], "v", "id", k=2, ascending=True).collect()}
     assert asc == {("a", 6, 1.0, 1), ("a", 9, 2.0, 2),
                    ("b", 6, 1.0, 1), ("b", 9, 2.0, 2)}
+
+
+def test_grouped_topk_nan_and_null_id_hazards(spark):
+    """NaN order values and NULL ids must not break head-k losslessness.
+
+    Spark's total order puts NaN GREATEST (desc ⇒ NaN ranks first) while
+    pandas treats NaN as missing — a batch head-k that trusted pandas
+    would cut the NaN row. grouped_topk routes such rows around the
+    prefilter; the result must equal the plain-window answer under any
+    partitioning."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from empujar_spark.operators.topk import grouped_topk
+
+    nan = float("nan")
+    rows = [
+        ("a", 1, 5.0), ("a", 2, 7.0), ("a", 3, nan), ("a", 4, 6.0),
+        ("a", None, 7.0),          # null id tied on value with id=2
+        ("b", 6, 1.0), ("b", 7, None), ("b", 8, 2.0), ("b", 9, 3.0),
+    ]
+    schema = T.StructType([
+        T.StructField("g", T.StringType()),
+        T.StructField("id", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    df = spark.createDataFrame(rows, schema)
+
+    def reference(sdf, ascending, k):
+        order = (F.col("v").asc_nulls_first() if ascending
+                 else F.col("v").desc_nulls_last())
+        w = Window.partitionBy("g").orderBy(order, F.col("id").asc())
+        return (sdf.withColumn("rnk", F.row_number().over(w))
+                .filter(F.col("rnk") <= k).select("g", "id", "v", "rnk"))
+
+    def key(r):
+        v = r["v"]
+        v = "nan" if v is not None and v != v else v
+        return (r["g"], r["id"], v, r["rnk"])
+
+    for ascending in (False, True):
+        expected = {key(r) for r in reference(df, ascending, 2).collect()}
+        for parts in (1, 4):
+            got = {key(r) for r in
+                   grouped_topk(df.repartition(parts), ["g"], "v", "id",
+                                k=2, ascending=ascending).collect()}
+            assert got == expected, (ascending, parts)
+    # sanity: descending ranks the NaN row #1 in group a (Spark semantics)
+    top = {(r["g"], r["rnk"]): r["id"]
+           for r in grouped_topk(df, ["g"], "v", "id", k=1).collect()}
+    assert top[("a", 1)] == 3

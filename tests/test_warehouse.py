@@ -511,3 +511,37 @@ def test_snapshot_time_travel_and_restore(spark, tmp_path):
         wh.snapshot("t", "before")
     wh.drop_snapshot("t", "before")
     assert wh.list_snapshots("t") == []
+
+
+def test_dedup_batch_order_col_on_shuffled_input(spark, tmp_path):
+    """first/last-wins must be defined by an explicit order column for
+    DataFrame inputs whose physical row order is a shuffle artifact —
+    monotonically_increasing_id() alone encodes partition layout, not
+    logical order (snowflake.js:617-636 contract, Spark-era extension)."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.catalog import Warehouse
+
+    rows = [(i % 10, seq, f"v{i % 10}-{seq}") for seq in range(6)
+            for i in range(10)]
+    df = (spark.createDataFrame(rows, ["id", "updated_at", "v"])
+          # adversarial physical order: shuffle + per-partition desc sort
+          .repartition(7, "v")
+          .sortWithinPartitions(F.col("updated_at").desc()))
+
+    for parts in (1, 7):
+        out = Warehouse._dedup_batch(
+            df.repartition(parts), "id", keep="last", order_col="updated_at"
+        ).collect()
+        assert len(out) == 10
+        assert all(r["updated_at"] == 5 for r in out), parts
+        first = Warehouse._dedup_batch(
+            df.repartition(parts), "id", keep="first", order_col="updated_at"
+        ).collect()
+        assert all(r["updated_at"] == 0 for r in first), parts
+
+    # end-to-end: insert_data plumbs dedup_order_col through the upsert
+    wh = Warehouse(spark, str(tmp_path / "wh-ord"), primary_key="id")
+    wh.insert_data("t", df, merge_key="id", dedup_order_col="updated_at")
+    got = {r["id"]: r["updated_at"] for r in wh.read("t").collect()}
+    assert got == {i: 5 for i in range(10)}
