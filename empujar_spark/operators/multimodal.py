@@ -64,17 +64,62 @@ def _spread(df: DataFrame) -> DataFrame:
 
 
 # --------------------------------------------------------------------- kernels
-def decode_image_stub(content: bytes) -> dict:
-    """STUB — deterministic fake image decode.
+def _parse_image_dims(content: bytes) -> tuple[int, int] | None:
+    """REAL header decode for the container formats parseable with the
+    stdlib alone: PNG (IHDR), GIF (logical screen), BMP (BITMAPINFOHEADER)
+    and JPEG (first SOF0/SOF2 marker walk). Returns (width, height) or
+    None when the payload is not a recognized image container. Full PIXEL
+    decode still needs a codec library (PIL/libvips, absent here) — but
+    width/height/metadata extraction, the common 100 TB curation filter,
+    is done for real."""
+    import struct
 
-    A real deployment replaces this with PIL/libvips inside the same
-    mapInPandas kernel (the Spark plumbing is identical). The fake derives
-    "width"/"height" from the payload bytes so tests are deterministic.
-    """
+    if len(content) < 16:
+        return None
+    if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", content[16:24])
+        return (w, h)
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", content[6:10])
+        return (w, h)
+    if content[:2] == b"BM" and len(content) >= 26:
+        w, h = struct.unpack("<ii", content[18:26])
+        return (abs(w), abs(h))  # height may be negative (top-down rows)
+    if content[:2] == b"\xff\xd8":  # JPEG: walk markers to a frame header
+        i = 2
+        while i + 9 < len(content):
+            if content[i] != 0xFF:
+                return None
+            marker = content[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            seg_len = struct.unpack(">H", content[i + 2 : i + 4])[0]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):  # SOFn (baseline/prog)
+                h, w = struct.unpack(">HH", content[i + 5 : i + 9])
+                return (w, h)
+            i += 2 + seg_len
+    return None
+
+
+def decode_image(content: bytes) -> dict:
+    """Image decode kernel: REAL width/height for PNG/GIF/BMP/JPEG headers
+    (stdlib parse, _parse_image_dims); for unrecognized payloads — e.g.
+    the synthetic testdata blobs — a deterministic fake derived from the
+    payload bytes, so tests and oracles are stable without codec libs.
+    A real deployment swaps the fallback for PIL/libvips in this same
+    kernel; the Spark plumbing above is unchanged either way."""
     if content is None:
         raise NotImplementedError("no payload")
     n = len(content)
+    dims = _parse_image_dims(content)
+    if dims is not None:
+        return {"width": dims[0], "height": dims[1], "n_bytes": n}
     return {"width": (n % 640) + 1, "height": (n % 480) + 1, "n_bytes": n}
+
+
+# Backwards-compatible name: earlier rounds exported the fake-only kernel.
+decode_image_stub = decode_image
 
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
@@ -188,18 +233,60 @@ def resize_images(
     return src.mapInPandas(kernel, RESIZED_SCHEMA)
 
 
-def decode_audio_stub(content: bytes, sample_rate: int = 16_000) -> dict:
-    """STUB — deterministic fake audio decode (a real deployment uses
-    soundfile/librosa in the same kernel). Derives duration and a fake
-    loudness from the payload bytes."""
+def _decode_wav(content: bytes) -> dict | None:
+    """REAL audio decode for RIFF/WAVE payloads via the stdlib ``wave``
+    module: true sample count, duration and PCM RMS loudness (int16/int8/
+    int32 frames, first channel). Returns None for non-WAV payloads.
+    Compressed formats (mp3/flac/ogg) still need soundfile/librosa,
+    absent in this environment."""
+    import io
+    import struct
+    import wave
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        return None
+    try:
+        with wave.open(io.BytesIO(content)) as w:
+            n = w.getnframes()
+            rate = w.getframerate() or 1
+            width = w.getsampwidth()
+            frames = w.readframes(min(n, 65_536))  # bound kernel memory
+    except (wave.Error, EOFError, struct.error):
+        return None
+    fmt = {1: "b", 2: "h", 4: "i"}.get(width)
+    rms = 0.0
+    if fmt and frames:
+        vals = struct.unpack(f"<{len(frames) // width}{fmt}", frames)
+        full = float(2 ** (8 * width - 1))
+        rms = (sum(v * v for v in vals) / len(vals)) ** 0.5 / full
+    return {
+        "duration_s": round(n / float(rate), 6),
+        "rms": round(rms, 6),
+        "n_samples": n,
+    }
+
+
+def decode_audio(content: bytes, sample_rate: int = 16_000) -> dict:
+    """Audio decode kernel: REAL duration/RMS/sample-count for WAV
+    payloads (stdlib, _decode_wav); deterministic fake derived from the
+    payload bytes otherwise (synthetic testdata blobs), keeping tests and
+    oracles stable without codec libs. A real deployment swaps the
+    fallback for soundfile/librosa in this same kernel."""
     if content is None:
         raise NotImplementedError("no payload")
+    real = _decode_wav(content) if len(content) >= 12 else None
+    if real is not None:
+        return real
     n = len(content)
     return {
         "duration_s": round(n / float(sample_rate), 6),
         "rms": round((sum(content[:256]) % 1000) / 1000.0, 6) if n else 0.0,
         "n_samples": n,
     }
+
+
+# Backwards-compatible name: earlier rounds exported the fake-only kernel.
+decode_audio_stub = decode_audio
 
 
 AUDIO_FEATURES_SCHEMA = T.StructType(

@@ -1596,6 +1596,21 @@ def embedding_dup_pairs(spark, sf_dir):
     )
 
 
+@q("embedding_dup_pairs_ann", None)
+def embedding_dup_pairs_ann(spark, sf_dir):
+    """The PRODUCTION ANN regime of embedding_dup_pairs: nprobe=8 of 32
+    lists, so each probe scans only a quarter of the corpus — the
+    sub-quadratic path the 100 TB dedup story runs on (the exact
+    nprobe=n_centroids twin above stays the oracle-checked baseline; this
+    entry exists so the approximate mode has its own bench number).
+    Approximate by construction (recall < 1 possible) → rows-only."""
+    return D.embedding_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.3, method="ivf",
+        n_centroids=32, nprobe=8,
+        centroids=_ivf_centroids(spark, sf_dir, 32),
+    )
+
+
 @q(
     "q5_local_supplier_volume",
     """

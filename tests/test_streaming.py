@@ -82,3 +82,55 @@ def test_running_user_totals_stateful(spark):
     assert set(rows) == set(batch)
     for uid, r in rows.items():
         assert r["n_events"] == batch[uid]["n_events"]
+
+
+def test_state_bounded_by_watermark(spark, tmp_path):
+    """Streaming-state honesty at scale: with sequential micro-batches the
+    watermark must EVICT finalized windows — state is O(open windows), not
+    O(all windows ever seen). Reads stateOperators.numRowsTotal from query
+    progress: the final total must be far below the number of distinct
+    (hour, event_type) windows in the whole month of events (which is what
+    an eviction-less store would hold)."""
+    import os
+
+    ev = load(spark, SF, "events")
+    n_windows_total = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+
+    # Split the month into 6 ts-ordered chunks, one file-batch each, so
+    # the watermark advances between micro-batches (single-file input =
+    # single batch = no mid-run eviction to observe).
+    src = str(tmp_path / "chunks")
+    day = F.dayofmonth("ts")
+    for i in range(6):
+        chunk = ev.filter(((day - 1) / 5).cast("int") == i)
+        chunk.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(src, f"c{i}")
+        )
+
+    stream = (
+        spark.readStream.schema(SO.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = SO.memory_sink(SO.hourly_counts(stream), "state_bound_sink")
+    try:
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p.get("stateOperators")]
+    finally:
+        q.stop()
+
+    assert progresses, "no state-operator progress recorded"
+    final = progresses[-1]["stateOperators"][0]
+    # eviction-less state would hold every window of the month
+    assert final["numRowsTotal"] < n_windows_total / 3, (
+        final["numRowsTotal"], n_windows_total,
+    )
+    # and rows really were evicted along the way, not never-added
+    assert sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+               for p in progresses) > 0
