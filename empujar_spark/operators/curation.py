@@ -48,11 +48,15 @@ def repetition_signals(
     - ``top_gram_frac``: occurrences of the modal k-gram × k / tokens
       (fraction of the doc covered by its single most repeated phrase)
 
-    Plan shape for 100 TB: token stats are pure per-row array expressions
-    (no shuffle); k-gram stats are ONE explode feeding a two-level
-    aggregation keyed by (doc_id, gram) then doc_id — high-cardinality,
-    well-distributed keys with map-side partial aggregation, then a
-    doc_id equi-join back. No window over a global ordering anywhere.
+    Plan shape for 100 TB: every stat — token AND k-gram — is a pure
+    per-row array expression, so the whole operator is a single-scan map
+    with ZERO shuffle. The k-gram stats that naively need a (doc_id,
+    gram) aggregation reduce to array ops on the per-doc gram list:
+    occurrences = size, distinct = size∘array_distinct, and the modal
+    count = longest equal-run of the SORTED gram array (one
+    ``aggregate`` fold). The previous explode design amplified each doc
+    into one row PER GRAM (~n_tokens×) through a two-level shuffle; the
+    fold does the same work partition-local inside codegen.
     """
     df = _spread(df)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
@@ -76,6 +80,8 @@ def repetition_signals(
         ),
     ).otherwise(F.array().cast("array<string>"))
 
+    # grams is referenced by three stats — own projection (same CSE rule
+    # as __toks above).
     base = tok_df.select(
         "doc_id",
         n_tok.cast("bigint").alias("n_tokens"),
@@ -83,26 +89,45 @@ def repetition_signals(
         .otherwise(F.size(F.array_distinct(toks)))
         .cast("bigint")
         .alias("n_distinct_tokens"),
-        grams.alias("grams"),
+        grams.alias("__grams"),
     )
-    gram_counts = (
-        base.select("doc_id", F.explode("grams").alias("gram"))
-        .groupBy("doc_id", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    g = F.col("__grams")
+    # Modal-gram count = longest run in the sorted gram array: one linear
+    # fold with (prev, run, max) struct state, entirely inside codegen.
+    run_state = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.lit(0).cast("bigint").alias("mx"),
     )
-    gram_stats = gram_counts.groupBy("doc_id").agg(
-        F.sum("cnt").alias("n_grams"),
-        F.count(F.lit(1)).alias("n_distinct_grams"),
-        F.max("cnt").alias("top_cnt"),
+
+    def _run_step(acc, gram):
+        run = (
+            F.when(acc["prev"].isNotNull() & (gram == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+        )
+        return F.struct(
+            gram.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["mx"], run).alias("mx"),
+        )
+
+    stats = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct_tokens",
+        F.size(g).cast("bigint").alias("n_grams"),
+        F.size(F.array_distinct(g)).cast("bigint").alias("n_distinct_grams"),
+        F.aggregate(
+            F.array_sort(g), run_state, _run_step, lambda acc: acc["mx"]
+        ).alias("top_cnt"),
     )
-    joined = base.drop("grams").join(gram_stats, "doc_id", "left")
-    ng = F.coalesce(F.col("n_grams"), F.lit(0)).cast("bigint")
-    ndg = F.coalesce(F.col("n_distinct_grams"), F.lit(0)).cast("bigint")
-    top = F.coalesce(F.col("top_cnt"), F.lit(0)).cast("bigint")
+    ng = F.col("n_grams")
+    ndg = F.col("n_distinct_grams")
+    top = F.col("top_cnt")
     safe_tok = F.when(F.col("n_tokens") == 0, F.lit(1)).otherwise(
         F.col("n_tokens")
     )
-    return joined.select(
+    return stats.select(
         "doc_id",
         "n_tokens",
         ng.alias("n_grams"),

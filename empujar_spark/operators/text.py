@@ -82,11 +82,11 @@ def _occurrences(padded: Column, marker: str) -> Column:
     ) / F.lit(len(marker))
 
 
-def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Heuristic language ID: argmax of per-language marker-word hit counts,
-    ties broken by language code order; 'und' (undetermined) when no marker
-    hits. Deterministic and SQL-twinned."""
-    padded = F.concat(F.lit(" "), F.lower(F.col(text_col)), F.lit(" "))
+def lang_cols(text: Column) -> tuple[Column, Column]:
+    """(lang_pred, marker_hits) as PURE column expressions — composable
+    into any single-scan projection (curated_corpus folds them into the
+    same pass as the quality exprs instead of paying a join)."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
     scores = {
         lang: sum(
             (_occurrences(padded, m) for m in markers), F.lit(0.0)
@@ -104,10 +104,19 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                 F.when(score > best[0], F.lit(lang)).otherwise(best[1]),
             )
     best_score, best_lang = best
+    lang_pred = F.when(best_score > 0, best_lang).otherwise(F.lit("und"))
+    return lang_pred, best_score
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: argmax of per-language marker-word hit counts,
+    ties broken by language code order; 'und' (undetermined) when no marker
+    hits. Deterministic and SQL-twinned."""
+    lang_pred, marker_hits = lang_cols(F.col(text_col))
     return _spread(df).select(
         "doc_id",
-        F.when(best_score > 0, best_lang).otherwise(F.lit("und")).alias("lang_pred"),
-        best_score.alias("marker_hits"),
+        lang_pred.alias("lang_pred"),
+        marker_hits.alias("marker_hits"),
     )
 
 

@@ -2594,23 +2594,33 @@ _CURATE_REP_SQL = r"""
     """,
 )
 def curated_corpus(spark, sf_dir):
-    """END-TO-END curation pipeline composition: quality scores ⋈
-    repetition signals ⋈ language-ID → filter chain (token range, alpha
-    ratio, dup-n-gram cap, known language) → per-source keep stats — the
+    """END-TO-END curation pipeline composition: quality + language-ID +
+    repetition signals → filter chain (token range, alpha ratio,
+    dup-n-gram cap, known language) → per-source keep stats — the
     one-pass summary a data team reads to sign off a training mixture.
-    All three operator outputs key by doc_id, so the joins co-shuffle on
-    one well-distributed key; every filter compares 4-dp rounded values
-    computed identically in the oracle."""
+
+    Plan shape for 100 TB: quality and lang-id are pure per-row column
+    expressions (text.token_count / char_classes / lang_cols), so they
+    ride the SAME scan as the doc_id/source projection — zero joins, zero
+    shuffles. Only the repetition signal genuinely aggregates (k-gram
+    explode), so the pipeline is exactly 2 scans + 1 equi-join on the
+    well-distributed doc_id key (was 4 scans + 3 joins; same 4-dp rounded
+    values as the oracle either way)."""
     docs = load(spark, sf_dir, "documents")
-    q_ = X.quality_score(docs).select("doc_id", "n_tokens", "alpha_ratio")
-    r_ = C.repetition_signals(docs).select("doc_id", "frac_dup_ngrams")
-    l_ = X.lang_id(docs).select("doc_id", "lang_pred")
-    j = (
-        docs.select("doc_id", "source")
-        .join(q_, "doc_id")
-        .join(r_, "doc_id")
-        .join(l_, "doc_id")
+    t = F.col("text")
+    cls = X.char_classes(t)
+    n = cls["n_chars"]
+    safe_n = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
+    lang_pred, _hits = X.lang_cols(t)
+    base = docs.select(
+        "doc_id",
+        "source",
+        X.token_count(t).cast("bigint").alias("n_tokens"),
+        F.round(cls["n_alpha"].cast("double") / safe_n, 4).alias("alpha_ratio"),
+        lang_pred.alias("lang_pred"),
     )
+    r_ = C.repetition_signals(docs).select("doc_id", "frac_dup_ngrams")
+    j = base.join(r_, "doc_id")
     keep = (
         F.col("n_tokens").between(10, 5000)
         & (F.col("alpha_ratio") >= 0.5)
