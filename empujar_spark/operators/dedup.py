@@ -207,31 +207,55 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash fingerprint: per-token deterministic hash; bit b of the
-    fingerprint is 1 when more tokens have bit b set than not. Computed as
-    exploded token→bit votes aggregated JVM-side (sum of ±1 per bit).
+    fingerprint is 1 when more tokens have bit b set than not.
+
+    Plan shape for 100 TB: each distinct token is hashed ONCE into a
+    per-doc int array, then the bit votes are a single array fold —
+    the whole operator is a per-row map with ZERO shuffle. (The naive
+    formulation explodes ~|tokens| rows per doc through a 32-aggregate
+    groupBy; at corpus scale that shuffle dwarfs the hashing.)
 
     32 bits keeps every intermediate in exact int64 range for the SQL twin.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    tokens = df.repartition(n, "doc_id").select(
+    toks = df.repartition(n).select(
         "doc_id",
-        F.explode(
-            F.array_distinct(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"))
-        ).alias("token"),
+        F.array_distinct(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("__toks"),
     )
-    h = _md5_bucket(F.col("token"), 0, 1 << bits)
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-        ).alias(f"v_{b}")
-        for b in range(bits)
-    ]
-    agg = tokens.groupBy("doc_id").agg(*votes)
-    fp = sum(
-        (F.when(F.col(f"v_{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)) for b in range(bits)),
-        F.lit(0),
-    ).cast("bigint")
-    return agg.select("doc_id", fp.alias("simhash"))
+    # one md5 per distinct token — own projection so the multi-referenced
+    # array is not re-evaluated (no CSE inside higher-order lambdas)
+    hashed = toks.select(
+        "doc_id",
+        F.transform(
+            F.col("__toks"), lambda t: _md5_bucket(t, 0, 1 << bits)
+        ).alias("__hs"),
+    )
+    hs = F.col("__hs")
+    masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
+    zero = F.lit(0).cast("bigint")
+    # single fold: per token, bump the per-bit set-count vector
+    counts = F.aggregate(
+        hs,
+        F.array_repeat(zero, bits),
+        lambda acc, x: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c
+            + F.when(x.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(0)),
+        ),
+    )
+    # majority vote per bit: set-count ×2 > token-count  ⇔  Σ(±1) > 0
+    nt = F.size(hs).cast("bigint")
+    fp = F.aggregate(
+        F.zip_with(
+            counts, masks, lambda c, m: F.when(c * 2 > nt, m).otherwise(zero)
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    return hashed.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -254,7 +278,11 @@ def simhash_dup_pairs(
     candidate join is a hash equi-join on those keys (never a cross
     join); the per-pair groupBy dedups multi-band agreements and counts
     them. All shuffles key on well-distributed hash values."""
-    sig = simhash(df, text_col, bits)
+    # Materialize the signatures once: simhash is now a pure (shuffle-free)
+    # map, so without a boundary BOTH self-join sides would re-run the
+    # whole hash/fold lineage, ×bands through the explode. The signature
+    # relation is tiny ((id, int64) per doc) — at any scale you persist it.
+    sig = simhash(df, text_col, bits).localCheckpoint(eager=True)
     width = bits // bands
     mask = (1 << width) - 1
     bv = F.explode(

@@ -204,21 +204,33 @@ def correlated_count(spark, sf_dir):
 )
 def join_groupby_sum(spark, sf_dir):
     """The totalSpentCents transform (reference transform/users.js:19-34):
-    3-way equi-join + group-by + sum. Aggregate lineitem→orders first
-    (smaller shuffle), then join customers."""
+    3-way equi-join + group-by + sum.
+
+    Plan shape for 100 TB: partial-aggregate the FACT table by its join
+    key BEFORE any join (map-side combine shrinks lineitem ~4× here,
+    ~|lineitem|/|orders|× in general), re-aggregate the order spends per
+    customer, and only then attach the customer attributes via a
+    broadcast join — the wide name column never rides a shuffle. Decimal
+    partial sums re-sum exactly; the single round(…, 4) stays at the end,
+    so values are bit-identical to the direct 3-way join."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
     one = F.lit(1).cast("decimal(18,6)")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(l, l.l_orderkey == o.o_orderkey)
-        .groupBy("c_custkey", "c_name")
+    per_order = l.groupBy("l_orderkey").agg(
+        F.sum(dec("l_extendedprice") * (one - dec("l_discount"))).alias("__spent")
+    )
+    per_cust = (
+        o.select("o_orderkey", "o_custkey")
+        .join(per_order, o.o_orderkey == per_order.l_orderkey)
+        .groupBy("o_custkey")
         .agg(
-            F.round(F.sum(dec("l_extendedprice") * (one - dec("l_discount"))), 4)
-            .cast("double")
-            .alias("total_spent")
+            F.round(F.sum("__spent"), 4).cast("double").alias("total_spent")
         )
+    )
+    return (
+        per_cust.join(F.broadcast(c), c.c_custkey == per_cust.o_custkey)
+        .select("c_custkey", "c_name", "total_spent")
     )
 
 
