@@ -615,6 +615,44 @@ def dedup_exact(spark, sf_dir):
     return D.exact_dedup_groups(load(spark, sf_dir, "documents"))
 
 
+@q(
+    "incremental_ingest_dedup",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint
+                FROM documents),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0),
+    incoming AS (SELECT * FROM fp WHERE doc_id % 5 = 0),
+    fresh AS (SELECT i.* FROM incoming i
+              WHERE i.fingerprint NOT IN (SELECT fingerprint FROM seen))
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM fresh GROUP BY 1
+    """,
+)
+def incremental_ingest_dedup(spark, sf_dir):
+    """INCREMENTAL corpus ingestion: dedup a new batch against the
+    already-ingested corpus — the reference's incremental-extract
+    identity (extract.js:15-28, fetch only what's new) applied to
+    content rather than a watermark. Simulated split: docs with
+    doc_id % 5 == 0 are the incoming batch, the rest are history.
+
+    Plan shape for 100 TB: the history side is petabyte-scale, so it is
+    NOT broadcast — the anti-join shuffles both sides on the md5
+    fingerprint (uniform by construction, skew-free), and in production
+    the history fingerprint table is bucketed on fingerprint so only the
+    incoming batch moves. Batch-internal dups collapse in the same final
+    group-by."""
+    fp = X.fingerprint(load(spark, sf_dir, "documents"))
+    seen = (
+        fp.filter(F.col("doc_id") % 5 != 0).select("fingerprint").distinct()
+    )
+    incoming = fp.filter(F.col("doc_id") % 5 == 0)
+    fresh = incoming.join(seen, "fingerprint", "left_anti")
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
 _SHINGLES_SQL = """
       SELECT doc_id, unnest(list_distinct(
                list_transform(generate_series(1, len(t) - 2),

@@ -64,3 +64,36 @@ def test_entry_contract(spark):
     df = entry_mod.entry(spark)
     assert df.count() > 0
     assert set(entry_mod.oracle_sql()) <= set(entry_mod.queries())
+
+
+def test_events_loader_schema_guard(spark, tmp_path):
+    """A testdata format change on events.ts must fail LOUDLY at load
+    (a silent unit misread once collapsed a month of events into ~43
+    minutes and broke 21 corpus entries)."""
+    import shutil
+
+    import pytest as _pytest
+
+    from empujar_spark.plans.corpus import load
+
+    sf = str(tmp_path)
+    # string-typed ts: neither the nanos-bigint nor the timestamp path
+    spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    with _pytest.raises(TypeError, match="events.ts read as"):
+        load(spark, sf, "events")
+
+    # both supported generations load to a timestamp column
+    shutil.rmtree(f"{sf}/events.parquet")
+    spark.createDataFrame(
+        [(1, 1_704_067_200_000_000_000, 1, "click", 1.0, "{}")],
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+    assert dict(load(spark, sf, "events").dtypes)["ts"] == "timestamp"
+    assert dict(load(spark, "/root/testdata/sf0.001", "events").dtypes)[
+        "ts"
+    ] == "timestamp"
