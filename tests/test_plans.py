@@ -214,3 +214,50 @@ def test_q5_one_shuffle_join_dims_broadcast(spark):
     assert n_broadcast_joins >= 4
     assert n_shuffle_joins <= 1
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_single_scan_no_agg_shuffle(spark):
+    """Every repetition stat is a per-row array expression: the only
+    Exchange in the plan is the parallelism spread — no explode-feeding
+    aggregation shuffle, no join back."""
+    plan = plan_of(spark, "repetition_signals")
+    assert plan.count("Exchange") <= 1, plan
+    assert "Generate" not in plan  # no explode anywhere
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def test_simhash_single_scan_no_agg_shuffle(spark):
+    """SimHash is a per-row fold over hashed tokens — no token explode,
+    no 32-aggregate groupBy shuffle."""
+    plan = plan_of(spark, "simhash")
+    assert plan.count("Exchange") <= 1, plan
+    assert "Generate" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_join_groupby_sum_preaggregates_and_broadcasts(spark):
+    """Fact table partial-aggregates by its join key BEFORE any join;
+    customer attributes attach via broadcast — the wide name column
+    never rides a shuffle."""
+    plan = plan_of(spark, "join_groupby_sum")
+    assert "BroadcastHashJoin" in plan
+    # two aggregation levels (per-order, per-customer), each partial+final
+    assert plan.count("HashAggregate") >= 4, plan
+
+
+def test_curated_corpus_single_join(spark):
+    """Quality + lang-id ride the doc scan; only the repetition signal
+    joins back — exactly one join in the whole pipeline."""
+    plan = plan_of(spark, "curated_corpus")
+    n_joins = sum(plan.count(j) for j in
+                  ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
+    assert n_joins == 1, plan
+
+
+def test_incremental_ingest_anti_join_on_fingerprint(spark):
+    """History-side dedup is an anti-join keyed on the uniform md5
+    fingerprint; no nested-loop fallback."""
+    plan = plan_of(spark, "incremental_ingest_dedup")
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
