@@ -106,7 +106,12 @@ def main() -> None:
     # conflates each query's cost with whole-stage-codegen compilation,
     # GC pressure from the preceding 70 queries, and background box load
     # (observed swinging one entry 1.0s → 8.5s); the minimum of two runs
-    # is the reproducible engine cost.
+    # is the reproducible engine cost. Case study: near_dup_clusters read
+    # 7.44s in one round's capture vs a 2.45s 3-run steady-state median —
+    # its first execution pays localCheckpoint materialization + the
+    # Python-worker fleet spawn + codegen for its iterative loop (7.0s
+    # cold, 2.2s warm, reproduced), so a capture that lands on a cold or
+    # contended pass overstates it ~3×.
     timings: dict[str, float] = {}
     for name, query in CORPUS.items():
         best = None

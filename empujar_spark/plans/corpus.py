@@ -1545,6 +1545,36 @@ def streaming_dedup(spark, sf_dir):
 
 
 @q(
+    "streaming_enrich_dim",
+    """
+    SELECT e.event_id, e.ts, e.user_id, e.event_type, e.value,
+           c.c_name, c.c_mktsegment
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def streaming_enrich_dim(spark, sf_dir):
+    """STREAM-STATIC dimension enrichment (stream_ops.enrich_with_dim):
+    each event picks up its customer's attributes via a broadcast
+    equi-join — stateless (no watermark, no state store), so the stream
+    pays only the map-side probe per micro-batch. The batch SQL join is
+    the exact oracle because broadcast enrichment neither drops nor
+    duplicates rows."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    ev = SO.read_events_stream(spark, sf_dir)
+    dim = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    out = SO.enrich_with_dim(ev, dim, "user_id", "c_custkey").select(
+        "event_id", "ts", "user_id", "event_type", "value",
+        "c_name", "c_mktsegment",
+    )
+    return SO.drain_to_memory(
+        out, "__streaming_enrich_dim", output_mode="append"
+    )
+
+
+@q(
     "streaming_join_events",
     """
     SELECT e.event_id, e.user_id, e.ts, e.event_type,

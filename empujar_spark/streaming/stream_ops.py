@@ -145,6 +145,20 @@ def dedup_stream(events: DataFrame, late: str = "10 minutes") -> DataFrame:
     return events.withWatermark("ts", late).dropDuplicates(["event_id"])
 
 
+def enrich_with_dim(
+    events: DataFrame, dim: DataFrame, stream_key: str, dim_key: str
+) -> DataFrame:
+    """STREAM-STATIC enrichment: attach dimension attributes to each event
+    via a broadcast equi-join — the lookup-table pattern every event
+    pipeline needs. STATELESS (no watermark, no store): the static side
+    is broadcast once per micro-batch plan, so at 100 TB/day stream scale
+    the only cost is the map-side probe; a dimension too big to broadcast
+    becomes a shuffle join keyed on the (uniform) stream key instead."""
+    return events.join(
+        F.broadcast(dim), events[stream_key] == dim[dim_key], "inner"
+    )
+
+
 def stream_upsert(
     events: DataFrame,
     warehouse,
