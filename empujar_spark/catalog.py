@@ -836,6 +836,44 @@ class Warehouse:
         writer.option("path", path).saveAsTable(name)
         return name
 
+    def save_clustered(
+        self,
+        table: str,
+        df: DataFrame,
+        cluster_by: str | list[str],
+        target_files: int = 32,
+    ) -> str:
+        """Write ``table`` range-CLUSTERED on ``cluster_by``: rows are
+        range-partitioned then sorted within each file, so every data file
+        covers a narrow, non-overlapping slice of the cluster key. Parquet
+        footer min/max stats then let a range predicate skip whole files
+        and row groups at scan time — the open-format analogue of a
+        Redshift ``sortkey`` (redshift.js:340-342) and the third leg of
+        the data-skipping story next to Hive partitions (coarse equality
+        dirs) and hash buckets (co-located equi-joins): clustering serves
+        RANGE predicates on high-cardinality columns, where partitioning
+        by value would explode the directory count.
+
+        ``target_files`` bounds file count: at 100 TB pick it so each file
+        lands near the 256 MB-1 GB parquet sweet spot; range partitioning
+        samples the key distribution, so skew in ``cluster_by`` still
+        yields balanced files. Read back with :meth:`read_clustered`.
+        """
+        keys = _as_key_list(cluster_by)
+        path = os.path.join(self.path, f"{table}.clustered")
+        (
+            df.repartitionByRange(target_files, *[F.col(k) for k in keys])
+            .sortWithinPartitions(*keys)
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    def read_clustered(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"{table}.clustered")
+        )
+
     def _bucketed_name(self, table: str) -> str:
         """Catalog identifier for a bucketed table — includes a digest of
         the warehouse path so two Warehouse instances with the default

@@ -261,3 +261,12 @@ def test_incremental_ingest_anti_join_on_fingerprint(spark):
     assert "LeftAnti" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_clustered_prune_filters_reach_scan(spark):
+    """The range predicate must be pushed into the parquet scan of the
+    clustered table — that's what lets footer min/max stats skip the
+    files outside the date slice."""
+    plan = plan_of(spark, "clustered_prune")
+    assert "PushedFilters" in plan, plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
