@@ -545,3 +545,45 @@ def test_dedup_batch_order_col_on_shuffled_input(spark, tmp_path):
     wh.insert_data("t", df, merge_key="id", dedup_order_col="updated_at")
     got = {r["id"]: r["updated_at"] for r in wh.read("t").collect()}
     assert got == {i: 5 for i in range(10)}
+
+
+def test_save_clustered_files_carry_narrow_ranges(spark, tmp_path):
+    """Range clustering must yield files whose footer min/max stats are
+    narrow and non-overlapping enough that a selective range predicate
+    skips most of the table — the property the clustered_prune plan
+    relies on at scale."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from empujar_spark.catalog import Warehouse
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_shipdate", "l_extendedprice"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh-clust"))
+    wh.save_clustered("lineitem", li, "l_shipdate", target_files=16)
+
+    files = glob.glob(str(tmp_path / "wh-clust" / "lineitem.clustered" / "*.parquet"))
+    assert len(files) >= 8
+    import datetime
+
+    lo = datetime.datetime(1998, 1, 1)
+    hi = datetime.datetime(1998, 4, 1)
+    overlapping = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = next(i for i in range(md.num_columns)
+                   if md.row_group(0).column(i).path_in_schema == "l_shipdate")
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min); maxs.append(st.max)
+        if min(mins) < hi and max(maxs) >= lo:
+            overlapping += 1
+    # ~7 years of dates in 16+ range-files → the 3-month window should
+    # touch only a couple of them
+    assert overlapping <= max(2, len(files) // 4), (overlapping, len(files))
+
+    # and the clustered read returns exactly the original rows
+    assert wh.read_clustered("lineitem").count() == li.count()
