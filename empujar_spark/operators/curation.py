@@ -38,7 +38,10 @@ def _hash_unit(id_col: Column, offset: int, modulus: int) -> Column:
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", k: int = 3
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    carry: list[tuple] = (),
 ) -> DataFrame:
     """Gopher-style repetition quality signals per document (Rae et al.
     2021 §A1.1 repetition filters, re-expressed relationally):
@@ -57,6 +60,11 @@ def repetition_signals(
     ``aggregate`` fold). The previous explode design amplified each doc
     into one row PER GRAM (~n_tokens×) through a two-level shuffle; the
     fold does the same work partition-local inside codegen.
+
+    ``carry``: optional [(Column, alias), ...] expressions evaluated on
+    the INPUT row and carried through to the output — lets a caller fold
+    its own per-row stats (quality ratios, lang-id) into this same
+    single scan instead of paying a join (see corpus curated_corpus).
     """
     df = _spread(df)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
@@ -65,8 +73,11 @@ def repetition_signals(
     # so referencing split() there would re-tokenize the document once per
     # gram (measured 27.8s → 2s at sf0.1). The multi-referenced non-cheap
     # alias also blocks CollapseProject from inlining it back.
+    carried = [expr.alias(name) for expr, name in carry]
+    carry_names = [name for _, name in carry]
     tok_df = df.select(
         "doc_id",
+        *carried,
         (F.trim(F.col(text_col)) == "").alias("__blank"),
         F.split(norm, " ").alias("__toks"),
     )
@@ -84,6 +95,7 @@ def repetition_signals(
     # as __toks above).
     base = tok_df.select(
         "doc_id",
+        *carry_names,
         n_tok.cast("bigint").alias("n_tokens"),
         F.when(n_tok == 0, F.lit(0))
         .otherwise(F.size(F.array_distinct(toks)))
@@ -113,6 +125,7 @@ def repetition_signals(
 
     stats = base.select(
         "doc_id",
+        *carry_names,
         "n_tokens",
         "n_distinct_tokens",
         F.size(g).cast("bigint").alias("n_grams"),
@@ -129,6 +142,7 @@ def repetition_signals(
     )
     return stats.select(
         "doc_id",
+        *carry_names,
         "n_tokens",
         ng.alias("n_grams"),
         F.round(

@@ -2734,28 +2734,30 @@ def curated_corpus(spark, sf_dir):
     dup-n-gram cap, known language) → per-source keep stats — the
     one-pass summary a data team reads to sign off a training mixture.
 
-    Plan shape for 100 TB: quality and lang-id are pure per-row column
-    expressions (text.token_count / char_classes / lang_cols), so they
-    ride the SAME scan as the doc_id/source projection — zero joins, zero
-    shuffles. Only the repetition signal genuinely aggregates (k-gram
-    explode), so the pipeline is exactly 2 scans + 1 equi-join on the
-    well-distributed doc_id key (was 4 scans + 3 joins; same 4-dp rounded
-    values as the oracle either way)."""
+    Plan shape for 100 TB: EVERY signal — quality ratios, lang-id, and
+    (since the per-row rewrite) the repetition stats — is a pure column
+    expression, so the whole pipeline is ONE scan with zero joins and
+    zero pre-aggregation shuffles: quality + lang ride repetition's
+    projections via its ``carry`` hook, and the only shuffle left is the
+    tiny per-source rollup (was 4 scans + 3 joins two rounds ago; same
+    4-dp rounded values as the oracle throughout)."""
     docs = load(spark, sf_dir, "documents")
     t = F.col("text")
     cls = X.char_classes(t)
     n = cls["n_chars"]
     safe_n = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
     lang_pred, _hits = X.lang_cols(t)
-    base = docs.select(
-        "doc_id",
-        "source",
-        X.token_count(t).cast("bigint").alias("n_tokens"),
-        F.round(cls["n_alpha"].cast("double") / safe_n, 4).alias("alpha_ratio"),
-        lang_pred.alias("lang_pred"),
+    j = C.repetition_signals(
+        docs,
+        carry=[
+            (F.col("source"), "source"),
+            (
+                F.round(cls["n_alpha"].cast("double") / safe_n, 4),
+                "alpha_ratio",
+            ),
+            (lang_pred, "lang_pred"),
+        ],
     )
-    r_ = C.repetition_signals(docs).select("doc_id", "frac_dup_ngrams")
-    j = base.join(r_, "doc_id")
     keep = (
         F.col("n_tokens").between(10, 5000)
         & (F.col("alpha_ratio") >= 0.5)

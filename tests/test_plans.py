@@ -245,13 +245,15 @@ def test_join_groupby_sum_preaggregates_and_broadcasts(spark):
     assert plan.count("HashAggregate") >= 4, plan
 
 
-def test_curated_corpus_single_join(spark):
-    """Quality + lang-id ride the doc scan; only the repetition signal
-    joins back — exactly one join in the whole pipeline."""
+def test_curated_corpus_zero_joins_single_scan(spark):
+    """Every curation signal (quality, lang-id, repetition) is a per-row
+    column expression riding ONE scan — no joins anywhere; the only
+    shuffle is the final per-source rollup."""
     plan = plan_of(spark, "curated_corpus")
     n_joins = sum(plan.count(j) for j in
                   ("SortMergeJoin", "ShuffledHashJoin", "BroadcastHashJoin"))
-    assert n_joins == 1, plan
+    assert n_joins == 0, plan
+    assert plan.count("Scan parquet") == 1, plan
 
 
 def test_incremental_ingest_anti_join_on_fingerprint(spark):
