@@ -278,9 +278,14 @@ def decode_audio(content: bytes, sample_rate: int = 16_000) -> dict:
     if real is not None:
         return real
     n = len(content)
+    # Fallback values are UNROUNDED: a bare IEEE division produces the
+    # bit-identical double in any engine, whereas round(n/16000, 6) lands
+    # on a decimal tie for every odd n (n·625 ends in 5) where Python's
+    # banker rounding and an engine's half-away rounding diverge — which
+    # would make the SQL oracle hash-mismatch on half the corpus.
     return {
-        "duration_s": round(n / float(sample_rate), 6),
-        "rms": round((sum(content[:256]) % 1000) / 1000.0, 6) if n else 0.0,
+        "duration_s": n / float(sample_rate),
+        "rms": (sum(content[:256]) % 1000) / 1000.0 if n else 0.0,
         "n_samples": n,
     }
 

@@ -983,11 +983,24 @@ def frame_sample(spark, sf_dir):
 
 # ---- non-SQL-expressible entries (driver records rows-only checks) ----
 
-@q("image_features", None)
+@q(
+    "image_features",
+    """
+    SELECT doc_id,
+           CAST((octet_length(encode(text)) % 640) + 1 AS INT) AS width,
+           CAST((octet_length(encode(text)) % 480) + 1 AS INT) AS height,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
 def image_features(spark, sf_dir):
-    """Arrow-batched binary feature extraction via mapInPandas with a
-    clearly-marked stub decoder (operators/multimodal.py). Not ANSI-SQL
-    expressible (Python kernel) → rows-only check."""
+    """Arrow-batched binary feature extraction via mapInPandas
+    (operators/multimodal.py decode_image: REAL header decode for
+    PNG/GIF/BMP/JPEG, deterministic length-derived fallback otherwise).
+    The testdata payloads are utf-8 text shims, so every row takes the
+    fallback — whose arithmetic is SQL-expressible, making the Python
+    kernel path fully hash-checkable against the oracle (real-header
+    decode is pinned separately in tests/test_multimodal.py)."""
     d = M.text_as_binary(load(spark, sf_dir, "documents"))
     return M.extract_image_features(d)
 
@@ -1102,10 +1115,26 @@ def image_resize(spark, sf_dir):
     )
 
 
-@q("audio_features", None)
+@q(
+    "audio_features",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) / 16000.0 AS duration_s,
+           (coalesce(list_sum(list_transform(
+                range(1, least(length(text), 256) + 1),
+                i -> ord(substr(text, i, 1)))), 0) % 1000) / 1000.0 AS rms,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
 def audio_features(spark, sf_dir):
-    """Arrow-batched audio feature stub (operators/multimodal.py) — Python
-    kernel (mapInPandas) → rows-only check."""
+    """Arrow-batched audio feature extraction via mapInPandas
+    (operators/multimodal.py decode_audio: REAL RIFF/WAVE decode,
+    deterministic length/byte-sum fallback otherwise). Testdata payloads
+    are utf-8 text shims (all-ASCII, so ord(char) == byte) → fallback on
+    every row, SQL-expressible and hash-checked; unrounded IEEE divisions
+    keep the doubles bit-identical across engines. Real WAV decode is
+    pinned in tests/test_multimodal.py."""
     d = M.text_as_binary(load(spark, sf_dir, "documents"))
     return M.extract_audio_features(d)
 
@@ -2847,12 +2876,13 @@ _GATE_ORDER_FIRST = [
     "range_join_events",
     "event_value_trend",
     "partitioned_prune",
+    # upgraded rows-only → oracle-paired this round; need first hash rows
+    "image_features",
+    "audio_features",
 ]
 # Rows-only (no-oracle) entries: weaker check, keep them inside the
 # ~50-row window but after everything oracle-paired and unproven.
 _GATE_ORDER_ROWS_ONLY = [
-    "image_features",
-    "audio_features",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "hll_rolling_distinct",
