@@ -304,3 +304,58 @@ def benchmark_contamination(
             .alias("is_contaminated"),
         )
     )
+
+
+def unigram_doc_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram corpus-frequency document score — the cheap relative of
+    LM-perplexity quality filtering (CCNet-style): documents made of
+    common corpus words score high, rare-token soup scores low.
+
+    Output: (doc_id, n_tokens, sum_freq, mean_token_freq) where
+    ``mean_token_freq`` = mean over the doc's token OCCURRENCES of each
+    token's corpus-wide occurrence count. Exact arithmetic end-to-end:
+    integer counts, one unrounded IEEE division — bit-identical in any
+    engine (no log(), whose last-ulp differs across libm builds).
+
+    Plan shape for 100 TB: the vocabulary is the canonical word-count
+    aggregation (map-side combine, uniform token keys); Zipf makes the
+    distinct vocab a sliver of the corpus so it BROADCASTS to the scoring
+    join — the exploded occurrence stream never shuffles for the lookup,
+    only the per-doc (id, count-sum) re-aggregation does. A vocabulary
+    too big to broadcast falls back to a shuffle join keyed on token with
+    the usual hot-key salting; the structure is otherwise unchanged.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = (
+        _spread(df)
+        .select(id_col, (F.trim(F.col(text_col)) == "").alias("__blank"),
+                F.split(norm, " ").alias("__toks"))
+        .filter(~F.col("__blank"))
+        .select(id_col, F.explode("__toks").alias("token"))
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__freq"))
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum("__freq").cast("bigint").alias("sum_freq"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
+            F.coalesce("sum_freq", F.lit(0)).cast("bigint").alias("sum_freq"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0)
+            ).otherwise(
+                F.col("sum_freq").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("mean_token_freq"),
+        )
+    )

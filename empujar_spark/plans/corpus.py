@@ -1096,6 +1096,37 @@ def tfidf_top_terms(spark, sf_dir):
 
 
 @q(
+    "unigram_doc_score",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS token
+      FROM documents WHERE trim(text) <> ''),
+    vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+    scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(v.freq) AS BIGINT) AS sum_freq
+               FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.sum_freq, 0) AS sum_freq,
+           CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(s.sum_freq AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+           END AS mean_token_freq
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def unigram_doc_score(spark, sf_dir):
+    """Unigram corpus-frequency quality score (operators/text.py): the
+    cheap relative of LM-perplexity filtering — per doc, the mean
+    corpus-wide occurrence count of its token occurrences. Vocabulary =
+    one canonical word-count aggregation, broadcast to the scoring join;
+    all-integer arithmetic with one final unrounded IEEE division so the
+    doubles hash-match any engine (no log(), whose last ulp is libm-
+    dependent)."""
+    return X.unigram_doc_score(load(spark, sf_dir, "documents"))
+
+
+@q(
     "image_resize",
     """
     SELECT doc_id,
