@@ -1413,6 +1413,43 @@ def window_rank_funcs(spark, sf_dir):
 
 
 @q(
+    "trailing_window_agg",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(count(*) OVER w AS BIGINT) AS n_30m,
+           CAST(round(sum(CAST(value AS DECIMAL(18,6))) OVER w, 4) AS DOUBLE)
+               AS sum_30m
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW)
+    """,
+)
+def trailing_window_agg(spark, sf_dir):
+    """TIME-RANGE window frame: per event, count and exact decimal sum of
+    the same user's events in the trailing 30 minutes (inclusive) — the
+    trailing-feature pattern ML pipelines compute at serving parity.
+    Spark has no interval RANGE frame on timestamps, so the order key is
+    unix MICROS (not seconds — a seconds cast would truncate and shift
+    frame boundaries off the oracle's exact interval semantics) with a
+    numeric rangeBetween. Decimal sum keeps tied-timestamp accumulation
+    order irrelevant. Scale: partitioned by user_id, sorted within
+    partition only — no global sort."""
+    ev = load(spark, sf_dir, "events").withColumn("__m", F.unix_micros("ts"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("__m")
+        .rangeBetween(-30 * 60 * 1_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n_30m"),
+        F.round(F.sum(dec("value")).over(w), 4).cast("double").alias("sum_30m"),
+    )
+
+
+@q(
     "set_ops",
     """
     SELECT c_custkey FROM customer
