@@ -343,19 +343,23 @@ def unigram_doc_score(
             F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
             F.sum("__freq").cast("bigint").alias("sum_freq"),
         )
-    )
-    return (
-        df.select(id_col)
-        .join(scored, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_tokens", F.lit(0)).cast("bigint").alias("n_tokens"),
-            F.coalesce("sum_freq", F.lit(0)).cast("bigint").alias("sum_freq"),
-            F.when(
-                F.coalesce("n_tokens", F.lit(0)) == 0, F.lit(0.0)
-            ).otherwise(
+            "n_tokens",
+            "sum_freq",
+            (
                 F.col("sum_freq").cast("double")
                 / F.col("n_tokens").cast("double")
             ).alias("mean_token_freq"),
         )
     )
+    # Blank docs (filtered before the explode) re-enter as zero rows via a
+    # cheap filtered-scan union — NOT a join back to the full table, which
+    # would rescan and shuffle the whole corpus to recover a rare case.
+    blanks = df.filter(F.trim(F.col(text_col)) == "").select(
+        id_col,
+        F.lit(0).cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("sum_freq"),
+        F.lit(0.0).alias("mean_token_freq"),
+    )
+    return scored.unionByName(blanks)
