@@ -2176,15 +2176,63 @@ def hll_rolling_distinct(spark, sf_dir):
     )
 
 
-@q("approx_stats", None)
+@q(
+    "approx_stats",
+    """
+    SELECT l_returnflag,
+           count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts_exact,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE) / count(*)
+               AS avg_price,
+           TRUE AS approx_parts_ok,
+           TRUE AS approx_median_ok
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_stats(spark, sf_dir):
     """Approximate aggregates for scale (approx_count_distinct HLL,
-    approx_percentile t-digest) — engine-specific sketches, no cross-engine
-    oracle → rows-only check."""
+    percentile_approx sketch). The raw sketch values are engine-specific
+    so they can't be hashed cross-engine; instead the entry is
+    oracle-paired on its exact sub-aggregates (count, distinct count,
+    decimal-exact mean — VERDICT r5 item 2) plus two accuracy booleans
+    the oracle asserts TRUE: the HLL estimate must sit within 3×rsd of
+    the exact distinct count and the approx median within 5% of the
+    exact median. A sketch-quality regression flips a boolean to FALSE
+    and hash-mismatches the row — the sketches stay load-bearing.
+
+    avg_price is one decimal-exact sum converted to double then a single
+    IEEE division — bit-identical across engines (no double-sum
+    order-dependence, no round()-tie hazard; see a102bff).
+
+    Scale note: countDistinct and percentile() are gate-scale validators
+    for the sketches; a production caller at 100 TB reads only the
+    sketch columns (HLL + t-digest, one map-side-combinable pass) and
+    skips the exact twins."""
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("__approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_median"),
+    )
+    return agg.select(
+        "l_returnflag",
+        "n_rows",
+        "n_parts_exact",
+        "avg_price",
+        (
+            F.abs(F.col("__approx_parts") - F.col("n_parts_exact"))
+            <= 0.15 * F.col("n_parts_exact")
+        ).alias("approx_parts_ok"),
+        (
+            F.abs(F.col("__approx_median") - F.col("__exact_median"))
+            <= 0.05 * F.col("__exact_median")
+        ).alias("approx_median_ok"),
     )
 
 
@@ -2892,73 +2940,21 @@ def curated_corpus(spark, sf_dir):
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round. Order by evidence value so a truncated run
-# still lands the rows that matter. Round-5 rotation (VERDICT r4 item 3):
-#   1. The 29 oracle-paired entries with no r3/r4 row (last green r2) —
-#      the §2.4 core queries among them are two rounds stale.
-#   2. The 10 entries that erred or mismatched in r4 on the events
-#      timestamp regression — fixed this round, need fresh green proof.
+# still lands the rows that matter. Round-6 rotation (VERDICT r5 item 1):
+#   1. approx_stats FIRST — it sat at gate position 51 (one past the
+#      50-row cap) in every prior rotation and has zero driver rows in
+#      five rounds; this round it is also oracle-paired on its exact
+#      sub-aggregates (VERDICT r5 item 2).
+#   2. The 40 entries last proven green in r4 (two rounds stale now).
 #   3. Anything NOT pinned below — corpus entries added THIS round.
-#   4. The 6 rows-only (no-oracle) entries the driver can never hash.
-#   5. The entries proven green in r4 (freshest evidence) yield slots.
+#   4. The rows-only (no-oracle) approximate entries the driver can only
+#      rows-check; all four got r5 rows, keep them inside the window.
+#   5. The 46 entries proven green in r5 (freshest evidence) yield slots.
 
 _GATE_ORDER_FIRST = [
-    # --- green in r2 only; no r3/r4 row (gate 50-cap) — refresh these ---
-    "max_watermark",
-    "count_table",
-    "watermark_extract",
-    "correlated_count",
-    "join_groupby_sum",
-    "dedup_keep_latest",
-    "dedup_all_columns",
-    "merge_upsert",
-    "topk_per_group",
-    "rollup_agg",
-    "anti_join",
-    "semi_join",
-    "sessionize",
-    "mixture_sample",
-    "interval_overlap_events",
-    "simhash_dup_pairs",
-    "embedding_ivf_exact",
-    "snapshot_read",
-    "topk_partial_agg",
-    "source_overlap",
-    "curated_corpus",
-    "streaming_sessionize",
-    "streaming_user_totals",
-    "streaming_dedup",
-    "streaming_cdc_upsert",
-    "streaming_hourly_events",
-    "simhash",
-    "profile_table",
-    "pivot_status",
-    # --- broken by the events timestamp regression in r3/r4, fixed this
-    #     round — need fresh green rows proving the fix ---
-    "streaming_join_events",
-    "asof_join_events",
-    "hourly_events",
-    "json_extract",
-    "skew_salted_agg",
-    "user_event_profile",
-    "time_rollup_hierarchy",
-    "range_join_events",
-    "event_value_trend",
-    "partitioned_prune",
-    # upgraded rows-only → oracle-paired this round; need first hash rows
-    "image_features",
-    "audio_features",
-]
-# Rows-only (no-oracle) entries: weaker check, keep them inside the
-# ~50-row window but after everything oracle-paired and unproven.
-_GATE_ORDER_ROWS_ONLY = [
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "hll_rolling_distinct",
+    # --- never evidenced: position 51 in r2-r5 rotations ---
     "approx_stats",
-]
-# Green in CORRECTNESS_r04.json — freshest evidence, so they yield their
-# gate slots to stale and newly-fixed entries.
-_GATE_ORDER_R4_PROVEN = [
+    # --- green in r4, rotated out in r5 — two rounds stale, refresh ---
     "bpe_token_count",
     "cube_agg",
     "date_funcs_monthly",
@@ -3000,20 +2996,78 @@ _GATE_ORDER_R4_PROVEN = [
     "pii_redaction",
     "pack_sequences",
 ]
+# Rows-only (no-oracle) entries: weaker check, keep them inside the
+# ~50-row window but after everything oracle-paired and unproven.
+_GATE_ORDER_ROWS_ONLY = [
+    "embedding_dup_pairs_ann",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "hll_rolling_distinct",
+]
+# Green in CORRECTNESS_r05.json — freshest evidence, so they yield their
+# gate slots to stale and newly-added entries.
+_GATE_ORDER_R5_PROVEN = [
+    "max_watermark",
+    "count_table",
+    "watermark_extract",
+    "correlated_count",
+    "join_groupby_sum",
+    "dedup_keep_latest",
+    "dedup_all_columns",
+    "merge_upsert",
+    "topk_per_group",
+    "rollup_agg",
+    "anti_join",
+    "semi_join",
+    "sessionize",
+    "mixture_sample",
+    "interval_overlap_events",
+    "simhash_dup_pairs",
+    "embedding_ivf_exact",
+    "snapshot_read",
+    "topk_partial_agg",
+    "source_overlap",
+    "curated_corpus",
+    "streaming_sessionize",
+    "streaming_user_totals",
+    "streaming_dedup",
+    "streaming_cdc_upsert",
+    "streaming_hourly_events",
+    "simhash",
+    "profile_table",
+    "pivot_status",
+    "streaming_join_events",
+    "asof_join_events",
+    "hourly_events",
+    "json_extract",
+    "skew_salted_agg",
+    "user_event_profile",
+    "time_rollup_hierarchy",
+    "range_join_events",
+    "event_value_trend",
+    "partitioned_prune",
+    "image_features",
+    "audio_features",
+    "incremental_ingest_dedup",
+    "unigram_doc_score",
+    "trailing_window_agg",
+    "streaming_enrich_dim",
+    "clustered_prune",
+]
 
 
 def _gate_ordered() -> dict[str, Query]:
     pinned = (
         set(_GATE_ORDER_FIRST)
         | set(_GATE_ORDER_ROWS_ONLY)
-        | set(_GATE_ORDER_R4_PROVEN)
+        | set(_GATE_ORDER_R5_PROVEN)
     )
     middle = [n for n in CORPUS if n not in pinned]  # new this round
     order = (
         _GATE_ORDER_FIRST
         + middle
         + _GATE_ORDER_ROWS_ONLY
-        + _GATE_ORDER_R4_PROVEN
+        + _GATE_ORDER_R5_PROVEN
     )
     missing = [n for n in order if n not in CORPUS]
     assert not missing, f"gate order names unknown queries: {missing}"
