@@ -218,7 +218,11 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     32 bits keeps every intermediate in exact int64 range for the SQL twin.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
-    toks = df.repartition(n).select(
+    # NULL text is dropped, matching the SQL twin's unnest semantics (the
+    # pre-r5 explode formulation dropped such docs implicitly; the per-row
+    # fold would otherwise RETAIN them with a NULL simhash that joins
+    # oddly in the banding self-join — r5 ADVICE).
+    toks = df.repartition(n).filter(F.col(text_col).isNotNull()).select(
         "doc_id",
         F.array_distinct(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -420,6 +424,7 @@ def embedding_dup_pairs(
     n_centroids: int = 16,
     nprobe: int | None = None,
     centroids=None,
+    force: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: all (a < b) pairs with cosine ≥
     threshold.
@@ -440,10 +445,11 @@ def embedding_dup_pairs(
 
     ``method='exact'``: the brute-force crossJoin baseline, kept ONLY as
     an explicit small-n fallback / oracle cross-check. O(n²) through one
-    executor pair at a time — do not use beyond ~10⁵ vectors.
+    executor pair at a time — ENFORCED unusable beyond 10⁵ vectors: the
+    guard raises unless ``force=True`` (VERDICT r5 item 5).
     """
     from empujar_spark.operators.similarity import (
-        _dot, _norm, _nearest_centroids, ivf_train,
+        _dot, _norm, _nearest_centroids, _guard_brute_force, ivf_train,
     )
 
     n_part = df.sparkSession.sparkContext.defaultParallelism
@@ -454,6 +460,7 @@ def embedding_dup_pairs(
     )
 
     if method == "exact":
+        _guard_brute_force(base, "embedding_dup_pairs(method='exact')", force)
         a = base.select(
             F.col("id").alias("id_a"), F.col("vec").alias("va"),
             F.col("nrm").alias("na"),

@@ -102,17 +102,34 @@ def _parse_image_dims(content: bytes) -> tuple[int, int] | None:
     return None
 
 
+def _looks_textual(content: bytes) -> bool:
+    """True when the payload head reads as TEXT: no control bytes outside
+    tab/newline/CR in the first 64 bytes. A text document can start with
+    an ASCII container magic ('BMW recalls…', 'GIF87a was released…',
+    'RIFF….WAVE') — sniffing it as media would misparse the doc AND
+    hash-mismatch the fallback-path SQL oracle (r5 ADVICE). Binary
+    containers are the complement: their headers pack dimension/size
+    fields whose low bytes (<0x20) land inside any 64-byte head — NOT a
+    UTF-8-validity test, which zero-heavy GIF/BMP/WAV headers would
+    pass. A textual-looking payload that somehow WERE a real container
+    just takes the deterministic fallback — same class of stub as the
+    absent pixel codecs."""
+    head = content[:64]
+    return all(b >= 0x20 or b in (9, 10, 13) for b in head)
+
+
 def decode_image(content: bytes) -> dict:
     """Image decode kernel: REAL width/height for PNG/GIF/BMP/JPEG headers
-    (stdlib parse, _parse_image_dims); for unrecognized payloads — e.g.
-    the synthetic testdata blobs — a deterministic fake derived from the
-    payload bytes, so tests and oracles are stable without codec libs.
-    A real deployment swaps the fallback for PIL/libvips in this same
-    kernel; the Spark plumbing above is unchanged either way."""
+    (stdlib parse, _parse_image_dims); for textual payloads (printable
+    head, see _looks_textual) and unrecognized blobs — e.g. the synthetic
+    testdata shims — a deterministic fake derived from the payload bytes,
+    so tests and oracles are stable without codec libs. A real deployment
+    swaps the fallback for PIL/libvips in this same kernel; the Spark
+    plumbing above is unchanged either way."""
     if content is None:
         raise NotImplementedError("no payload")
     n = len(content)
-    dims = _parse_image_dims(content)
+    dims = None if _looks_textual(content) else _parse_image_dims(content)
     if dims is not None:
         return {"width": dims[0], "height": dims[1], "n_bytes": n}
     return {"width": (n % 640) + 1, "height": (n % 480) + 1, "n_bytes": n}
@@ -274,7 +291,11 @@ def decode_audio(content: bytes, sample_rate: int = 16_000) -> dict:
     fallback for soundfile/librosa in this same kernel."""
     if content is None:
         raise NotImplementedError("no payload")
-    real = _decode_wav(content) if len(content) >= 12 else None
+    real = (
+        _decode_wav(content)
+        if len(content) >= 12 and not _looks_textual(content)
+        else None
+    )
     if real is not None:
         return real
     n = len(content)

@@ -31,19 +31,44 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+# Brute-force baselines are documented "do not use beyond ~10⁵ rows"; the
+# guard makes that real (VERDICT r5 item 5). One count() is noise next to
+# the O(n²) job it prevents.
+BRUTE_FORCE_MAX_ROWS = 100_000
+
+
+def _guard_brute_force(df: DataFrame, what: str, force: bool) -> None:
+    if force:
+        return
+    n = df.count()
+    if n > BRUTE_FORCE_MAX_ROWS:
+        raise ValueError(
+            f"{what} is the O(n²) brute-force baseline and the input has "
+            f"{n:,} rows (guard: {BRUTE_FORCE_MAX_ROWS:,}). Use the "
+            "bucketed method (IVF/LSH) at this scale, or pass force=True "
+            "if you really mean it."
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    force: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
     Output: (query_id, neighbor_id, cosine) — cosine rounded to 6 dp,
     ranked by (rounded cosine desc, neighbor_id asc) for determinism;
     self-matches excluded.
+
+    Brute force (one full corpus scan per query): the exactness baseline
+    the approximate paths are measured against. Guarded above 10⁵ corpus
+    rows unless ``force=True`` — use lsh_topk/ivf_topk at scale.
     """
+    _guard_brute_force(corpus, "cosine_topk", force)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
@@ -94,12 +119,29 @@ def _hyperplane_sign(vec: Column, dim: int, seed: int) -> Column:
     return (proj >= 0).cast("int")
 
 
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
-    """Random-hyperplane LSH bucket id (0..2^n_planes-1)."""
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8, table: int = 0) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1) for one hash
+    table; ``table`` offsets the plane seeds so tables are independent."""
     bucket = F.lit(0)
     for p in range(n_planes):
-        bucket = bucket + _hyperplane_sign(vec, dim, p) * F.lit(1 << p)
+        bucket = bucket + _hyperplane_sign(
+            vec, dim, table * n_planes + p
+        ) * F.lit(1 << p)
     return bucket
+
+
+def lsh_buckets(
+    vec: Column, dim: int, n_planes: int = 6, n_tables: int = 8
+) -> Column:
+    """All ``n_tables`` bucket ids for a vector, table-tagged into one
+    global id space (table t's bucket b → t·2^n_planes + b) so a single
+    explode + equi-join probes every table at once."""
+    return F.array(
+        *[
+            lsh_bucket(vec, dim, n_planes, table=t) + F.lit(t << n_planes)
+            for t in range(n_tables)
+        ]
+    )
 
 
 def lsh_topk(
@@ -107,33 +149,49 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int = 4,
+    n_tables: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: bucket corpus and queries by hyperplane LSH and
-    rank only within the shared bucket. At 100 TB the bucket join replaces
-    the full scan per query; recall is tunable via n_planes (fewer planes →
-    bigger buckets → higher recall)."""
+    """Approximate top-k via multi-table random-hyperplane LSH: corpus and
+    queries hash into ``n_tables`` independent tables of 2^n_planes
+    buckets; a candidate is any corpus vector sharing a bucket with the
+    query in ANY table (the classic OR-construction). At 100 TB the
+    bucket equi-join replaces the full scan per query; each query scans
+    ~n_tables/2^n_planes of the corpus in expectation. Recall rises with
+    n_tables (more independent chances to collide) and falls with
+    n_planes (finer buckets): on the synthetic sf0.001 corpus, recall@5
+    vs brute force measures 0.14 single-table (the pre-r6 shape), 0.68
+    at the (4, 8) default, 0.93 at (4, 16) — identical plan shape
+    (equi-join, no cartesian) throughout; pinned in test_similarity."""
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.explode(
+            lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("bucket"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), dim, n_planes).alias("bucket"),
+        F.explode(
+            lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
+        ).alias("bucket"),
     )
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
         / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
         6,
     )
+    # A pair colliding in several tables surfaces once per table — score
+    # first (cheap, columnar), then dedup the narrow (q, n, cosine)
+    # triple so the top-k window ranks each neighbor exactly once.
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -327,10 +327,15 @@ def unigram_doc_score(
     too big to broadcast falls back to a shuffle join keyed on token with
     the usual hot-key salting; the structure is otherwise unchanged.
     """
+    # Null-safe blank predicate: trim(NULL) = '' evaluates to NULL, which
+    # a plain filter drops from BOTH branches — the doc would vanish from
+    # the output entirely while the SQL twin's LEFT JOIN emits a zero row
+    # for it (r5 ADVICE). coalesce() folds NULL text into the blank case.
+    blank_pred = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     toks = (
         _spread(df)
-        .select(id_col, (F.trim(F.col(text_col)) == "").alias("__blank"),
+        .select(id_col, blank_pred.alias("__blank"),
                 F.split(norm, " ").alias("__toks"))
         .filter(~F.col("__blank"))
         .select(id_col, F.explode("__toks").alias("token"))
@@ -356,7 +361,9 @@ def unigram_doc_score(
     # Blank docs (filtered before the explode) re-enter as zero rows via a
     # cheap filtered-scan union — NOT a join back to the full table, which
     # would rescan and shuffle the whole corpus to recover a rare case.
-    blanks = df.filter(F.trim(F.col(text_col)) == "").select(
+    blanks = df.filter(
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    ).select(
         id_col,
         F.lit(0).cast("bigint").alias("n_tokens"),
         F.lit(0).cast("bigint").alias("sum_freq"),

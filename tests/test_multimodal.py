@@ -97,3 +97,29 @@ def test_extract_audio_features_real_wav_on_spark(spark):
     [r] = M.extract_audio_features(df).collect()
     assert r["n_samples"] == 320
     assert abs(r["rms"] - 4096 / 32768.0) < 1e-6
+
+
+def test_textual_payload_with_container_magic_takes_fallback():
+    """A TEXT document that happens to start with a container magic must
+    take the deterministic fallback, not the header sniffer: misrouting
+    would misparse the doc and hash-mismatch the fallback-path oracle of
+    image_features/audio_features (r5 ADVICE)."""
+    bmw = b"BM" + b"W recalls 90,000 vehicles over faulty sensor" * 3
+    got = M.decode_image(bmw)
+    n = len(bmw)
+    assert got == {"width": (n % 640) + 1, "height": (n % 480) + 1, "n_bytes": n}
+
+    gif_news = b"GIF87a was released in 1987 by CompuServe engineers..."
+    n = len(gif_news)
+    assert M.decode_image(gif_news)["width"] == (n % 640) + 1
+
+    riff_text = b"RIFF....WAVE is the container layout used by PCM files"
+    got = M.decode_audio(riff_text)
+    n = len(riff_text)
+    assert got["n_samples"] == n  # fallback shape, not wave parse
+    assert got["duration_s"] == n / 16000.0
+
+    # and real binary containers still take the REAL decode path
+    import struct
+    gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 8
+    assert M.decode_image(gif) == {"width": 12, "height": 34, "n_bytes": len(gif)}

