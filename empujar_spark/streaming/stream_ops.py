@@ -45,7 +45,12 @@ def _as_stream_dir(path: str) -> str:
 
     if os.path.isdir(path):
         return path
-    key = path.replace("/", "_")
+    # Cache key includes the source's (mtime, size): a testdata file
+    # regenerated in place gets a FRESH dir instead of being read through
+    # the previous generation's cached entry (VERDICT r5 item 4 — the
+    # flushed variant below learned this first).
+    st = os.stat(path)
+    key = f"{path.replace('/', '_')}-{st.st_mtime_ns}-{st.st_size}"
     d = os.path.join(tempfile.gettempdir(), f"empujar-stream-{key}")
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
@@ -85,9 +90,12 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     src = f"{sf_dir}/events.parquet"
-    key = src.replace("/", "_")
     # v2: cache key versioned with the sentinel schema — a dir written by an
-    # older schema generation must not be re-read with this one.
+    # older schema generation must not be re-read with this one. Also keyed
+    # on the source's (mtime, size) so in-place testdata regeneration gets
+    # a fresh dir (same hazard as _as_stream_dir).
+    st = os.stat(src)
+    key = f"{src.replace('/', '_')}-{st.st_mtime_ns}-{st.st_size}"
     d = os.path.join(tempfile.gettempdir(), f"empujar-stream-flush-v2-{key}")
     if not os.path.isdir(d):
         os.makedirs(d, exist_ok=True)

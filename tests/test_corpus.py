@@ -77,23 +77,42 @@ def test_events_loader_schema_guard(spark, tmp_path):
     from empujar_spark.plans.corpus import load
 
     sf = str(tmp_path)
-    # string-typed ts: neither the nanos-bigint nor the timestamp path
+    # string-typed ts: not a timestamp of any unit → loud failure. (The
+    # footer-based loader is stricter than its predecessor: a raw int64
+    # ts also fails now instead of being ASSUMED to be nanos.)
     spark.createDataFrame(
         [(1, "2024-01-01 00:00:00", 1, "click", 1.0, "{}")],
         "event_id long, ts string, user_id long, event_type string, "
         "value double, props string",
     ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
-    with _pytest.raises(TypeError, match="events.ts read as"):
+    with _pytest.raises(TypeError, match="events.ts stored as"):
         load(spark, sf, "events")
 
-    # both supported generations load to a timestamp column
+    # both supported generations load to a timestamp column. Spark can't
+    # write TIMESTAMP(NANOS), so the nanos generation is produced the way
+    # the original testdata was — through pyarrow.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
     shutil.rmtree(f"{sf}/events.parquet")
-    spark.createDataFrame(
-        [(1, 1_704_067_200_000_000_000, 1, "click", 1.0, "{}")],
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
-    assert dict(load(spark, sf, "events").dtypes)["ts"] == "timestamp"
+    nanos_tbl = pa.table(
+        {
+            "event_id": pa.array([1], pa.int64()),
+            "ts": pa.array([1_704_067_200_000_000_000], pa.timestamp("ns")),
+            "user_id": pa.array([1], pa.int64()),
+            "event_type": pa.array(["click"], pa.string()),
+            "value": pa.array([1.0], pa.float64()),
+            "props": pa.array(["{}"], pa.string()),
+        }
+    )
+    pq.write_table(
+        nanos_tbl, f"{sf}/events.parquet", version="2.6",
+        coerce_timestamps=None, store_schema=False,
+    )
+    nanos_df = load(spark, sf, "events")
+    assert dict(nanos_df.dtypes)["ts"] == "timestamp"
+    got = nanos_df.collect()[0].ts
+    assert (got.year, got.month, got.day) == (2024, 1, 1)
     assert dict(load(spark, "/root/testdata/sf0.001", "events").dtypes)[
         "ts"
     ] == "timestamp"

@@ -134,3 +134,24 @@ def test_state_bounded_by_watermark(spark, tmp_path):
     # and rows really were evicted along the way, not never-added
     assert sum(p["stateOperators"][0].get("numRowsRemoved", 0)
                for p in progresses) > 0
+
+
+def test_stream_dir_cache_tracks_source_mtime(tmp_path):
+    """Regenerating a source file in place must yield a FRESH stream dir:
+    the cache key includes (mtime, size), so a stale /tmp symlink dir from
+    the previous file generation can never be silently re-read."""
+    import os
+    import shutil
+    import time
+
+    src = str(tmp_path / "events.parquet")
+    shutil.copyfile("/root/testdata/sf0.001/events.parquet", src)
+    d1 = SO._as_stream_dir(src)
+    assert os.path.islink(os.path.join(d1, "events.parquet"))
+    # same file, untouched → same cached dir
+    assert SO._as_stream_dir(src) == d1
+    # regenerate in place (mtime changes) → different dir
+    time.sleep(0.01)
+    os.utime(src)
+    d2 = SO._as_stream_dir(src)
+    assert d2 != d1
