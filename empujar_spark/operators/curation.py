@@ -252,3 +252,39 @@ def mixture_sample(
         thresholds[F.col(domain_col)] * scale, F.lit(0.0)
     )
     return df.filter(keep)
+
+
+def source_quota_cap(
+    df: DataFrame,
+    cap: int = 50,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source document quota: keep at most ``cap`` docs per source,
+    selected by md5(id) rank — the "no single crawl/domain dominates the
+    mixture" guard every pretraining pipeline runs before mixing.
+    Deterministic: the same ``cap`` docs survive on any engine,
+    partitioning or rerun (unlike sample(), and unlike "first N seen",
+    which is scan-order-dependent).
+
+    Output: the kept (id, group, quota_rank) rows, quota_rank ∈ [1, cap].
+
+    Plan shape for 100 TB: ONE window shuffle keyed on the group column.
+    A mega-source (the skew case this op exists for) makes one heavy
+    partition; the scale mitigation is a two-phase prune — per-source
+    counts (map-side combinable) pick an md5-prefix threshold ≈
+    4·cap/count, the cheap stateless prefilter drops the bulk of the
+    mega-source BEFORE the shuffle, and the exact window runs on
+    survivors. The md5-rank semantic makes the prune safe: the global
+    top-cap rows by hash all sit under any threshold that keeps ≥ cap
+    survivors. Single-phase here; the entry documents the threshold
+    math for the scale path.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.select(id_col, group_col)
+        .withColumn("quota_rank", F.row_number().over(w))
+        .filter(F.col("quota_rank") <= cap)
+    )

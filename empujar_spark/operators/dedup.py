@@ -415,6 +415,55 @@ def near_dup_clusters(
     )
 
 
+def near_dup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup retention by QUALITY, not by id: within each near-dup
+    cluster keep the doc with the most whitespace tokens (the standard
+    "keep the longest/most complete variant" heuristic — truncated scrapes
+    and snippet mirrors lose to the full document), tie-broken by lowest
+    doc_id. near_dup_clusters' min-id representative is arbitrary; a
+    training-data pipeline wants the best variant, which is the whole
+    point of clustering before dropping.
+
+    Output: (doc_id, cluster_id, n_tokens, is_kept).
+
+    Plan shape for 100 TB: clustering as in near_dup_clusters (the dup
+    subgraph is a sliver of the corpus); the token count is one
+    expression on the existing scan; the argmax is ONE window shuffle
+    keyed on cluster_id — cluster sizes are bounded by the dedup
+    semantics themselves, so there is no skewed-giant-partition hazard.
+    """
+    clusters = near_dup_clusters(df, text_col, k, threshold).select(
+        "doc_id", "cluster_id"
+    )
+    t = F.trim(F.col(text_col))
+    ntok = df.select(
+        "doc_id",
+        (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+        .cast("bigint")
+        .alias("n_tokens"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_tokens").desc(), F.col("doc_id").asc()
+    )
+    return (
+        clusters.join(ntok, "doc_id")
+        .withColumn("__rn", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "cluster_id",
+            "n_tokens",
+            (F.col("__rn") == 1).cast("int").alias("is_kept"),
+        )
+    )
+
+
 def embedding_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

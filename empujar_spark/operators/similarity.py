@@ -14,8 +14,11 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -135,13 +138,46 @@ def lsh_buckets(
 ) -> Column:
     """All ``n_tables`` bucket ids for a vector, table-tagged into one
     global id space (table t's bucket b → t·2^n_planes + b) so a single
-    explode + equi-join probes every table at once."""
+    explode + equi-join probes every table at once.
+
+    This is the pure-column-expression REFERENCE implementation (SQL-
+    expressible, engine-portable). lsh_topk uses _lsh_buckets_udf
+    instead: the n_tables×n_planes literal sign arrays make this tree
+    ~8k constant nodes, and Catalyst ANALYSIS of a fresh plan costs
+    ~5s — 5× the query's runtime. Both produce identical buckets
+    (pinned in test_similarity)."""
     return F.array(
         *[
             lsh_bucket(vec, dim, n_planes, table=t) + F.lit(t << n_planes)
             for t in range(n_tables)
         ]
     )
+
+
+def _lsh_buckets_udf(dim: int, n_planes: int, n_tables: int):
+    """Arrow-batched multi-table bucket ids: ONE numpy matmul per batch
+    against the (dim × n_planes·n_tables) ±1 plane matrix — how every
+    production system hashes embeddings. Chosen over the column-
+    expression twin above for PLAN size, not kernel speed: one UDF node
+    replaces ~8k literal nodes, cutting fresh-plan wall time 5.7s→1.3s
+    at sf0.1 (analysis was 5× execution). Same md5-derived planes, same
+    buckets."""
+    P = n_planes * n_tables
+    M = np.array([_hyperplane_signs_py(dim, p) for p in range(P)]).T
+    weights = 1 << np.arange(n_planes)
+    offsets = np.arange(n_tables) << n_planes
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        bits = (V @ M >= 0).astype(np.int64)
+        bits = bits.reshape(len(V), n_tables, n_planes)
+        out = (bits * weights).sum(axis=2) + offsets
+        return pd.Series(list(out.astype(np.int32)))
+
+    return buckets
 
 
 def lsh_topk(
@@ -164,20 +200,20 @@ def lsh_topk(
     n_planes (finer buckets): on the synthetic sf0.001 corpus, recall@5
     vs brute force measures 0.14 single-table (the pre-r6 shape), 0.68
     at the (4, 8) default, 0.93 at (4, 16) — identical plan shape
-    (equi-join, no cartesian) throughout; pinned in test_similarity."""
-    c = corpus.select(
+    (equi-join, no cartesian) throughout; pinned in test_similarity.
+
+    Hashing runs as one Arrow-batched matmul per batch (_lsh_buckets_udf
+    — see its docstring for why not the column-expression twin)."""
+    bucket_fn = _lsh_buckets_udf(dim, n_planes, n_tables)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        F.explode(
-            lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("bucket"),
+        F.explode(bucket_fn(F.col(vec_col))).alias("bucket"),
     )
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(
-            lsh_buckets(F.col(vec_col), dim, n_planes, n_tables)
-        ).alias("bucket"),
+        F.explode(bucket_fn(F.col(vec_col))).alias("bucket"),
     )
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))

@@ -370,3 +370,59 @@ def unigram_doc_score(
         F.lit(0.0).alias("mean_token_freq"),
     )
     return scored.unionByName(blanks)
+
+
+def oov_rate(
+    df: DataFrame, min_df: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Out-of-vocabulary rate per document: the vocabulary is every token
+    with corpus frequency >= ``min_df``; a doc's score is the share of its
+    token occurrences falling outside it. High OOV = rare-token soup
+    (mojibake, boilerplate hashes, OCR noise) — the vocabulary-coverage
+    filter that complements unigram_doc_score's mean-frequency signal
+    (a doc can have a healthy mean yet be 30% garbage tokens).
+
+    Output: (doc_id, n_tokens, n_oov, oov_rate) — integer counts and one
+    unrounded IEEE division, bit-identical cross-engine. Blank/NULL-text
+    docs surface as explicit zero rows (null-safe predicate).
+
+    Plan shape for 100 TB: same skeleton as unigram_doc_score — the
+    vocabulary is the canonical word-count aggregation (map-side
+    combine); Zipf keeps the distinct vocab broadcastable, so the
+    occurrence stream shuffles only for the per-doc re-aggregation.
+    """
+    blank_pred = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = (
+        _spread(df)
+        .select(id_col, blank_pred.alias("__blank"),
+                F.split(norm, " ").alias("__toks"))
+        .filter(~F.col("__blank"))
+        .select(id_col, F.explode("__toks").alias("token"))
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__freq"))
+    scored = (
+        toks.join(F.broadcast(vocab), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum((F.col("__freq") < min_df).cast("int"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_oov",
+            (
+                F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("oov_rate"),
+        )
+    )
+    blanks = df.filter(blank_pred).select(
+        id_col,
+        F.lit(0).cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_oov"),
+        F.lit(0.0).alias("oov_rate"),
+    )
+    return scored.unionByName(blanks)

@@ -1184,6 +1184,37 @@ def unigram_doc_score(spark, sf_dir):
 
 
 @q(
+    "oov_rate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS token
+      FROM documents WHERE coalesce(trim(text), '') <> ''),
+    vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+    scored AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                      CAST(sum(CASE WHEN v.freq < 5 THEN 1 ELSE 0 END)
+                           AS BIGINT) AS n_oov
+               FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.n_oov, 0) AS n_oov,
+           CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+                ELSE CAST(s.n_oov AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+           END AS oov_rate
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def oov_rate(spark, sf_dir):
+    """Out-of-vocabulary rate per doc (operators/text.py oov_rate):
+    vocabulary-coverage filter — share of a doc's token occurrences whose
+    corpus frequency is under min_df=5. Complements unigram_doc_score's
+    mean-frequency signal (a healthy mean can hide a 30% garbage-token
+    tail). Same broadcast-vocab plan; integer counts + one unrounded
+    IEEE division, hash-exact cross-engine."""
+    return X.oov_rate(load(spark, sf_dir, "documents"), min_df=5)
+
+
+@q(
     "image_resize",
     """
     SELECT doc_id,
@@ -1805,6 +1836,47 @@ def near_dup_clusters(spark, sf_dir):
 
 
 @q(
+    "dedup_keep_best",
+    f"""
+    {_PAIRS_SQL},
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    conn AS (
+      WITH RECURSIVE walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+      ) SELECT * FROM walk),
+    clus AS (
+      SELECT d.doc_id,
+             least(d.doc_id, coalesce(min(c.v), d.doc_id)) AS cluster_id
+      FROM documents d LEFT JOIN conn c ON c.u = d.doc_id
+      GROUP BY d.doc_id),
+    ntok AS (
+      SELECT doc_id,
+             CAST(length(trim(text)) - length(replace(trim(text), ' ', ''))
+                  + 1 AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT c.doc_id, c.cluster_id, t.n_tokens,
+           CAST(row_number() OVER (PARTITION BY c.cluster_id
+                                   ORDER BY t.n_tokens DESC, c.doc_id ASC)
+                = 1 AS INT) AS is_kept
+    FROM clus c JOIN ntok t USING (doc_id)
+    """,
+)
+def dedup_keep_best(spark, sf_dir):
+    """Near-dup retention by QUALITY (operators/dedup.py
+    near_dup_keep_best): within each cluster keep the doc with the most
+    whitespace tokens (truncated scrapes and snippet mirrors lose to the
+    full variant), tie-broken by doc_id — near_dup_clusters' min-id
+    representative made arbitrary, useful. The argmax is one window
+    shuffle keyed on cluster_id; cluster sizes are bounded by the dedup
+    semantics, so no giant-partition hazard. Oracle: the same
+    recursive-CTE closure + token count + window."""
+    return D.near_dup_keep_best(load(spark, sf_dir, "documents"), threshold=0.1)
+
+
+@q(
     "embedding_dup_pairs",
     """
     WITH base AS (
@@ -2269,9 +2341,16 @@ def approx_stats(spark, sf_dir):
     sketch columns (HLL + t-digest, one map-side-combinable pass) and
     skips the exact twins."""
     li = load(spark, sf_dir, "lineitem")
+    # countDistinct lives in its OWN aggregation: mixed with the
+    # percentile aggregates, Spark's two-level distinct rewrite keys the
+    # first level on (l_returnflag, l_partkey) and drags every percentile
+    # value-buffer through ~n_parts × n_flags groups — measured 8.5s at
+    # sf0.1 vs ~1s split. The join-back is 3 rows on each side.
+    dist = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts_exact"),
+    )
     agg = li.groupBy("l_returnflag").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("l_partkey").alias("n_parts_exact"),
         (
             F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
             / F.count(F.lit(1))
@@ -2279,7 +2358,7 @@ def approx_stats(spark, sf_dir):
         F.approx_count_distinct("l_partkey", rsd=0.05).alias("__approx_parts"),
         F.percentile_approx("l_extendedprice", 0.5).alias("__approx_median"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("__exact_median"),
-    )
+    ).join(F.broadcast(dist), "l_returnflag")
     return agg.select(
         "l_returnflag",
         "n_rows",
@@ -2324,6 +2403,29 @@ def stratified_split(spark, sf_dir):
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@q(
+    "source_quota_cap",
+    """
+    SELECT doc_id, source, quota_rank FROM (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS quota_rank
+      FROM documents) t
+    WHERE quota_rank <= 50
+    """,
+)
+def source_quota_cap(spark, sf_dir):
+    """Per-source document quota (operators/curation.py source_quota_cap):
+    keep at most 50 docs per source, selected by md5(doc_id) rank — the
+    "no single crawl dominates the mixture" guard, deterministic on any
+    engine/partitioning/rerun. One window shuffle keyed on source; the
+    docstring documents the two-phase md5-prefix prune that bounds the
+    mega-source partition at 100 TB."""
+    return C.source_quota_cap(load(spark, sf_dir, "documents"), cap=50)
 
 
 _SHINGLES5_SQL = """

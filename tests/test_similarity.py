@@ -142,3 +142,18 @@ def test_brute_force_guard(spark):
     # force=True bypasses the guard (plan construction only — no job)
     assert S.cosine_topk(big, big.limit(1), force=True) is not None
     assert D.embedding_dup_pairs(big, method="exact", force=True) is not None
+
+
+def test_lsh_udf_buckets_match_column_expression(emb):
+    """The Arrow-matmul bucket kernel and the SQL-expressible column-
+    expression reference must assign identical buckets — the UDF exists
+    for plan-size reasons only, never semantic drift."""
+    udf_b = S._lsh_buckets_udf(64, 4, 8)
+    got = emb.select(
+        "vec_id",
+        udf_b(F.col("embedding")).alias("u"),
+        S.lsh_buckets(F.col("embedding"), 64, 4, 8).alias("c"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert list(r.u) == list(r.c), f"bucket drift for vec {r.vec_id}"
