@@ -272,3 +272,27 @@ def test_clustered_prune_filters_reach_scan(spark):
     plan = plan_of(spark, "clustered_prune")
     assert "PushedFilters" in plan, plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_oov_rate_broadcasts_vocab(spark):
+    """The vocabulary joins the occurrence stream as a broadcast — the
+    Zipf sliver never forces a shuffle join of the exploded tokens."""
+    assert "BroadcastHashJoin" in plan_of(spark, "oov_rate")
+
+
+def test_source_quota_cap_single_window_shuffle(spark):
+    """One window shuffle keyed on source; the rank filter must run
+    inside the Window stage's filter, not a later re-shuffle."""
+    plan = plan_of(spark, "source_quota_cap")
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "Window" in plan
+
+
+def test_dedup_keep_best_no_giant_shuffle(spark):
+    """The argmax window partitions on cluster_id (bounded groups) and
+    the token count stays a scan-side expression — no cartesian, no
+    nested-loop join anywhere in the composed plan."""
+    plan = plan_of(spark, "dedup_keep_best")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
