@@ -2288,23 +2288,49 @@ def bucketed_join_agg(spark, sf_dir):
     )
 
 
-@q("hll_rolling_distinct", None)
+@q(
+    "hll_rolling_distinct",
+    """
+    SELECT date_trunc('month', ts) AS month, event_type,
+           count(DISTINCT user_id) AS n_users_exact,
+           TRUE AS hll_ok
+    FROM events GROUP BY 1, 2
+    """,
+)
 def hll_rolling_distinct(spark, sf_dir):
     """MERGEABLE sketches — the pattern that makes rolling distincts cheap
     at 100 TB: one HLL sketch per (day, event_type) materialized once,
     then month-level distinct users come from unioning the tiny sketches,
-    never rescanning the fact table. Engine-specific binary sketches →
-    rows-only check; the estimate-vs-exact error is pinned in tests."""
+    never rescanning the fact table.
+
+    The binary sketches are engine-specific, so (like approx_stats) the
+    entry is oracle-paired on the exact distinct count plus an accuracy
+    boolean the oracle asserts TRUE: the rolled-up HLL estimate must sit
+    within 10% of the exact count (default lgConfigK=12 ⇒ rsd ≈1.6%, so
+    the bound is ~6σ). A union/estimate regression flips the boolean and
+    hash-mismatches the row. The exact countDistinct is the gate-scale
+    validator; production reads only the sketch rollup."""
     ev = load(spark, sf_dir, "events")
     daily = ev.groupBy(
         F.date_trunc("day", "ts").alias("day"), "event_type"
     ).agg(F.hll_sketch_agg("user_id").alias("sk"))
-    return (
+    rolled = (
         daily.groupBy(F.date_trunc("month", "day").alias("month"), "event_type")
         .agg(
-            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("__approx_users")
         )
-        .select("month", "event_type", "approx_users")
+    )
+    exact = ev.groupBy(
+        F.date_trunc("month", "ts").alias("month"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("n_users_exact"))
+    return rolled.join(exact, ["month", "event_type"]).select(
+        "month",
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("__approx_users") - F.col("n_users_exact"))
+            <= 0.1 * F.col("n_users_exact")
+        ).alias("hll_ok"),
     )
 
 
@@ -3160,11 +3186,13 @@ _GATE_ORDER_FIRST = [
 ]
 # Rows-only (no-oracle) entries: weaker check, keep them inside the
 # ~50-row window but after everything oracle-paired and unproven.
+# (hll_rolling_distinct left this list in r6 — oracle-paired on its
+# exact twin + accuracy boolean, same upgrade as approx_stats; it sits
+# in FIRST via the middle bucket as a this-round change.)
 _GATE_ORDER_ROWS_ONLY = [
     "embedding_dup_pairs_ann",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
-    "hll_rolling_distinct",
 ]
 # Green in CORRECTNESS_r05.json — freshest evidence, so they yield their
 # gate slots to stale and newly-added entries.
