@@ -420,6 +420,7 @@ def near_dup_keep_best(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    clusters: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup retention by QUALITY, not by id: within each near-dup
     cluster keep the doc with the most whitespace tokens (the standard
@@ -436,10 +437,16 @@ def near_dup_keep_best(
     expression on the existing scan; the argmax is ONE window shuffle
     keyed on cluster_id — cluster sizes are bounded by the dedup
     semantics themselves, so there is no skewed-giant-partition hazard.
+
+    ``clusters``: optionally pass a precomputed (doc_id, cluster_id)
+    assignment — cluster labels are a materialized artifact in any real
+    pipeline (computed once per snapshot, consumed by several retention/
+    reporting passes), so callers should not re-run label propagation
+    per consumer.
     """
-    clusters = near_dup_clusters(df, text_col, k, threshold).select(
-        "doc_id", "cluster_id"
-    )
+    if clusters is None:
+        clusters = near_dup_clusters(df, text_col, k, threshold)
+    clusters = clusters.select("doc_id", "cluster_id")
     t = F.trim(F.col(text_col))
     ntok = df.select(
         "doc_id",
