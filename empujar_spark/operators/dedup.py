@@ -505,7 +505,7 @@ def embedding_dup_pairs(
     guard raises unless ``force=True`` (VERDICT r5 item 5).
     """
     from empujar_spark.operators.similarity import (
-        _dot, _norm, _nearest_centroids, _guard_brute_force, ivf_train,
+        _dot, _norm, _nearest_centroids_udf, _guard_brute_force, ivf_train,
     )
 
     n_part = df.sparkSession.sparkContext.defaultParallelism
@@ -545,17 +545,18 @@ def embedding_dup_pairs(
         if centroids is not None
         else ivf_train(df, n_centroids, id_col=id_col, vec_col=vec_col)
     )
+    assign = _nearest_centroids_udf(C, 1)
     assigned = base.select(
         F.col("id").alias("id_b"), F.col("vec").alias("vb"),
         F.col("nrm").alias("nb"),
-        _nearest_centroids(F.col("vec"), C, 1)[0].alias("cid"),
+        assign(F.col("vec"))[0].alias("cid"),
     )
     # Exact-recall probes visit EVERY list — a plain sequence explode, no
     # per-row centroid ranking needed; approximate probes rank centroids.
     probe_cids = (
         F.sequence(F.lit(0), F.lit(n_centroids - 1))
         if exact_recall
-        else _nearest_centroids(F.col("vec"), C, nprobe)
+        else _nearest_centroids_udf(C, nprobe)(F.col("vec"))
     )
     probes = base.select(
         F.col("id").alias("id_a"), F.col("vec").alias("va"),

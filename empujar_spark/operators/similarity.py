@@ -322,6 +322,30 @@ def _nearest_centroids(vec: Column, centroids, nprobe: int) -> Column:
     return F.slice(F.transform(ranked, lambda s: s["j"]), 1, nprobe)
 
 
+def _nearest_centroids_udf(centroids, nprobe: int):
+    """Arrow-batched twin of _nearest_centroids: one numpy matmul per
+    batch against the centroid matrix, stable argsort for the (-dot,
+    smaller-id) tie order. Used in the probe/assignment hot paths for
+    PLAN-size reasons (the literal centroid matrix plus fold tree costs
+    ~0.7s of Catalyst analysis per plan side at 32×64; the UDF is one
+    node — same cure as _lsh_buckets_udf). Candidate COMPLETENESS never
+    depends on which list a vector lands in (full-probe modes visit
+    every list), so an last-ulp dot difference vs the JVM fold cannot
+    change any exact result; parity on real data is pinned in tests."""
+    C = np.asarray(centroids, dtype=np.float64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        dots = V @ C.T
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return nearest
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -349,15 +373,17 @@ def ivf_topk(
         if centroids is not None
         else ivf_train(corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col)
     )
+    assign = _nearest_centroids_udf(C, 1)
+    probe = _nearest_centroids_udf(C, nprobe)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        _nearest_centroids(F.col(vec_col), C, 1)[0].alias("cid"),
+        assign(F.col(vec_col))[0].alias("cid"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        F.explode(_nearest_centroids(F.col(vec_col), C, nprobe)).alias("cid"),
+        F.explode(probe(F.col(vec_col))).alias("cid"),
     )
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))

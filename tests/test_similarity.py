@@ -157,3 +157,19 @@ def test_lsh_udf_buckets_match_column_expression(emb):
     assert len(got) > 0
     for r in got:
         assert list(r.u) == list(r.c), f"bucket drift for vec {r.vec_id}"
+
+
+def test_nearest_centroids_udf_matches_column_expression(emb):
+    """The Arrow-matmul centroid ranker and the SQL-expressible column-
+    expression reference must rank identically on real data (a last-ulp
+    dot difference could only reorder an exact tie, which the corpus
+    doesn't produce)."""
+    C = S.ivf_train(emb, 8)
+    got = emb.select(
+        "vec_id",
+        S._nearest_centroids_udf(C, 8)(F.col("embedding")).alias("u"),
+        S._nearest_centroids(F.col("embedding"), C, 8).alias("c"),
+    ).collect()
+    assert len(got) > 0
+    for r in got:
+        assert list(r.u) == list(r.c), f"rank drift for vec {r.vec_id}"
