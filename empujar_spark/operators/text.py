@@ -426,3 +426,105 @@ def oov_rate(
         F.lit(0.0).alias("oov_rate"),
     )
     return scored.unionByName(blanks)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window token chunking — the sequence-packing precursor
+    that splits long documents into overlapping fixed-size windows
+    (chunk_size tokens, advancing by stride, so consecutive chunks share
+    chunk_size - stride tokens of context).
+
+    Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text). chunk_id is
+    the 0-based window index; the final chunk is the natural remainder
+    (1..chunk_size tokens), never padded. Blank/NULL-text docs emit no
+    chunks (there is nothing to train on).
+
+    Plan shape for 100 TB: pure per-row column expressions — the window
+    starts are a `sequence`, the chunks a `transform` + `slice` over the
+    already-split token array (ONE array materialization per doc, not one
+    per chunk), then a single posexplode. No shuffle, no UDF; scales as
+    an embarrassingly parallel map with full column pruning upstream.
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    blank_pred = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
+    chunks = F.transform(
+        starts, lambda s: F.slice(F.col("__toks"), s, chunk_size)
+    )
+    return (
+        _spread(df)
+        .filter(~blank_pred)
+        .select(id_col, toks.alias("__toks"))
+        .select(id_col, F.posexplode(chunks).alias("chunk_id", "__chunk"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.size("__chunk").cast("bigint").alias("n_chunk_tokens"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        )
+    )
+
+
+def vocab_prune(
+    df: DataFrame, min_df: int = 5, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-preserving rare-token removal: rewrite each document keeping
+    only tokens whose corpus frequency >= ``min_df`` — the destructive
+    counterpart of oov_rate (that one measures the noise share, this one
+    deletes it), akin to CCNet-style noise stripping before tokenizer
+    training.
+
+    Output: (doc_id, n_tokens, n_kept, pruned_text) where pruned_text is
+    the surviving tokens in their original order ('' if none survive).
+    Blank/NULL-text docs surface as explicit zero rows.
+
+    Plan shape for 100 TB: same skeleton as oov_rate — canonical
+    word-count vocabulary (map-side combine) broadcast to the occurrence
+    stream; order restoration is array_sort over per-doc collected
+    (position, token) structs, so the only shuffle is the per-doc
+    re-aggregation and no row ever carries more than its own document.
+    """
+    blank_pred = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    occ = (
+        _spread(df)
+        .filter(~blank_pred)
+        .select(id_col, F.posexplode(F.split(norm, " ")).alias("__pos", "token"))
+    )
+    vocab = occ.groupBy("token").agg(F.count(F.lit(1)).alias("__freq"))
+    keep = F.col("__freq") >= min_df
+    # collect_list skips NULLs, so gating the struct with when() collects
+    # only surviving tokens while count(*) still sees every occurrence.
+    kept_struct = F.when(
+        keep, F.struct(F.col("__pos").alias("pos"), F.col("token").alias("tok"))
+    )
+    scored = (
+        occ.join(F.broadcast(vocab), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(keep.cast("int")).cast("bigint").alias("n_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["tok"],
+                ),
+            ).alias("pruned_text"),
+        )
+    )
+    blanks = df.filter(blank_pred).select(
+        id_col,
+        F.lit(0).cast("bigint").alias("n_tokens"),
+        F.lit(0).cast("bigint").alias("n_kept"),
+        F.lit("").alias("pruned_text"),
+    )
+    return scored.unionByName(blanks)

@@ -29,6 +29,7 @@ Reference query provenance is cited per entry (files under
 
 from __future__ import annotations
 
+import datetime as dt
 from dataclasses import dataclass
 from typing import Callable
 
@@ -577,6 +578,189 @@ def sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
+    )
+
+
+@q(
+    "event_funnel",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    s1 AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, min(e.ts) AS t_click
+           FROM events e JOIN s1 USING (user_id)
+           WHERE e.event_type = 'click' AND e.ts > s1.t_view
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, min(e.ts) AS t_purchase
+           FROM events e JOIN s2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+           GROUP BY e.user_id)
+    SELECT u.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+           CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+                     WHEN s2.user_id IS NOT NULL THEN 2
+                     WHEN s1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS funnel_stage
+    FROM u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+)
+def event_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): per user, the
+    first view, the first click strictly after it, and the first purchase
+    strictly after that — the classic product-analytics query the
+    reference's ES event chapters feed (books/dashboard, elasticsearch
+    getAll + date filters).
+
+    Spark-first shape: ONE shuffle keyed on user_id — events fold through
+    a sorted higher-order `aggregate` (collect_list → array_sort → fold),
+    advancing a (t_view, t_click, t_purchase) state struct per event.
+    Because events are processed in ts order, the first state transition
+    IS the min() the SQL twin computes with three self-join aggregations
+    — same result, one pass, no rescans. Ties at identical ts are
+    handled identically both sides: stage N+1 requires strictly ts >
+    stage N, independent of sort order within the tie.
+
+    Scale note: per-user state is 3 timestamps, but collect_list briefly
+    materializes each user's events in one task — bounded by the hottest
+    user (~events/user, not corpus size). A pathological single-user
+    firehose would instead use the 3-aggregation join cascade the oracle
+    spells out, trading two more user_id shuffles for O(1) memory."""
+    e = load(spark, sf_dir, "events")
+    tnull = F.lit(None).cast("timestamp")
+    init = F.struct(
+        tnull.alias("t1"), tnull.alias("t2"), tnull.alias("t3")
+    )
+
+    def step(acc, x):
+        t1 = F.when(
+            acc["t1"].isNull() & (x["et"] == "view"), x["ts"]
+        ).otherwise(acc["t1"])
+        t2 = F.when(
+            acc["t2"].isNull()
+            & t1.isNotNull()
+            & (x["et"] == "click")
+            & (x["ts"] > t1),
+            x["ts"],
+        ).otherwise(acc["t2"])
+        t3 = F.when(
+            acc["t3"].isNull()
+            & t2.isNotNull()
+            & (x["et"] == "purchase")
+            & (x["ts"] > t2),
+            x["ts"],
+        ).otherwise(acc["t3"])
+        return F.struct(t1.alias("t1"), t2.alias("t2"), t3.alias("t3"))
+
+    folded = (
+        e.groupBy("user_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("ts"), F.col("event_type").alias("et"))
+                )
+            ).alias("__evs")
+        )
+        .select("user_id", F.aggregate("__evs", init, step).alias("__st"))
+    )
+    return folded.select(
+        "user_id",
+        F.col("__st.t1").alias("t_view"),
+        F.col("__st.t2").alias("t_click"),
+        F.col("__st.t3").alias("t_purchase"),
+        F.when(F.col("__st.t3").isNotNull(), 3)
+        .when(F.col("__st.t2").isNotNull(), 2)
+        .when(F.col("__st.t1").isNotNull(), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("funnel_stage"),
+    )
+
+
+@q(
+    "retention_cohorts",
+    """
+    WITH fc AS (
+      SELECT user_id, CAST(min(ts) AS DATE) AS d0,
+             CAST(date_diff('day', DATE '2024-01-01', CAST(min(ts) AS DATE)) // 7
+                  AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id),
+    act AS (
+      SELECT DISTINCT e.user_id, fc.cohort_week,
+             CAST(date_diff('day', fc.d0, CAST(e.ts AS DATE)) // 7 AS BIGINT)
+                 AS week_offset
+      FROM events e JOIN fc USING (user_id)),
+    sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_size
+              FROM fc GROUP BY cohort_week)
+    SELECT a.cohort_week, a.week_offset,
+           CAST(count(*) AS BIGINT) AS n_active_users,
+           s.cohort_size,
+           round(CAST(count(*) AS DOUBLE) / CAST(s.cohort_size AS DOUBLE), 4)
+               AS retention_rate
+    FROM act a JOIN sizes s USING (cohort_week)
+    GROUP BY a.cohort_week, a.week_offset, s.cohort_size
+    """,
+)
+def retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-active week, the
+    share still active N weeks later — the other half of the funnel's
+    product-analytics pair.
+
+    Determinism: week indices are pure integer day-arithmetic against a
+    fixed anchor (days-since-2024-01-01 div 7), NOT date_trunc('week') —
+    engines disagree on week origins/ISO rules, integer division cannot.
+
+    Plan shape: one user_id shuffle for first-event mins; the per-user
+    cohort map (one row per user, ≪ events) broadcasts back onto the
+    event stream, so activity never shuffles for the enrichment — only
+    the (user, week) distinct and the final (cohort, offset) rollup do,
+    both heavily pre-combined map-side. Cohort sizes broadcast onto the
+    final rollup."""
+    e = load(spark, sf_dir, "events")
+    anchor = F.lit(dt.date(2024, 1, 1))
+    fc = (
+        e.groupBy("user_id")
+        .agg(F.min("ts").alias("__t0"))
+        .select(
+            "user_id",
+            F.to_date("__t0").alias("__d0"),
+            (F.datediff(F.to_date("__t0"), anchor) / 7)
+            .cast("int")
+            .cast("bigint")
+            .alias("cohort_week"),
+        )
+    )
+    act = (
+        e.join(F.broadcast(fc), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.to_date("ts"), F.col("__d0")) / 7)
+            .cast("int")
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = fc.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    return (
+        act.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_active_users"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active_users",
+            "cohort_size",
+            F.round(
+                F.col("n_active_users").cast("double")
+                / F.col("cohort_size").cast("double"),
+                4,
+            ).alias("retention_rate"),
+        )
     )
 
 
@@ -1212,6 +1396,76 @@ def oov_rate(spark, sf_dir):
     tail). Same broadcast-vocab plan; integer counts + one unrounded
     IEEE division, hash-exact cross-engine."""
     return X.oov_rate(load(spark, sf_dir, "documents"), min_df=5)
+
+
+@q(
+    "doc_chunks",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE coalesce(trim(text), '') <> ''),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(1, len(toks), 48)) AS start
+      FROM t)
+    SELECT doc_id,
+           CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
+           CAST(len(list_slice(toks, start, start + 63)) AS BIGINT)
+               AS n_chunk_tokens,
+           array_to_string(list_slice(toks, start, start + 63), ' ')
+               AS chunk_text
+    FROM s
+    """,
+)
+def doc_chunks(spark, sf_dir):
+    """Sliding-window token chunking (operators/text.py chunk_documents):
+    64-token windows advancing by 48 (16 tokens of shared context) — the
+    long-document splitter that feeds pack_sequences. Pure column
+    expressions (sequence → transform+slice → one posexplode): no
+    shuffle, no UDF, one token-array materialization per doc."""
+    return X.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_size=64, stride=48
+    )
+
+
+@q(
+    "vocab_prune",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' ') AS toks
+      FROM documents WHERE coalesce(trim(text), '') <> ''),
+    occ AS (
+      SELECT doc_id, unnest(generate_series(1, len(toks))) AS i,
+             unnest(toks) AS token
+      FROM t),
+    vocab AS (SELECT token, count(*) AS freq FROM occ GROUP BY token),
+    scored AS (
+      SELECT o.doc_id,
+             CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN v.freq >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_kept,
+             coalesce(string_agg(CASE WHEN v.freq >= 50 THEN o.token END,
+                                 ' ' ORDER BY o.i), '') AS pruned_text
+      FROM occ o JOIN vocab v USING (token)
+      GROUP BY o.doc_id)
+    SELECT d.doc_id,
+           coalesce(s.n_tokens, 0) AS n_tokens,
+           coalesce(s.n_kept, 0) AS n_kept,
+           coalesce(s.pruned_text, '') AS pruned_text
+    FROM documents d LEFT JOIN scored s USING (doc_id)
+    """,
+)
+def vocab_prune(spark, sf_dir):
+    """Order-preserving rare-token removal (operators/text.py
+    vocab_prune): rewrite docs keeping only tokens with corpus frequency
+    >= 50 — oov_rate's destructive counterpart. min_df=50 is chosen to
+    actually prune at gate scale (sf0.01 has exactly one sub-50-freq
+    token type), keeping the hash check non-degenerate. Broadcast-vocab
+    join; order restored via array_sort over (position, token) structs,
+    so the only shuffle is the per-doc re-aggregation."""
+    return X.vocab_prune(load(spark, sf_dir, "documents"), min_df=50)
 
 
 @q(
@@ -2060,6 +2314,61 @@ def global_topk(spark, sf_dir):
         o.select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy(F.round("o_totalprice", 6).desc(), F.col("o_orderkey").asc())
         .limit(100)
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    """
+    SELECT l.l_orderkey,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                    (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4)
+                AS DOUBLE) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o.o_orderdate ASC, l.l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H-Q3-shaped unshipped-orders priority list: top-10 orders by
+    open revenue in the BUILDING segment (o_orderpriority standing in for
+    q3's o_shippriority, which this schema omits). The scale shape: both
+    date filters push to the parquet scans, the filtered customer dim
+    broadcasts, lineitem⋈orders is the one shuffle pair, and the top-10
+    plans as TakeOrderedAndProject over the aggregate — no global sort.
+    Total order (revenue desc, date asc, key asc) for determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    cut = F.lit(dt.datetime(1998, 6, 1))
+    one = F.lit(1).cast("decimal(18,6)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(
+            o.filter(F.col("o_orderdate") < cut),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(
+            F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(
+            F.col("revenue").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("l_orderkey").asc(),
+        )
+        .limit(10)
     )
 
 

@@ -138,3 +138,46 @@ def test_grouped_linear_trend_matches_numpy(spark):
     )
     assert {r["event_type"]: (r["slope"], r["intercept"])
             for r in re.collect()} == out
+
+
+def test_chunk_documents_windows_and_remainder(spark):
+    # 10 tokens, chunk_size=4, stride=3 → starts 1,4,7,10:
+    # [t1..t4], [t4..t7], [t7..t10], [t10] — final chunk is the remainder
+    text = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame(
+        [(1, text), (2, "  "), (3, None)], "doc_id int, text string"
+    )
+    out = X.chunk_documents(df, chunk_size=4, stride=3).collect()
+    rows = {r["chunk_id"]: r for r in out}
+    assert [r["doc_id"] for r in out] == [1, 1, 1, 1]  # blank/NULL emit none
+    assert rows[0]["chunk_text"] == "t1 t2 t3 t4"
+    assert rows[1]["chunk_text"] == "t4 t5 t6 t7"
+    assert rows[3]["chunk_text"] == "t10"
+    assert rows[3]["n_chunk_tokens"] == 1
+
+
+def test_chunk_documents_overlap_covers_every_token(docs):
+    # every source token position lands in >= 1 chunk: total chunk tokens
+    # >= total doc tokens, and per-doc max chunk end == doc token count
+    out = X.chunk_documents(docs, chunk_size=64, stride=48)
+    per_doc = out.groupBy("doc_id").agg(
+        F.max(F.col("chunk_id") * 48 + F.col("n_chunk_tokens")).alias("covered")
+    )
+    toks = docs.filter(F.coalesce(F.trim("text"), F.lit("")) != "").select(
+        "doc_id", X.token_count(F.col("text")).cast("bigint").alias("n")
+    )
+    bad = per_doc.join(toks, "doc_id").filter(F.col("covered") != F.col("n"))
+    assert bad.count() == 0
+
+
+def test_vocab_prune_drops_rare_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "a b rare1 a b"), (2, "b a b rare2"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in X.vocab_prune(df, min_df=2).collect()}
+    assert out[1]["pruned_text"] == "a b a b"          # order kept, rare1 gone
+    assert (out[1]["n_tokens"], out[1]["n_kept"]) == (5, 4)
+    assert out[2]["pruned_text"] == "b a b"
+    assert (out[3]["n_tokens"], out[3]["n_kept"]) == (0, 0)
+    assert out[3]["pruned_text"] == ""

@@ -295,3 +295,50 @@ def test_dedup_keep_best_no_giant_shuffle(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Window" in plan
+
+
+def test_doc_chunks_single_scan_no_shuffle_but_spread(spark):
+    """Chunking is a pure per-row map: the only Exchange is the explicit
+    round-robin spread, never a hash/range shuffle, and no join/window."""
+    plan = plan_of(spark, "doc_chunks")
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_vocab_prune_broadcasts_vocab(spark):
+    """Same contract as oov_rate: the Zipf-sliver vocabulary broadcasts
+    onto the exploded occurrence stream."""
+    assert "BroadcastHashJoin" in plan_of(spark, "vocab_prune")
+
+
+def test_event_funnel_single_shuffle_no_joins(spark):
+    """The sorted-fold funnel costs exactly one hash shuffle (user_id)
+    and never joins — vs the oracle's three self-join aggregations."""
+    plan = plan_of(spark, "event_funnel")
+    assert plan.count("Exchange") == 1, plan[:800]
+    assert "Join" not in plan
+
+
+def test_retention_cohorts_broadcasts_user_dim(spark):
+    """The per-user cohort map and the cohort sizes both broadcast; the
+    event stream never shuffles for the enrichment."""
+    plan = plan_of(spark, "retention_cohorts")
+    assert plan.count("BroadcastHashJoin") >= 2, plan[:800]
+    assert "SortMergeJoin" not in plan
+
+
+def test_q3_pushdown_broadcast_and_topk(spark):
+    """Both date filters reach the scans, the filtered customer dim
+    broadcasts, and the top-10 plans as TakeOrderedAndProject (no global
+    sort of the aggregate)."""
+    full = (
+        CORPUS["q3_shipping_priority"].fn(spark, SF)
+        ._jdf.queryExecution().toString()
+    )
+    assert "PushedFilters" in full
+    assert "GreaterThan(l_shipdate" in full
+    assert "LessThan(o_orderdate" in full
+    plan = plan_of(spark, "q3_shipping_priority")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
