@@ -874,6 +874,73 @@ class Warehouse:
             os.path.join(self.path, f"{table}.clustered")
         )
 
+    def save_zordered(
+        self,
+        table: str,
+        df: DataFrame,
+        cluster_by: list[str],
+        target_files: int = 32,
+        bits: int = 16,
+    ) -> str:
+        """Write ``table`` Z-ORDER clustered on two or more numeric/
+        timestamp columns: each row gets a z-value interleaving the bits
+        of its per-column quantized ranks, and files are range-partitioned
+        + sorted on that z-value. Because the z-curve is locality-
+        preserving in EVERY dimension, each data file covers a narrow
+        min/max slice of EACH cluster column — so footer-stats skipping
+        works for a selective predicate on ANY of them, including the
+        non-leading ones, which plain range clustering (lexicographic
+        sort) cannot serve. The open-format analogue of Delta/Iceberg
+        OPTIMIZE ZORDER BY on top of save_clustered's sortkey story.
+
+        Quantization needs per-column min/max: ONE tiny stats aggregate
+        (a single row to the driver — at 100 TB this is the column-stats
+        scan warehouses already maintain, not a data collect). Columns
+        are quantized to ``bits`` levels; the interleave is pure
+        shiftright/shiftleft/bitwise-OR column expressions, JVM-side.
+        """
+        keys = _as_key_list(cluster_by)
+        if len(keys) < 2:
+            raise ValueError("z-ordering needs >= 2 cluster columns")
+        stats = df.agg(
+            *[F.min(F.col(k).cast("double")).alias(f"min_{k}") for k in keys],
+            *[F.max(F.col(k).cast("double")).alias(f"max_{k}") for k in keys],
+        ).first()
+        n_levels = (1 << bits) - 1
+        quantized = []
+        for k in keys:
+            lo, hi = stats[f"min_{k}"], stats[f"max_{k}"]
+            span = (hi - lo) or 1.0
+            q = F.floor(
+                (F.col(k).cast("double") - F.lit(lo)) / F.lit(span) * n_levels
+            ).cast("long")
+            quantized.append(F.least(F.greatest(q, F.lit(0)), F.lit(n_levels)))
+        ncols = len(keys)
+        z = F.lit(0).cast("long")
+        for b in range(bits):
+            for j, q in enumerate(quantized):
+                z = z.bitwiseOR(
+                    F.shiftleft(
+                        F.shiftright(q, b).bitwiseAND(F.lit(1)),
+                        b * ncols + j,
+                    ).cast("long")
+                )
+        path = os.path.join(self.path, f"{table}.zordered")
+        (
+            df.withColumn("__z", z)
+            .repartitionByRange(target_files, F.col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode("overwrite")
+            .parquet(path)
+        )
+        return path
+
+    def read_zordered(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(
+            os.path.join(self.path, f"{table}.zordered")
+        )
+
     def _bucketed_name(self, table: str) -> str:
         """Catalog identifier for a bucketed table — includes a digest of
         the warehouse path so two Warehouse instances with the default

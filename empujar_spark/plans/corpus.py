@@ -3030,6 +3030,56 @@ def clustered_prune(spark, sf_dir):
     )
 
 
+_ZORD_WH: dict = {}
+
+
+@q(
+    "zorder_prune",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_suppkey >= 10 AND l_suppkey < 20
+    GROUP BY l_returnflag
+    """,
+)
+def zorder_prune(spark, sf_dir):
+    """Z-ORDER clustered table + multi-column file skipping (catalog.py
+    save_zordered): lineitem rewritten on the z-curve of (l_partkey,
+    l_suppkey), then probed with a range predicate on l_suppkey ALONE —
+    the non-leading dimension, where a lexicographic sort's footer stats
+    are useless. The z-interleave keeps every file's min/max narrow in
+    BOTH columns (pinned by the footer test), so either predicate skips
+    most files on stats alone — Delta/Iceberg OPTIMIZE ZORDER, expressed
+    as pure column bit-arithmetic. Results equal the plain filtered scan
+    the oracle runs."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _ZORD_WH:
+        wh = Warehouse(spark, _tmp_warehouse_dir(prefix="zord-wh-"))
+        wh.save_zordered(
+            "lineitem",
+            load(spark, sf_dir, "lineitem").select(
+                "l_partkey", "l_suppkey", "l_returnflag", "l_extendedprice"
+            ),
+            ["l_partkey", "l_suppkey"],
+        )
+        _ZORD_WH[key] = wh
+    li = _ZORD_WH[key].read_zordered("lineitem")
+    return (
+        li.filter((F.col("l_suppkey") >= 10) & (F.col("l_suppkey") < 20))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(dec("l_extendedprice")), 4)
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
 _SNAP_WH: dict = {}
 
 

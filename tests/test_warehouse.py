@@ -587,3 +587,49 @@ def test_save_clustered_files_carry_narrow_ranges(spark, tmp_path):
 
     # and the clustered read returns exactly the original rows
     assert wh.read_clustered("lineitem").count() == li.count()
+
+
+def test_save_zordered_files_narrow_in_both_dims(spark, tmp_path):
+    """Z-order clustering must keep every file's footer min/max narrow in
+    BOTH cluster columns — the property that lets a range predicate on
+    either dimension (including the non-leading one, where lexicographic
+    sort stats are useless) skip most files. Bound: the mean per-file
+    extent must cover well under half of each column's global range
+    (a random layout covers ~all of it; an ideal 16-file z-layout ~25%)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from empujar_spark.catalog import Warehouse
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    wh = Warehouse(spark, str(tmp_path / "wh-zord"))
+    wh.save_zordered(
+        "lineitem", li, ["l_partkey", "l_suppkey"], target_files=16
+    )
+
+    files = glob.glob(str(tmp_path / "wh-zord" / "lineitem.zordered" / "*.parquet"))
+    assert len(files) >= 8
+    for col in ["l_partkey", "l_suppkey"]:
+        glo, ghi, extents = None, None, []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            idx = next(
+                i for i in range(md.num_columns)
+                if md.row_group(0).column(i).path_in_schema == col
+            )
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                mins.append(st.min); maxs.append(st.max)
+            lo, hi = min(mins), max(maxs)
+            extents.append(hi - lo)
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        span = ghi - glo
+        mean_extent = sum(extents) / len(extents)
+        assert mean_extent < 0.5 * span, (col, mean_extent, span)
+
+    assert wh.read_zordered("lineitem").count() == li.count()
