@@ -234,6 +234,41 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     )
 
 
+def late_data_audit(query) -> dict:
+    """Late-data observability for a (drained) streaming query: total rows
+    the watermark dropped as too-late, rows the state store evicted, and
+    the watermark's progression across micro-batches — the audit trail a
+    100 TB ingest needs to prove "we dropped X late rows" instead of
+    silently under-counting. Reads StreamingQueryProgress only; adds no
+    plan nodes, no sink, no extra pass over the data.
+
+    Two metric subtleties, pinned by the audit test: (1) the watermark
+    set by batch N only FILTERS from batch N+1 on (batch N+1's rows are
+    checked against the watermark committed through batch N — a late
+    burst in the very next micro-batch still lands); (2) the counter
+    tallies rows reaching the STATE operator, i.e. post-partial-
+    aggregation groups, not raw input rows — raw-row accounting needs an
+    `observe()` on the pre-aggregation stream.
+
+    Call after processAllAvailable() and before stop() (recentProgress
+    survives stop(), but a fresh query object has none)."""
+    dropped = 0
+    evicted = 0
+    watermarks: list[str] = []
+    for p in query.recentProgress:
+        for s in p.get("stateOperators", []):
+            dropped += s.get("numRowsDroppedByWatermark", 0) or 0
+            evicted += s.get("numRowsRemoved", 0) or 0
+        wm = (p.get("eventTime") or {}).get("watermark")
+        if wm:
+            watermarks.append(wm)
+    return {
+        "rows_dropped_by_watermark": dropped,
+        "rows_evicted_from_state": evicted,
+        "watermarks": watermarks,
+    }
+
+
 def run_to_completion(query) -> None:
     """Drain all available input synchronously (local smoke contract)."""
     try:

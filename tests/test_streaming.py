@@ -155,3 +155,58 @@ def test_stream_dir_cache_tracks_source_mtime(tmp_path):
     os.utime(src)
     d2 = SO._as_stream_dir(src)
     assert d2 != d1
+
+
+def test_late_data_audit_counts_dropped_rows(spark, tmp_path):
+    """Watermark honesty: rows arriving after the watermark has passed
+    their window must be DROPPED and ACCOUNTED. Batch 0 = days 11-28,
+    batch 1 = days 29-30 (the watermark needs a committed batch to take
+    effect, so this bridge batch arms it at late-month), batch 2 =
+    days 1-5 — every group beyond the 10-minute tolerance → dropped.
+    numRowsDroppedByWatermark counts rows reaching the state operator,
+    i.e. post-partial-aggregation (window, event_type) groups, not raw
+    input rows — asserted exactly against the late batch's distinct
+    group count."""
+    import os
+
+    ev = load(spark, SF, "events")
+    day = F.dayofmonth("ts")
+    src = str(tmp_path / "late")
+    ev.filter(day.between(11, 28)).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "c0")
+    )
+    ev.filter(day >= 29).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "c1")
+    )
+    late = ev.filter(day <= 5)
+    n_late_groups = (
+        late.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .count()
+    )
+    assert n_late_groups > 0
+    late.coalesce(1).write.mode("overwrite").parquet(os.path.join(src, "c2"))
+
+    stream = (
+        spark.readStream.schema(SO.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    q = SO.memory_sink(SO.hourly_counts(stream), "late_audit_sink")
+    try:
+        q.processAllAvailable()
+        audit = SO.late_data_audit(q)
+    finally:
+        q.stop()
+
+    assert audit["rows_dropped_by_watermark"] == n_late_groups, audit
+    assert len(audit["watermarks"]) >= 2
+    # and none of the late windows leaked into the emitted results
+    leaked = (
+        spark.sql("SELECT * FROM late_audit_sink")
+        .filter(F.dayofmonth("hour") <= 5)
+        .count()
+    )
+    assert leaked == 0
