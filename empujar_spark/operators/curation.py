@@ -288,3 +288,56 @@ def source_quota_cap(
         .withColumn("quota_rank", F.row_number().over(w))
         .filter(F.col("quota_rank") <= cap)
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    alpha: float = 0.3,
+    target_frac: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    scale: int = 10000,
+) -> DataFrame:
+    """Temperature-scaled mixture resampling: keep probability per source
+    ∝ n_s^(alpha-1), normalized so the expected kept volume is
+    ``target_frac`` of the corpus — the multilingual/domain rebalancing
+    (alpha≈0.3) that upweights small sources and flattens mega-crawls,
+    where mixture_sample's FIXED weights need the operator to be told the
+    answer, this one derives it from the observed source distribution.
+    Rates clamp at 1.0 (a tiny source is never oversampled past itself;
+    true epoch-multiplying upsampling is a training-loader concern).
+
+    Output: (doc_id, source, keep_rate) for surviving docs; keep_rate is
+    the source's sampling probability rounded to 6 (hash-stable).
+
+    Plan shape for 100 TB: the source histogram is one tiny aggregation;
+    its closed-form per-source rate table (|sources| rows) broadcasts
+    back onto the corpus, and the keep decision is the stateless
+    md5-uniform draw mixture_sample uses — no shuffle of the data stream,
+    reproducible on any engine/partitioning/rerun.
+    """
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("__n_s"))
+    tot = counts.agg(
+        F.sum("__n_s").alias("__N"),
+        F.sum(F.pow(F.col("__n_s").cast("double"), F.lit(alpha))).alias(
+            "__W"
+        ),
+    )
+    n_s = F.col("__n_s").cast("double")
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        source_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(target_frac)
+            * F.col("__N").cast("double")
+            / F.col("__W")
+            * F.pow(n_s, F.lit(alpha))
+            / n_s,
+        ).alias("__p"),
+    )
+    u = _hash_unit(F.col(id_col), 9, scale)
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(u < F.col("__p") * scale)
+        .select(id_col, source_col, F.round("__p", 6).alias("keep_rate"))
+    )

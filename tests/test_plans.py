@@ -342,3 +342,12 @@ def test_q3_pushdown_broadcast_and_topk(spark):
     plan = plan_of(spark, "q3_shipping_priority")
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_temperature_mixture_broadcasts_rate_table(spark):
+    """The per-source rate table (|sources| rows) must broadcast onto the
+    corpus scan — the document stream itself never shuffles for the keep
+    decision; the only exchanges belong to the tiny source histogram."""
+    plan = plan_of(spark, "temperature_mixture")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
