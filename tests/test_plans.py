@@ -130,10 +130,18 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 # The ONLY corpus entries allowed a cartesian/nested-loop join:
 # - embedding_topk: documented exact brute-force baseline (broadcast query
 #   side, bounded by a tiny query set; scale paths are its lsh/ivf siblings)
-# - tfidf_top_terms / histogram_price: a ONE-ROW aggregate (corpus size N /
-#   global min-max) joined in as a broadcast — scalar joins, constant-size
-#   build side at any scale
-_CROSS_JOIN_ALLOWED = {"embedding_topk", "tfidf_top_terms", "histogram_price"}
+# - tfidf_top_terms / histogram_price / temperature_mixture: a ONE-ROW
+#   aggregate (corpus size N / global min-max / (N, Σn_s^α) normalizer)
+#   joined in as a broadcast — scalar joins, constant-size build side at
+#   any scale; the data-stream join in temperature_mixture is a hash
+#   broadcast on source, only the |sources|-row rate table sees the
+#   scalar cross
+_CROSS_JOIN_ALLOWED = {
+    "embedding_topk",
+    "tfidf_top_terms",
+    "histogram_price",
+    "temperature_mixture",
+}
 
 # Entries whose fn() actually executes work at call time (streaming drains,
 # warehouse builds) — their returned DataFrame is a read of the result, so
