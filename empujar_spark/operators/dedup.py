@@ -599,3 +599,71 @@ def embedding_dup_pairs(
     return cand.select(
         F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"), "cosine"
     ).filter(F.col("cosine") >= threshold)
+
+
+def segment_dedup(
+    df: DataFrame,
+    seg_tokens: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style span-level exact dedup: split each document into
+    consecutive ``seg_tokens``-token segments, keep only the globally
+    first occurrence of each distinct segment (ordered by
+    (doc_id, seg_idx) — deterministic on any partitioning), and rebuild
+    the cleaned text from the surviving segments in order.
+
+    Output: (doc_id, n_segs, n_kept, clean_text). Documents whose text is
+    NULL/blank have no segments and are dropped by contract (nothing to
+    dedup); n_kept == n_segs means the doc contributed no repeated span.
+
+    This is the span-level companion to ``exact_dedup`` (whole-document)
+    — the C4 pipeline removes any repeated three-sentence span corpus-wide
+    while keeping one occurrence; here the span unit is a fixed token
+    window so it has an exact ANSI-SQL twin.
+
+    Scale shape for 100 TB: the explode is ~n_tokens/seg_tokens rows per
+    doc; first-occurrence ranking is ONE shuffle on the span value (md5-
+    uniform key space, groups are tiny — dup cardinality per span), and
+    reassembly is ONE shuffle back on doc_id with a collect_list bounded
+    by document length. No joins, no candidate blowup; both exchanges
+    hash-partition on high-cardinality keys.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (
+        df.filter(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+        .select(F.col(id_col).alias("doc_id"), toks.alias("__toks"))
+        .withColumn(
+            "__nseg",
+            F.ceil(F.size("__toks") / F.lit(float(seg_tokens))).cast("int"),
+        )
+    )
+    seg_of = F.transform(
+        F.sequence(F.lit(0), F.col("__nseg") - 1),
+        lambda i: F.array_join(
+            F.slice(F.col("__toks"), i * seg_tokens + 1, seg_tokens), " "
+        ),
+    )
+    segs = base.select(
+        "doc_id", F.posexplode(seg_of).alias("seg_idx", "seg")
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("__rn", F.row_number().over(w))
+    kept = F.when(
+        F.col("__rn") == 1, F.struct(F.col("seg_idx"), F.col("seg"))
+    )
+    return ranked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_segs"),
+        F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0)).alias("n_kept"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept)), lambda s: s.seg
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("clean_text"),
+    )

@@ -403,3 +403,54 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def embedding_decontam(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    force: bool = False,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose cosine similarity to ANY benchmark vector reaches
+    ``threshold``, emitting its single best match (ties → lowest bench
+    id). The semantic cousin of text.benchmark_contamination — n-gram
+    overlap misses paraphrases; embedding overlap catches them.
+
+    Output: (vec_id, bench_id, cosine) — one row per contaminated corpus
+    vector; cosine rounded to 6 dp (cross-engine hash-stable, ordered
+    double folds as in cosine_topk).
+
+    Scale shape for 100 TB: benchmark suites are small by construction
+    (guarded at 10⁵ rows), so the benchmark side BROADCASTS and the
+    corpus is scanned ONCE with no pre-shuffle; per-pair scores are
+    thresholded BEFORE the per-vector argmax, so the only exchange
+    carries the (rare) contaminated hits, not the corpus.
+    """
+    _guard_brute_force(benchmark, "embedding_decontam benchmark side", force)
+    b = benchmark.select(
+        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+    )
+    cos = F.round(
+        _dot(F.col("c_vec"), F.col("b_vec"))
+        / (_norm(F.col("c_vec")) * _norm(F.col("b_vec"))),
+        6,
+    )
+    hits = (
+        c.crossJoin(F.broadcast(b))
+        .select("vec_id", "bench_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("bench_id").asc()
+    )
+    return (
+        hits.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("vec_id", "bench_id", "cosine")
+    )

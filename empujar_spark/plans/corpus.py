@@ -2373,6 +2373,336 @@ def q3_shipping_priority(spark, sf_dir):
 
 
 @q(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,6)) *
+                          CAST(l_discount AS DECIMAL(18,6))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 forecasting-revenue-change: the pure predicate-pushdown
+    query — no join, no group key, three conjunctive filters and one
+    decimal sum. At 100 TB the whole cost is the scan, so the plan must
+    show every filter in PushedFilters and read exactly four columns
+    (asserted in test_plans); the aggregate itself is a map-side partial
+    to a single row."""
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1996, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1997, 1, 1)))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 4)
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H-Q4-shaped order-priority check: orders in one quarter with
+    at least one line shipped >90 days after the order date (this schema
+    has no l_commitdate/l_receiptdate, so "late" is shipdate vs orderdate
+    + 90d — the reference predicate adapted, same EXISTS shape). The
+    semi-join is the point: Spark's left_semi stops probing an order at
+    its first matching line — no fan-out, no dedup — and the quarter
+    filter pushes to the orders scan before the shuffle."""
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    sel = o.filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1997, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 4, 1)))
+    )
+    late = (
+        li.l_orderkey == sel.o_orderkey
+    ) & (li.l_shipdate > sel.o_orderdate + F.expr("INTERVAL 90 DAYS"))
+    return (
+        sel.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@q(
+    "q7_nation_volume",
+    """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(round(sum(volume), 4) AS DOUBLE) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l.l_shipdate) AS l_year,
+             CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+                 AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+      WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+        AND n2.n_name IN ('NATION_1', 'NATION_2')
+        AND n1.n_name <> n2.n_name) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_nation_volume(spark, sf_dir):
+    """TPC-H-Q7-shaped bilateral trade volume between two nations by
+    ship year. The scale shape: both nation filters are applied INSIDE
+    the tiny dimension sides (supplier⋈nation, customer⋈nation), which
+    broadcast onto the fact tables — lineitem⋈orders is the single
+    shuffle pair; the cross-nation inequality runs on the slim joined
+    rows. 25× selectivity on both dims before any big join."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    n = load(spark, sf_dir, "nation")
+    two = F.col("n_name").isin("NATION_1", "NATION_2")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n.filter(two)), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(F.broadcast(n.filter(two)), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    one = F.lit(1).cast("decimal(18,6)")
+    vol = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(F.round(F.sum(vol), 4).cast("double").alias("revenue"))
+    )
+
+
+@q(
+    "q10_returned_items",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                 (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4)
+                AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey ASC
+    LIMIT 20
+    """,
+)
+def q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting: top-20 customers by lost
+    revenue from returned lineitems in one quarter. Both selective
+    filters (quarter, returnflag) push to the fact scans before the
+    lineitem⋈orders shuffle; nation broadcasts onto the customer join;
+    the top-20 plans as TakeOrderedAndProject — no global sort."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(18,6)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(dt.datetime(1997, 1, 1)))
+                & (F.col("o_orderdate") < F.lit(dt.datetime(1997, 4, 1)))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+@q(
+    "q12_priority_shipping",
+    """
+    SELECT l.l_linestatus,
+           CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_linestatus
+    """,
+)
+def q12_priority_shipping(spark, sf_dir):
+    """TPC-H-Q12-shaped priority-by-shipping-class count (l_linestatus
+    standing in for l_shipmode, which this schema omits): one year of
+    lineitem joined to orders, conditional counts of urgent/high vs
+    other priorities per class. The year filter pushes to the lineitem
+    scan; the conditional aggregation is a map-side partial — the
+    shuffle carries |classes| rows per partition, not lines."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = load(spark, sf_dir, "lineitem")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(dt.datetime(1997, 1, 1)))
+            & (F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1)))
+        )
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "q18_large_volume",
+    """
+    WITH big AS (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,6))) AS sumq
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 250)
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           o.o_totalprice, CAST(round(big.sumq, 4) AS DOUBLE) AS total_qty
+    FROM big
+    JOIN orders o   ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderdate ASC, o.o_orderkey ASC
+    LIMIT 100
+    """,
+)
+def q18_large_volume(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds the threshold, with their customer. The HAVING pre-aggregate
+    is the scale lever — lineitem collapses to per-order sums (map-side
+    partials, one shuffle on l_orderkey) and the >250 filter drops ~99%
+    of orders BEFORE any join; the surviving key set joins orders and
+    customer, and the top-100 is TakeOrderedAndProject. The classic
+    formulation re-joins lineitem against the key set; carrying sumq
+    through directly is equivalent and saves a second fact-table pass."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sumq"))
+        .filter(F.col("sumq") > 250)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.round("sumq", 4).cast("double").alias("total_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(),
+            F.col("o_orderdate").asc(),
+            F.col("o_orderkey").asc(),
+        )
+        .limit(100)
+    )
+
+
+@q(
+    "q19_discounted_revenue",
+    """
+    SELECT CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                 (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q19_discounted_revenue(spark, sf_dir):
+    """TPC-H-Q19-shaped disjunctive-predicate revenue (brand/size/
+    quantity disjuncts; no p_container/l_shipinstruct in this schema).
+    The optimizer test: from the OR-of-ANDs Catalyst must derive the
+    per-side residuals — the brand/size disjunction pushes to the
+    (broadcast) part scan and the quantity disjunction to the lineitem
+    scan — so each side prunes before the join, with the full predicate
+    re-checked on joined rows. Asserted in test_plans."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(18,6)")
+    rev = dec("l_extendedprice") * (one - dec("l_discount"))
+    qty = F.col("l_quantity")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 15)
+            & qty.between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 25)
+            & qty.between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#4")
+            & F.col("p_size").between(1, 35)
+            & qty.between(20, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(F.round(F.sum(rev), 4).cast("double").alias("revenue"))
+    )
+
+
+@q(
     "time_rollup_hierarchy",
     """
     WITH base AS (
@@ -3535,6 +3865,83 @@ def curated_corpus(spark, sf_dir):
                 F.sum("keep").cast("double") / F.count(F.lit(1)), 4
             ).alias("kept_rate"),
         )
+    )
+
+
+@q(
+    "segment_dedup",
+    r"""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+      FROM documents WHERE coalesce(trim(text), '') <> ''),
+    s AS (
+      SELECT doc_id,
+             unnest(range(CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS seg_idx,
+             unnest(list_transform(range(CAST(ceil(len(toks) / 5.0) AS BIGINT)),
+                    i -> array_to_string(list_slice(toks, i*5+1, i*5+5), ' ')))
+                 AS seg
+      FROM t),
+    k AS (
+      SELECT *, row_number() OVER (PARTITION BY seg
+                                   ORDER BY doc_id, seg_idx) AS rn
+      FROM s)
+    SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                               ORDER BY seg_idx), '') AS clean_text
+    FROM k GROUP BY doc_id
+    """,
+)
+def segment_dedup(spark, sf_dir):
+    """C4-style span-level exact dedup (operators/dedup.py
+    segment_dedup): every repeated 5-token span is kept only at its
+    globally-first occurrence and the cleaned text is rebuilt from the
+    survivors. Complements dedup_exact (whole-doc) the way C4's
+    three-sentence-span rule complements document dedup. Two
+    high-cardinality-key shuffles total (span value, then doc_id) — no
+    joins, no candidate blowup."""
+    return D.segment_dedup(
+        load(spark, sf_dir, "documents"), seg_tokens=5
+    )
+
+
+@q(
+    "embedding_decontam",
+    """
+    WITH b AS (SELECT vec_id AS bench_id, embedding AS b_vec
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding AS c_vec
+          FROM embeddings WHERE vec_id >= 50),
+    scored AS (
+      SELECT c.vec_id, b.bench_id,
+             round(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(b.b_vec AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(b.b_vec AS DOUBLE[]), CAST(b.b_vec AS DOUBLE[])))),
+                   6) AS cosine
+      FROM c, b)
+    SELECT vec_id, bench_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, bench_id ASC) AS rn
+      FROM scored WHERE cosine >= 0.35) t
+    WHERE rn = 1
+    """,
+)
+def embedding_decontam(spark, sf_dir):
+    """Embedding-space benchmark decontamination (operators/similarity.py
+    embedding_decontam): corpus vectors (vec_id >= 50) whose cosine to
+    any benchmark vector (vec_id < 50) reaches 0.35 are flagged with
+    their best match — the paraphrase-robust companion to the n-gram
+    benchmark_contamination entry. Benchmark side broadcasts (suites are
+    small by construction); ONE corpus scan; the threshold filter runs
+    BEFORE the argmax shuffle so the only exchange carries hits. The
+    0.35 threshold sits between this testdata's 99.9th-percentile
+    cross-similarity (~0.29) and its max (~0.49) — a realistic flag rate;
+    real corpora use ~0.9+ against a trained encoder."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.embedding_decontam(
+        emb.filter(F.col("vec_id") >= 50),
+        emb.filter(F.col("vec_id") < 50),
+        threshold=0.35,
     )
 
 

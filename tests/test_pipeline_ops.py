@@ -181,3 +181,45 @@ def test_vocab_prune_drops_rare_preserves_order(spark):
     assert out[2]["pruned_text"] == "b a b"
     assert (out[3]["n_tokens"], out[3]["n_kept"]) == (0, 0)
     assert out[3]["pruned_text"] == ""
+
+
+def test_segment_dedup_first_occurrence_wins(spark):
+    """A span repeated across docs survives only in the earliest
+    (doc_id, seg_idx) position; clean_text is rebuilt in order from the
+    survivors, and blank/NULL docs are dropped by contract."""
+    from empujar_spark.operators.dedup import segment_dedup
+
+    rows = [
+        (1, "a b c d e f"),        # segs: "a b c", "d e f"
+        (2, "a b c x y z"),        # "a b c" is a dup of doc 1 seg 0
+        (3, "x y z"),              # dup of doc 2 seg 1
+        (4, ""),                   # blank: dropped
+        (5, None),                 # NULL: dropped
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r for r in segment_dedup(df, seg_tokens=3).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert (got[1].n_segs, got[1].n_kept) == (2, 2)
+    assert got[1].clean_text == "a b c d e f"
+    assert (got[2].n_segs, got[2].n_kept) == (2, 1)
+    assert got[2].clean_text == "x y z"
+    assert (got[3].n_segs, got[3].n_kept) == (1, 0)
+    assert got[3].clean_text == ""
+
+
+def test_segment_dedup_remainder_segment_distinct(spark):
+    """A trailing short segment is its own span — it does not collide
+    with a full-width span sharing the same prefix."""
+    from empujar_spark.operators.dedup import segment_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b c")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r for r in segment_dedup(df, seg_tokens=3).collect()
+    }
+    # doc 1: ["a b c", "d"]; doc 2: ["a b c"] (dup of doc 1 seg 0)
+    assert (got[1].n_segs, got[1].n_kept) == (2, 2)
+    assert (got[2].n_segs, got[2].n_kept) == (1, 0)

@@ -136,11 +136,15 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 #   any scale; the data-stream join in temperature_mixture is a hash
 #   broadcast on source, only the |sources|-row rate table sees the
 #   scalar cross
+# - embedding_decontam: like embedding_topk, the build side is the
+#   BENCHMARK suite — constant-size by construction (guarded at 10⁵
+#   rows) and broadcast; the corpus side streams through one scan
 _CROSS_JOIN_ALLOWED = {
     "embedding_topk",
     "tfidf_top_terms",
     "histogram_price",
     "temperature_mixture",
+    "embedding_decontam",
 }
 
 # Entries whose fn() actually executes work at call time (streaming drains,
@@ -359,3 +363,102 @@ def test_temperature_mixture_broadcasts_rate_table(spark):
     plan = plan_of(spark, "temperature_mixture")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def formatted_of(spark, name: str) -> str:
+    """explain('formatted') text — unlike queryExecution().toString(),
+    it does not ellipsize long PushedFilters lists."""
+    df = CORPUS[name].fn(spark, SF)
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_full_pushdown_and_pruning(spark):
+    """Q6 is pure scan: every predicate must reach PushedFilters and the
+    scan must read exactly the four referenced columns."""
+    full = formatted_of(spark, "q6_forecast_revenue")
+    for frag in [
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ]:
+        assert frag in full, frag
+    plan = plan_of(spark, "q6_forecast_revenue")
+    assert plan.count("HashAggregate") >= 2  # map-side partial sum
+
+
+def test_q4_semi_join_quarter_pushed(spark):
+    """The EXISTS must plan as a LeftSemi join (first match wins, no
+    fan-out) with the quarter filter pushed to the orders scan."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan
+    full = (
+        CORPUS["q4_order_priority"].fn(spark, SF)
+        ._jdf.queryExecution().toString()
+    )
+    assert "GreaterThanOrEqual(o_orderdate" in full
+
+
+def test_q7_fact_table_never_shuffles_for_dims(spark):
+    """Both nation-filtered dims broadcast onto the facts — no
+    SortMergeJoin at this SF, nation filters pushed inside the dim
+    joins before any fact-table contact."""
+    plan = plan_of(spark, "q7_nation_volume")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_topk_no_global_sort(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    full = (
+        CORPUS["q10_returned_items"].fn(spark, SF)
+        ._jdf.queryExecution().toString()
+    )
+    assert "EqualTo(l_returnflag,R)" in full
+
+
+def test_q18_preaggregates_before_joins(spark):
+    """lineitem must collapse to per-order sums (map-side partial) and
+    the >threshold filter must run before the joins — the plan string
+    shows partial_sum below the first join and a top-100
+    TakeOrderedAndProject."""
+    plan = plan_of(spark, "q18_large_volume")
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_sum" in plan
+    # the aggregate sits BELOW (after, in print order) the joins
+    assert plan.index("BroadcastHashJoin") < plan.index("partial_sum")
+
+
+def test_q19_disjunct_residuals_push_to_both_scans(spark):
+    """Catalyst must derive per-side residuals from the OR-of-ANDs: the
+    quantity disjunction lands on the lineitem scan, the brand/size
+    disjunction on the (broadcast) part scan."""
+    full = formatted_of(spark, "q19_discounted_revenue")
+    assert "LessThanOrEqual(l_quantity,30.0)" in full  # lineitem residual
+    assert "EqualTo(p_brand,Brand#12)" in full  # part residual
+    plan = plan_of(spark, "q19_discounted_revenue")
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_segment_dedup_two_shuffles_no_joins(spark):
+    """Span dedup is explode → rank-on-span → regroup-on-doc: exactly
+    two hash exchanges, zero joins — the no-candidate-blowup shape."""
+    plan = plan_of(spark, "segment_dedup")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_embedding_decontam_filters_before_argmax(spark):
+    """The benchmark side broadcasts and the threshold evaluates inside
+    the join, so only hits reach the per-vector argmax exchange; Spark's
+    WindowGroupLimit pre-prunes to 1 row per vector before the shuffle."""
+    plan = plan_of(spark, "embedding_decontam")
+    assert "BroadcastNestedLoopJoin" in plan  # documented: constant build
+    assert "WindowGroupLimit" in plan
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -173,3 +173,48 @@ def test_nearest_centroids_udf_matches_column_expression(emb):
     assert len(got) > 0
     for r in got:
         assert list(r.u) == list(r.c), f"rank drift for vec {r.vec_id}"
+
+
+def test_embedding_decontam_flags_planted_dup(spark):
+    """A corpus vector equal to a benchmark vector is flagged with
+    cosine 1.0 against its best (lowest-id on ties) benchmark match;
+    orthogonal vectors stay clean."""
+    rows = [
+        (0, [1.0, 0.0, 0.0]),   # benchmark
+        (1, [0.0, 1.0, 0.0]),   # benchmark
+        (100, [2.0, 0.0, 0.0]), # parallel to bench 0 → flagged, cos 1.0
+        (101, [0.0, 0.0, 5.0]), # orthogonal to both → clean
+        (102, [1.0, 1.0, 0.0]), # cos ≈ 0.707 to both → tie → bench 0
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {
+        r.vec_id: r
+        for r in S.embedding_decontam(
+            df.filter(F.col("vec_id") >= 100),
+            df.filter(F.col("vec_id") < 100),
+            threshold=0.7,
+        ).collect()
+    }
+    assert set(out) == {100, 102}
+    assert out[100].bench_id == 0 and out[100].cosine == 1.0
+    assert out[102].bench_id == 0 and abs(out[102].cosine - 0.707107) < 1e-6
+
+
+def test_embedding_decontam_benchmark_guard(spark, emb):
+    """The 10⁵-row guard applies to the benchmark side (the broadcast
+    build), not the corpus stream."""
+    import pytest as _pytest
+
+    big = emb.limit(1)
+    # corpus side may be any size — only benchmark is guarded; simulate
+    # an oversized benchmark via the guard's own counter by monkeypatch
+    # of the constant (building 10⁵ real rows would be pure test cost).
+    orig = S.BRUTE_FORCE_MAX_ROWS
+    try:
+        S.BRUTE_FORCE_MAX_ROWS = 0
+        with _pytest.raises(ValueError, match="brute-force"):
+            S.embedding_decontam(emb, emb.limit(10)).collect()
+        S.BRUTE_FORCE_MAX_ROWS = orig
+        S.embedding_decontam(emb.limit(5), big, threshold=0.0).collect()
+    finally:
+        S.BRUTE_FORCE_MAX_ROWS = orig
