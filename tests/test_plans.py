@@ -462,3 +462,21 @@ def test_embedding_decontam_filters_before_argmax(spark):
     assert "BroadcastNestedLoopJoin" in plan  # documented: constant build
     assert "WindowGroupLimit" in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_winsorized_stats_broadcast_bounds_no_window(spark):
+    """The p05/p95 boundary rows broadcast onto the second scan — the
+    data stream sees no Window and no sort-merge join."""
+    plan = plan_of(spark, "winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2
+
+
+def test_quality_median_filter_broadcast_medians_no_window(spark):
+    plan = plan_of(spark, "quality_median_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Scan parquet") == 2
