@@ -508,8 +508,14 @@ def embedding_dup_pairs(
         _dot, _norm, _nearest_centroids_udf, _guard_brute_force, ivf_train,
     )
 
+    # Spread ONLY under-split inputs (a toy single-file parquet would run
+    # the per-row centroid-ranking UDF on one task); at scale the source
+    # already has thousands of splits and an unconditional repartition
+    # would be a full extra shuffle of the corpus for nothing — the first
+    # required exchange is the centroid-id equi-join's.
     n_part = df.sparkSession.sparkContext.defaultParallelism
-    base = df.repartition(n_part).select(
+    spread = df if df.rdd.getNumPartitions() >= n_part else df.repartition(n_part)
+    base = spread.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         _norm(F.col(vec_col)).alias("nrm"),

@@ -454,3 +454,39 @@ def embedding_decontam(
         .filter(F.col("__rn") == 1)
         .select("vec_id", "bench_id", "cosine")
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    label_col: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-label elementwise centroid of an embedding column — class
+    prototypes / cluster centers (the aggregation IVF training runs per
+    iteration, here exposed as an operator).
+
+    Output long-format (label, dim, centroid): scalar columns only, so
+    the result is cross-engine hash-stable (no float-list formatting);
+    centroid = exact decimal(18,9) sum ÷ count, rounded to 6 dp.
+
+    Scale shape for 100 TB: posexplode multiplies rows by the (fixed,
+    small) dimensionality, then ONE groupBy(label, dim) with map-side
+    partial sums — each partition contributes |labels|·dim partial rows
+    regardless of its data volume, so the shuffle is tiny. The
+    alternative (collect vectors per label) would move the data itself.
+    """
+    return (
+        df.select(
+            F.col(label_col).alias("label"),
+            F.posexplode(vec_col).alias("dim", "__x"),
+        )
+        .groupBy("label", F.col("dim").cast("bigint").alias("dim"))
+        .agg(
+            F.round(
+                F.sum(F.col("__x").cast("double").cast("decimal(18,9)"))
+                .cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("centroid")
+        )
+    )

@@ -4006,6 +4006,64 @@ def quality_median_filter(spark, sf_dir):
     return C.quality_median_filter(d, score)
 
 
+@q(
+    "label_centroids",
+    """
+    WITH x AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS dim,
+             unnest(embedding) AS v
+      FROM embeddings)
+    SELECT label, CAST(dim AS BIGINT) AS dim,
+           round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(18,9)))
+                      AS DOUBLE) / count(*), 6) AS centroid
+    FROM x GROUP BY label, dim
+    """,
+)
+def label_centroids(spark, sf_dir):
+    """Per-label embedding centroids (operators/similarity.py
+    label_centroids): class prototypes in long format (label, dim,
+    centroid). Dim-explode then ONE groupBy(label, dim) — map-side
+    partials cap each partition's shuffle contribution at |labels|·dim
+    rows no matter the data volume; exact decimal sums keep the mean
+    engine/partitioning-independent."""
+    return S.label_centroids(load(spark, sf_dir, "embeddings"))
+
+
+@q(
+    "event_transitions",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type, count(*) AS n
+    FROM s WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def event_transitions(spark, sf_dir):
+    """First-order event-transition matrix (Markov counts): for each
+    user's time-ordered stream, count (previous → next) event-type
+    pairs — the path-analysis building block next to event_funnel's
+    fixed 3-step pattern. ONE user-keyed shuffle for the lag window
+    (event_id tiebreak keeps ordering total), then a tiny
+    |types|²-row aggregate with map-side partials."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -4022,12 +4080,14 @@ def quality_median_filter(spark, sf_dir):
 #      retention_cohorts, oov_rate, doc_chunks, vocab_prune,
 #      dedup_keep_best, q3_shipping_priority, hll_rolling_distinct,
 #      source_quota_cap, zorder_prune, temperature_mixture, plus the
-#      late batch q6/q4/q7/q10/q12/q18/q19 TPC-H shapes, segment_dedup
-#      and embedding_decontam — 20 entries after the 41 in FIRST; the
-#      driver's ~50-row cap cuts roughly the last ten, all of which
-#      carry exact-value evidence via scripts/local_gate (sf0.001 AND
-#      sf0.01, run green this round) and their own pytest plan/unit
-#      tests; they are first in line for the r7 rotation.
+#      late batch q6/q4/q7/q10/q12/q18/q19 TPC-H shapes, segment_dedup,
+#      embedding_decontam, winsorized_stats, quality_median_filter,
+#      label_centroids and event_transitions — 24 entries after the 41
+#      in FIRST; the driver's ~50-row cap cuts roughly the last
+#      fifteen, all of which carry exact-value evidence via
+#      scripts/local_gate (sf0.001 AND sf0.01, run green this round)
+#      and their own pytest plan/unit tests; they are first in line for
+#      the r7 rotation.
 #   4. The rows-only (no-oracle) approximate entries the driver can only
 #      rows-check; all four got r5 rows and their recall is pinned in
 #      tests — they sit just past the cap this round.

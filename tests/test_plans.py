@@ -480,3 +480,22 @@ def test_quality_median_filter_broadcast_medians_no_window(spark):
     assert "Window" not in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Scan parquet") == 2
+
+
+def test_label_centroids_partial_agg_after_explode(spark):
+    """The dim-explode feeds a partial aggregate BEFORE the exchange —
+    each partition ships at most |labels|·dim partial rows."""
+    plan = plan_of(spark, "label_centroids")
+    assert "Generate explode" in plan or "Generate posexplode" in plan
+    assert "partial_sum" in plan
+    assert plan.index("partial_sum") < plan.index("Generate")
+    assert "Join" not in plan
+
+
+def test_event_transitions_single_user_shuffle(spark):
+    """One hash exchange on user_id for the lag window; the pair count
+    aggregates map-side first."""
+    plan = plan_of(spark, "event_transitions")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert "partial_count" in plan

@@ -218,3 +218,20 @@ def test_embedding_decontam_benchmark_guard(spark, emb):
         S.embedding_decontam(emb.limit(5), big, threshold=0.0).collect()
     finally:
         S.BRUTE_FORCE_MAX_ROWS = orig
+
+
+def test_label_centroids_matches_numpy(spark, emb):
+    """Long-format centroids equal the numpy per-label mean (to the 6dp
+    rounding), and every (label, dim) cell is present exactly once."""
+    import numpy as np
+
+    rows = emb.select("label", "embedding").collect()
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r.embedding)
+    got = S.label_centroids(emb).collect()
+    dim = len(rows[0].embedding)
+    assert len(got) == len(by_label) * dim
+    for r in got:
+        expect = float(np.mean([v[r.dim] for v in by_label[r.label]]))
+        assert abs(r.centroid - round(expect, 6)) < 5e-6, (r.label, r.dim)
