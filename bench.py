@@ -64,6 +64,15 @@ def etl_pipeline(spark) -> None:
         materialize(out)
 
 
+def pretrain_pipeline(spark) -> None:
+    """The PRETRAIN book end-to-end: ingest-dedup → curate → span-dedup →
+    split+pack through the Warehouse (books/pretrain)."""
+    from empujar_spark.books.pretrain import run_pretrain
+
+    with tempfile.TemporaryDirectory(prefix="bench-pre-") as tmp:
+        run_pretrain(spark, SF_DIR, tmp)
+
+
 def main() -> None:
     import argparse
 
@@ -136,12 +145,16 @@ def main() -> None:
             materialize(query.fn(spark, SF_DIR))
             ts.append(time.monotonic() - t0)
         samples[name] = sorted(round(x, 3) for x in ts)
-    ts = []
-    for _ in range(args.runs):
-        t0 = time.monotonic()
-        etl_pipeline(spark)
-        ts.append(time.monotonic() - t0)
-    samples["etl_pipeline"] = sorted(round(x, 3) for x in ts)
+    for pname, pipeline in (
+        ("etl_pipeline", etl_pipeline),
+        ("pretrain_pipeline", pretrain_pipeline),
+    ):
+        ts = []
+        for _ in range(args.runs):
+            t0 = time.monotonic()
+            pipeline(spark)
+            ts.append(time.monotonic() - t0)
+        samples[pname] = sorted(round(x, 3) for x in ts)
     # Representative per-query figure: median when >=3 runs (robust to a
     # single contended pass), min of 2 otherwise (the reproducible engine
     # cost — see the cold-pass case study above).

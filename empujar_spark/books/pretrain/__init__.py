@@ -1,0 +1,78 @@
+"""The PRETRAIN book: the reference's orchestration model (book →
+chapters → pages, lib/book.js / lib/chapter.js) driving the
+training-data pipeline operators end-to-end — the composition a user of
+the reference would actually run to produce a pretraining corpus.
+
+Chapters (discovered by ``Book.load_chapters``, the same
+glob-and-call-every-export contract as books/etl):
+
+1. chapters/ingest/documents.py   (priority 100): incremental
+   content-dedup ingest — new documents anti-joined against the
+   warehouse's historical fingerprint set (the reference's watermark
+   incremental-extract identity, extract.js:15-28, applied to content),
+   plus the embeddings table upsert.
+2. chapters/curate/score_filter.py (priority 200): single-scan quality +
+   language-ID + repetition signals → filter chain → documents_curated
+   (one scan, zero joins — the curated_corpus plan shape).
+3. chapters/dedup/spans.py         (priority 300): C4-style span-level
+   exact dedup over the curated set → documents_clean (cleaned text +
+   span stats).
+4. chapters/pack/sequences.py      (priority 400): deterministic
+   stratified split + concat-and-chunk sequence packing of the train
+   split → train_sequences.
+
+Every chapter reads from and writes to the destination Warehouse, so a
+rerun is incremental/idempotent: ingest adds nothing for already-seen
+content, downstream chapters upsert the same rows.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from empujar_spark.book import Book
+from empujar_spark.catalog import Warehouse
+
+CHAPTER_FILES = os.path.join(os.path.dirname(__file__), "chapters", "**", "*.py")
+
+
+def build_pretrain_book(
+    spark: SparkSession, source_dir: str, warehouse: Warehouse
+) -> Book:
+    book = Book(spark=spark, name="pretrain", log_state_events=False)
+    book.add_connection("destination", warehouse)
+    book.source_dir = source_dir
+    book.load_chapters(CHAPTER_FILES)
+    return book
+
+
+def run_pretrain(
+    spark: SparkSession, source_dir: str, warehouse_dir: str
+) -> Warehouse:
+    """Build + run the book, flush the audit table, return the warehouse."""
+    wh = Warehouse(spark, warehouse_dir, primary_key="doc_id")
+    book = build_pretrain_book(spark, source_dir, wh)
+    book.run()
+    book.flush_audit(wh)
+    return wh
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    from empujar_spark.session import get_spark
+
+    p = argparse.ArgumentParser(description="Run the pretrain-data book")
+    p.add_argument("--source", default="/root/testdata/sf0.001")
+    p.add_argument("--warehouse", required=True)
+    args = p.parse_args(argv)
+    spark = get_spark("pretrain-book")
+    wh = run_pretrain(spark, args.source, args.warehouse)
+    for t in wh.show_tables():
+        print(f"{t}: {wh.table_size(t)} rows")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,58 @@
+"""CURATE chapter (priority 200): single-scan signal computation →
+documents_scored, then the filter chain → documents_curated.
+
+Same signal plan shape as the curated_corpus entry: quality ratios and
+lang-id ride the repetition operator's projection via its ``carry``
+hook — ONE scan, zero joins.
+
+Why two tables: filtering DIRECTLY on the scored projection is a plan
+trap — Catalyst pushes the predicate through the projection chain and
+below the parallelism spread, re-expressing frac_dup_ngrams over raw
+text so the whole gram fold runs twice, once single-core inside the
+pushed filter (measured 10.6s vs 0.6s at sf0.1; see git history).
+Persisting the scored corpus makes the boundary explicit: signals are
+computed exactly once, the filter runs over the parquet scan where
+predicate pushdown on the (now plain) stat columns is a BENEFIT, and
+the scored table itself is the audit/threshold-tuning artifact a data
+team keeps anyway.
+"""
+
+from pyspark.sql import functions as F
+
+
+def chapter_loader(book):
+    from empujar_spark.operators import curation as C
+    from empujar_spark.operators import text as X
+
+    chapter = book.add_chapter(200, "curate")
+    wh = book.destination
+
+    def score_and_filter():
+        docs = wh.read("documents")
+        t = F.col("text")
+        cls = X.char_classes(t)
+        n = cls["n_chars"]
+        safe_n = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
+        lang_pred, _hits = X.lang_cols(t)
+        scored = C.repetition_signals(
+            docs,
+            carry=[
+                (F.col("source"), "source"),
+                (F.col("text"), "text"),
+                (F.round(cls["n_alpha"].cast("double") / safe_n, 4), "alpha_ratio"),
+                (lang_pred, "lang_pred"),
+            ],
+        ).select(
+            "doc_id", "source", "lang_pred", "n_tokens",
+            "alpha_ratio", "frac_dup_ngrams", "text",
+        )
+        wh.insert_data("documents_scored", scored, merge_key="doc_id")
+        kept = wh.read("documents_scored").filter(
+            F.col("n_tokens").between(10, 5000)
+            & (F.col("alpha_ratio") >= 0.5)
+            & (F.col("frac_dup_ngrams") <= 0.9)
+            & (F.col("lang_pred") != "und")
+        )
+        wh.insert_data("documents_curated", kept, merge_key="doc_id")
+
+    chapter.add_page("score+filter", score_and_filter)

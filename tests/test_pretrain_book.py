@@ -1,0 +1,103 @@
+"""End-to-end integration test for the PRETRAIN book — the reference's
+orchestration model (book → chapters → pages) driving the training-data
+pipeline operators: ingest-dedup → curate → span-dedup → split+pack.
+Modeled on test_etl_book (the port of test/integration/etl.js)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.books.pretrain import run_pretrain
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pre_wh(spark, tmp_path_factory):
+    return run_pretrain(spark, SF, str(tmp_path_factory.mktemp("pre-wh")))
+
+
+def test_tables_produced(pre_wh):
+    assert set(pre_wh.show_tables()) >= {
+        "documents", "embeddings", "documents_scored", "documents_curated",
+        "documents_clean", "train_sequences", "empujar",
+    }
+
+
+def test_ingest_dedup_matches_exact_dedup(pre_wh, spark):
+    """Ingested documents = source minus exact-content duplicates
+    (first-occurrence-wins), with the fingerprint column attached."""
+    from empujar_spark.operators.dedup import exact_dedup
+    from empujar_spark.plans.corpus import load
+
+    src = load(spark, SF, "documents")
+    expect = {r.doc_id for r in exact_dedup(src).select("doc_id").collect()}
+    got = {r.doc_id for r in pre_wh.read("documents").select("doc_id").collect()}
+    assert got == expect
+    assert "fingerprint" in pre_wh.read("documents").columns
+
+
+def test_rerun_is_idempotent(pre_wh, spark):
+    """A second full run adds no rows anywhere — the content-fingerprint
+    anti-join is the watermark of a content corpus, and every downstream
+    write is a keyed upsert of the same rows."""
+    from empujar_spark.books.pretrain import build_pretrain_book
+
+    before = {t: pre_wh.table_size(t) for t in pre_wh.show_tables()
+              if t != "empujar"}
+    book = build_pretrain_book(spark, SF, pre_wh)
+    book.run()
+    after = {t: pre_wh.table_size(t) for t in pre_wh.show_tables()
+             if t != "empujar"}
+    assert after == before
+
+
+def test_curated_subset_and_signals(pre_wh):
+    cur = pre_wh.read("documents_curated")
+    docs = pre_wh.read("documents")
+    assert 0 < cur.count() <= docs.count()
+    bad = cur.filter(
+        ~F.col("n_tokens").between(10, 5000)
+        | (F.col("alpha_ratio") < 0.5)
+        | (F.col("frac_dup_ngrams") > 0.9)
+        | (F.col("lang_pred") == "und")
+    ).count()
+    assert bad == 0
+
+
+def test_span_dedup_matches_direct_operator(pre_wh):
+    """documents_clean equals segment_dedup run directly on the curated
+    table — the chapter adds orchestration, not semantics."""
+    from empujar_spark.operators.dedup import segment_dedup
+
+    direct = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in segment_dedup(
+            pre_wh.read("documents_curated"), seg_tokens=5
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
+        for r in pre_wh.read("documents_clean").collect()
+    }
+    assert got == direct
+
+
+def test_packed_sequences_cover_train_split(pre_wh):
+    seqs = pre_wh.read("train_sequences")
+    assert seqs.filter(F.col("split") != "train").count() == 0
+    n_clean = pre_wh.read("documents_clean").count()
+    n_train = seqs.count()
+    # md5-bucket split: ~80% train with slack for a 500-doc corpus
+    assert 0.6 * n_clean < n_train / 0.8 < 1.4 * n_clean
+    # offsets are within the packing budget and seq_ids start at 0/shard
+    assert seqs.filter(
+        (F.col("seq_offset") < 0) | (F.col("seq_offset") >= 256)
+    ).count() == 0
+    first = seqs.groupBy("shard").agg(F.min("seq_id").alias("m")).collect()
+    assert all(r.m == 0 for r in first)
+
+
+def test_audit_trail_records_chapters(pre_wh):
+    audit = pre_wh.read("empujar")
+    names = {r.name for r in audit.select("name").distinct().collect()}
+    assert {"ingest", "curate", "span-dedup", "pack"} <= names
