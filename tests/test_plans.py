@@ -139,12 +139,15 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 # - embedding_decontam: like embedding_topk, the build side is the
 #   BENCHMARK suite — constant-size by construction (guarded at 10⁵
 #   rows) and broadcast; the corpus side streams through one scan
+# - q22_dormant_customers: the positive-balance average — another
+#   ONE-ROW broadcast scalar join
 _CROSS_JOIN_ALLOWED = {
     "embedding_topk",
     "tfidf_top_terms",
     "histogram_price",
     "temperature_mixture",
     "embedding_decontam",
+    "q22_dormant_customers",
 }
 
 # Entries whose fn() actually executes work at call time (streaming drains,
@@ -499,3 +502,30 @@ def test_event_transitions_single_user_shuffle(spark):
     assert "Window" in plan
     assert "Join" not in plan
     assert "partial_count" in plan
+
+
+def test_q15_pushed_scans_scalar_max_broadcast_no_window(spark):
+    """Both references to the revenue view push the quarter filter to
+    their lineitem scans; the scalar max joins back as a broadcast; no
+    single-task global window (the rejected single-scan spelling)."""
+    plan = plan_of(spark, "q15_top_supplier")
+    assert "BroadcastExchange" in plan
+    assert "Window" not in plan
+    full = formatted_of(spark, "q15_top_supplier")
+    assert full.count("GreaterThanOrEqual(l_shipdate,1997-01-01") == 2
+
+
+def test_q17_preaggregated_correlated_avg(spark):
+    """The correlated per-part AVG is ONE pre-aggregation joined back —
+    partial_sum below the join, brand-filtered part broadcast."""
+    plan = plan_of(spark, "q17_small_quantity_revenue")
+    assert "partial_sum" in plan
+    full = formatted_of(spark, "q17_small_quantity_revenue")
+    assert "EqualTo(p_brand,Brand#23)" in full
+
+
+def test_q22_anti_join_with_pushed_date_filter(spark):
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    full = formatted_of(spark, "q22_dormant_customers")
+    assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in full
