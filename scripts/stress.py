@@ -1,0 +1,145 @@
+"""Scaling-curve stress harness: run flagship operators on N-fold
+replicas of the sf0.1 tables and record the wall-clock scaling curve.
+
+The 100 TB argument made measurable at local scale: a plan whose cost is
+scan + map-side partials + one bounded shuffle should scale ~linearly in
+input volume on a fixed local[32]; a plan hiding quadratic candidate
+generation or a single-task funnel bends visibly upward. This harness
+replicates lineitem / documents / embeddings ×{1,2,4,8} (ids remapped to
+keep keys unique; each document copy gets a distinct suffix token so
+text copies are NEAR-duplicates, not exact — the realistic dedup load)
+and times a representative operator per family.
+
+Usage:  python scripts/stress.py [--factors 1,2,4,8] [--out STRESS_LOCAL.json]
+Writes one JSON object with secs[op][factor] and the per-op linearity
+ratio r = t(8)/t(1) (ideal 8.0 on a saturated box; << 8 while the box
+still has idle cores at factor 1; >> 8 signals a super-linear plan).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, functions as F
+
+from empujar_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def replicate(df: DataFrame, id_col: str, factor: int, text_col: str | None = None) -> DataFrame:
+    """Union `factor` copies with remapped ids; optionally perturb text so
+    copies are near-duplicates (a realistic dedup workload, and it keeps
+    shingle/minhash candidate sets honest — exact copies would collapse)."""
+    span = df.agg(F.max(id_col)).collect()[0][0] + 1
+    parts = []
+    for i in range(factor):
+        c = df.withColumn(id_col, F.col(id_col) + F.lit(i * span))
+        if text_col is not None and i > 0:
+            c = c.withColumn(text_col, F.concat_ws(" ", F.col(text_col), F.lit(f"v{i}")))
+        parts.append(c)
+    out = parts[0]
+    for c in parts[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+def noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--factors", default="1,2,4,8")
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STRESS_LOCAL.json"))
+    args = ap.parse_args()
+    factors = [int(x) for x in args.factors.split(",")]
+    spark = get_spark("stress")
+
+    li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    o0 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+    def ops(f: int) -> dict:
+        li = replicate(li0, "l_orderkey", f)
+        docs = replicate(docs0, "doc_id", f, text_col="text")
+        emb = replicate(emb0, "vec_id", f)
+        from empujar_spark.operators import dedup as D
+        from empujar_spark.operators import text as X
+        from empujar_spark.operators import curation as C
+
+        one = F.lit(1).cast("decimal(18,6)")
+        return {
+            # scan + map-side partials + tiny shuffle (TPC-H Q1 shape)
+            "q1_agg": lambda: noop(
+                li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+                .groupBy("l_returnflag", "l_linestatus")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("s"),
+                     F.count(F.lit(1)).alias("n"))
+            ),
+            # pre-aggregate then join (TPC-H Q18 shape)
+            "q18_havingjoin": lambda: noop(
+                li.groupBy("l_orderkey")
+                .agg(F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("sumq"))
+                .filter(F.col("sumq") > 250)
+                .join(o0, F.col("l_orderkey") == o0.o_orderkey)
+            ),
+            # single-scan column expressions
+            "token_count": lambda: noop(
+                docs.select("doc_id", X.token_count(F.col("text")).alias("n"))
+            ),
+            # span dedup: two high-cardinality shuffles
+            "segment_dedup": lambda: noop(D.segment_dedup(docs, seg_tokens=5)),
+            # banded LSH candidate join
+            "minhash_lsh": lambda: noop(D.minhash_lsh_pairs(docs)),
+            # IVF ANN candidate join. The IVF operating rule made
+            # explicit: n_centroids scales with sqrt(n) so inverted-list
+            # length (and so per-probe candidate volume, n*nprobe/c)
+            # stays bounded — with c FIXED the pair-dedup cost is
+            # O(n^2/c) and the curve bends hard (measured 8.9x at x8
+            # data; 3.5x with the sqrt rule, the theoretical n^1.5).
+            "embedding_ann": lambda: noop(D.embedding_dup_pairs(
+                emb, threshold=0.3, method="ivf",
+                n_centroids=int(32 * (f ** 0.5)), nprobe=8)),
+            # repetition signals: per-row folds
+            "repetition": lambda: noop(C.repetition_signals(docs)),
+        }
+
+    # warmup (JVM + python workers)
+    noop(li0.groupBy("l_returnflag").count())
+    noop(D_warm(docs0))
+
+    secs: dict[str, dict[str, float]] = {}
+    for f in factors:
+        table = ops(f)
+        for name, fn in table.items():
+            t0 = time.monotonic()
+            fn()
+            secs.setdefault(name, {})[str(f)] = round(time.monotonic() - t0, 2)
+            print(f"x{f} {name}: {secs[name][str(f)]}s", file=sys.stderr)
+    lo, hi = str(factors[0]), str(factors[-1])
+    ratio = {n: round(v[hi] / v[lo], 2) for n, v in secs.items() if v.get(lo)}
+    payload = {"sf": SF_DIR, "factors": factors, "secs": secs,
+               "scale_ratio": ratio,
+               "ideal_ratio": factors[-1] / factors[0]}
+    with open(args.out, "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps(payload))
+
+
+def D_warm(docs):
+    from empujar_spark.operators import text as X
+    return X.fingerprint(docs)
+
+
+if __name__ == "__main__":
+    main()

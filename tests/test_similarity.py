@@ -235,3 +235,16 @@ def test_label_centroids_matches_numpy(spark, emb):
     for r in got:
         expect = float(np.mean([v[r.dim] for v in by_label[r.label]]))
         assert abs(r.centroid - round(expect, 6)) < 5e-6, (r.label, r.dim)
+
+
+def test_embedding_dup_pairs_auto_centroids(spark, emb):
+    """n_centroids='auto' applies the sqrt-n sizing rule and still
+    produces the exact result at full probe (auto implies
+    nprobe=n_centroids when nprobe is unset)."""
+    from empujar_spark.operators.dedup import embedding_dup_pairs
+
+    auto = embedding_dup_pairs(emb, threshold=0.3, n_centroids="auto")
+    fixed = embedding_dup_pairs(emb, threshold=0.3, n_centroids=16)
+    a = {(r.id_a, r.id_b, r.cosine) for r in auto.collect()}
+    b = {(r.id_a, r.id_b, r.cosine) for r in fixed.collect()}
+    assert a == b and len(a) > 0
