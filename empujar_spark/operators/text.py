@@ -528,3 +528,58 @@ def vocab_prune(
         F.lit("").alias("pruned_text"),
     )
     return scored.unionByName(blanks)
+
+
+def bigram_doc_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Bigram corpus-frequency document score — one rung up from
+    unigram_doc_score toward LM-perplexity filtering: a document whose
+    word PAIRS are common corpus-wide reads like the corpus; shuffled
+    or templated text with plausible unigrams but odd transitions
+    scores low (exactly what the unigram score cannot see).
+
+    Output: (doc_id, n_bigrams, sum_freq, mean_bigram_freq) for every
+    document with ≥2 tokens (shorter docs have no bigrams and are
+    absent by contract — the SQL twin's inner join mirrors this).
+    Exact arithmetic: integer counts, one unrounded IEEE division.
+
+    Plan shape for 100 TB: same as the unigram operator — the bigram
+    vocabulary aggregates with map-side combine and (Zipf) broadcasts
+    into the scoring join; the exploded occurrence stream shuffles only
+    for the per-doc re-aggregation. The bigram array is built with ONE
+    slide over the token array (zip_with on the array and itself
+    shifted), not a self-join.
+    """
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks_col = F.split(norm, " ")
+    base = (
+        _spread(df)
+        .filter(F.coalesce(F.trim(F.col(text_col)), F.lit("")) != "")
+        .select(id_col, toks_col.alias("__toks"))
+        .filter(F.size("__toks") >= 2)
+    )
+    grams = F.zip_with(
+        F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+        F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    occ = base.select(id_col, F.explode(grams).alias("bigram"))
+    vocab = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("__freq"))
+    return (
+        occ.join(F.broadcast(vocab), "bigram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("__freq").cast("bigint").alias("sum_freq"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            "sum_freq",
+            (
+                F.col("sum_freq").cast("double")
+                / F.col("n_bigrams").cast("double")
+            ).alias("mean_bigram_freq"),
+        )
+    )

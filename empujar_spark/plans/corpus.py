@@ -4225,6 +4225,69 @@ def event_transitions(spark, sf_dir):
     )
 
 
+@q(
+    "bigram_doc_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             regexp_split_to_array(trim(lower(text)), '\s+') AS toks
+      FROM documents WHERE coalesce(trim(text), '') <> ''),
+    occ AS (
+      SELECT doc_id,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                    i -> concat_ws(' ', toks[i], toks[i+1]))) AS bigram
+      FROM t WHERE len(toks) >= 2),
+    vocab AS (SELECT bigram, count(*) AS freq FROM occ GROUP BY bigram)
+    SELECT occ.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum(vocab.freq) AS BIGINT) AS sum_freq,
+           CAST(sum(vocab.freq) AS DOUBLE) / count(*) AS mean_bigram_freq
+    FROM occ JOIN vocab ON occ.bigram = vocab.bigram
+    GROUP BY occ.doc_id
+    """,
+)
+def bigram_doc_score(spark, sf_dir):
+    """Bigram corpus-frequency scoring (operators/text.py
+    bigram_doc_score): the transition-aware rung of the LM-quality
+    ladder next to unigram_doc_score. Bigram vocab broadcasts (Zipf)
+    into the scoring join; the only data-stream shuffle is the per-doc
+    re-aggregation; exact integer counts + one IEEE division."""
+    return X.bigram_doc_score(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "copurchase_pairs",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+    SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+           count(*) AS n_orders
+    FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                     AND a.l_partkey < c.l_partkey
+    GROUP BY part_a, part_b
+    HAVING count(*) >= 2
+    """,
+)
+def copurchase_pairs(spark, sf_dir):
+    """Market-basket co-occurrence pairs with min support (the frequent-
+    itemset k=2 pass): parts appearing together in ≥2 orders. The
+    candidate join is keyed on l_orderkey — pair fan-out is bounded by
+    basket size² per ORDER (small and data-independent), never a global
+    cross join; the support threshold then collapses the pair stream in
+    a map-side-combinable count. The same shape as ngram_jaccard_pairs'
+    shingle join — co-occurrence by key is THE sub-quadratic pattern."""
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(c, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -4243,8 +4306,8 @@ def event_transitions(spark, sf_dir):
 #      source_quota_cap, zorder_prune, temperature_mixture, plus the
 #      late batch q6/q4/q7/q10/q12/q18/q19 TPC-H shapes, segment_dedup,
 #      embedding_decontam, winsorized_stats, quality_median_filter,
-#      label_centroids, event_transitions and the q15/q17/q22 shapes —
-#      27 entries after the 41
+#      label_centroids, event_transitions, the q15/q17/q22 shapes,
+#      bigram_doc_score and copurchase_pairs — 29 entries after the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

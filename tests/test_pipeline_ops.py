@@ -258,3 +258,18 @@ def test_quality_median_filter_keeps_upper_half_per_source(spark):
     }
     # medians: clean 0.8, noisy 0.2 — survivors are per-source top halves
     assert kept == {1, 2, 4, 5}
+
+
+def test_bigram_doc_score_exact_small_case(spark):
+    """Hand-checked bigram frequencies: repeated pairs score high,
+    one-token docs are absent."""
+    from empujar_spark.operators.text import bigram_doc_score
+
+    rows = [(1, "a b a b"), (2, "a b"), (3, "x")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in bigram_doc_score(df).collect()}
+    assert set(got) == {1, 2}
+    # corpus bigram freqs: "a b" ×3 (doc1 twice, doc2 once), "b a" ×1
+    assert (got[1].n_bigrams, got[1].sum_freq) == (3, 7)  # 3+1+3
+    assert (got[2].n_bigrams, got[2].sum_freq) == (1, 3)
+    assert abs(got[1].mean_bigram_freq - 7 / 3) < 1e-12

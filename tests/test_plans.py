@@ -529,3 +529,26 @@ def test_q22_anti_join_with_pushed_date_filter(spark):
     assert "LeftAnti" in plan
     full = formatted_of(spark, "q22_dormant_customers")
     assert "GreaterThanOrEqual(o_orderdate,2000-01-01" in full
+
+
+def test_bigram_score_broadcast_vocab_no_self_join(spark):
+    """The bigram array is ONE slide over the token array (zip_with),
+    not a token self-join; the vocab broadcasts into the scoring join.
+    Exactly TWO explode derivations — the vocab branch re-derives the
+    occurrence stream instead of sharing it, which is the right trade:
+    recomputing a scan-local projection is cheaper at scale than
+    shuffling every occurrence on the bigram key to share it."""
+    plan = plan_of(spark, "bigram_doc_score")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate explode") == 2
+
+
+def test_copurchase_pairs_keyed_join_no_cartesian(spark):
+    """Pair generation is an equi-join on l_orderkey — fan-out bounded
+    per basket, never a cross join; support filter above a partial
+    count."""
+    plan = plan_of(spark, "copurchase_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
