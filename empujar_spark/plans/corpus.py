@@ -4288,6 +4288,71 @@ def copurchase_pairs(spark, sf_dir):
     )
 
 
+def _pagerank_sql(iters: int = 5) -> str:
+    """Unrolled power-iteration twin of operators/graph.py pagerank (the
+    recursive-CTE spelling needs grouping over the recursive reference,
+    which not every engine allows — unrolling is portable and literal)."""
+    base = """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb
+              FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                               AND a.l_partkey < c.l_partkey
+              GROUP BY pa, pb HAVING count(*) >= 2),
+    e AS (SELECT pa AS src, pb AS dst FROM pairs
+          UNION ALL SELECT pb, pa FROM pairs),
+    deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg),
+    pr0 AS (SELECT node, 1.0/(SELECT n FROM nn) AS r FROM deg)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f"""
+    , pr{i} AS (
+       SELECT deg.node,
+              round(0.15/(SELECT n FROM nn) + 0.85*coalesce(s.c, 0), 9) AS r
+       FROM deg LEFT JOIN (
+         SELECT e.dst AS node, sum(pr{i-1}.r / d2.d) AS c
+         FROM e JOIN pr{i-1} ON e.src = pr{i-1}.node
+                JOIN deg d2 ON d2.node = e.src
+         GROUP BY e.dst) s ON s.node = deg.node)""")
+    return (
+        base
+        + "".join(steps)
+        + f"""
+    SELECT node, round(r, 6) AS rank FROM pr{iters}
+    """
+    )
+
+
+@q("copurchase_pagerank", _pagerank_sql(5))
+def copurchase_pagerank(spark, sf_dir):
+    """PageRank over the co-purchase graph (operators/graph.py): the
+    iterative-graph pattern with a full value oracle — five power
+    iterations over the symmetrized copurchase_pairs edges, per-iteration
+    9-dp rounding making the float fixpoint engine/partitioning-exact
+    (the DuckDB twin unrolls the same five steps as chained CTEs). Per
+    iteration: one edge⋈rank hash join + one groupBy(dst) with map-side
+    partials — the rank vector is |V| rows and broadcasts at scale, so
+    the edge list never shuffles; localCheckpoint cuts the lineage."""
+    from empujar_spark.operators.graph import pagerank
+
+    li = load(spark, sf_dir, "lineitem")
+    b = li.select("l_orderkey", "l_partkey").distinct()
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(c, "k")
+        .filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+    )
+    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    pr = pagerank(edges, damping=0.85, iters=5, round_scale=9)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
 # =====================================================================
 # Driver-gate registration order
 # =====================================================================
@@ -4307,7 +4372,8 @@ def copurchase_pairs(spark, sf_dir):
 #      late batch q6/q4/q7/q10/q12/q18/q19 TPC-H shapes, segment_dedup,
 #      embedding_decontam, winsorized_stats, quality_median_filter,
 #      label_centroids, event_transitions, the q15/q17/q22 shapes,
-#      bigram_doc_score and copurchase_pairs — 29 entries after the 41
+#      bigram_doc_score, copurchase_pairs and copurchase_pagerank — 30
+#      entries after the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

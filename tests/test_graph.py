@@ -1,0 +1,41 @@
+"""Unit tests for the iterative graph operators (operators/graph.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    sym = pairs + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(sym, ["src", "dst"])
+
+
+def test_pagerank_star_graph_center_dominates(spark):
+    """On a star (0 — each of 1..4), the center collects the mass; the
+    leaves tie exactly (deterministic rounding ⇒ bit-equal ranks)."""
+    pr = {
+        r.node: r.rank
+        for r in pagerank(_edges(spark, [(0, i) for i in range(1, 5)])).collect()
+    }
+    assert pr[0] > pr[1]
+    assert len({pr[i] for i in range(1, 5)}) == 1
+    assert abs(sum(pr.values()) - 1.0) < 1e-6  # stochastic: mass conserved
+
+
+def test_pagerank_ring_is_uniform(spark):
+    """On a 5-ring every node is symmetric: uniform 1/5 fixpoint from
+    the first iteration onward."""
+    ring = [(i, (i + 1) % 5) for i in range(5)]
+    pr = {r.node: r.rank for r in pagerank(_edges(spark, ring)).collect()}
+    assert all(abs(v - 0.2) < 1e-9 for v in pr.values()), pr
+
+
+def test_pagerank_deterministic_across_partitionings(spark):
+    """Identical ranks regardless of input partitioning — the per-
+    iteration rounding contract."""
+    pairs = [(i, (i * 7) % 23) for i in range(1, 23)]
+    e = _edges(spark, [(a, b) for a, b in pairs if a != b])
+    one = {(r.node, r.rank) for r in pagerank(e.coalesce(1)).collect()}
+    many = {(r.node, r.rank) for r in pagerank(e.repartition(13)).collect()}
+    assert one == many
