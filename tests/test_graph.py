@@ -39,3 +39,31 @@ def test_pagerank_deterministic_across_partitionings(spark):
     one = {(r.node, r.rank) for r in pagerank(e.coalesce(1)).collect()}
     many = {(r.node, r.rank) for r in pagerank(e.repartition(13)).collect()}
     assert one == many
+
+
+def test_copurchase_triangles_counts_k4_once_each(spark):
+    """Ordered-edge triangle counting on a known graph: K4 has exactly
+    4 triangles, each counted once (hand-check of the a<b<c closure)."""
+    # Build a fake lineitem where one order contains parts 1-4 twice
+    # (support >= 2 needs each pair in >= 2 orders).
+    rows = [(o, p) for o in (1, 2) for p in (10, 20, 30, 40)]
+    df = spark.createDataFrame(rows, ["l_orderkey", "l_partkey"])
+    from pyspark.sql import functions as F
+
+    b = df.distinct()
+    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+    pairs = (
+        a.join(c, "k").filter(F.col("pa") < F.col("pb"))
+        .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2).select("pa", "pb")
+    )
+    p1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+    p2 = pairs.select(F.col("pa").alias("b2"), F.col("pb").alias("c2"))
+    p3 = pairs.select(F.col("pa").alias("a3"), F.col("pb").alias("c3"))
+    n = (
+        p1.join(p2, p1.b == p2.b2)
+        .join(p3, (p1.a == p3.a3) & (p2.c2 == p3.c3))
+        .count()
+    )
+    assert n == 4  # C(4,3) triangles in K4
