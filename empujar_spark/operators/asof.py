@@ -2,7 +2,10 @@
 
 ``asof_join(left, right, ...)`` attaches to each left row the most recent
 right row with ``right.ts <= left.ts`` within the same ``by`` key group
-(backward as-of, the pandas ``merge_asof`` default).
+(backward as-of, the pandas ``merge_asof`` default), or with
+``direction="forward"`` the EARLIEST right row with ``right.ts >=
+left.ts``; ``tolerance`` (seconds) NULLs matches farther than the bound,
+pandas-style.
 
 Implementation: NOT a range cross-join and NOT per-group pandas. Both
 sides are tagged and unioned, then a single window pass per key carries
@@ -33,10 +36,19 @@ def asof_join(
     by: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """Backward as-of join. ``on`` = ordering column (same name both
-    sides), ``by`` = equality key, ``value_cols`` = right columns to
-    attach (renamed with ``suffix``)."""
+    """As-of join. ``on`` = ordering column (same name both sides),
+    ``by`` = equality key, ``value_cols`` = right columns to attach
+    (renamed with ``suffix``); ``direction`` = "backward" (default:
+    last right at or before) or "forward" (first right at or after);
+    ``tolerance`` = max |left.on − right.on| in seconds — matches
+    beyond it come back NULL (the row is kept), pandas semantics.
+    Forward is the same single window pass with the time order
+    reversed — the carry then brings the NEXT right row back."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
     l_tagged = left.select(
         *lcols,
@@ -54,17 +66,41 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
+    order = (
+        F.col(on).asc() if direction == "backward" else F.col(on).desc()
+    )
     w = (
         Window.partitionBy(by)
-        .orderBy(F.col(on).asc(), F.col("__side").asc())
+        .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
-        *lcols,
-        "__side",
-        *[
-            F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-            for c in value_cols
-        ],
-    )
-    return carried.filter(F.col("__side") == 1).drop("__side")
+    carry = [
+        F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
+        for c in value_cols
+    ]
+    if tolerance is not None:
+        # carry the matched row's own timestamp to apply the bound
+        carry.append(
+            F.last(
+                F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True
+            ).over(w).alias("__match_on")
+        )
+    carried = unioned.select(*lcols, "__side", *carry)
+    out = carried.filter(F.col("__side") == 1).drop("__side")
+    if tolerance is not None:
+        within = (
+            F.abs(
+                F.col(on).cast("double") - F.col("__match_on").cast("double")
+            )
+            <= F.lit(float(tolerance))
+        )
+        out = out.select(
+            *lcols,
+            *[
+                F.when(within, F.col(f"{c}{suffix}"))
+                .otherwise(F.lit(None))
+                .alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+    return out

@@ -104,3 +104,48 @@ def test_interval_overlap_join_exact_once(spark):
     }
     assert got == expected
     assert (1, 10) in got and (1, 11) in got and (3, 13) in got
+
+
+def test_asof_forward_and_tolerance(spark):
+    """Forward direction picks the NEXT right row; tolerance NULLs
+    matches beyond the bound while keeping the left row."""
+    import datetime as dt
+
+    from empujar_spark.operators.asof import asof_join
+    from pyspark.sql import functions as F
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, T(10)), (2, 1, T(25)), (3, 2, T(5))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, T(12), 100.0), (1, T(30), 200.0), (2, T(50), 300.0)],
+        ["user_id", "ts", "value"],
+    )
+    fwd = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, on="ts", by="user_id", value_cols=["value"],
+            direction="forward",
+        ).collect()
+    }
+    assert fwd == {1: 100.0, 2: 200.0, 3: 300.0}
+    tol = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, on="ts", by="user_id", value_cols=["value"],
+            direction="forward", tolerance=10,
+        ).collect()
+    }
+    # event 3's next purchase is 45s away -> NULLed by tolerance=10
+    assert tol == {1: 100.0, 2: 200.0, 3: None}
+    back = {
+        r.event_id: r.value_asof
+        for r in asof_join(
+            left, right, on="ts", by="user_id", value_cols=["value"],
+            tolerance=10,
+        ).collect()
+    }
+    # backward: event1 has no prior purchase; event2's prior is 13s away
+    assert back == {1: None, 2: None, 3: None}
