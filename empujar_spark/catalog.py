@@ -43,7 +43,6 @@ import json
 import os
 import shutil
 import threading
-import time
 import uuid
 from typing import Iterable
 

@@ -197,8 +197,6 @@ def test_temperature_mixture_flattens_skew(spark):
     """α=0.3 temperature rebalancing: a 10× bigger source must get a
     proportionally LOWER keep rate (flattening), tiny sources clamp at
     1.0 (kept whole), and rates match the closed form."""
-    import math
-
     from empujar_spark.operators.curation import temperature_mixture
 
     rows = [(i, "big") for i in range(100)] + [(1000 + i, "small") for i in range(10)]

@@ -1,6 +1,5 @@
 """Unit tests for the iterative graph operators (operators/graph.py)."""
 
-import pytest
 from pyspark.sql import functions as F
 
 from empujar_spark.operators.graph import pagerank
