@@ -176,9 +176,22 @@ def minhash_lsh_pairs(
     Output: (id_a, id_b, n_bands_shared). False negatives possible —
     verify candidates with ``ngram_jaccard_pairs`` semantics downstream."""
     sig = minhash_signatures(df, text_col, k, num_hashes)
+    banded = _band_table(sig, num_hashes, band_size)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count("*").alias("n_bands_shared"))
+    )
+
+
+def _band_table(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
+    """(doc_id, band, bucket) from a wide signature — ONE explode, NOT a
+    self-union per band (a union would re-evaluate the whole signature
+    plan — explode+distinct+join — n_bands times)."""
     n_bands = num_hashes // band_size
-    # one explode, NOT a self-union per band — a union would re-evaluate
-    # the whole signature plan (explode+distinct+join) n_bands times
     band_structs = [
         F.struct(
             F.lit(b).alias("band"),
@@ -192,16 +205,44 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_structs)).alias("bb")
-    ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    a = banded.alias("a")
-    b = banded.alias("b")
+    ).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_incremental_pairs(
+    new: DataFrame,
+    history: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """INCREMENTAL near-dup candidates: each incoming document against
+    the HISTORICAL corpus only — the LSH completion of the exact
+    incremental ingest (incremental_ingest_dedup catches byte-identical
+    re-deliveries; this catches near-identical ones). Batch-internal
+    pairs are out of scope here (run minhash_lsh_pairs on the batch).
+
+    Output: (new_id, hist_id, n_bands_shared).
+
+    Scale shape: in production the HISTORY band table is precomputed
+    once and stored bucketed on (band, bucket) — steady-state cost per
+    ingest is hashing the NEW batch (tiny) plus a bucket-local join;
+    history is never re-shingled. Here both sides derive from scratch
+    so the oracle can check values end-to-end."""
+    bands_new = _band_table(
+        minhash_signatures(new, text_col, k, num_hashes), num_hashes, band_size
+    ).withColumnRenamed("doc_id", "new_id")
+    bands_hist = _band_table(
+        minhash_signatures(history, text_col, k, num_hashes), num_hashes, band_size
+    ).withColumnRenamed("doc_id", "hist_id")
     return (
-        a.join(b, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .agg(F.count("*").alias("n_bands_shared"))
+        bands_new.join(bands_hist, ["band", "bucket"])
+        .groupBy("new_id", "hist_id")
+        .agg(F.count(F.lit(1)).alias("n_bands_shared"))
     )
 
 

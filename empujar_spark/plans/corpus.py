@@ -1009,6 +1009,44 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+@q(
+    "minhash_incremental_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min({_mh_hash(i)}) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh_{2*b} AS VARCHAR) || ':' || CAST(mh_{2*b+1} AS VARCHAR) AS bucket FROM sig"
+        for b in range(4)
+      )})
+    SELECT n.doc_id AS new_id, h.doc_id AS hist_id,
+           count(*) AS n_bands_shared
+    FROM banded n JOIN banded h
+      ON n.band = h.band AND n.bucket = h.bucket
+    WHERE n.doc_id % 5 = 0 AND h.doc_id % 5 <> 0
+    GROUP BY new_id, hist_id
+    """,
+)
+def minhash_incremental_pairs(spark, sf_dir):
+    """Incremental NEAR-dup ingest check (operators/dedup.py
+    minhash_incremental_pairs): the incoming batch (doc_id % 5 == 0,
+    same simulated split as incremental_ingest_dedup) LSH-banded against
+    the historical corpus only — exact re-deliveries are caught by the
+    fingerprint anti-join; this catches the near-identical ones. In
+    production the history band table is precomputed and bucketed on
+    (band, bucket), so steady-state ingest hashes only the new batch."""
+    docs = load(spark, sf_dir, "documents")
+    return D.minhash_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        num_hashes=8,
+        band_size=2,
+    )
+
+
 _SIMHASH_SIG_SQL = """
     toks AS (
       SELECT DISTINCT doc_id,
@@ -4454,8 +4492,8 @@ def copurchase_pagerank(spark, sf_dir):
 #      embedding_decontam, winsorized_stats, quality_median_filter,
 #      label_centroids, event_transitions, the q15/q17/q22 shapes,
 #      bigram_doc_score, copurchase_pairs, copurchase_pagerank and
-#      copurchase_triangles and asof_join_forward_events — 32 entries
-#      after the 41
+#      copurchase_triangles, asof_join_forward_events and
+#      minhash_incremental_pairs — 33 entries after the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

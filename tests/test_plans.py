@@ -552,3 +552,13 @@ def test_copurchase_pairs_keyed_join_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_minhash_incremental_band_equi_join(spark):
+    """Incremental near-dup candidates come from a (band, bucket)
+    equi-join of the new batch against history — no cartesian, no
+    nested loop, partial count above the pair key."""
+    plan = plan_of(spark, "minhash_incremental_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan
