@@ -1682,6 +1682,49 @@ def asof_join_forward_events(spark, sf_dir):
 
 
 @q(
+    "gapfill_hourly",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('hour', ts) AS hour, ts, event_id, value
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, hour
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e),
+    hourly AS (
+      SELECT user_id, hour, count(*) AS n,
+             max(CASE WHEN rn = 1 THEN value END) AS last_in_hour
+      FROM ranked GROUP BY user_id, hour),
+    span AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1
+             FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+      FROM span)
+    SELECT g.user_id, g.bucket,
+           CAST(coalesce(h.n, 0) AS BIGINT) AS n,
+           last_value(h.last_in_hour IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS UNBOUNDED PRECEDING) AS last_value_ffill
+    FROM grid g LEFT JOIN hourly h
+      ON h.user_id = g.user_id AND h.hour = g.bucket
+    """,
+)
+def gapfill_hourly(spark, sf_dir):
+    """Per-user hourly gap-fill with forward fill (operators/
+    timeseries.py gapfill_ffill) — the time_bucket_gapfill /
+    resample().ffill() analogue Spark lacks natively. Dense grid from
+    each user's first to last hour, n=0 marking gaps, latest value
+    carried forward (ties at equal ts broken by event_id). Events
+    collapse to per-bucket rows BEFORE the grid join; the grid explodes
+    from the |users|-row span table; one ignore-nulls window per user —
+    all hash-partitioned on the key, no global sort."""
+    from empujar_spark.operators.timeseries import gapfill_ffill
+
+    return gapfill_ffill(load(spark, sf_dir, "events"))
+
+
+@q(
     "cube_agg",
     """
     SELECT o_orderstatus, o_orderpriority, count(*) AS n,
@@ -4493,7 +4536,8 @@ def copurchase_pagerank(spark, sf_dir):
 #      label_centroids, event_transitions, the q15/q17/q22 shapes,
 #      bigram_doc_score, copurchase_pairs, copurchase_pagerank and
 #      copurchase_triangles, asof_join_forward_events and
-#      minhash_incremental_pairs — 33 entries after the 41
+#      minhash_incremental_pairs and gapfill_hourly — 34 entries after
+#      the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

@@ -562,3 +562,12 @@ def test_minhash_incremental_band_equi_join(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_gapfill_no_global_sort_key_partitioned(spark):
+    """Grid join and forward fill hash-partition on the key — no
+    SinglePartition window, events pre-aggregate before the grid join."""
+    plan = plan_of(spark, "gapfill_hourly")
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan

@@ -149,3 +149,31 @@ def test_asof_forward_and_tolerance(spark):
     }
     # backward: event1 has no prior purchase; event2's prior is 13s away
     assert back == {1: None, 2: None, 3: None}
+
+
+def test_gapfill_ffill_semantics(spark):
+    """Hand-built timeline: gaps appear with n=0 and carry the prior
+    value; the grid spans first..last hour per key only."""
+    import datetime as dt
+
+    from empujar_spark.operators.timeseries import gapfill_ffill
+
+    H = lambda h, m=0: dt.datetime(2024, 1, 1, h, m)
+    rows = [
+        (1, 1, H(0, 30), 10.0),
+        (2, 1, H(0, 45), 20.0),   # last of hour 0
+        (3, 1, H(3, 10), 30.0),   # hours 1-2 are gaps
+        (4, 2, H(5, 0), 99.0),    # single-hour key
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+    got = {
+        (r.user_id, r.bucket.hour): (r.n, r.last_value_ffill)
+        for r in gapfill_ffill(df).collect()
+    }
+    assert got == {
+        (1, 0): (2, 20.0),
+        (1, 1): (0, 20.0),
+        (1, 2): (0, 20.0),
+        (1, 3): (1, 30.0),
+        (2, 5): (1, 99.0),
+    }
