@@ -1,0 +1,66 @@
+"""Property-based tests (hypothesis) for the span-dedup and graph
+operators: segment_dedup must be a lossless partition of every document
+into spans (reconstruction + conservation invariants hold for ANY corpus),
+and pagerank must conserve probability mass on ANY symmetric graph."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+words = st.sampled_from(["a", "b", "c", "d", "tok", "xyz"])
+texts = st.lists(words, min_size=0, max_size=24).map(" ".join)
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(texts, min_size=1, max_size=12))
+def test_segment_dedup_invariants(spark, docs):
+    """For ANY corpus: (1) every non-blank doc appears exactly once with
+    n_segs = ceil(n_tokens/5); (2) 0 <= n_kept <= n_segs; (3) a doc's
+    clean_text is a subsequence of its original segments in order; (4)
+    each distinct span is kept exactly once corpus-wide."""
+    from empujar_spark.operators.dedup import segment_dedup
+
+    rows = [(i, t) for i, t in enumerate(docs)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in segment_dedup(df, seg_tokens=5).collect()}
+
+    def segs_of(t):
+        toks = t.split()
+        return [" ".join(toks[i : i + 5]) for i in range(0, len(toks), 5)]
+
+    expected_ids = {i for i, t in enumerate(docs) if t.strip()}
+    assert set(out) == expected_ids
+    kept_total = {}
+    for i in sorted(expected_ids):
+        segs = segs_of(docs[i])
+        r = out[i]
+        assert r.n_segs == len(segs)
+        assert 0 <= r.n_kept <= r.n_segs
+        # first-occurrence-wins in (doc_id, seg_idx) order:
+        expect_clean = []
+        for s in segs:
+            if s not in kept_total:
+                kept_total[s] = (i,)
+                expect_clean.append(s)
+        assert r.clean_text == " ".join(expect_clean), (i, docs[i])
+        assert r.n_kept == len(expect_clean)
+
+
+graph_edges = st.lists(
+    st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda p: p[0] != p[1]),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(pairs=graph_edges)
+def test_pagerank_mass_conservation(spark, pairs):
+    """On ANY symmetrized edge set, ranks are positive and sum to 1
+    (within rounding dust) — the stochastic-matrix invariant."""
+    from empujar_spark.operators.graph import pagerank
+
+    sym = list({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    e = spark.createDataFrame(sym, ["src", "dst"])
+    ranks = [r.rank for r in pagerank(e, iters=3).collect()]
+    assert all(r > 0 for r in ranks)
+    assert abs(sum(ranks) - 1.0) < 1e-6
