@@ -1,0 +1,100 @@
+"""Declarative data-quality checks — the dbt-tests / Deequ-style
+constraint validation a warehouse load runs before publishing (the
+reference's nearest analogue is insertData's implicit schema policing;
+these make row-level expectations explicit and auditable).
+
+Each helper returns a ONE-ROW DataFrame (check, n_violations);
+``run_checks`` unions them into the audit result a pipeline gates on.
+Every check is a single aggregate over one scan (or one anti-join for
+referential integrity) — no collects, no row fan-out; at 100 TB each
+check is exactly as expensive as its aggregation and they parallelize
+as independent jobs.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _one(df: DataFrame, name: str, violations: Column) -> DataFrame:
+    return df.agg(
+        F.lit(name).alias("check"),
+        violations.cast("bigint").alias("n_violations"),
+    )
+
+
+def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
+    """Violations = rows beyond the first per key (0 ⇔ key is unique)."""
+    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
+    return _one(
+        df,
+        name or f"unique({','.join(cols)})",
+        F.count(F.lit(1)) - F.count_distinct(key),
+    )
+
+
+def expect_not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
+    return _one(
+        df,
+        name or f"not_null({col})",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+    )
+
+
+def expect_in_range(
+    df: DataFrame, col: str, lo, hi, name: str | None = None
+) -> DataFrame:
+    """Violations = non-NULL values outside [lo, hi] (NULLs are
+    expect_not_null's concern, not a range violation)."""
+    c = F.col(col)
+    bad = c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))
+    return _one(
+        df,
+        name or f"in_range({col},{lo},{hi})",
+        F.sum(F.when(bad, 1).otherwise(0)),
+    )
+
+
+def expect_accepted_values(
+    df: DataFrame, col: str, values: list, name: str | None = None
+) -> DataFrame:
+    c = F.col(col)
+    bad = c.isNotNull() & ~c.isin(values)
+    return _one(
+        df,
+        name or f"accepted_values({col})",
+        F.sum(F.when(bad, 1).otherwise(0)),
+    )
+
+
+def expect_references(
+    child: DataFrame,
+    child_col: str,
+    parent: DataFrame,
+    parent_col: str,
+    name: str | None = None,
+) -> DataFrame:
+    """Referential integrity: child keys with no parent (LEFT ANTI join
+    — at scale the parent key column is a slim projection and the join
+    hash-partitions on the key; never a collect of the parent)."""
+    orphans = child.select(F.col(child_col).alias("__k")).join(
+        parent.select(F.col(parent_col).alias("__k")), "__k", "left_anti"
+    )
+    return orphans.agg(
+        F.lit(name or f"references({child_col}->{parent_col})").alias("check"),
+        F.count(F.lit(1)).cast("bigint").alias("n_violations"),
+    )
+
+
+def run_checks(checks: list[DataFrame]) -> DataFrame:
+    """Union the one-row check results and attach the pass flag — the
+    audit table a load gates on (fail the book page if any passed == 0)."""
+    unioned = reduce(lambda a, b: a.unionByName(b), checks)
+    return unioned.select(
+        "check",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

@@ -1,0 +1,40 @@
+"""Unit tests for the declarative data-quality checks
+(operators/quality.py)."""
+
+from pyspark.sql import functions as F
+
+from empujar_spark.operators import quality as Q
+
+
+def test_checks_count_violations_exactly(spark):
+    child = spark.createDataFrame(
+        [(1, 10, 0.05, "A"), (1, 11, 0.5, "X"), (2, None, None, None)],
+        "id int, fk int, d double, flag string",
+    )
+    parent = spark.createDataFrame([(10,), (99,)], "pk int")
+    out = {
+        r.check: (r.n_violations, r.passed)
+        for r in Q.run_checks([
+            Q.expect_unique(child, ["id"]),
+            Q.expect_not_null(child, "fk"),
+            Q.expect_in_range(child, "d", 0.0, 0.1),
+            Q.expect_accepted_values(child, "flag", ["A", "B"]),
+            Q.expect_references(child, "fk", parent, "pk"),
+        ]).collect()
+    }
+    assert out["unique(id)"] == (1, 0)            # id=1 twice
+    assert out["not_null(fk)"] == (1, 0)          # one NULL fk
+    assert out["in_range(d,0.0,0.1)"] == (1, 0)   # 0.5 out; NULL not counted
+    assert out["accepted_values(flag)"] == (1, 0) # 'X'; NULL not counted
+    # fk=11 orphan; NULL fk never matches -> also orphan? LEFT ANTI keeps
+    # NULL keys (no match possible) — both count as missing parents
+    assert out["references(fk->pk)"] == (2, 0)
+
+
+def test_all_green_on_clean_data(spark):
+    df = spark.createDataFrame([(1, 0.05), (2, 0.07)], "id int, d double")
+    out = Q.run_checks([
+        Q.expect_unique(df, ["id"]),
+        Q.expect_in_range(df, "d", 0.0, 0.1),
+    ]).collect()
+    assert all(r.passed == 1 and r.n_violations == 0 for r in out)
