@@ -20,6 +20,10 @@ glob-and-call-every-export contract as books/etl):
 4. chapters/pack/sequences.py      (priority 400): deterministic
    stratified split + concat-and-chunk sequence packing of the train
    split → train_sequences.
+5. chapters/validate/checks.py     (priority 500): declarative
+   data-quality gate (operators/quality.py) — audit rows persist to
+   quality_audit and ANY violation fail-fasts the book (the
+   reference's error contract), so bad output never publishes.
 
 Every chapter reads from and writes to the destination Warehouse, so a
 rerun is incremental/idempotent: ingest adds nothing for already-seen

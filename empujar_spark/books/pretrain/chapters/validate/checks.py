@@ -1,0 +1,45 @@
+"""VALIDATE chapter (priority 500): declarative data-quality gate.
+
+Runs the constraint checks (operators/quality.py) over the book's output
+tables, persists the audit rows to ``quality_audit``, and FAILS the page
+— which fail-fasts the book, the reference's error contract
+(lib/book.js run/error events) — if any check has violations. The
+publish step a real pipeline gates on.
+"""
+
+from pyspark.sql import functions as F
+
+
+def chapter_loader(book):
+    from empujar_spark.operators import quality as Q
+
+    chapter = book.add_chapter(500, "validate")
+    wh = book.destination
+
+    def validate():
+        clean = wh.read("documents_clean")
+        curated = wh.read("documents_curated")
+        seqs = wh.read("train_sequences")
+        audit = Q.run_checks([
+            Q.expect_unique(clean, ["doc_id"], name="clean.unique(doc_id)"),
+            Q.expect_unique(seqs, ["doc_id"], name="seqs.unique(doc_id)"),
+            Q.expect_references(
+                clean, "doc_id", curated, "doc_id",
+                name="clean.doc_id->curated"),
+            Q.expect_references(
+                seqs, "doc_id", clean, "doc_id",
+                name="seqs.doc_id->clean"),
+            Q.expect_accepted_values(seqs, "split", ["train"]),
+            Q.expect_in_range(seqs, "seq_offset", 0, 255),
+            Q.expect_not_null(clean, "clean_text"),
+        ])
+        wh.insert_data("quality_audit", audit, merge_key="check")
+        failed = [
+            r.check
+            for r in wh.read("quality_audit").collect()
+            if r.passed == 0
+        ]
+        if failed:
+            raise ValueError(f"quality gate failed: {failed}")
+
+    chapter.add_page("quality-gate", validate)

@@ -101,3 +101,31 @@ def test_audit_trail_records_chapters(pre_wh):
     audit = pre_wh.read("empujar")
     names = {r.name for r in audit.select("name").distinct().collect()}
     assert {"ingest", "curate", "span-dedup", "pack"} <= names
+
+
+def test_quality_gate_green_and_persisted(pre_wh):
+    """The validate chapter persists the audit and every check passes on
+    the book's own output."""
+    audit = {r.check: (r.n_violations, r.passed)
+             for r in pre_wh.read("quality_audit").collect()}
+    assert len(audit) == 7
+    assert all(p == 1 and n == 0 for n, p in audit.values()), audit
+
+
+def test_quality_gate_fails_fast_on_violation(spark, tmp_path):
+    """A corrupted output table trips the gate: the book run raises and
+    the failure names the violated check."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from empujar_spark.books.pretrain import build_pretrain_book, run_pretrain
+
+    wh = run_pretrain(spark, SF, str(tmp_path / "wh"))
+    # corrupt: a sequence row pointing at a nonexistent document
+    seqs = wh.read("train_sequences")
+    bad = seqs.limit(1).withColumn("doc_id", F.lit(10_000_000))
+    wh.insert_data("train_sequences", bad, merge_key="doc_id")
+    book = build_pretrain_book(spark, SF, wh)
+    book.chapter_filter = [500]
+    with pytest.raises(Exception, match="seqs.doc_id->clean"):
+        book.run()
