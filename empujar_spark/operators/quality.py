@@ -98,3 +98,31 @@ def run_checks(checks: list[DataFrame]) -> DataFrame:
         "n_violations",
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
+
+
+def expect_fresh(
+    df: DataFrame,
+    ts_col: str,
+    as_of,
+    max_age_hours: float,
+    name: str | None = None,
+) -> DataFrame:
+    """Freshness: the newest ``ts_col`` must be within ``max_age_hours``
+    of ``as_of`` (passed explicitly — a deterministic audit never reads
+    the wall clock). Violations = 1 when stale or empty, else 0; the
+    one-row shape composes with run_checks like any other expectation.
+    This is the quality-gate face of the reference's MAX-watermark
+    incremental contract (getMax, mysql.js:193-216)."""
+    age_ok = (
+        F.max(F.col(ts_col)).isNotNull()
+        & (
+            F.max(F.col(ts_col)).cast("double")
+            >= F.lit(as_of).cast("timestamp").cast("double")
+            - max_age_hours * 3600.0
+        )
+    )
+    return _one(
+        df,
+        name or f"fresh({ts_col},{max_age_hours}h)",
+        F.when(age_ok, 0).otherwise(1),
+    )

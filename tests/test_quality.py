@@ -38,3 +38,26 @@ def test_all_green_on_clean_data(spark):
         Q.expect_in_range(df, "d", 0.0, 0.1),
     ]).collect()
     assert all(r.passed == 1 and r.n_violations == 0 for r in out)
+
+
+def test_expect_fresh_stale_and_fresh(spark):
+    import datetime as dt
+
+    df = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 10, 12, 0)),
+         (2, dt.datetime(2024, 1, 10, 18, 0))],
+        "id int, ts timestamp",
+    )
+    as_of = dt.datetime(2024, 1, 11, 0, 0)
+    fresh = Q.run_checks(
+        [Q.expect_fresh(df, "ts", as_of, max_age_hours=12)]
+    ).collect()[0]
+    stale = Q.run_checks(
+        [Q.expect_fresh(df, "ts", as_of, max_age_hours=3)]
+    ).collect()[0]
+    empty = Q.run_checks(
+        [Q.expect_fresh(df.filter("id > 99"), "ts", as_of, 1000)]
+    ).collect()[0]
+    assert (fresh.n_violations, fresh.passed) == (0, 1)
+    assert (stale.n_violations, stale.passed) == (1, 0)
+    assert (empty.n_violations, empty.passed) == (1, 0)
