@@ -373,3 +373,64 @@ def purchase_followers_join(
     ).select(
         "event_id", "user_id", "ts", "event_type", "purchase_id", "purchase_value"
     )
+
+
+def quality_monitor_stream(
+    events: DataFrame,
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """Streaming data-quality monitor: run the declarative expectations
+    (operators/quality.py) on EVERY micro-batch via foreachBatch and
+    accumulate the per-batch audit — continuous Deequ-style monitoring
+    on the ingest stream instead of a post-hoc table scan.
+
+    Only ADDITIVE checks run here (non-null, range, accepted values):
+    their violation counts sum across batches to exactly the whole-input
+    figure, so the aggregated audit is micro-batch-boundary-invariant —
+    deterministic however the source files split. (Uniqueness is NOT
+    additive across batches; dedup on a stream is streaming_dedup's
+    watermarked job.)
+
+    Returns the aggregated audit (check, n_violations, passed) after
+    draining the stream. foreachBatch is the production sink shape: each
+    batch's audit rows would append to a monitoring table with the batch
+    id; here they collect into an accumulator for the oracle to check.
+    """
+    import threading
+
+    from empujar_spark.operators import quality as Q
+
+    rows: list = []
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        checks = Q.run_checks([
+            Q.expect_not_null(batch_df, "ts"),
+            Q.expect_in_range(batch_df, "value", 0.0, 1000.0),
+            Q.expect_accepted_values(
+                batch_df, "event_type",
+                ["view", "click", "purchase", "signup", "error"],
+            ),
+        ])
+        rows.extend((r.check, r.n_violations) for r in checks.collect())
+
+    spark = events.sparkSession
+    q = events.writeStream.foreachBatch(audit_batch).start()
+    watchdog = threading.Timer(timeout_s, q.stop)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        watchdog.cancel()
+        q.stop()
+    agg: dict[str, int] = {}
+    for check, n in rows:
+        agg[check] = agg.get(check, 0) + n
+    out = spark.createDataFrame(
+        [(c, n) for c, n in agg.items()], "check string, n_violations long"
+    )
+    return out.select(
+        "check",
+        "n_violations",
+        (F.col("n_violations") == 0).cast("int").alias("passed"),
+    )

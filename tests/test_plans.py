@@ -154,6 +154,7 @@ _CROSS_JOIN_ALLOWED = {
 # warehouse builds) — their returned DataFrame is a read of the result, so
 # a plan audit of it would be vacuous; they're audited by their own tests.
 _PLAN_AUDIT_SKIP = {
+    "streaming_quality_audit",
     "streaming_hourly_events",
     "streaming_join_events",
     "incremental_rollup",

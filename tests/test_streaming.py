@@ -210,3 +210,39 @@ def test_late_data_audit_counts_dropped_rows(spark, tmp_path):
         .count()
     )
     assert leaked == 0
+
+
+def test_quality_monitor_stream_counts_planted_violations(spark, tmp_path):
+    """Planted bad rows are counted by the per-batch monitor even when
+    the source splits into multiple micro-batches (additive checks are
+    batching-invariant)."""
+    import datetime as dt
+
+    from empujar_spark.streaming.stream_ops import quality_monitor_stream
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "view", 10.0, "{}"),
+        (2, None, 1, "view", 10.0, "{}"),             # null ts
+        (3, dt.datetime(2024, 1, 1), 1, "bogus", 10.0, "{}"),  # bad type
+        (4, dt.datetime(2024, 1, 1), 1, "click", -5.0, "{}"),  # range
+        (5, dt.datetime(2024, 1, 1), 1, "click", 2000.0, "{}"),
+    ]
+    schema = ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    src = str(tmp_path / "events")
+    df = spark.createDataFrame(rows, schema)
+    # two files -> (with maxFilesPerTrigger=1) two micro-batches
+    df.filter("event_id <= 2").coalesce(1).write.parquet(src)
+    df.filter("event_id > 2").coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    audit = {
+        r.check: (r.n_violations, r.passed)
+        for r in quality_monitor_stream(stream).collect()
+    }
+    assert audit["not_null(ts)"] == (1, 0)
+    assert audit["in_range(value,0.0,1000.0)"] == (2, 0)
+    assert audit["accepted_values(event_type)"] == (1, 0)
