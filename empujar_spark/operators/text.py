@@ -583,3 +583,95 @@ def bigram_doc_score(
             ).alias("mean_bigram_freq"),
         )
     )
+
+
+def bm25_search(
+    df: DataFrame,
+    queries: dict[str, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``top_n`` documents per query under
+    the Lucene-variant scoring (idf = ln(1 + (N−df+0.5)/(df+0.5)),
+    always positive — classic BM25 idf goes negative for terms in over
+    half the corpus) with tf saturation k1 and length normalization b.
+
+    Output: (query_id, doc_id, score, rnk) — per-term partial scores
+    round to 6 dp and the summed score to 4 dp, keeping the float
+    pipeline cross-engine stable (the ln argument is an identical
+    double rational on any engine, so a last-ulp libm difference can
+    only flip a rounding boundary with measure-zero probability — the
+    same determinism contract as the cosine operators).
+
+    Scale shape for 100 TB: the token stream filters to QUERY TERMS at
+    the explode (an isin pushgate — the shuffled tf table holds only
+    matching occurrences, a sliver of the corpus); doc lengths ride a
+    separate tiny aggregate; N/avgdl are one-row broadcasts and the
+    per-term df/idf table is |terms| rows broadcast into the scoring
+    join. The only data-stream shuffles are the tf groupBy and the
+    per-query top-n (WindowGroupLimit pre-prunes per partition).
+    """
+    all_terms = sorted({t for ts in queries.values() for t in ts})
+    spark = df.sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in ts],
+        "query_id string, term string",
+    )
+    toks = _spread(df).select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tf = (
+        toks.filter(F.col("term").isin(all_terms))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count_distinct("doc_id").alias("df")
+    )
+    stats = df.agg(F.count(F.lit(1)).alias("__N")).crossJoin(
+        doclen.agg(F.avg("dl").alias("__avgdl"))
+    )
+    n = F.col("__N").cast("double")
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    )
+    tf_d = F.col("tf").cast("double")
+    sat = (
+        tf_d
+        * (k1 + 1.0)
+        / (tf_d + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.round(idf * sat, 6).alias("__s"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("__s"), 4).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("query_id", "doc_id", "score", "rnk")
+    )

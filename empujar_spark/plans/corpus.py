@@ -1791,6 +1791,64 @@ def data_quality_checks(spark, sf_dir):
     ])
 
 
+_BM25_QUERIES = {
+    "q_scan": ["table", "scan"],
+    "q_streaming": ["spark", "stream"],
+    "q_vector": ["vector", "join"],
+}
+
+
+@q(
+    "bm25_search",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    qterms(query_id, term) AS (VALUES
+      {", ".join(f"('{q}', '{t}')" for q, ts in sorted(_BM25_QUERIES.items()) for t in ts)}),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({", ".join("'" + t + "'" for t in sorted({t for ts in _BM25_QUERIES.values() for t in ts}))})
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM doclen) AS avgdl),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(round(ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)), 6)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2 /
+                      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                   6) AS s
+      FROM tf
+      JOIN dfreq d ON d.term = tf.term
+      JOIN qterms q ON q.term = tf.term
+      JOIN doclen l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    summed AS (
+      SELECT query_id, doc_id, round(sum(s), 4) AS score
+      FROM scored GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rnk
+      FROM summed) t
+    WHERE rnk <= 10
+    """,
+)
+def bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval (operators/text.py bm25_search): top-10
+    documents per query, Lucene-variant idf (always positive — this
+    corpus's tiny vocabulary puts every query term in ~80% of docs,
+    where classic BM25 idf goes negative), k1=1.2, b=0.75. The token
+    stream filters to query terms BEFORE the tf shuffle; df/idf and the
+    query table broadcast; N/avgdl are one-row scalar broadcasts; the
+    per-query top-10 is a WindowGroupLimit-pruned window."""
+    return X.bm25_search(
+        load(spark, sf_dir, "documents"), _BM25_QUERIES
+    )
+
+
 @q(
     "streaming_quality_audit",
     """
@@ -4650,8 +4708,8 @@ def copurchase_pagerank(spark, sf_dir):
 #      bigram_doc_score, copurchase_pairs, copurchase_pagerank and
 #      copurchase_triangles, asof_join_forward_events and
 #      minhash_incremental_pairs, gapfill_hourly and
-#      data_quality_checks and streaming_quality_audit — 36 entries
-#      after the 41
+#      data_quality_checks, streaming_quality_audit and bm25_search —
+#      37 entries after the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

@@ -273,3 +273,26 @@ def test_bigram_doc_score_exact_small_case(spark):
     assert (got[1].n_bigrams, got[1].sum_freq) == (3, 7)  # 3+1+3
     assert (got[2].n_bigrams, got[2].sum_freq) == (1, 3)
     assert abs(got[1].mean_bigram_freq - 7 / 3) < 1e-12
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    """A document saturated with the query term outranks one mentioning
+    it once; documents without the term never appear; rarer terms weigh
+    more via idf."""
+    from empujar_spark.operators.text import bm25_search
+
+    rows = [
+        (1, "cat cat cat cat"),
+        (2, "cat dog bird fish"),
+        (3, "dog bird fish mouse"),
+        (4, "rare dog bird fish"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = bm25_search(df, {"q1": ["cat"], "q2": ["rare"]}, top_n=10)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.query_id, []).append((r.rnk, r.doc_id, r.score))
+    q1 = sorted(got["q1"])
+    assert [d for _, d, _ in q1] == [1, 2]      # doc 3,4 lack 'cat'
+    assert q1[0][2] > q1[1][2]                   # saturation ranks 1 first
+    assert [d for _, d, _ in sorted(got["q2"])] == [4]

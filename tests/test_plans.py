@@ -142,6 +142,7 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 # - q22_dormant_customers: the positive-balance average — another
 #   ONE-ROW broadcast scalar join
 _CROSS_JOIN_ALLOWED = {
+    "bm25_search",  # N/avgdl one-row scalar broadcast, tfidf pattern
     "embedding_topk",
     "tfidf_top_terms",
     "histogram_price",
@@ -572,3 +573,13 @@ def test_gapfill_no_global_sort_key_partitioned(spark):
     assert "SinglePartition" not in plan
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_bm25_filters_tokens_before_tf_shuffle(spark):
+    """The isin(query terms) filter must run below the tf aggregation's
+    exchange — the shuffled stream carries only matching occurrences;
+    the scalar stats join is the allow-listed one-row broadcast cross."""
+    plan = plan_of(spark, "bm25_search")
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
