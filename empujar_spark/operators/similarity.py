@@ -490,3 +490,48 @@ def label_centroids(
             ).alias("centroid")
         )
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    top_n: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of ranked retrieval lists — the standard
+    hybrid-search combiner (lexical BM25 + dense embedding ranks, or any
+    N retrievers): score(q, d) = Σ_sources 1/(k + rnk), no score
+    calibration across heterogeneous retrievers needed because only
+    RANKS enter the sum.
+
+    Inputs: DataFrames of (query_id, doc_id, rnk); output
+    (query_id, doc_id, rrf_score, rnk) top-``top_n`` per query, scores
+    rounded to 6 dp (a sum of ≤|sources| exact-rational reciprocals —
+    cross-engine stable at that precision).
+
+    Scale shape: ranked lists are top-n PER QUERY by construction —
+    tiny relative to the corpora they were retrieved from — so the
+    union + groupBy(query, doc) is a small-data aggregation however big
+    the underlying indexes are; one window per query for the final
+    ordering."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    unioned = reduce(
+        lambda a, b: a.unionByName(b),
+        [r.select("query_id", "doc_id", "rnk") for r in rankings],
+    )
+    fused = unioned.groupBy("query_id", "doc_id").agg(
+        F.round(
+            F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rnk").cast("double"))),
+            6,
+        ).alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= top_n)
+        .select("query_id", "doc_id", "rrf_score", "rnk")
+    )

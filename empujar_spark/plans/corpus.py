@@ -1849,6 +1849,114 @@ def bm25_search(spark, sf_dir):
     )
 
 
+# Hybrid search: each BM25 text query pairs with an embedding query
+# vector (vec_id) — the declared lexical↔dense mapping a real system
+# stores alongside its query log.
+_HYBRID_QUERY_VECS = {"q_scan": 0, "q_streaming": 1, "q_vector": 2}
+
+
+@q(
+    "hybrid_search_rrf",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+      FROM documents),
+    doclen AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    qterms(query_id, term) AS (VALUES
+      {", ".join(f"('{q}', '{t}')" for q, ts in sorted(_BM25_QUERIES.items()) for t in ts)}),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN ({", ".join("'" + t + "'" for t in sorted({t for ts in _BM25_QUERIES.values() for t in ts}))})
+      GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    stats AS (SELECT (SELECT count(*) FROM documents) AS n,
+                     (SELECT avg(dl) FROM doclen) AS avgdl),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             round(round(ln(1.0 + (CAST(s.n AS DOUBLE) - d.df + 0.5) / (d.df + 0.5)), 6)
+                   * (CAST(tf.tf AS DOUBLE) * 2.2 /
+                      (CAST(tf.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                   6) AS s
+      FROM tf
+      JOIN dfreq d ON d.term = tf.term
+      JOIN qterms q ON q.term = tf.term
+      JOIN doclen l ON l.doc_id = tf.doc_id
+      CROSS JOIN stats s),
+    bm25 AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY round(sum(s), 4) DESC, doc_id ASC)
+                   AS rnk
+        FROM scored GROUP BY query_id, doc_id) t
+      WHERE rnk <= 10),
+    qvec(query_id, vec_id) AS (VALUES
+      {", ".join(f"('{q}', {v})" for q, v in sorted(_HYBRID_QUERY_VECS.items()))}),
+    cos AS (
+      SELECT qv.query_id, e.vec_id AS doc_id,
+             round(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(qe.embedding AS DOUBLE[]), CAST(qe.embedding AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cosine
+      FROM qvec qv
+      JOIN embeddings qe ON qe.vec_id = qv.vec_id
+      JOIN embeddings e ON e.vec_id <> qv.vec_id),
+    dense AS (
+      SELECT query_id, doc_id, rnk FROM (
+        SELECT query_id, doc_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, doc_id ASC) AS rnk
+        FROM cos) t
+      WHERE rnk <= 10),
+    fused AS (
+      SELECT query_id, doc_id,
+             round(sum(1.0 / (60.0 + rnk)), 6) AS rrf_score
+      FROM (SELECT * FROM bm25 UNION ALL SELECT * FROM dense) u
+      GROUP BY query_id, doc_id)
+    SELECT query_id, doc_id, rrf_score, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rnk
+      FROM fused) t
+    WHERE rnk <= 10
+    """,
+)
+def hybrid_search_rrf(spark, sf_dir):
+    """HYBRID retrieval via reciprocal-rank fusion (operators/
+    similarity.py rrf_fuse): the BM25 lexical top-10 and the dense
+    cosine top-10 (each query's declared embedding vector) merge as
+    Σ 1/(60+rnk) — rank-only fusion needs no score calibration across
+    heterogeneous retrievers. The fused lists are top-n per query by
+    construction, so fusion cost is independent of corpus size; all the
+    scale weight lives in the two retrievers it composes (both already
+    plan-audited). doc_id/vec_id share an id space in this testdata,
+    standing in for a doc→embedding mapping."""
+    from empujar_spark.operators.similarity import cosine_topk, rrf_fuse
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    lexical = X.bm25_search(docs, _BM25_QUERIES, top_n=10)
+    qmap = spark.createDataFrame(
+        list(_HYBRID_QUERY_VECS.items()), "query_id string, vec_id long"
+    )
+    cos = cosine_topk(
+        emb,
+        emb.join(
+            F.broadcast(qmap.select("vec_id")), "vec_id", "left_semi"
+        ),
+        k=10,
+    ).withColumnRenamed("query_id", "qvec_id")
+    dense = (
+        cos.join(F.broadcast(qmap), cos.qvec_id == qmap.vec_id)
+        .select(
+            "query_id",
+            F.col("neighbor_id").alias("doc_id"),
+            "rnk",
+        )
+    )
+    return rrf_fuse([lexical, dense], k=60, top_n=10)
+
+
 @q(
     "streaming_quality_audit",
     """
@@ -4708,8 +4816,8 @@ def copurchase_pagerank(spark, sf_dir):
 #      bigram_doc_score, copurchase_pairs, copurchase_pagerank and
 #      copurchase_triangles, asof_join_forward_events and
 #      minhash_incremental_pairs, gapfill_hourly and
-#      data_quality_checks, streaming_quality_audit and bm25_search —
-#      37 entries after the 41
+#      data_quality_checks, streaming_quality_audit, bm25_search and
+#      hybrid_search_rrf — 38 entries after the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

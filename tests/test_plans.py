@@ -143,6 +143,8 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 #   ONE-ROW broadcast scalar join
 _CROSS_JOIN_ALLOWED = {
     "bm25_search",  # N/avgdl one-row scalar broadcast, tfidf pattern
+    "hybrid_search_rrf",  # composes bm25 (scalar cross) + brute cosine
+                          # (broadcast 3-query side) — both allow-listed
     "embedding_topk",
     "tfidf_top_terms",
     "histogram_price",

@@ -248,3 +248,19 @@ def test_embedding_dup_pairs_auto_centroids(spark, emb):
     a = {(r.id_a, r.id_b, r.cosine) for r in auto.collect()}
     b = {(r.id_a, r.id_b, r.cosine) for r in fixed.collect()}
     assert a == b and len(a) > 0
+
+
+def test_rrf_fuse_rank_math_and_cross_retriever_boost(spark):
+    """A document ranked by BOTH retrievers outranks single-source docs;
+    scores are exactly sum(1/(60+rnk)) rounded to 6."""
+    a = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2)], "query_id string, doc_id long, rnk int"
+    )
+    b = spark.createDataFrame(
+        [("q", 2, 1), ("q", 3, 2)], "query_id string, doc_id long, rnk int"
+    )
+    got = {r.doc_id: (r.rrf_score, r.rnk) for r in S.rrf_fuse([a, b]).collect()}
+    assert got[2][1] == 1  # in both lists -> fused top
+    assert got[2][0] == round(1 / 61 + 1 / 62, 6)
+    assert got[1][0] == round(1 / 61, 6)
+    assert got[3][0] == round(1 / 62, 6)
