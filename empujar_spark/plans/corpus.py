@@ -1849,6 +1849,108 @@ def bm25_search(spark, sf_dir):
     )
 
 
+@q(
+    "retrieval_quality",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
+               FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id, e.label,
+             round(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cosine
+      FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored),
+    top AS (SELECT * FROM ranked WHERE rnk <= 10)
+    SELECT query_id, CAST(q_label AS BIGINT) AS q_label,
+           CAST(min(CASE WHEN label = q_label THEN rnk END) AS BIGINT)
+               AS first_rel_rank,
+           round(coalesce(1.0 / min(CASE WHEN label = q_label THEN rnk END),
+                          0.0), 6) AS reciprocal_rank,
+           round(sum(CASE WHEN label = q_label THEN 1 ELSE 0 END) / 10.0, 6)
+               AS recall_at_10
+    FROM top GROUP BY query_id, q_label
+    """,
+)
+def retrieval_quality(spark, sf_dir):
+    """Retrieval evaluation metrics (MRR / recall@10) with the embedding
+    LABEL as relevance ground truth — the measurement loop every search
+    stack needs next to the retrievers themselves. Exact brute-force
+    top-10 per query vector (the oracle-checkable baseline; swap the
+    IVF/LSH retriever in production and this operator measures the
+    recall the pinned tests assert), then one tiny per-query aggregate.
+    NULL first_rel_rank ⇒ no relevant hit in the top-10 (rr = 0)."""
+    from empujar_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    top = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    ql = labels.withColumnRenamed("vec_id", "query_id").withColumnRenamed(
+        "label", "q_label"
+    )
+    nl = labels.withColumnRenamed("vec_id", "neighbor_id")
+    rel = F.col("label") == F.col("q_label")
+    return (
+        top.join(F.broadcast(ql), "query_id")
+        .join(F.broadcast(nl), "neighbor_id")
+        .groupBy("query_id", F.col("q_label").cast("bigint").alias("q_label"))
+        .agg(
+            F.min(F.when(rel, F.col("rnk"))).cast("bigint")
+            .alias("first_rel_rank"),
+            F.round(
+                F.coalesce(
+                    F.lit(1.0) / F.min(F.when(rel, F.col("rnk"))), F.lit(0.0)
+                ),
+                6,
+            ).alias("reciprocal_rank"),
+            F.round(
+                F.sum(F.when(rel, 1).otherwise(0)) / F.lit(10.0), 6
+            ).alias("recall_at_10"),
+        )
+    )
+
+
+@q(
+    "cumulative_new_users",
+    """
+    WITH first_seen AS (
+      SELECT user_id, min(date_trunc('day', ts)) AS day FROM events
+      GROUP BY user_id),
+    daily AS (SELECT day, count(*) AS new_users FROM first_seen GROUP BY day)
+    SELECT day, new_users,
+           CAST(sum(new_users) OVER (ORDER BY day
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS total_users
+    FROM daily
+    """,
+)
+def cumulative_new_users(spark, sf_dir):
+    """User-growth curve: per day, users whose FIRST event lands that day
+    plus the running total — the exact running count-distinct, computed
+    WITHOUT any distinct-over-window machinery: first-seen is one
+    groupBy(user) min, the daily rollup is |days| rows, and the running
+    sum's single-partition window is over those |days| rows only (the
+    hll_rolling_distinct entry is this metric's sketch-based sibling for
+    per-group windows)."""
+    ev = load(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", "ts")).alias("day")
+    )
+    daily = first_seen.groupBy("day").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day",
+        "new_users",
+        F.sum("new_users").over(w).cast("bigint").alias("total_users"),
+    )
+
+
 # Hybrid search: each BM25 text query pairs with an embedding query
 # vector (vec_id) — the declared lexical↔dense mapping a real system
 # stores alongside its query log.
@@ -4817,7 +4919,8 @@ def copurchase_pagerank(spark, sf_dir):
 #      copurchase_triangles, asof_join_forward_events and
 #      minhash_incremental_pairs, gapfill_hourly and
 #      data_quality_checks, streaming_quality_audit, bm25_search and
-#      hybrid_search_rrf — 38 entries after the 41
+#      hybrid_search_rrf, retrieval_quality and cumulative_new_users —
+#      40 entries after the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

@@ -145,6 +145,8 @@ _CROSS_JOIN_ALLOWED = {
     "bm25_search",  # N/avgdl one-row scalar broadcast, tfidf pattern
     "hybrid_search_rrf",  # composes bm25 (scalar cross) + brute cosine
                           # (broadcast 3-query side) — both allow-listed
+    "retrieval_quality",  # brute cosine baseline (broadcast 5-query side)
+                          # — the oracle-checkable measurement loop
     "embedding_topk",
     "tfidf_top_terms",
     "histogram_price",
