@@ -1850,6 +1850,47 @@ def bm25_search(spark, sf_dir):
 
 
 @q(
+    "null_safe_join",
+    """
+    WITH keyed AS (
+      SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 = 0
+                  THEN NULL
+                  ELSE CAST(json_extract_string(props, '$.k') AS BIGINT) % 10
+             END AS nk,
+             event_type
+      FROM events),
+    l AS (SELECT nk, count(*) AS n_all FROM keyed GROUP BY nk),
+    r AS (SELECT nk, count(*) AS n_purchase FROM keyed
+          WHERE event_type = 'purchase' GROUP BY nk)
+    SELECT l.nk, l.n_all, r.n_purchase
+    FROM l JOIN r ON l.nk IS NOT DISTINCT FROM r.nk
+    """,
+)
+def null_safe_join(spark, sf_dir):
+    """Null-safe equi-join semantics (`<=>` / IS NOT DISTINCT FROM): the
+    NULL key group participates as a real group instead of silently
+    dropping, the semantic gap between `=` joins and the dedup/merge
+    world (the reference's key-union insertData treats missing as NULL
+    and MUST match them; mysql.js:290-297). The nullable key is derived
+    (k%7==0 → NULL), both sides pre-aggregate to |keys| rows before the
+    join, and Spark plans `<=>` as a HASH join on a null-wrapped key —
+    not a nested loop (plan-asserted)."""
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    nk = F.when(k % 7 == 0, F.lit(None).cast("bigint")).otherwise(k % 10)
+    keyed = ev.select(nk.alias("nk"), "event_type")
+    l = keyed.groupBy("nk").agg(F.count(F.lit(1)).alias("n_all"))
+    r = (
+        keyed.filter(F.col("event_type") == "purchase")
+        .groupBy("nk")
+        .agg(F.count(F.lit(1)).alias("n_purchase"))
+    )
+    return l.join(r, l.nk.eqNullSafe(r.nk)).select(
+        l.nk.alias("nk"), "n_all", "n_purchase"
+    )
+
+
+@q(
     "retrieval_quality",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec, label AS q_label
@@ -4919,8 +4960,8 @@ def copurchase_pagerank(spark, sf_dir):
 #      copurchase_triangles, asof_join_forward_events and
 #      minhash_incremental_pairs, gapfill_hourly and
 #      data_quality_checks, streaming_quality_audit, bm25_search and
-#      hybrid_search_rrf, retrieval_quality and cumulative_new_users —
-#      40 entries after the 41
+#      hybrid_search_rrf, retrieval_quality, cumulative_new_users and
+#      null_safe_join — 41 entries after the 41
 #      in FIRST; the driver's ~50-row cap cuts roughly the last
 #      fifteen, all of which carry exact-value evidence via
 #      scripts/local_gate (sf0.001 AND sf0.01, run green this round)

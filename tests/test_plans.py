@@ -587,3 +587,12 @@ def test_bm25_filters_tokens_before_tf_shuffle(spark):
     assert "WindowGroupLimit" in plan
     assert "SortMergeJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_null_safe_join_hashes_not_nested_loop(spark):
+    """`<=>` must plan as a hash join (Spark wraps the key in a
+    null-safe struct) — 11 groups including the NULL group."""
+    plan = plan_of(spark, "null_safe_join")
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
