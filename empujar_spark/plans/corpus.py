@@ -3403,6 +3403,568 @@ def q22_dormant_customers(spark, sf_dir):
 
 
 @q(
+    "q2_min_cost_supplier",
+    """
+    WITH eur AS (
+      SELECT s.s_suppkey, s.s_name, n.n_name
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    sel AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_type = 'PROMO' AND p_size <= 10),
+    cost AS (
+      SELECT l.l_partkey, l.l_suppkey,
+             min(l.l_extendedprice / l.l_quantity) AS unit_cost
+      FROM lineitem l
+      JOIN sel ON sel.p_partkey = l.l_partkey
+      JOIN eur ON eur.s_suppkey = l.l_suppkey
+      GROUP BY l.l_partkey, l.l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS best_cost
+      FROM cost GROUP BY l_partkey)
+    SELECT e.s_name, e.n_name, p.p_partkey, p.p_name,
+           CAST(round(CAST(c.unit_cost AS DECIMAL(18,6)), 4) AS DOUBLE)
+               AS unit_cost
+    FROM cost c
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.best_cost
+    JOIN sel p ON p.p_partkey = c.l_partkey
+    JOIN eur e ON e.s_suppkey = c.l_suppkey
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H-Q2-shaped minimum-cost supplier (this schema has no
+    partsupp, so the observed per-unit price min(l_extendedprice /
+    l_quantity) over a supplier's shipped lines stands in for
+    ps_supplycost; region EUROPE, PROMO small parts): the correlated
+    min-cost subquery becomes ONE pre-aggregation joined back on
+    equality, ties surfacing as the spec requires (same pattern as
+    q15's scalar max). Reference parity: the pushed-down SQL corpus
+    (books/etl/chapters/transform/redshift.js:399-413).
+
+    Scale shape: BOTH dimension filters (part class, region supplier
+    set) broadcast onto lineitem BEFORE the (partkey, suppkey)
+    aggregation, so only the selected class's lines shuffle; the
+    per-part best-cost table is tiny and re-joined by hash. The
+    per-row double division is a single IEEE op — bit-identical on
+    both engines — and the min/equality tie-back compares those exact
+    doubles, rounding only at the output edge."""
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    sel = (
+        load(spark, sf_dir, "part")
+        .filter((F.col("p_type") == "PROMO") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_name")
+    )
+    cost = (
+        li.join(F.broadcast(sel.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .join(F.broadcast(eur.select("s_suppkey")), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+    )
+    best = cost.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        cost.join(
+            best,
+            (cost.l_partkey == F.col("__pk"))
+            & (cost.unit_cost == F.col("best_cost")),
+        )
+        .join(F.broadcast(sel), cost.l_partkey == sel.p_partkey)
+        .join(F.broadcast(eur), cost.l_suppkey == eur.s_suppkey)
+        .select(
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round(dec("unit_cost"), 4).cast("double").alias("unit_cost"),
+        )
+    )
+
+
+@q(
+    "q8_market_share",
+    """
+    SELECT year(o.o_orderdate) AS o_year,
+           CAST(round(sum(CASE WHEN sr.r_name = 'EUROPE'
+                     THEN CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                          (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+                     ELSE CAST(0 AS DECIMAL(18,6)) END), 4) AS DOUBLE)
+               AS europe_volume,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                    (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4)
+                AS DOUBLE) AS total_volume
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation cn  ON cn.n_nationkey = c.c_nationkey
+    JOIN region cr  ON cr.r_regionkey = cn.n_regionkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    JOIN region sr  ON sr.r_regionkey = sn.n_regionkey
+    WHERE p.p_type = 'ECONOMY'
+      AND cr.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY year(o.o_orderdate)
+    """,
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H-Q8-shaped market share: what share of the ASIA customers'
+    ECONOMY-part market do EUROPE-region suppliers hold, by order year
+    (supplier region standing in for the spec's single nation — this
+    schema's supplier table is thin enough that a one-nation numerator
+    is empty at tiny SF). Reference parity: the transform corpus's
+    multi-join rollups (books/etl/chapters/transform/users.js:9-34).
+
+    Numerator and denominator are emitted as separately-rounded
+    decimal sums (q14's pattern) — the share division happens in the
+    consumer, so no cross-engine float-division drift enters the hash.
+    Scale shape: the ONLY shuffle pair is lineitem⋈orders; part
+    (filtered), ASIA customers, and the supplier→region tag are all
+    broadcast dimension sides, and the order-date filter is pushed to
+    the orders scan."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(dt.datetime(1996, 1, 1)))
+        & (F.col("o_orderdate") < F.lit(dt.datetime(1998, 1, 1)))
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    nr = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "r_name"
+    )
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    cust = (
+        load(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(nr.filter(F.col("r_name") == "ASIA")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("r_name").alias("supp_region"))
+    )
+    one = F.lit(1).cast("decimal(18,6)")
+    zero = F.lit(0).cast("decimal(18,6)")
+    vol = dec("l_extendedprice") * (one - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(cust), o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(
+                    F.when(F.col("supp_region") == "EUROPE", vol).otherwise(zero)
+                ),
+                4,
+            )
+            .cast("double")
+            .alias("europe_volume"),
+            F.round(F.sum(vol), 4).cast("double").alias("total_volume"),
+        )
+    )
+
+
+@q(
+    "q9_product_profit",
+    """
+    SELECT sn.n_name AS nation, year(o.o_orderdate) AS o_year,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                    (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6))) -
+                    CAST(p.p_retailprice * l.l_quantity * CAST(0.6 AS DOUBLE)
+                         AS DECIMAL(18,6))), 4) AS DOUBLE) AS sum_profit
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation sn  ON sn.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE 'red%'
+    GROUP BY sn.n_name, year(o.o_orderdate)
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H-Q9-shaped product-type profit by supplier nation and
+    year: revenue minus a cost proxy of 0.6 × p_retailprice ×
+    l_quantity (no partsupp in this schema, so the part's list price
+    stands in for ps_supplycost), over 'red' parts. Reference parity:
+    the transform corpus's multi-join rollups
+    (books/etl/chapters/transform/users.js:9-34).
+
+    Determinism: the cost factor is computed in DOUBLE (two IEEE
+    multiplies, left-associated identically on both engines) and cast
+    to decimal ONCE per row; the profit sum then runs entirely in
+    exact decimal. Scale shape: the name-filtered part dim and the
+    supplier→nation tag broadcast; lineitem⋈orders is the single
+    shuffle pair; per-nation-year partial aggregation is map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n = load(spark, sf_dir, "nation")
+    supp = (
+        load(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "n_name")
+    )
+    one = F.lit(1).cast("decimal(18,6)")
+    profit = dec("l_extendedprice") * (one - dec("l_discount")) - dec(
+        F.col("p_retailprice") * F.col("l_quantity") * F.lit(0.6)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 4).cast("double").alias("sum_profit"))
+    )
+
+
+@q(
+    "q11_important_parts",
+    """
+    WITH eur AS (
+      SELECT s.s_suppkey
+      FROM supplier s
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    val AS (
+      SELECT l.l_partkey,
+             sum(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS v
+      FROM lineitem l
+      JOIN eur ON eur.s_suppkey = l.l_suppkey
+      GROUP BY l.l_partkey),
+    tot AS (SELECT sum(v) AS t FROM val)
+    SELECT val.l_partkey AS p_partkey,
+           CAST(round(val.v, 4) AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE val.v > tot.t * CAST(0.001 AS DECIMAL(9,6))
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H-Q11-shaped important inventory: parts whose shipped value
+    through EUROPE-region suppliers exceeds 0.1% of that region's
+    total (lineitem extendedprice standing in for the missing
+    partsupp's supplycost×availqty). Reference parity: the pushed-down
+    SQL corpus (books/etl/chapters/transform/redshift.js:399-413).
+
+    Scale shape: the region's supplier keys broadcast onto lineitem
+    before the per-part aggregation (only that region's lines
+    shuffle); the grand total is a ONE-ROW re-aggregation of the
+    already-reduced per-part table, broadcast back as a scalar — the
+    allow-listed one-row cross pattern (q22/tfidf). The threshold
+    comparison runs in exact decimal on both engines, so the boundary
+    is bit-identical."""
+    li = load(spark, sf_dir, "lineitem")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eur = (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    val = (
+        li.join(F.broadcast(eur), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("v"))
+    )
+    tot = val.agg(F.sum("v").alias("__t"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(F.col("v") > F.col("__t") * F.lit(0.001).cast("decimal(9,6)"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.round(F.col("v"), 4).cast("double").alias("part_value"),
+        )
+    )
+
+
+@q(
+    "q13_customer_distribution",
+    """
+    SELECT c_count, count(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey) co
+    GROUP BY c_count
+    """,
+)
+def q13_customer_distribution(spark, sf_dir):
+    """TPC-H-Q13 customer order-count distribution (the spec's
+    o_comment NOT LIKE exclusion becomes an o_orderpriority exclusion
+    — this schema has no comment column): a LEFT join that must keep
+    order-less customers at count 0, then a histogram of the counts.
+    Reference parity: the pushed-down SQL corpus
+    (books/etl/chapters/transform/redshift.js:399-413).
+
+    Scale shape: the priority exclusion is pushed to the orders scan
+    (filter-before-left-join ≡ the ON-clause condition because it
+    touches only right-side columns); first aggregation shuffles on
+    c_custkey, the histogram re-shuffle moves one row per customer,
+    and partial aggregation halves both. Both counts are exact
+    bigints — nothing to round."""
+    c = load(spark, sf_dir, "customer").select("c_custkey")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+@q(
+    "q16_part_supplier_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           count(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22, 25, 28)
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_part_supplier_counts(spark, sf_dir):
+    """TPC-H-Q16-shaped part/supplier relationship counts: how many
+    distinct suppliers shipped each excluded-brand part class, with
+    low-balance suppliers (the spec's 'customer complaints' set — no
+    comment column here) removed. The observed (l_partkey, l_suppkey)
+    pairs stand in for the missing partsupp. Reference parity: the
+    pushed-down SQL corpus
+    (books/etl/chapters/transform/redshift.js:399-413).
+
+    Scale shape: lineitem reduces to distinct (part, supplier) pairs
+    FIRST (one shuffle, map-side partial distinct); the complaint set
+    is a broadcast LEFT ANTI (never a per-row NOT IN probe — safe
+    here because s_suppkey is never NULL); the brand/type/size filter
+    is a broadcast dim join; the final count-distinct re-shuffles only
+    the surviving slim pairs."""
+    li = load(spark, sf_dir, "lineitem")
+    p = (
+        load(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != "Brand#1")
+            & (F.col("p_type") != "PROMO")
+            & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22, 25, 28))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 1000)
+        .select("s_suppkey")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@q(
+    "q20_excess_shippers",
+    """
+    WITH red AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    shipped AS (
+      SELECT l.l_suppkey,
+             l.l_partkey,
+             sum(CASE WHEN l.l_shipdate >= TIMESTAMP '1997-01-01'
+                       AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN CAST(l.l_quantity AS DECIMAL(18,6))
+                      ELSE CAST(0 AS DECIMAL(18,6)) END) AS q97,
+             sum(CAST(l.l_quantity AS DECIMAL(18,6))) AS qall
+      FROM lineitem l
+      JOIN red ON red.p_partkey = l.l_partkey
+      GROUP BY l.l_suppkey, l.l_partkey),
+    excess AS (
+      SELECT DISTINCT l_suppkey FROM shipped
+      WHERE q97 * CAST(2 AS DECIMAL(18,6)) > qall
+        AND q97 > CAST(0 AS DECIMAL(18,6)))
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    JOIN excess e ON e.l_suppkey = s.s_suppkey
+    WHERE r.r_name = 'EUROPE'
+    """,
+)
+def q20_excess_shippers(spark, sf_dir):
+    """TPC-H-Q20-shaped excess-shipment suppliers: EUROPE-region
+    suppliers for whom 1997 shipments of 'red' parts exceed half their
+    all-time shipments of that part (the 0.5 × availqty threshold
+    reshaped onto observed shipment history — no partsupp here).
+    Reference parity: the pushed-down SQL corpus
+    (books/etl/chapters/transform/redshift.js:399-413).
+
+    Scale shape: the spec's two correlated subqueries collapse into
+    ONE conditional aggregation over a single scan of the 'red'
+    lines (part filter broadcast) — the year-window sum and the
+    all-time sum ride the same (suppkey, partkey) groupBy; the
+    qualifying supplier keys are tiny and broadcast onto the supplier
+    dim. Quantity sums run in exact decimal, so the 2× threshold is
+    an exact comparison on both engines."""
+    li = load(spark, sf_dir, "lineitem")
+    red = (
+        load(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    zero = F.lit(0).cast("decimal(18,6)")
+    in97 = (F.col("l_shipdate") >= F.lit(dt.datetime(1997, 1, 1))) & (
+        F.col("l_shipdate") < F.lit(dt.datetime(1998, 1, 1))
+    )
+    shipped = (
+        li.join(F.broadcast(red), li.l_partkey == red.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum(F.when(in97, dec("l_quantity")).otherwise(zero)).alias("q97"),
+            F.sum(dec("l_quantity")).alias("qall"),
+        )
+    )
+    excess = (
+        shipped.filter(
+            (F.col("q97") * F.lit(2).cast("decimal(18,6)") > F.col("qall"))
+            & (F.col("q97") > zero)
+        )
+        .select("l_suppkey")
+        .distinct()
+    )
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    return (
+        load(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(F.broadcast(excess), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("s_name", "n_name")
+    )
+
+
+@q(
+    "q21_waiting_suppliers",
+    """
+    WITH l AS (
+      SELECT li.l_orderkey, li.l_suppkey,
+             max(CASE WHEN li.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+                      THEN 1 ELSE 0 END) AS is_late
+      FROM lineitem li
+      JOIN orders o ON o.o_orderkey = li.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY li.l_orderkey, li.l_suppkey),
+    per_order AS (
+      SELECT l_orderkey, count(*) AS n_supp, sum(is_late) AS n_late
+      FROM l GROUP BY l_orderkey)
+    SELECT s.s_name, count(*) AS numwait
+    FROM l
+    JOIN per_order po ON po.l_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.is_late = 1 AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY s.s_name
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H-Q21-shaped suppliers who kept orders waiting: on
+    finished multi-supplier orders, the supplier who was the ONLY late
+    one ('late' reshaped to shipping >60 days after the order date —
+    this schema has no commit/receipt dates). The spec's EXISTS /
+    NOT-EXISTS pair becomes per-order counts: another supplier exists
+    (n_supp > 1) and no OTHER late supplier exists (n_late = 1 with
+    this supplier late). Reference parity: the pushed-down SQL corpus
+    (books/etl/chapters/transform/redshift.js:399-413).
+
+    Scale shape: the oracle's self-join of the late-flag rollup
+    against its own per-order re-aggregation would scan lineitem
+    twice (column pruning makes the two subtrees non-identical, so
+    exchange reuse cannot dedupe them — the q15 lesson); here the
+    per-order supplier census is a WINDOW over the already-reduced
+    (order, supplier) table instead — ONE lineitem scan, no
+    self-join, and the window key is l_orderkey (hash-distributed
+    per-order groups, never a global single-task funnel). The status
+    filter is pushed to the orders scan and the supplier name arrives
+    by broadcast at the very end. Window counts over an aggregate
+    output cannot be pushed below the aggregate, so the filter stays
+    where written."""
+    li = load(spark, sf_dir, "lineitem")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    s = load(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        1,
+    ).otherwise(0)
+    per_pair = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max(late).alias("is_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    return (
+        per_pair.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn("n_late", F.sum("is_late").over(w))
+        .filter(
+            (F.col("is_late") == 1)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@q(
     "time_rollup_hierarchy",
     """
     WITH base AS (

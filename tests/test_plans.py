@@ -141,7 +141,11 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 #   rows) and broadcast; the corpus side streams through one scan
 # - q22_dormant_customers: the positive-balance average — another
 #   ONE-ROW broadcast scalar join
+# - q11_important_parts: the grand-total threshold — a ONE-ROW
+#   re-aggregation of the already-reduced per-part table, broadcast
+#   back as the scalar comparison side
 _CROSS_JOIN_ALLOWED = {
+    "q11_important_parts",
     "bm25_search",  # N/avgdl one-row scalar broadcast, tfidf pattern
     "hybrid_search_rrf",  # composes bm25 (scalar cross) + brute cosine
                           # (broadcast 3-query side) — both allow-listed
@@ -596,3 +600,37 @@ def test_null_safe_join_hashes_not_nested_loop(spark):
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_single_lineitem_scan_window_census(spark):
+    """The per-order supplier census is a window over the reduced
+    (order, supplier) table, not a self-join of it — lineitem is
+    scanned ONCE (the self-join spelling scans it twice: pruning makes
+    the subtrees non-identical so exchange reuse cannot dedupe them,
+    the q15 lesson) and the window partitions on l_orderkey, never
+    SinglePartition."""
+    plan = plan_of(spark, "q21_waiting_suppliers")
+    assert plan.count("lineitem") == 1
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert "SortMergeJoin Inner" not in plan or plan.count("lineitem") == 1
+
+
+def test_q8_broadcasts_all_dims_single_shuffle_pair(spark):
+    """Part (type-filtered), ASIA customers, and the supplier→region
+    tag all broadcast — lineitem⋈orders is the only shuffle pair, and
+    the order-date window is pushed to the orders scan."""
+    full = formatted_of(spark, "q8_market_share")
+    assert full.count("SortMergeJoin") <= 1
+    assert "GreaterThanOrEqual(o_orderdate,1996-01-01" in full
+    assert "EqualTo(p_type,ECONOMY)" in full
+
+
+def test_q2_pushes_part_class_and_region_before_agg(spark):
+    """Both dimension filters reach the scans (part class, EUROPE
+    region) and broadcast onto lineitem BEFORE the (part, supplier)
+    min aggregation — no cartesian tie-back."""
+    full = formatted_of(spark, "q2_min_cost_supplier")
+    assert "EqualTo(p_type,PROMO)" in full
+    assert "EqualTo(r_name,EUROPE)" in full
+    assert "CartesianProduct" not in full
