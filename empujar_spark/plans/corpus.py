@@ -5641,15 +5641,35 @@ _GATE_ORDER_R5_PROVEN = [
 ]
 
 
+# Within the round-6 middle bucket (~50 new entries vs ~9 driver gate
+# slots after the 41 stale-refresh rows), front-load the completed
+# TPC-H suite — the round's headline coverage claim gets driver-hashed
+# evidence first; the rest of the middle follows in definition order
+# and MUST be front-loaded in the r7 rotation (the r5-proven block
+# yields its slots then, exactly as r4's did this round).
+_GATE_ORDER_R6_PRIORITY = [
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q16_part_supplier_counts",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+]
+
+
 def _gate_ordered() -> dict[str, Query]:
     pinned = (
         set(_GATE_ORDER_FIRST)
         | set(_GATE_ORDER_ROWS_ONLY)
         | set(_GATE_ORDER_R5_PROVEN)
+        | set(_GATE_ORDER_R6_PRIORITY)
     )
     middle = [n for n in CORPUS if n not in pinned]  # new this round
     order = (
         _GATE_ORDER_FIRST
+        + _GATE_ORDER_R6_PRIORITY
         + middle
         + _GATE_ORDER_ROWS_ONLY
         + _GATE_ORDER_R5_PROVEN
