@@ -5500,98 +5500,79 @@ def copurchase_pagerank(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-gate registration order
+# Driver-gate registration order — round-7 rotation
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round. Order by evidence value so a truncated run
-# still lands the rows that matter. Round-6 rotation (VERDICT r5 item 1):
-#   1. approx_stats FIRST — it sat at gate position 51 (one past the
-#      50-row cap) in every prior rotation and has zero driver rows in
-#      five rounds; this round it is also oracle-paired on its exact
-#      sub-aggregates (VERDICT r5 item 2).
-#   2. The 40 entries last proven green in r4 (two rounds stale now).
-#   3. Anything NOT pinned below — corpus entries added THIS round.
-#      Round-6 census (gate positions 42-61): event_funnel,
-#      retention_cohorts, oov_rate, doc_chunks, vocab_prune,
-#      dedup_keep_best, q3_shipping_priority, hll_rolling_distinct,
-#      source_quota_cap, zorder_prune, temperature_mixture, plus the
-#      late batch q6/q4/q7/q10/q12/q18/q19 TPC-H shapes, segment_dedup,
-#      embedding_decontam, winsorized_stats, quality_median_filter,
-#      label_centroids, event_transitions, the q15/q17/q22 shapes,
-#      bigram_doc_score, copurchase_pairs, copurchase_pagerank and
-#      copurchase_triangles, asof_join_forward_events and
-#      minhash_incremental_pairs, gapfill_hourly and
-#      data_quality_checks, streaming_quality_audit, bm25_search and
-#      hybrid_search_rrf, retrieval_quality, cumulative_new_users and
-#      null_safe_join — 41 entries after the 41
-#      in FIRST; the driver's ~50-row cap cuts roughly the last
-#      fifteen, all of which carry exact-value evidence via
-#      scripts/local_gate (sf0.001 AND sf0.01, run green this round)
-#      and their own pytest plan/unit tests; they are first in line for
-#      the r7 rotation.
-#   4. The rows-only (no-oracle) approximate entries the driver can only
-#      rows-check; all four got r5 rows and their recall is pinned in
-#      tests — they sit just past the cap this round.
-#   5. The 46 entries proven green in r5 (freshest evidence) yield slots.
+# still lands the rows that matter. Round-7 rotation (VERDICT r6 item 1):
+#   1. _GATE_ORDER_R7_FIRST — the 39 entries with ZERO driver rows in
+#      any CORRECTNESS_r0{1..6}.json (computed, not hand-counted: see
+#      tests/test_gate_order.py which re-derives this census from the
+#      recorded JSON and asserts these lists partition CORPUS exactly).
+#      The 11 judge-only TPC-H shapes lead — the headline suite claim.
+#      All 39 were verified exact-green by the r6 judge's own sf0.01
+#      oracle run; this rotation converts that to driver evidence.
+#   2. Anything NOT pinned in a list below — entries added THIS round.
+#   3. _GATE_ORDER_ROWS_ONLY — the 3 no-oracle approximate entries
+#      (recall pinned in tests/test_similarity.py); rows-check only.
+#   4. _GATE_ORDER_R5_STALE — the 47 entries last proven in r5 (two
+#      rounds stale after this round); the ~8 slots left under the cap
+#      go to the head of this block.
+#   5. _GATE_ORDER_R6_PROVEN — the 50 entries green in
+#      CORRECTNESS_r06.json (freshest evidence) yield their slots.
 
-_GATE_ORDER_FIRST = [
-    # --- never evidenced: position 51 in r2-r5 rotations ---
-    "approx_stats",
-    # --- green in r4, rotated out in r5 — two rounds stale, refresh ---
-    "bpe_token_count",
-    "cube_agg",
-    "date_funcs_monthly",
-    "dedup_exact",
-    "doc_fingerprint",
-    "embedding_topk",
-    "frame_sample",
-    "hash_sample",
-    "image_resize",
-    "lang_id",
-    "minhash_lsh_pairs",
-    "minhash_signatures",
-    "multimodal_meta",
-    "ngram_jaccard_capped",
-    "ngram_jaccard_pairs",
-    "quantiles",
-    "set_ops",
-    "string_funcs",
-    "text_quality",
-    "tfidf_top_terms",
-    "token_count",
-    "window_rank_funcs",
-    "window_running_sum",
-    "q1_pricing_summary",
-    "q5_local_supplier_volume",
-    "q14_promo_share",
-    "global_topk",
-    "incremental_rollup",
-    "scd2_history",
-    "bucketed_join_agg",
-    "near_dup_clusters",
-    "embedding_dup_pairs",
-    "stratified_split",
-    "benchmark_contamination",
-    "modp_fingerprints",
-    "histogram_price",
-    "unpivot_metrics",
-    "repetition_signals",
-    "pii_redaction",
-    "pack_sequences",
+_GATE_ORDER_R7_FIRST = [
+    # --- the 11 judge-only TPC-H shapes (headline suite claim) ---
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q22_dormant_customers",
+    # --- remaining never-driver-checked entries (rounds 5-6 additions) ---
+    "retention_cohorts",
+    "minhash_incremental_pairs",
+    "oov_rate",
+    "doc_chunks",
+    "vocab_prune",
+    "asof_join_forward_events",
+    "gapfill_hourly",
+    "data_quality_checks",
+    "bm25_search",
+    "null_safe_join",
+    "retrieval_quality",
+    "cumulative_new_users",
+    "hybrid_search_rrf",
+    "streaming_quality_audit",
+    "dedup_keep_best",
+    "source_quota_cap",
+    "zorder_prune",
+    "temperature_mixture",
+    "segment_dedup",
+    "embedding_decontam",
+    "winsorized_stats",
+    "quality_median_filter",
+    "label_centroids",
+    "event_transitions",
+    "bigram_doc_score",
+    "copurchase_pairs",
+    "copurchase_triangles",
+    "copurchase_pagerank",
 ]
 # Rows-only (no-oracle) entries: weaker check, keep them inside the
 # ~50-row window but after everything oracle-paired and unproven.
-# (hll_rolling_distinct left this list in r6 — oracle-paired on its
-# exact twin + accuracy boolean, same upgrade as approx_stats; it sits
-# in FIRST via the middle bucket as a this-round change.)
 _GATE_ORDER_ROWS_ONLY = [
     "embedding_dup_pairs_ann",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
 ]
-# Green in CORRECTNESS_r05.json — freshest evidence, so they yield their
-# gate slots to stale and newly-added entries.
-_GATE_ORDER_R5_PROVEN = [
+# Last proven green in CORRECTNESS_r05.json — two rounds stale now.
+_GATE_ORDER_R5_STALE = [
     "max_watermark",
     "count_table",
     "watermark_extract",
@@ -5601,53 +5582,77 @@ _GATE_ORDER_R5_PROVEN = [
     "dedup_all_columns",
     "merge_upsert",
     "topk_per_group",
+    "topk_partial_agg",
     "rollup_agg",
     "anti_join",
     "semi_join",
     "sessionize",
-    "mixture_sample",
-    "interval_overlap_events",
-    "simhash_dup_pairs",
-    "embedding_ivf_exact",
-    "snapshot_read",
-    "topk_partial_agg",
-    "source_overlap",
-    "curated_corpus",
-    "streaming_sessionize",
-    "streaming_user_totals",
-    "streaming_dedup",
-    "streaming_cdc_upsert",
-    "streaming_hourly_events",
-    "simhash",
-    "profile_table",
     "pivot_status",
-    "streaming_join_events",
-    "asof_join_events",
-    "hourly_events",
     "json_extract",
+    "hourly_events",
+    "incremental_ingest_dedup",
+    "simhash",
+    "simhash_dup_pairs",
+    "image_features",
+    "profile_table",
+    "unigram_doc_score",
+    "audio_features",
+    "embedding_ivf_exact",
+    "asof_join_events",
     "skew_salted_agg",
     "user_event_profile",
+    "trailing_window_agg",
+    "streaming_hourly_events",
+    "streaming_sessionize",
+    "streaming_user_totals",
+    "streaming_cdc_upsert",
+    "streaming_dedup",
+    "streaming_enrich_dim",
+    "streaming_join_events",
     "time_rollup_hierarchy",
     "range_join_events",
+    "hll_rolling_distinct",
     "event_value_trend",
     "partitioned_prune",
-    "image_features",
-    "audio_features",
-    "incremental_ingest_dedup",
-    "unigram_doc_score",
-    "trailing_window_agg",
-    "streaming_enrich_dim",
     "clustered_prune",
+    "snapshot_read",
+    "mixture_sample",
+    "interval_overlap_events",
+    "source_overlap",
+    "curated_corpus",
 ]
-
-
-# Within the round-6 middle bucket (~50 new entries vs ~9 driver gate
-# slots after the 41 stale-refresh rows), front-load the completed
-# TPC-H suite — the round's headline coverage claim gets driver-hashed
-# evidence first; the rest of the middle follows in definition order
-# and MUST be front-loaded in the r7 rotation (the r5-proven block
-# yields its slots then, exactly as r4's did this round).
-_GATE_ORDER_R6_PRIORITY = [
+# Green in CORRECTNESS_r06.json — freshest evidence, yield slots.
+_GATE_ORDER_R6_PROVEN = [
+    "q1_pricing_summary",
+    "string_funcs",
+    "date_funcs_monthly",
+    "window_running_sum",
+    "event_funnel",
+    "doc_fingerprint",
+    "dedup_exact",
+    "ngram_jaccard_pairs",
+    "ngram_jaccard_capped",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "embedding_topk",
+    "token_count",
+    "text_quality",
+    "lang_id",
+    "multimodal_meta",
+    "frame_sample",
+    "hash_sample",
+    "tfidf_top_terms",
+    "image_resize",
+    "cube_agg",
+    "quantiles",
+    "bpe_token_count",
+    "window_rank_funcs",
+    "set_ops",
+    "near_dup_clusters",
+    "embedding_dup_pairs",
+    "q5_local_supplier_volume",
+    "q14_promo_share",
+    "global_topk",
     "q2_min_cost_supplier",
     "q8_market_share",
     "q9_product_profit",
@@ -5656,23 +5661,35 @@ _GATE_ORDER_R6_PRIORITY = [
     "q16_part_supplier_counts",
     "q20_excess_shippers",
     "q21_waiting_suppliers",
+    "incremental_rollup",
+    "scd2_history",
+    "bucketed_join_agg",
+    "approx_stats",
+    "stratified_split",
+    "benchmark_contamination",
+    "modp_fingerprints",
+    "histogram_price",
+    "unpivot_metrics",
+    "repetition_signals",
+    "pii_redaction",
+    "pack_sequences",
 ]
 
 
 def _gate_ordered() -> dict[str, Query]:
     pinned = (
-        set(_GATE_ORDER_FIRST)
+        set(_GATE_ORDER_R7_FIRST)
         | set(_GATE_ORDER_ROWS_ONLY)
-        | set(_GATE_ORDER_R5_PROVEN)
-        | set(_GATE_ORDER_R6_PRIORITY)
+        | set(_GATE_ORDER_R5_STALE)
+        | set(_GATE_ORDER_R6_PROVEN)
     )
     middle = [n for n in CORPUS if n not in pinned]  # new this round
     order = (
-        _GATE_ORDER_FIRST
-        + _GATE_ORDER_R6_PRIORITY
+        _GATE_ORDER_R7_FIRST
         + middle
         + _GATE_ORDER_ROWS_ONLY
-        + _GATE_ORDER_R5_PROVEN
+        + _GATE_ORDER_R5_STALE
+        + _GATE_ORDER_R6_PROVEN
     )
     missing = [n for n in order if n not in CORPUS]
     assert not missing, f"gate order names unknown queries: {missing}"
