@@ -20,7 +20,13 @@ Semantics:
 - right must be unique per (by, on) — pre-dedup with
   ``Warehouse.dedup_keep_latest`` otherwise (ties would be
   nondeterministic in any engine);
-- a left row with no prior right row keeps NULLs.
+- a left row with no prior right row keeps NULLs;
+- the match is the WHOLE nearest right row (pandas ``merge_asof``
+  semantics): if that row has NULL in a value column, the output is
+  NULL for that column — values never mix across right rows. The
+  window therefore carries ONE struct(on, *value_cols) per right row,
+  not each value column independently, so the tolerance bound and the
+  values always come from the same matched row.
 """
 
 from __future__ import annotations
@@ -50,19 +56,26 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = left.columns
+    # One struct per right row — last(ignorenulls) then carries the
+    # nearest right row AS A WHOLE, so a NULL value column in that row
+    # stays NULL instead of borrowing an older row's value (and with
+    # tolerance, the gating timestamp is by construction the same row
+    # the values came from — pandas merge_asof matches whole rows).
+    r_struct = F.struct(
+        F.col(on).alias("__on"),
+        *[F.col(c).alias(c) for c in value_cols],
+    )
+    r_struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_tagged = left.select(
         *lcols,
         F.lit(1).alias("__side"),  # right(0) sorts before left(1) at equal ts
-        *[
-            F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}")
-            for c in value_cols
-        ],
+        F.lit(None).cast(r_struct_type).alias("__r"),
     )
     r_tagged = right.select(
         F.col(by),
         F.col(on),
         F.lit(0).alias("__side"),
-        *[F.col(c).alias(f"__r_{c}") for c in value_cols],
+        r_struct.alias("__r"),
     )
     unioned = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
 
@@ -74,33 +87,24 @@ def asof_join(
         .orderBy(order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carry = [
-        F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in value_cols
-    ]
+    carried = unioned.select(
+        *lcols,
+        "__side",
+        F.last(F.col("__r"), ignorenulls=True).over(w).alias("__m"),
+    )
+    matched = carried.filter(F.col("__side") == 1)
+    keep = F.lit(True)
     if tolerance is not None:
-        # carry the matched row's own timestamp to apply the bound
-        carry.append(
-            F.last(
-                F.when(F.col("__side") == 0, F.col(on)), ignorenulls=True
-            ).over(w).alias("__match_on")
-        )
-    carried = unioned.select(*lcols, "__side", *carry)
-    out = carried.filter(F.col("__side") == 1).drop("__side")
-    if tolerance is not None:
-        within = (
+        keep = (
             F.abs(
-                F.col(on).cast("double") - F.col("__match_on").cast("double")
+                F.col(on).cast("double") - F.col("__m.__on").cast("double")
             )
             <= F.lit(float(tolerance))
         )
-        out = out.select(
-            *lcols,
-            *[
-                F.when(within, F.col(f"{c}{suffix}"))
-                .otherwise(F.lit(None))
-                .alias(f"{c}{suffix}")
-                for c in value_cols
-            ],
-        )
-    return out
+    return matched.select(
+        *lcols,
+        *[
+            F.when(keep, F.col(f"__m.{c}")).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )

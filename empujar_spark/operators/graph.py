@@ -26,41 +26,82 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
 ) -> DataFrame:
-    """PageRank over (src → dst) edges; every src must have ≥1 out-edge
-    (true by construction for symmetrized undirected graphs — no
-    dangling-mass term needed, and the rank sum stays 1).
+    """PageRank over (src → dst) edges. The node set is src ∪ dst, so
+    dangling nodes (dst-only, no out-edges) are first-class: their rank
+    mass redistributes uniformly each iteration (the standard
+    dangling-mass term), keeping the rank sum at 1. For symmetrized
+    undirected graphs the dangling set is empty and the term is exactly
+    0 — results are unchanged from the no-dangling formulation.
 
     Output: (node, rank) — ranks rounded to ``round_scale``.
 
     Scale shape for 100 TB: per iteration ONE hash equi-join of the edge
     list with the current (|V|-row) rank vector and one groupBy(dst) with
-    map-side partial sums; the rank vector is orders of magnitude smaller
-    than the edges, so at scale it broadcasts and the edge list NEVER
-    shuffles across iterations. localCheckpoint cuts the growing lineage
+    map-side partial sums. The rank vector is orders of magnitude smaller
+    than the edges, so it carries an EXPLICIT ``F.broadcast`` hint — the
+    edge list never shuffles for the join regardless of size statistics
+    (the only per-iteration Exchange is the contribution aggregation on
+    hash(dst), which is the irreducible PageRank shuffle; plan-asserted
+    in tests/test_plans.py). Above ~10^8 nodes, where a rank broadcast no
+    longer fits, swap the hint for a one-time ``repartition(src)`` of the
+    edges and rank vector — the co-partitioning then reuses across
+    iterations. The dangling mass is a ONE-ROW aggregate attached via
+    broadcast nested-loop (a documented scalar-broadcast exception to the
+    no-cartesian rule). localCheckpoint cuts the growing lineage
     (iterative plans otherwise re-derive every prior step).
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ew = e.join(deg, "src")
-    nodes = deg.select(F.col("src").alias("node"))
+    ew = e.join(F.broadcast(deg), "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
     n = nodes.count()
-    base = F.lit((1.0 - damping) / n)
     pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
-        contribs = (
-            ew.join(pr, ew.src == pr.node)
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__c"))
-        )
-        pr = (
-            nodes.join(contribs, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    base + F.lit(damping) * F.coalesce(F.col("__c"), F.lit(0.0)),
-                    round_scale,
-                ).alias("rank"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        pr = _pagerank_step(
+            ew, deg, nodes, pr, n, damping, round_scale
+        ).localCheckpoint(eager=False)
     return pr
+
+
+def _pagerank_step(
+    ew: DataFrame,
+    deg: DataFrame,
+    nodes: DataFrame,
+    pr: DataFrame,
+    n: int,
+    damping: float,
+    round_scale: int,
+) -> DataFrame:
+    """One power iteration — split out so its physical plan can be
+    audited directly (the localCheckpoint in the driver loop otherwise
+    collapses the returned plan to a checkpoint scan)."""
+    contribs = (
+        ew.join(F.broadcast(pr), ew.src == pr.node)
+        .groupBy(F.col("dst").alias("node"))
+        .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__c"))
+    )
+    # rank mass sitting on nodes with no out-edges, spread uniformly
+    dangling = (
+        pr.join(F.broadcast(deg), pr.node == deg.src, "left_anti")
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
+    )
+    return (
+        nodes.join(F.broadcast(contribs), "node", "left")
+        .join(F.broadcast(dangling))
+        .select(
+            "node",
+            F.round(
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (
+                    F.coalesce(F.col("__c"), F.lit(0.0))
+                    + F.col("__dm") / F.lit(float(n))
+                ),
+                round_scale,
+            ).alias("rank"),
+        )
+    )

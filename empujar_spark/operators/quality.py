@@ -27,8 +27,16 @@ def _one(df: DataFrame, name: str, violations: Column) -> DataFrame:
 
 
 def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
-    """Violations = rows beyond the first per key (0 ⇔ key is unique)."""
-    key = F.concat_ws("\x00", *[F.col(c).cast("string") for c in cols])
+    """Violations = rows beyond the first per key (0 ⇔ key is unique).
+
+    NULL semantics: the key is the whole tuple, and per-field NULLs are
+    distinct values — ('a', NULL), (NULL, 'a'), and (NULL, NULL) are
+    three different keys, and a second (NULL, NULL) row IS a violation.
+    A struct is never NULL itself, so count_distinct sees every row
+    (unlike SQL's count(DISTINCT col), which skips NULL rows — mirror
+    this tuple semantics in any oracle twin, e.g. DuckDB
+    ``count(DISTINCT (a, b))``)."""
+    key = F.struct(*[F.col(c) for c in cols])
     return _one(
         df,
         name or f"unique({','.join(cols)})",

@@ -36,8 +36,22 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def replicate(df: DataFrame, id_col: str, factor: int, text_col: str | None = None) -> DataFrame:
     """Union `factor` copies with remapped ids; optionally perturb text so
     copies are near-duplicates (a realistic dedup workload, and it keeps
-    shingle/minhash candidate sets honest — exact copies would collapse)."""
-    span = df.agg(F.max(id_col)).collect()[0][0] + 1
+    shingle/minhash candidate sets honest — exact copies would collapse).
+
+    The id remap is arithmetic (+ i*span), so `id_col` must be a non-null
+    numeric column — validated loudly up front: a string key would
+    concatenate instead of shifting and silently corrupt the workload."""
+    import pyspark.sql.types as T
+
+    dt = df.schema[id_col].dataType
+    if not isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise TypeError(
+            f"replicate() needs an integral id column; {id_col!r} is {dt.simpleString()}"
+        )
+    mx = df.agg(F.max(id_col)).collect()[0][0]
+    if mx is None:
+        raise ValueError(f"replicate(): id column {id_col!r} is empty/all-NULL")
+    span = mx + 1
     parts = []
     for i in range(factor):
         c = df.withColumn(id_col, F.col(id_col) + F.lit(i * span))

@@ -30,6 +30,59 @@ def test_pagerank_ring_is_uniform(spark):
     assert all(abs(v - 0.2) < 1e-9 for v in pr.values()), pr
 
 
+def test_pagerank_dangling_nodes_counted_and_mass_conserved(spark):
+    """A plain directed edge list with a sink: the sink must appear in
+    the output (node set is src ∪ dst, not just srcs), its incoming mass
+    must not vanish (rank sum stays 1), and ranks must match the
+    textbook power iteration with uniform dangling-mass redistribution."""
+    # A→B, A→C, B→C; C is dangling (no out-edges)
+    e = spark.createDataFrame([(0, 1), (0, 2), (1, 2)], ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank(e, iters=5).collect()}
+    assert set(got) == {0, 1, 2}
+
+    # reference power iteration, same per-iteration rounding contract
+    d, n = 0.85, 3
+    r = {0: 1 / n, 1: 1 / n, 2: 1 / n}
+    for _ in range(5):
+        dm = r[2]  # dangling mass = sink's rank
+        contrib = {0: 0.0, 1: r[0] / 2, 2: r[0] / 2 + r[1]}
+        r = {
+            v: round((1 - d) / n + d * (contrib[v] + dm / n), 9)
+            for v in r
+        }
+    assert got == r
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_pagerank_edge_join_is_broadcast_no_sort_merge(spark):
+    """The per-iteration rank join carries an explicit broadcast hint:
+    the step's physical plan must use broadcast joins only (no
+    SortMergeJoin — the edge list is never shuffled for a join; the only
+    shuffles left are the irreducible hash(dst)/hash(node) aggregation
+    exchanges). Audited on the iteration step itself, since the driver
+    loop's localCheckpoint collapses the final plan to a scan."""
+    from empujar_spark.operators.graph import _pagerank_step
+
+    e = _edges(spark, [(i, (i * 3) % 11) for i in range(1, 11)])
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ew = e.join(F.broadcast(deg), "src")
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()
+    pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    step = _pagerank_step(ew, deg, nodes, pr, n, 0.85, 9)
+    plan = step._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # no edge-side Exchange feeding a join: every Exchange in the step
+    # is an aggregation exchange (partial/final hash aggregate), never a
+    # join-input repartition of the edge list
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_pagerank_deterministic_across_partitionings(spark):
     """Identical ranks regardless of input partitioning — the per-
     iteration rounding contract."""

@@ -31,6 +31,24 @@ def test_checks_count_violations_exactly(spark):
     assert out["references(fk->pk)"] == (2, 0)
 
 
+def test_expect_unique_null_key_semantics(spark):
+    """Per-field NULLs are distinct key values, not collapsed: ('a',NULL),
+    (NULL,'a') and (NULL,NULL) are three different keys; a repeated
+    (NULL,NULL) row IS a violation (concat_ws would have collapsed the
+    first two into one key AND skipped nothing — miscounting both ways)."""
+    df = spark.createDataFrame(
+        [("a", None), (None, "a"), (None, None), (None, None)],
+        "k1 string, k2 string",
+    )
+    row = Q.expect_unique(df, ["k1", "k2"]).collect()[0]
+    assert row.n_violations == 1  # only the duplicated (NULL, NULL)
+
+    # Single NULL-bearing column: each NULL row is a key occurrence —
+    # two NULLs = one duplicate, not "all NULLs collapse to ''".
+    single = spark.createDataFrame([("x",), (None,), (None,)], "k string")
+    assert Q.expect_unique(single, ["k"]).collect()[0].n_violations == 1
+
+
 def test_all_green_on_clean_data(spark):
     df = spark.createDataFrame([(1, 0.05), (2, 0.07)], "id int, d double")
     out = Q.run_checks([

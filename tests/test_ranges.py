@@ -151,6 +151,38 @@ def test_asof_forward_and_tolerance(spark):
     assert back == {1: None, 2: None, 3: None}
 
 
+def test_asof_null_value_in_nearest_row_stays_null(spark):
+    """The match is the whole nearest right row (pandas merge_asof): a
+    NULL value column in that row must come back NULL — not an older
+    row's value smuggled in by an independent per-column carry — and
+    with tolerance the gate timestamp is that same row's."""
+    import datetime as dt
+
+    from empujar_spark.operators.asof import asof_join
+
+    T = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, 1, T(20))], ["event_id", "user_id", "ts"]
+    )
+    # older row (ts=2) has a value; NEAREST row (ts=19) has NULL value
+    right = spark.createDataFrame(
+        [(1, T(2), 111.0), (1, T(19), None)],
+        "user_id int, ts timestamp, value double",
+    )
+    no_tol = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["value"]
+    ).collect()[0]
+    assert no_tol.value_asof is None  # nearest row's NULL, not 111.0
+
+    # tolerance=5: nearest row (1s away) is in bound but NULL-valued;
+    # the out-of-bound older row's 111.0 must NOT leak through the gate
+    tol = asof_join(
+        left, right, on="ts", by="user_id", value_cols=["value"],
+        tolerance=5,
+    ).collect()[0]
+    assert tol.value_asof is None
+
+
 def test_gapfill_ffill_semantics(spark):
     """Hand-built timeline: gaps appear with n=0 and carry the prior
     value; the grid spans first..last hour per key only."""
