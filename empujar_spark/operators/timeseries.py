@@ -9,8 +9,16 @@ window composition.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+# step → the date_trunc unit that aligns the grid. Single-unit steps
+# only: a "15 minute" grid needs key-relative epoch-floor alignment,
+# which changes the bucket contract (buckets would no longer be
+# calendar-aligned) — out of scope until an operator needs it.
+_STEP_RE = re.compile(r"\s*1\s+(minute|hour|day|week)s?\s*$")
 
 
 def gapfill_ffill(
@@ -29,18 +37,24 @@ def gapfill_ffill(
     value at-or-before the bucket (ties at identical timestamps broken
     by ``id_col``, so the fill is deterministic on any partitioning).
 
+    ``step`` is a single calendar unit — "1 minute" | "1 hour" |
+    "1 day" | "1 week" — and buckets are calendar-aligned via the
+    matching date_trunc (weeks start Monday, Spark's truncation).
+
     Scale shape for 100 TB: the grid explodes from the |keys|-row span
     table (bounded by span/step per key, data-independent of event
     volume); events collapse to per-bucket rows BEFORE the grid join
     (map-side partials); the forward fill is ONE ignore-nulls window per
     key — everything hash-partitions on the key, no global sort.
     """
-    bucket = F.date_trunc("hour", F.col(ts_col))
-    if step != "1 hour":
-        raise NotImplementedError(
-            "step granularities beyond '1 hour' need a matching "
-            "date_trunc unit — extend the bucket expression"
+    m = _STEP_RE.fullmatch(step)
+    if not m:
+        raise ValueError(
+            f"step must be '1 minute'|'1 hour'|'1 day'|'1 week', got {step!r}"
         )
+    unit = m.group(1)
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    step = f"1 {unit}"  # normalized for the sequence interval
     w_last = Window.partitionBy(key_col, "bucket").orderBy(
         F.col(ts_col).desc(), F.col(id_col).desc()
     )

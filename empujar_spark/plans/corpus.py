@@ -2073,8 +2073,26 @@ def hybrid_search_rrf(spark, sf_dir):
     construction, so fusion cost is independent of corpus size; all the
     scale weight lives in the two retrievers it composes (both already
     plan-audited). doc_id/vec_id share an id space in this testdata,
-    standing in for a doc→embedding mapping."""
-    from empujar_spark.operators.similarity import cosine_topk, rrf_fuse
+    standing in for a doc→embedding mapping.
+
+    The dense leg runs through the IVF index in EXACT mode (nprobe =
+    n_centroids — every inverted list probed, candidate set provably
+    complete, same probe-join plan as production), so the entry stays
+    hash-exact against the brute-force SQL twin. The production
+    sub-linear dense leg (nprobe=4, ~1/4 of the corpus per query) is
+    the rows-only twin `hybrid_search_rrf_ann`, with its fused-list
+    overlap vs this exact entry pinned in tests/test_similarity.py —
+    the same exact/ANN pairing as embedding_dup_pairs(_ann). (nprobe<16
+    cannot be oracle-paired here: these near-random synthetic
+    embeddings spread true neighbors across all lists, so only the full
+    probe is rank-identical.)"""
+    return _hybrid_rrf(spark, sf_dir, nprobe=16)
+
+
+def _hybrid_rrf(spark, sf_dir, nprobe: int):
+    """Shared hybrid-RRF plan; only the dense leg's probe width varies
+    (nprobe=n_centroids ⇒ exact candidates, smaller ⇒ sub-linear ANN)."""
+    from empujar_spark.operators.similarity import ivf_topk, rrf_fuse
 
     docs = load(spark, sf_dir, "documents")
     emb = load(spark, sf_dir, "embeddings")
@@ -2082,12 +2100,15 @@ def hybrid_search_rrf(spark, sf_dir):
     qmap = spark.createDataFrame(
         list(_HYBRID_QUERY_VECS.items()), "query_id string, vec_id long"
     )
-    cos = cosine_topk(
+    cos = ivf_topk(
         emb,
         emb.join(
             F.broadcast(qmap.select("vec_id")), "vec_id", "left_semi"
         ),
         k=10,
+        n_centroids=16,
+        nprobe=nprobe,
+        centroids=_ivf_centroids(spark, sf_dir, 16),
     ).withColumnRenamed("query_id", "qvec_id")
     dense = (
         cos.join(F.broadcast(qmap), cos.qvec_id == qmap.vec_id)
@@ -2098,6 +2119,18 @@ def hybrid_search_rrf(spark, sf_dir):
         )
     )
     return rrf_fuse([lexical, dense], k=60, top_n=10)
+
+
+@q("hybrid_search_rrf_ann", None)
+def hybrid_search_rrf_ann(spark, sf_dir):
+    """PRODUCTION hybrid retrieval: same RRF fusion as hybrid_search_rrf
+    but the dense leg probes only nprobe=4 of 16 inverted lists — each
+    query scans ~1/4 of the corpus via the centroid equi-join instead of
+    all of it, the sub-linear path a 100 TB deployment runs. Approximate
+    by construction → rows-only; fused-list overlap vs the exact twin is
+    pinned in tests/test_similarity.py (the lexical leg is identical, so
+    divergence is bounded to the dense candidates)."""
+    return _hybrid_rrf(spark, sf_dir, nprobe=4)
 
 
 @q(
@@ -5570,6 +5603,7 @@ _GATE_ORDER_ROWS_ONLY = [
     "embedding_dup_pairs_ann",
     "embedding_lsh_topk",
     "embedding_ivf_topk",
+    "hybrid_search_rrf_ann",  # added r7 with the exact/ANN hybrid split
 ]
 # Last proven green in CORRECTNESS_r05.json — two rounds stale now.
 _GATE_ORDER_R5_STALE = [

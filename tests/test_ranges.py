@@ -209,3 +209,39 @@ def test_gapfill_ffill_semantics(spark):
         (1, 3): (1, 30.0),
         (2, 5): (1, 99.0),
     }
+
+
+def test_gapfill_step_granularities(spark):
+    """step maps to the matching date_trunc unit: minute/day/week grids
+    are calendar-aligned and gap rows appear at that granularity."""
+    import datetime as dt
+
+    import pytest
+
+    from empujar_spark.operators.timeseries import gapfill_ffill
+
+    rows = [
+        (1, 1, dt.datetime(2024, 1, 1, 0, 0, 20), 1.0),
+        (2, 1, dt.datetime(2024, 1, 1, 0, 3, 5), 2.0),   # minutes 1-2 gap
+        (3, 1, dt.datetime(2024, 1, 15, 0, 0), 3.0),     # days/weeks later
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts", "value"])
+
+    by_min = gapfill_ffill(df.filter("event_id <= 2"), step="1 minute").collect()
+    assert [(r.bucket.minute, r.n) for r in sorted(by_min, key=lambda r: r.bucket)] \
+        == [(0, 1), (1, 0), (2, 0), (3, 1)]
+
+    by_day = gapfill_ffill(df, step="1 day").collect()
+    assert len(by_day) == 15  # Jan 1 .. Jan 15 inclusive
+    assert sum(r.n for r in by_day) == 3
+    assert all(r.last_value_ffill is not None for r in by_day)
+
+    by_week = gapfill_ffill(df, step="1 week").collect()
+    # Mondays: Jan 1, 8, 15 — three calendar-aligned weekly buckets
+    assert sorted(r.bucket.day for r in by_week) == [1, 8, 15]
+    assert all(r.bucket.weekday() == 0 for r in by_week)
+
+    with pytest.raises(ValueError):
+        gapfill_ffill(df, step="15 minute")
+    with pytest.raises(ValueError):
+        gapfill_ffill(df, step="1 fortnight")

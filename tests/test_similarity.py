@@ -264,3 +264,27 @@ def test_rrf_fuse_rank_math_and_cross_retriever_boost(spark):
     assert got[2][0] == round(1 / 61 + 1 / 62, 6)
     assert got[1][0] == round(1 / 61, 6)
     assert got[3][0] == round(1 / 62, 6)
+
+
+def test_hybrid_ann_overlap_with_exact_twin(spark):
+    """hybrid_search_rrf_ann (nprobe=4 dense leg) vs the exact twin at
+    sf0.001: the lexical leg is identical, so fused-list divergence is
+    bounded to the dense candidates — pin per-query overlap of the fused
+    top-10 at >= 0.5 and require identical query coverage."""
+    from empujar_spark.plans.corpus import CORPUS
+
+    sf = "/root/testdata/sf0.001"
+    exact = CORPUS["hybrid_search_rrf"].fn(spark, sf).collect()
+    ann = CORPUS["hybrid_search_rrf_ann"].fn(spark, sf).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.query_id, set()).add(r.doc_id)
+        return out
+
+    e, a = by_query(exact), by_query(ann)
+    assert set(e) == set(a)  # same queries answered
+    for qid in e:
+        overlap = len(e[qid] & a[qid]) / len(e[qid])
+        assert overlap >= 0.5, f"{qid}: fused overlap {overlap} too low"
