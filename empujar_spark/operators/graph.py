@@ -57,20 +57,34 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()
     )
     n = nodes.count()
+    # The dangling SET is static (only its rank mass changes), so find it
+    # once; symmetrized graphs have none, and then every iteration skips
+    # the mass aggregate entirely — zero overhead vs the no-sink formula.
+    dangling_nodes = nodes.join(
+        F.broadcast(deg), nodes.node == deg.src, "left_anti"
+    ).localCheckpoint()
+    has_dangling = bool(dangling_nodes.head(1))
     pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         pr = _pagerank_step(
-            ew, deg, nodes, pr, n, damping, round_scale
+            ew,
+            nodes,
+            dangling_nodes if has_dangling else None,
+            pr,
+            n,
+            damping,
+            round_scale,
         ).localCheckpoint(eager=False)
     return pr
 
 
 def _pagerank_step(
     ew: DataFrame,
-    deg: DataFrame,
     nodes: DataFrame,
+    dangling_nodes: DataFrame | None,
     pr: DataFrame,
     n: int,
     damping: float,
@@ -78,30 +92,28 @@ def _pagerank_step(
 ) -> DataFrame:
     """One power iteration — split out so its physical plan can be
     audited directly (the localCheckpoint in the driver loop otherwise
-    collapses the returned plan to a checkpoint scan)."""
+    collapses the returned plan to a checkpoint scan). ``dangling_nodes``
+    is None when the graph has no sinks (the common symmetrized case)."""
     contribs = (
         ew.join(F.broadcast(pr), ew.src == pr.node)
         .groupBy(F.col("dst").alias("node"))
         .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__c"))
     )
-    # rank mass sitting on nodes with no out-edges, spread uniformly
-    dangling = (
-        pr.join(F.broadcast(deg), pr.node == deg.src, "left_anti")
-        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
-    )
-    return (
-        nodes.join(F.broadcast(contribs), "node", "left")
-        .join(F.broadcast(dangling))
-        .select(
-            "node",
-            F.round(
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping)
-                * (
-                    F.coalesce(F.col("__c"), F.lit(0.0))
-                    + F.col("__dm") / F.lit(float(n))
-                ),
-                round_scale,
-            ).alias("rank"),
+    mass = F.coalesce(F.col("__c"), F.lit(0.0))
+    out = nodes.join(F.broadcast(contribs), "node", "left")
+    if dangling_nodes is not None:
+        # rank mass sitting on the (static) sink set, spread uniformly —
+        # a one-row aggregate attached via broadcast nested-loop
+        dm = (
+            pr.join(F.broadcast(dangling_nodes), "node", "left_semi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm"))
         )
+        out = out.join(F.broadcast(dm))
+        mass = mass + F.col("__dm") / F.lit(float(n))
+    return out.select(
+        "node",
+        F.round(
+            F.lit((1.0 - damping) / n) + F.lit(damping) * mass,
+            round_scale,
+        ).alias("rank"),
     )

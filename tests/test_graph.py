@@ -73,7 +73,7 @@ def test_pagerank_edge_join_is_broadcast_no_sort_merge(spark):
     )
     n = nodes.count()
     pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    step = _pagerank_step(ew, deg, nodes, pr, n, 0.85, 9)
+    step = _pagerank_step(ew, nodes, None, pr, n, 0.85, 9)
     plan = step._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan

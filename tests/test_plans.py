@@ -147,8 +147,9 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 _CROSS_JOIN_ALLOWED = {
     "q11_important_parts",
     "bm25_search",  # N/avgdl one-row scalar broadcast, tfidf pattern
-    "hybrid_search_rrf",  # composes bm25 (scalar cross) + brute cosine
-                          # (broadcast 3-query side) — both allow-listed
+    "hybrid_search_rrf",  # composes bm25 (scalar cross) + the IVF dense
+                          # leg — bm25's N/avgdl scalar is the BNL
+    "hybrid_search_rrf_ann",  # same composition, nprobe=4 dense leg
     "retrieval_quality",  # brute cosine baseline (broadcast 5-query side)
                           # — the oracle-checkable measurement loop
     "embedding_topk",
