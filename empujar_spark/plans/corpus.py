@@ -1682,6 +1682,50 @@ def asof_join_forward_events(spark, sf_dir):
 
 
 @q(
+    "asof_join_tolerance_events",
+    """
+    SELECT e.event_id, e.user_id, e.ts,
+           (SELECT p.value FROM events p
+            WHERE p.event_type = 'purchase'
+              AND p.user_id = e.user_id
+              AND p.ts <= e.ts
+              AND epoch(e.ts) - epoch(p.ts) <= 86400.0
+            ORDER BY p.ts DESC LIMIT 1) AS last_purchase_value_1d
+    FROM events e
+    """,
+)
+def asof_join_tolerance_events(spark, sf_dir):
+    """Tolerance-bounded backward as-of join (operators/asof.py
+    tolerance=86400): the most recent purchase per user counts only if
+    it is within 1 day of the event — farther matches come back NULL
+    with the row kept, pandas merge_asof semantics. Because distance to
+    prior rows grows monotonically going back in time, nearest-then-gate
+    equals DuckDB's gate-inside-the-correlated-subquery spelling, and
+    the whole-row carry (one struct per right row through the window)
+    guarantees the gating timestamp and the value come from the same
+    matched row. Same single union+window linear plan; the tolerance is
+    a post-window column expression, not an extra join."""
+    from empujar_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    out = asof_join(
+        e.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        value_cols=["value"],
+        tolerance=86400.0,
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("value_asof").alias("last_purchase_value_1d"),
+    )
+
+
+@q(
     "gapfill_hourly",
     """
     WITH e AS (
@@ -1722,6 +1766,47 @@ def gapfill_hourly(spark, sf_dir):
     from empujar_spark.operators.timeseries import gapfill_ffill
 
     return gapfill_ffill(load(spark, sf_dir, "events"))
+
+
+@q(
+    "gapfill_weekly",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('week', ts) AS wk, ts, event_id, value
+      FROM events),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id, wk
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM e),
+    weekly AS (
+      SELECT user_id, wk, count(*) AS n,
+             max(CASE WHEN rn = 1 THEN value END) AS last_in_wk
+      FROM ranked GROUP BY user_id, wk),
+    span AS (SELECT user_id, min(wk) AS w0, max(wk) AS w1
+             FROM e GROUP BY user_id),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(w0, w1, INTERVAL 1 WEEK)) AS bucket
+      FROM span)
+    SELECT g.user_id, g.bucket,
+           CAST(coalesce(w.n, 0) AS BIGINT) AS n,
+           last_value(w.last_in_wk IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS UNBOUNDED PRECEDING) AS last_value_ffill
+    FROM grid g LEFT JOIN weekly w
+      ON w.user_id = g.user_id AND w.wk = g.bucket
+    """,
+)
+def gapfill_weekly(spark, sf_dir):
+    """Weekly-granularity gap-fill (operators/timeseries.py
+    gapfill_ffill, step='1 week') — exercises the calendar-unit mapping
+    added in r7 through the driver gate: buckets are Monday-aligned
+    date_trunc('week') on BOTH engines, so the grid and the fill are
+    hash-comparable. Same plan shape as gapfill_hourly with ~168× fewer
+    grid rows — the coarser the step the cheaper the explode."""
+    from empujar_spark.operators.timeseries import gapfill_ffill
+
+    return gapfill_ffill(load(spark, sf_dir, "events"), step="1 week")
 
 
 @q(
@@ -4359,6 +4444,28 @@ def approx_stats(spark, sf_dir):
     )
 
 
+@q("approx_stats_sketch", None)
+def approx_stats_sketch(spark, sf_dir):
+    """The PRODUCTION sketch path approx_stats validates: HLL distinct
+    + t-digest median + count/mean in ONE map-side-combinable pass — no
+    exact countDistinct, no exact percentile (those are the gate-scale
+    validators in the oracle-paired twin, where accuracy booleans pin
+    the sketches within tolerance). Rows-only by construction (sketch
+    estimates are engine-specific); this entry exists so the bench
+    records the cost a 100 TB caller actually pays, separate from the
+    validator overhead (VERDICT r6 perf note on approx_stats)."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_price"),
+        F.approx_count_distinct("l_partkey", rsd=0.05).alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median"),
+    )
+
+
 _MD5_BUCKET = (
     "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000"
 )
@@ -5604,6 +5711,7 @@ _GATE_ORDER_ROWS_ONLY = [
     "embedding_lsh_topk",
     "embedding_ivf_topk",
     "hybrid_search_rrf_ann",  # added r7 with the exact/ANN hybrid split
+    "approx_stats_sketch",  # added r7: sketch-only production path
 ]
 # Last proven green in CORRECTNESS_r05.json — two rounds stale now.
 _GATE_ORDER_R5_STALE = [
