@@ -675,3 +675,141 @@ def bm25_search(
         .filter(F.col("rnk") <= top_n)
         .select("query_id", "doc_id", "score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------
+# BPE merge induction (tokenizer training)
+# ---------------------------------------------------------------------
+
+def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace-word frequency table — the classic BPE training input.
+
+    Output: (word, freq). ONE corpus scan + one shuffle on the word; the
+    result is |distinct words| rows, so every subsequent BPE iteration is
+    corpus-size-INDEPENDENT — at 100 TB the corpus is read once and the
+    iterative training runs on a table millions of times smaller.
+    """
+    return (
+        df.select(
+            F.explode(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_pair_expr(syms: str, left: str, right: str) -> Column:
+    """Greedy left-to-right single-pass merge of adjacent (left, right)
+    symbol pairs inside an array column — a JVM-side aggregate fold
+    (struct accumulator: emitted prefix + one pending symbol), no Python.
+    Overlaps resolve greedily: merging (a,a) over [a,a,a] → [aa, a],
+    the reference BPE behavior."""
+    l, r = F.lit(left), F.lit(right)
+    return F.aggregate(
+        F.col(syms),
+        F.struct(
+            F.lit([]).cast("array<string>").alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+        lambda acc, x: F.when(
+            acc.pend.isNotNull() & (acc.pend == l) & (x == r),
+            F.struct(
+                F.concat(acc.out, F.array(F.concat(l, r))).alias("out"),
+                F.lit(None).cast("string").alias("pend"),
+            ),
+        ).otherwise(
+            F.struct(
+                F.when(acc.pend.isNotNull(), F.concat(acc.out, F.array(acc.pend)))
+                .otherwise(acc.out)
+                .alias("out"),
+                x.alias("pend"),
+            )
+        ),
+        lambda acc: F.when(
+            acc.pend.isNotNull(), F.concat(acc.out, F.array(acc.pend))
+        ).otherwise(acc.out),
+    )
+
+
+def pair_counts(wf: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent symbol-pair counts over a symbolized
+    word table (word_freqs output, or mid-training state with a ``syms``
+    column). Output: (left, right, pair_freq).
+
+    Scale shape: explode each word's adjacent pairs (bounded by word
+    length), then ONE groupBy(left, right) with map-side partials — the
+    shuffle carries |distinct pairs| rows, not the corpus.
+    """
+    s = wf if "syms" in wf.columns else wf.withColumn(
+        "syms", F.split(F.col("word"), "")
+    )
+    n = F.size(F.col("syms"))
+    return (
+        # single-symbol words have no pairs; sequence(0, -1) would DESCEND
+        s.filter(n >= 2)
+        .select(
+            "freq",
+            F.explode(F.sequence(F.lit(0), n - 2)).alias("i"),
+            F.col("syms"),
+        )
+        .select(
+            F.col("syms")[F.col("i")].alias("left"),
+            F.col("syms")[F.col("i") + 1].alias("right"),
+            "freq",
+        )
+        .groupBy("left", "right")
+        .agg(F.sum("freq").alias("pair_freq"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Byte-pair-encoding merge induction: learn the ``n_merges``
+    highest-frequency adjacent symbol merges from the corpus — tokenizer
+    TRAINING, the step upstream of the BPE-ish segmenters this module
+    already ships. Reference algorithm (Sennrich et al. 2016): start
+    from characters, repeatedly merge the most frequent adjacent pair;
+    ties break deterministically ((-freq, left, right) lexicographic).
+
+    Output: (rank, left, right, merged, pair_freq) — rank is merge order
+    starting at 0. Returns fewer than ``n_merges`` rows if the pair
+    table drains first.
+
+    Scale shape for 100 TB: the corpus is scanned ONCE into the
+    |distinct words| frequency table (word_freqs); each iteration is a
+    pair-count aggregate over that small table, an argmax read of ONE
+    row to the driver (the merge decision is inherently sequential —
+    same driver-scalar pattern as ivf_train's quantizer), and a
+    JVM-fold projection applying the merge. localCheckpoint cuts the
+    per-iteration lineage exactly as pagerank/near_dup_clusters do.
+    """
+    state = (
+        word_freqs(df, text_col)
+        .withColumn("syms", F.split(F.col("word"), ""))
+        .select("syms", "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for rank in range(n_merges):
+        top = (
+            pair_counts(state)
+            .orderBy(F.col("pair_freq").desc(), F.col("left").asc(), F.col("right").asc())
+            .head(1)
+        )
+        if not top:
+            break
+        left, right, freq = top[0].left, top[0].right, top[0].pair_freq
+        merges.append((rank, left, right, left + right, freq))
+        state = state.select(
+            _merge_pair_expr("syms", left, right).alias("syms"), "freq"
+        ).localCheckpoint(eager=False)
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, merged string, pair_freq bigint"
+    )

@@ -4444,6 +4444,70 @@ def approx_stats(spark, sf_dir):
     )
 
 
+@q(
+    "bpe_pair_counts",
+    """
+    WITH words AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents),
+    wf AS (SELECT word, count(*) AS freq FROM words
+           WHERE word <> '' GROUP BY word),
+    idx AS (SELECT word, freq,
+                   unnest(generate_series(1, length(word) - 1)) AS i
+            FROM wf WHERE length(word) >= 2),
+    pc AS (SELECT substr(word, i, 1) AS sym_left,
+                  substr(word, i + 1, 1) AS sym_right,
+                  CAST(sum(freq) AS BIGINT) AS pair_freq
+           FROM idx GROUP BY 1, 2)
+    SELECT sym_left, sym_right, pair_freq, rnk FROM (
+      SELECT *, row_number() OVER (ORDER BY pair_freq DESC,
+                                   sym_left ASC, sym_right ASC) AS rnk
+      FROM pc) t
+    WHERE rnk <= 20
+    """,
+)
+def bpe_pair_counts(spark, sf_dir):
+    """Frequency-weighted adjacent character-pair counts — the first BPE
+    training iteration (operators/text.py pair_counts over word_freqs),
+    oracle-paired top-20. The corpus collapses to the |distinct words|
+    frequency table in ONE scan+shuffle; the pair explode is bounded by
+    word length and aggregates map-side, so the pair shuffle carries
+    |distinct pairs| rows regardless of corpus size. The iterative
+    merge loop this feeds is the rows-only twin `bpe_merges` (merge
+    argmax is inherently sequential — not SQL-expressible; golden-tested
+    against a reference implementation in tests/test_bpe.py)."""
+    pc = X.pair_counts(X.word_freqs(load(spark, sf_dir, "documents")))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(
+        F.col("pair_freq").desc(), F.col("left").asc(), F.col("right").asc()
+    )
+    return (
+        pc.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select(
+            F.col("left").alias("sym_left"),
+            F.col("right").alias("sym_right"),
+            "pair_freq",
+            "rnk",
+        )
+    )
+
+
+@q("bpe_merges", None)
+def bpe_merges(spark, sf_dir):
+    """BPE tokenizer TRAINING (operators/text.py bpe_train): the 8
+    highest-frequency adjacent symbol merges learned from the documents
+    table — Sennrich-style merge induction, the step upstream of the
+    BPE-ish segmenters already in the corpus. Iterative (per-merge
+    argmax is sequential by definition) → rows-only; exact behavior is
+    golden-tested against a pure-Python reference in tests/test_bpe.py,
+    and the first iteration's pair table is the oracle-paired
+    `bpe_pair_counts`. Scale: iterations run on the |distinct words|
+    table, corpus-size-independent after the one word_freqs scan."""
+    return X.bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
+
+
 @q("approx_stats_sketch", None)
 def approx_stats_sketch(spark, sf_dir):
     """The PRODUCTION sketch path approx_stats validates: HLL distinct
@@ -5712,6 +5776,7 @@ _GATE_ORDER_ROWS_ONLY = [
     "embedding_ivf_topk",
     "hybrid_search_rrf_ann",  # added r7 with the exact/ANN hybrid split
     "approx_stats_sketch",  # added r7: sketch-only production path
+    "bpe_merges",  # added r7: iterative merge argmax, golden-tested
 ]
 # Last proven green in CORRECTNESS_r05.json — two rounds stale now.
 _GATE_ORDER_R5_STALE = [

@@ -1,0 +1,101 @@
+"""BPE merge induction (operators/text.py bpe_train): golden against a
+pure-Python reference implementation of Sennrich-style BPE, plus the
+greedy-fold merge semantics and scale-shape plan properties."""
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.operators import text as X
+
+
+def _ref_bpe(texts, n_merges):
+    """Reference BPE: char symbols, merge most-frequent adjacent pair,
+    ties (-freq, left, right); greedy left-to-right application."""
+    wf = Counter()
+    for t in texts:
+        for w in t.strip().lower().split():
+            if w:
+                wf[w] += 1
+    state = {tuple(w): f for w, f in wf.items()}
+
+    def merge_word(syms, a, b):
+        out, i = [], 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return tuple(out)
+
+    merges = []
+    for rank in range(n_merges):
+        pc = Counter()
+        for syms, f in state.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        (a, b), f = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, a, b, a + b, f))
+        nxt = {}
+        for syms, fr in state.items():
+            nxt[merge_word(syms, a, b)] = nxt.get(merge_word(syms, a, b), 0) + fr
+        state = nxt
+    return merges
+
+
+TEXTS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider new new",
+]
+
+
+def test_bpe_train_matches_reference(spark):
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    got = [
+        (r.rank, r.left, r.right, r.merged, r.pair_freq)
+        for r in X.bpe_train(df, n_merges=8).orderBy("rank").collect()
+    ]
+    assert got == _ref_bpe(TEXTS, 8)
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    """Merging (a,a) over 'aaa' yields [aa, a] — greedy left-to-right,
+    the reference BPE behavior (not [a, aa], not [aa, aa])."""
+    df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
+    out = df.select(X._merge_pair_expr("syms", "a", "a").alias("m")).collect()
+    assert out[0].m == ["aa", "a"]
+
+
+def test_bpe_train_on_documents_deterministic(spark):
+    """Same merges regardless of input partitioning (argmax tie-break is
+    total, fold is per-row) — and it drains gracefully: n_merges larger
+    than the pair table returns the exhausted prefix."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(60)
+    a = X.bpe_train(docs.coalesce(1), n_merges=5).collect()
+    b = X.bpe_train(docs.repartition(7), n_merges=5).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert len(a) == 5
+
+    tiny = spark.createDataFrame([("ab ab",)], ["text"])
+    drained = X.bpe_train(tiny, n_merges=50).collect()
+    # 'ab' has one pair; after merging (a,b) no pairs remain
+    assert [tuple(r)[:4] for r in drained] == [(0, "a", "b", "ab")]
+
+
+def test_pair_counts_shuffle_carries_pairs_not_corpus(spark):
+    """Plan shape: pair_counts is explode → partial agg → exchange →
+    final agg (map-side combine before the shuffle), no join."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    pc = X.pair_counts(X.word_freqs(df))
+    plan = pc._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2  # word shuffle + pair shuffle
+    assert "Join" not in plan
+    assert "HashAggregate" in plan
