@@ -53,20 +53,25 @@ def pagerank(
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
     ew = e.join(F.broadcast(deg), "src")
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint()
-    )
-    n = nodes.count()
     # The dangling SET is static (only its rank mass changes), so find it
     # once; symmetrized graphs have none, and then every iteration skips
     # the mass aggregate entirely — zero overhead vs the no-sink formula.
-    dangling_nodes = nodes.join(
-        F.broadcast(deg), nodes.node == deg.src, "left_anti"
-    ).localCheckpoint()
+    # Nodes = srcs ∪ dst-only: deg already holds the distinct srcs, so
+    # only the dst column pays a distinct shuffle (|E| rows once), and
+    # the two legs are disjoint by construction — no final distinct.
+    dangling_nodes = (
+        e.select(F.col("dst").alias("node"))
+        .distinct()
+        .join(F.broadcast(deg), F.col("node") == deg.src, "left_anti")
+        .localCheckpoint()
+    )
     has_dangling = bool(dangling_nodes.head(1))
+    nodes = (
+        deg.select(F.col("src").alias("node"))
+        .unionByName(dangling_nodes)
+        .localCheckpoint()
+    )
+    n = nodes.count()
     pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
     for _ in range(iters):
         pr = _pagerank_step(
