@@ -82,14 +82,31 @@ def main() -> None:
     o0 = spark.read.parquet(f"{SF_DIR}/orders.parquet")
     docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+    def copurchase_edges(li):
+        b = li.select("l_orderkey", "l_partkey").distinct()
+        a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
+        c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
+        pairs = (
+            a.join(c, "k").filter(F.col("pa") < F.col("pb"))
+            .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= 2)
+        )
+        return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
+            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+        )
 
     def ops(f: int) -> dict:
         li = replicate(li0, "l_orderkey", f)
         docs = replicate(docs0, "doc_id", f, text_col="text")
         emb = replicate(emb0, "vec_id", f)
-        from empujar_spark.operators import dedup as D
-        from empujar_spark.operators import text as X
+        ev = replicate(ev0, "event_id", f)
         from empujar_spark.operators import curation as C
+        from empujar_spark.operators import dedup as D
+        from empujar_spark.operators import graph as G
+        from empujar_spark.operators import text as X
+        from empujar_spark.operators import timeseries as T
 
         one = F.lit(1).cast("decimal(18,6)")
         return {
@@ -126,6 +143,24 @@ def main() -> None:
                 n_centroids=int(32 * (f ** 0.5)), nprobe=8)),
             # repetition signals: per-row folds
             "repetition": lambda: noop(C.repetition_signals(docs)),
+            # BPE first iteration: corpus scan collapses to the distinct-
+            # word table, then pair explode + map-side agg — cost should
+            # track the scan, with the pair shuffle saturating at
+            # |distinct pairs|
+            "bpe_pairs": lambda: noop(X.pair_counts(X.word_freqs(docs))),
+            # full merge loop: 3 argmax iterations on the word table —
+            # corpus-size-independent after word_freqs, so the ratio
+            # should be BELOW the scan ratio
+            "bpe_train3": lambda: noop(X.bpe_train(docs, n_merges=3)),
+            # gap-fill: events collapse to per-bucket rows BEFORE the
+            # grid join; replication multiplies events per user but not
+            # the per-user grid span, so growth lands on the collapse
+            "gapfill": lambda: noop(T.gapfill_ffill(ev)),
+            # iterative pagerank on the co-purchase graph: per-iteration
+            # broadcast join + agg over an edge list growing with data
+            "pagerank": lambda: noop(
+                G.pagerank(copurchase_edges(li), iters=3)
+            ),
         }
 
     # warmup (JVM + python workers)
