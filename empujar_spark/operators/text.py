@@ -813,3 +813,41 @@ def bpe_train(
     return spark.createDataFrame(
         merges, "rank int, left string, right string, merged string, pair_freq bigint"
     )
+
+
+def bpe_encode(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Apply learned BPE merges (bpe_train output order) to tokenize
+    text: whitespace words split to characters, then each merge applied
+    greedily left-to-right in rank order — the standard BPE encoder.
+
+    ``merges`` is the driver-side list of (left, right) pairs in rank
+    order (read it off bpe_train's tiny result — the merge table is
+    n_merges rows, never data-scale). Output adds ``out_col`` as
+    array<string>: the concatenated symbol stream of all words.
+
+    Scale shape for 100 TB: pure column expressions — one flatten +
+    n_merges chained JVM aggregate-folds per row, no Python, no shuffle,
+    no join; the merge table rides in the plan as literals. For merge
+    counts beyond a few dozen, prefer segmenting against the final vocab
+    (vocab_prune / longest-match) — deeply nested fold codegen grows
+    linearly with n_merges.
+    """
+    # per-word char split, then flatten: spaces are hard boundaries, so
+    # applying merges to the flattened stream cannot cross words as long
+    # as no merge symbol contains a space — guaranteed because merges
+    # come from whitespace-split training (word_freqs)
+    syms = F.flatten(
+        F.transform(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+            lambda w: F.split(w, ""),
+        )
+    )
+    out = df.withColumn(out_col, syms)
+    for left, right in merges:
+        out = out.withColumn(out_col, _merge_pair_expr(out_col, left, right))
+    return out

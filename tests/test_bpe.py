@@ -99,3 +99,48 @@ def test_pair_counts_shuffle_carries_pairs_not_corpus(spark):
     assert plan.count("Exchange") <= 2  # word shuffle + pair shuffle
     assert "Join" not in plan
     assert "HashAggregate" in plan
+
+
+def test_bpe_encode_matches_reference(spark):
+    """Encoding with trained merges equals the reference encoder: per
+    word, apply merges greedily in rank order; words never merge across
+    whitespace."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    merges = [
+        (r.left, r.right)
+        for r in X.bpe_train(df, n_merges=6).orderBy("rank").collect()
+    ]
+
+    def ref_encode(text):
+        out = []
+        for w in text.strip().lower().split():
+            syms = list(w)
+            for a, b in merges:
+                nxt, i = [], 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        nxt.append(a + b)
+                        i += 2
+                    else:
+                        nxt.append(syms[i])
+                        i += 1
+                syms = nxt
+            out.extend(syms)
+        return out
+
+    got = {
+        r.text: r.bpe_tokens
+        for r in X.bpe_encode(df, merges).select("text", "bpe_tokens").collect()
+    }
+    for t in TEXTS:
+        assert got[t] == ref_encode(t), t
+
+
+def test_bpe_encode_plan_has_no_shuffle_or_python(spark):
+    """The encoder is chained JVM folds: no Exchange, no Python workers
+    in the plan — scan-local at any scale."""
+    df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
+    enc = X.bpe_encode(df, [("l", "o"), ("lo", "w")])
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "Python" not in plan and "MapInPandas" not in plan
