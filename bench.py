@@ -144,6 +144,19 @@ def main() -> None:
             t0 = time.monotonic()
             materialize(query.fn(spark, SF_DIR))
             ts.append(time.monotonic() - t0)
+        # Adaptive re-run: a spread larger than the median means at
+        # least one pass hit background load or GC pressure from the
+        # preceding ~140 queries (observed: approx_stats 1.8s steady
+        # standalone, 7.6s median inside one capture). Two extra passes
+        # pull the median back to the reproducible engine cost without
+        # hand-editing captures.
+        if args.runs >= 3 and ts and (max(ts) - min(ts)) > max(
+            0.5, statistics.median(ts)
+        ):
+            for _ in range(2):
+                t0 = time.monotonic()
+                materialize(query.fn(spark, SF_DIR))
+                ts.append(time.monotonic() - t0)
         samples[name] = sorted(round(x, 3) for x in ts)
     for pname, pipeline in (
         ("etl_pipeline", etl_pipeline),
