@@ -72,15 +72,22 @@ def cosine_topk(
     rows unless ``force=True`` — use lsh_topk/ivf_topk at scale.
     """
     _guard_brute_force(corpus, "cosine_topk", force)
+    # norms are per-VECTOR, so compute them in the pre-join projections —
+    # inside the pair expression each corpus norm would be re-folded once
+    # per query (Q× redundant work on the big side)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        / (F.col("q_norm") * F.col("c_norm")),
         6,
     )
     scored = (
@@ -205,19 +212,22 @@ def lsh_topk(
     Hashing runs as one Arrow-batched matmul per batch (_lsh_buckets_udf
     — see its docstring for why not the column-expression twin)."""
     bucket_fn = _lsh_buckets_udf(dim, n_planes, n_tables)
+    # per-vector norms in the pre-join projections (see cosine_topk)
     c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
         F.explode(bucket_fn(F.col(vec_col))).alias("bucket"),
     )
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(bucket_fn(F.col(vec_col))).alias("bucket"),
     )
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        / (F.col("q_norm") * F.col("c_norm")),
         6,
     )
     # A pair colliding in several tables surfaces once per table — score
@@ -378,16 +388,18 @@ def ivf_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
         assign(F.col(vec_col))[0].alias("cid"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe(F.col(vec_col))).alias("cid"),
     )
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
-        / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        / (F.col("q_norm") * F.col("c_norm")),
         6,
     )
     scored = (
@@ -431,14 +443,21 @@ def embedding_decontam(
     """
     _guard_brute_force(benchmark, "embedding_decontam benchmark side", force)
     b = benchmark.select(
-        F.col(id_col).alias("bench_id"), F.col(vec_col).alias("b_vec")
+        F.col(id_col).alias("bench_id"),
+        F.col(vec_col).alias("b_vec"),
+        _norm(F.col(vec_col)).alias("b_norm"),
     )
+    # the corpus norm folds ONCE per vector here; inside the pair
+    # expression it would re-fold once per benchmark row (|B|× on the
+    # big side)
     c = corpus.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
     )
     cos = F.round(
         _dot(F.col("c_vec"), F.col("b_vec"))
-        / (_norm(F.col("c_vec")) * _norm(F.col("b_vec"))),
+        / (F.col("c_norm") * F.col("b_norm")),
         6,
     )
     hits = (
