@@ -620,13 +620,24 @@ def bm25_search(
         [(q, t) for q, ts in queries.items() for t in ts],
         "query_id string, term string",
     )
-    toks = _spread(df).select(
+    spread = _spread(df)
+    toks = spread.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
         ).alias("term"),
     )
-    doclen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # doc length = size of the split array, per row — NOT a count over
+    # the exploded stream: exploding |tokens| rows to count them costs a
+    # full token materialization + aggregation, while size() is one
+    # column expression on the same scan. (Blank text splits to [''] —
+    # size 1 — exactly matching the oracle's unnest count.)
+    doclen = spread.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).cast("bigint").alias("dl"),
+    )
     tf = (
         toks.filter(F.col("term").isin(all_terms))
         .groupBy("doc_id", "term")
