@@ -193,6 +193,12 @@ def main() -> None:
     local["spread"] = {
         n: round(v[-1] - v[0], 3) for n, v in samples.items()
     }
+    # Entries whose high spread triggered adaptive re-runs carry more
+    # samples than `runs`; record them so a later diagnosis never
+    # compares a 5-sample median against a 3-sample one unknowingly.
+    local["n_samples"] = {
+        n: len(v) for n, v in samples.items() if len(v) != args.runs
+    }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )

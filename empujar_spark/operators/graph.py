@@ -132,3 +132,48 @@ def _pagerank_step(
             round_scale,
         ).alias("rank"),
     )
+
+
+def basket_pairs(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Market-basket co-occurrence pairs with min support (the frequent-
+    itemset k=2 pass). Output: (item_a, item_b, n_baskets) with
+    item_a < item_b.
+
+    The candidate join is keyed on the basket id — pair fan-out is
+    bounded by basket size² per BASKET (small and data-independent),
+    never a global cross join; the support threshold then collapses the
+    pair stream in a map-side-combinable count. Single source of truth
+    for the co-purchase corpus entries, the triangle/pagerank graph
+    build, and the stress harness — one definition, four consumers.
+    """
+    b = df.select(basket_col, item_col).distinct()
+    a = b.select(F.col(basket_col).alias("k"), F.col(item_col).alias("item_a"))
+    c = b.select(F.col(basket_col).alias("k"), F.col(item_col).alias("item_b"))
+    return (
+        a.join(c, "k")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_baskets"))
+        .filter(F.col("n_baskets") >= min_support)
+    )
+
+
+def basket_edges(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+) -> DataFrame:
+    """Symmetrized (src, dst) edge list from basket_pairs — the graph
+    the co-purchase pagerank runs on (both directions of every pair)."""
+    pairs = basket_pairs(df, basket_col, item_col, min_support)
+    return pairs.select(
+        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
+    )

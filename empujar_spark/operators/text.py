@@ -631,12 +631,21 @@ def bm25_search(
     # the exploded stream: exploding |tokens| rows to count them costs a
     # full token materialization + aggregation, while size() is one
     # column expression on the same scan. (Blank text splits to [''] —
-    # size 1 — exactly matching the oracle's unnest count.)
-    doclen = spread.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(
-            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-        ).cast("bigint").alias("dl"),
+    # size 1 — exactly matching the oracle's unnest count.) The groupBy
+    # keeps the duplicate-doc_id contract of the exploded spelling: a
+    # repeated id's length is the COMBINED token count (sum of per-row
+    # sizes), and doclen stays one row per doc_id so the scoring join
+    # cannot fan out. The shuffle is on the slim (doc_id, size) pair
+    # with map-side partials — still no token materialization.
+    doclen = (
+        spread.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).cast("bigint").alias("__sz"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__sz").alias("dl"))
     )
     tf = (
         toks.filter(F.col("term").isin(all_terms))

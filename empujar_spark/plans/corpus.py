@@ -5580,16 +5580,13 @@ def copurchase_pairs(spark, sf_dir):
     cross join; the support threshold then collapses the pair stream in
     a map-side-combinable count. The same shape as ngram_jaccard_pairs'
     shingle join — co-occurrence by key is THE sub-quadratic pattern."""
+    from empujar_spark.operators.graph import basket_pairs
+
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
-    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
-    return (
-        a.join(c, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
-        .groupBy("part_a", "part_b")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= 2)
+    return basket_pairs(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("item_a").alias("part_a"),
+        F.col("item_b").alias("part_b"),
+        F.col("n_baskets").alias("n_orders"),
     )
 
 
@@ -5616,17 +5613,11 @@ def copurchase_triangles(spark, sf_dir):
     skew-taming for triangle enumeration (a hub's edges only extend to
     higher-id partners, splitting its quadratic neighborhood). Two hash
     equi-joins + one count, no explosion beyond the wedge set."""
+    from empujar_spark.operators.graph import basket_pairs
+
     li = load(spark, sf_dir, "lineitem")
-    bb = li.select("l_orderkey", "l_partkey").distinct()
-    a = bb.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    c = bb.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(c, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 2)
-        .select("pa", "pb")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_support=2).select(
+        F.col("item_a").alias("pa"), F.col("item_b").alias("pb")
     )
     p1 = pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
     p2 = pairs.select(F.col("pa").alias("b2"), F.col("pb").alias("c2"))
@@ -5683,22 +5674,10 @@ def copurchase_pagerank(spark, sf_dir):
     iteration: one edge⋈rank hash join + one groupBy(dst) with map-side
     partials — the rank vector is |V| rows and broadcasts at scale, so
     the edge list never shuffles; localCheckpoint cuts the lineage."""
-    from empujar_spark.operators.graph import pagerank
+    from empujar_spark.operators.graph import basket_edges, pagerank
 
     li = load(spark, sf_dir, "lineitem")
-    b = li.select("l_orderkey", "l_partkey").distinct()
-    a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-    c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-    pairs = (
-        a.join(c, "k")
-        .filter(F.col("pa") < F.col("pb"))
-        .groupBy("pa", "pb")
-        .agg(F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") >= 2)
-    )
-    edges = pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
-        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-    )
+    edges = basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
     pr = pagerank(edges, damping=0.85, iters=5, round_scale=9)
     return pr.select("node", F.round("rank", 6).alias("rank"))
 

@@ -84,18 +84,12 @@ def main() -> None:
     emb0 = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
     ev0 = spark.read.parquet(f"{SF_DIR}/events.parquet")
 
+    from empujar_spark.operators.graph import basket_edges
+
     def copurchase_edges(li):
-        b = li.select("l_orderkey", "l_partkey").distinct()
-        a = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pa"))
-        c = b.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("pb"))
-        pairs = (
-            a.join(c, "k").filter(F.col("pa") < F.col("pb"))
-            .groupBy("pa", "pb").agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") >= 2)
-        )
-        return pairs.select(F.col("pa").alias("src"), F.col("pb").alias("dst")).unionByName(
-            pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
-        )
+        # the SAME graph the corpus/correctness entries run on — one
+        # shared builder, so the scaling ratio measures the real plan
+        return basket_edges(li, "l_orderkey", "l_partkey", min_support=2)
 
     def ops(f: int) -> dict:
         li = replicate(li0, "l_orderkey", f)

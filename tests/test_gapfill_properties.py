@@ -41,9 +41,10 @@ def _ref(rows, step):
     out = {}
     unit = FREQ[step]
     for k, g in df.groupby("k"):
-        # date_trunc semantics: week → Monday start (W-MON label quirk:
-        # use to_period to truncate, matching Spark's date_trunc)
-        period = {"min": "min", "h": "h", "D": "D", "W-MON": "W-MON"}[unit]
+        # date_trunc('week') is Monday-START; pandas Period weeks are
+        # named by their END day, so Monday-start == 'W-SUN' (a 'W-MON'
+        # period ENDS Monday, i.e. starts Tuesday — off by one day)
+        period = {"min": "min", "h": "h", "D": "D", "W-MON": "W-SUN"}[unit]
         bucket = g["ts"].dt.to_period(period).dt.start_time
         gb = g.assign(bucket=bucket).sort_values(["ts", "event_id"])
         per = gb.groupby("bucket").agg(n=("v", "size"), last=("v", "last"))

@@ -296,3 +296,33 @@ def test_bm25_ranks_term_rich_docs_first(spark):
     assert [d for _, d, _ in q1] == [1, 2]      # doc 3,4 lack 'cat'
     assert q1[0][2] > q1[1][2]                   # saturation ranks 1 first
     assert [d for _, d, _ in sorted(got["q2"])] == [4]
+
+
+def test_bm25_duplicate_doc_id_no_join_fanout(spark):
+    """A repeated doc_id (re-ingested batch before dedup) must not fan
+    out the tf⋈doclen join: doclen stays one row per doc_id with the
+    COMBINED token count — same contract as the exploded-count spelling
+    and the SQL oracle's GROUP BY doc_id."""
+    from empujar_spark.operators.text import bm25_search
+
+    dup = spark.createDataFrame(
+        [(1, "cat cat"), (1, "cat filler filler filler"), (2, "cat dog")],
+        ["doc_id", "text"],
+    )
+    out = bm25_search(dup, {"q": ["cat"]}, top_n=10).collect()
+    rows = {(r.doc_id, r.score) for r in out if r.query_id == "q"}
+    assert len(rows) == 2  # one fused row per doc_id, no duplicates
+
+    # oracle semantics by hand: N = raw row count (3), doc 1's length and
+    # tf are the COMBINED counts across its rows (dl=6, tf=3), avgdl is
+    # over per-doc totals ((6+2)/2 = 4). A doclen without the groupBy
+    # would emit doc 1 twice and double its summed score.
+    import math
+
+    idf = round(math.log(1 + (3 - 2 + 0.5) / (2 + 0.5)), 6)
+
+    def score(tf, dl):
+        sat = tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 4.0))
+        return round(round(idf * sat, 6), 4)
+
+    assert rows == {(1, score(3, 6)), (2, score(1, 2))}
