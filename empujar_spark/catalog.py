@@ -168,8 +168,30 @@ class Warehouse:
             for f in os.listdir(data_dir)
         ):
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.schema(schema).parquet(data_dir)
-        return df.select(*[f.name for f in schema.fields])
+        inferred = self.spark.read.parquet(data_dir).schema
+        by_name = {f.name: f.dataType for f in inferred}
+        if all(
+            by_name.get(f.name, f.dataType) == f.dataType
+            for f in schema.fields
+        ):
+            # common case: footer types match the meta — explicit-schema
+            # scan keeps predicate pushdown on exact physical types
+            df = self.spark.read.schema(schema).parquet(data_dir)
+            return df.select(*[f.name for f in schema.fields])
+        # skew window (crash between data swap and meta save, or vice
+        # versa): conform by CAST so the table stays readable — missing
+        # columns surface as NULL, widened/narrowed numerics cast
+        df = self.spark.read.parquet(data_dir)
+        return df.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in by_name
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in schema.fields
+            ]
+        )
 
     def _physical_schema(self, meta: dict) -> T.StructType:
         fields = []
@@ -324,18 +346,25 @@ class Warehouse:
         self._write(table, df, meta)
         self.show_tables()
 
-    def _write(self, table: str, df: DataFrame, meta: dict) -> None:
+    def _write(
+        self, table: str, df: DataFrame, meta: dict,
+        n_partitions: int | None = None,
+    ) -> None:
         """Stage-and-swap atomic table write.
 
         Layout hints at scale: repartition on the primary key above the
         row threshold (distkey analogue) and sort within partitions on the
-        watermark column (sortkey analogue, redshift.js:340-350)."""
+        watermark column (sortkey analogue, redshift.js:340-350).
+        ``n_partitions`` overrides the instance default for THIS write
+        only (compaction passes its computed file count here instead of
+        mutating shared state under concurrent writers), and applies even
+        without a primary key — a pk-less table round-robins."""
         pk = meta.get("primary_key")
         cols = [c["name"] for c in meta["columns"]]
         df = df.select(*cols)
-        n_parts = self.target_partitions
-        if pk and n_parts:
-            df = df.repartition(n_parts, pk)
+        n_parts = self.target_partitions if n_partitions is None else n_partitions
+        if n_parts:
+            df = df.repartition(n_parts, pk) if pk else df.repartition(n_parts)
         sort_col = next(
             (c for c in _SORTKEY_CANDIDATES if c in cols), None
         )
@@ -387,8 +416,11 @@ class Warehouse:
                             c["kind"] = merged.kind
                             c["char_length"] = merged.char_length
                     changed = True
-        if changed:
-            self._save_meta(table, meta)
+        # NOTE: deliberately does NOT persist — callers save the meta
+        # only after their staged data write lands, so a crash mid-write
+        # can never leave _schema.json promising types the parquet files
+        # don't physically have (read() additionally degrades gracefully
+        # on any residual skew window — see read()).
         return meta
 
     def _conform(self, df: DataFrame, meta: dict) -> DataFrame:
@@ -464,6 +496,7 @@ class Warehouse:
             result = existing.unionByName(new_df)
         n = new_df.count()
         self._write(table, result, meta)
+        self._save_meta(table, meta)
         return n
 
     @staticmethod
@@ -548,7 +581,36 @@ class Warehouse:
             current = stored.filter(F.col("scd_is_current") == 1).select(
                 *keys, "scd_valid_from", *tracked
             )
-            versions = current.unionByName(upd)
+            # LATE rows (older than the open version) would rewrite
+            # closed history — their interval would overlap rows this
+            # merge never re-windows, making point-in-time reads return
+            # two "valid" versions. Reject them: replaying an old CDC
+            # batch is then idempotent instead of corrupting.
+            boundary = current.select(
+                *keys, F.col("scd_valid_from").alias("__cur_from")
+            )
+            upd = (
+                upd.join(boundary, keys, "left")
+                .filter(
+                    F.col("__cur_from").isNull()
+                    | (F.col("scd_valid_from") >= F.col("__cur_from"))
+                )
+                .drop("__cur_from")
+            )
+            # A timestamp TIE between the open version and an update is a
+            # same-instant supersede: keep exactly the update's attrs
+            # (one version at t, deterministically), never an
+            # orderBy-tie whose winner depends on partition layout.
+            w_tie = Window.partitionBy(*keys, "scd_valid_from").orderBy(
+                F.col("__src").desc()
+            )
+            versions = (
+                current.withColumn("__src", F.lit(0))
+                .unionByName(upd.withColumn("__src", F.lit(1)))
+                .withColumn("__rn", F.row_number().over(w_tie))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn", "__src")
+            )
         else:
             history = None
             versions = upd
@@ -581,6 +643,7 @@ class Warehouse:
         else:
             meta = self._reconcile_schema(table, incoming)
             self._write(table, self._conform(final_df, meta), meta)
+            self._save_meta(table, meta)
         return self.table_size(table)
 
     def refresh_rollup(
@@ -622,9 +685,14 @@ class Warehouse:
             ).alias(f"sum_{c}")
             for c in sum_cols
         ]
+        # ONE evaluation of the partials: the stats row below and the
+        # merge write both reuse this materialization, so the source is
+        # scanned once and the saved watermark is derived from exactly
+        # the rows that were written (no double-count window on live
+        # sources)
         partial = fresh.groupBy(*group_cols).agg(
             *aggs, F.max(watermark_col).alias("__new_wm")
-        )
+        ).localCheckpoint()
         row = partial.select(
             F.max("__new_wm").alias("wm"), F.sum("n_rows").alias("n")
         ).first()
@@ -633,41 +701,52 @@ class Warehouse:
         if n_new == 0:
             return 0
         if self.table_exists(rollup_table):
+            from functools import reduce as _reduce
+
             existing = self.read(rollup_table)
             val_cols = ["n_rows"] + [f"sum_{c}" for c in sum_cols]
-            merged = (
-                existing.select(
-                    *group_cols,
-                    *[F.col(c).alias(f"__e_{c}") for c in val_cols],
-                )
-                .join(
-                    partial.select(
-                        *group_cols,
-                        *[F.col(c).alias(f"__p_{c}") for c in val_cols],
-                    ),
-                    group_cols,
-                    "full_outer",
-                )
-                .select(
-                    *group_cols,
-                    *[
-                        (
-                            F.coalesce(F.col(f"__e_{c}"), F.lit(0))
-                            + F.coalesce(F.col(f"__p_{c}"), F.lit(0))
-                        ).alias(c)
-                        for c in val_cols
-                    ],
-                )
+            # NULL-SAFE group join: a NULL group key is a real group
+            # (SQL GROUP BY treats NULLs as one group); plain equality
+            # would pair neither side and duplicate the NULL-group row
+            # on every refresh
+            e = existing.select(
+                *[F.col(c).alias(f"__eg_{c}") for c in group_cols],
+                *[F.col(c).alias(f"__e_{c}") for c in val_cols],
+            )
+            p = partial.select(
+                *[F.col(c).alias(f"__pg_{c}") for c in group_cols],
+                *[F.col(c).alias(f"__p_{c}") for c in val_cols],
+            )
+            cond = _reduce(
+                lambda a, b: a & b,
+                [
+                    F.col(f"__eg_{c}").eqNullSafe(F.col(f"__pg_{c}"))
+                    for c in group_cols
+                ],
+            )
+            merged = e.join(p, cond, "full_outer").select(
+                *[
+                    F.coalesce(F.col(f"__eg_{c}"), F.col(f"__pg_{c}")).alias(c)
+                    for c in group_cols
+                ],
+                *[
+                    (
+                        F.coalesce(F.col(f"__e_{c}"), F.lit(0))
+                        + F.coalesce(F.col(f"__p_{c}"), F.lit(0))
+                    ).alias(c)
+                    for c in val_cols
+                ],
             )
         else:
             merged = partial
         df, incoming = self._normalize_input(merged)
         if not self.table_exists(rollup_table):
             self._create_table(rollup_table, df, incoming)
+            meta = self._load_meta(rollup_table)
         else:
             meta = self._reconcile_schema(rollup_table, incoming)
             self._write(rollup_table, self._conform(df, meta), meta)
-        meta = self._load_meta(rollup_table)
+        # watermark + (possibly promoted) schema land AFTER the data
         meta[meta_key] = new_wm.isoformat() if hasattr(new_wm, "isoformat") else new_wm
         self._save_meta(rollup_table, meta)
         return int(n_new)
@@ -685,8 +764,8 @@ class Warehouse:
         meta["columns"].append(
             {"name": column, "kind": ct.kind, "char_length": ct.char_length}
         )
-        self._save_meta(table, meta)
         self._write(table, self._conform(self.read(table), meta), meta)
+        self._save_meta(table, meta)
 
     def alter_column(self, table: str, column: str, new_type) -> None:
         """Re-type a column (mysql.js:532-545). ``new_type`` is a ColumnType
@@ -703,8 +782,8 @@ class Warehouse:
         if not found:
             raise KeyError(f"{table}.{column}")
         old = self.read(table)
-        self._save_meta(table, meta)
         self._write(table, self._conform(old, meta), meta)
+        self._save_meta(table, meta)
 
     def copy_table_schema(self, src: str, dest: str) -> None:
         """Empty clone — CREATE TABLE LIKE (mysql.js:601-605)."""
@@ -976,12 +1055,7 @@ class Warehouse:
             for f in fs
         )
         n_files = max(1, int(total // target_file_bytes) + (1 if total % target_file_bytes else 0))
-        saved_target = self.target_partitions
-        self.target_partitions = n_files
-        try:
-            self._write(table, df, meta)
-        finally:
-            self.target_partitions = saved_target
+        self._write(table, df, meta, n_partitions=n_files)
         return n_files
 
     # ------------------------------------------------------- snapshots

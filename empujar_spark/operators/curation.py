@@ -78,7 +78,9 @@ def repetition_signals(
     tok_df = df.select(
         "doc_id",
         *carried,
-        (F.trim(F.col(text_col)) == "").alias("__blank"),
+        # coalesce: NULL text must count as blank (trim(NULL)=='' is
+        # NULL, which would silently NULL every downstream stat)
+        (F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "").alias("__blank"),
         F.split(norm, " ").alias("__toks"),
     )
     toks = F.col("__toks")
@@ -153,8 +155,14 @@ def repetition_signals(
         F.when(ng == 0, F.lit(0.0))
         .otherwise(F.round(F.lit(1.0) - ndg.cast("double") / ng.cast("double"), 4))
         .alias("frac_dup_ngrams"),
+        # modal-gram occurrences OVERLAP ('a a a a', k=3 → modal count 2
+        # over 4 tokens), so top*k can exceed n_tokens; cap at n_tokens to
+        # keep the column a true fraction ≤ 1.0 (thresholds like
+        # "drop if > 0.2" assume fraction scale)
         F.round(
-            (top * k).cast("double") / safe_tok.cast("double"), 4
+            F.least((top * k), F.col("n_tokens")).cast("double")
+            / safe_tok.cast("double"),
+            4,
         ).alias("top_gram_frac"),
     )
 

@@ -103,9 +103,13 @@ def numeric_histogram(
         F.broadcast(rng)
     )
     width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
-    bin_ = F.least(
-        F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
-        F.lit(n_bins - 1).cast("bigint"),
+    # constant column → lo == hi → width 0: every value lands in bin 0
+    # (one-bin histogram) instead of DIVIDE_BY_ZERO under ANSI mode
+    bin_ = F.when(width == 0.0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+            F.lit(n_bins - 1).cast("bigint"),
+        )
     )
     return (
         binned.filter(F.col("x").isNotNull())
@@ -157,7 +161,12 @@ def grouped_linear_trend(
     den = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
         "decimal(38,0)"
     ).cast("double")
-    slope = F.round(num / den, 6)
+    # singleton groups (n==1) and constant-x groups have den == 0: no
+    # defined slope — return NULL instead of an ANSI DIVIDE_BY_ZERO that
+    # would abort the whole aggregation job
+    slope = F.when(den == 0.0, F.lit(None).cast("double")).otherwise(
+        F.round(num / den, 6)
+    )
     # intercept from the already-rounded slope: every operand below is an
     # exactly-converted double, so both engines compute identical values
     sy_d = F.col("sy").cast("double")  # scale 6, |scaled| < 2^53: exact

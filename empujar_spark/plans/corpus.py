@@ -1163,7 +1163,7 @@ def token_count(spark, sf_dir):
     r"""
     WITH c AS (
       SELECT doc_id, length(text) AS n,
-             CASE WHEN trim(text) = '' THEN 0
+             CASE WHEN COALESCE(trim(text), '') = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tokens,
              length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS n_alpha,
              length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit,
@@ -4958,7 +4958,7 @@ def unpivot_metrics(spark, sf_dir):
       SELECT doc_id,
              string_split(regexp_replace(trim(lower(text)), '\s+', ' ', 'g'),
                           ' ') AS toks,
-             CASE WHEN trim(text) = '' THEN 0
+             CASE WHEN COALESCE(trim(text), '') = '' THEN 0
                   ELSE len(string_split(
                       regexp_replace(trim(lower(text)), '\s+', ' ', 'g'), ' '))
              END AS n_tokens
@@ -4987,7 +4987,7 @@ def unpivot_metrics(spark, sf_dir):
            CASE WHEN COALESCE(s.n_grams, 0) = 0 THEN 0.0
                 ELSE round(1.0 - CAST(s.n_distinct_grams AS DOUBLE) / s.n_grams,
                            4) END AS frac_dup_ngrams,
-           round(CAST(COALESCE(s.top_cnt, 0) * 3 AS DOUBLE) /
+           round(CAST(LEAST(COALESCE(s.top_cnt, 0) * 3, b.n_tokens) AS DOUBLE) /
                  (CASE WHEN b.n_tokens = 0 THEN 1 ELSE b.n_tokens END), 4)
                AS top_gram_frac
     FROM b LEFT JOIN s USING (doc_id)
@@ -5251,7 +5251,7 @@ _CURATE_REP_SQL = r"""
     rf"""
     WITH qy AS (
       SELECT doc_id,
-             CASE WHEN trim(text) = '' THEN 0
+             CASE WHEN COALESCE(trim(text), '') = '' THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\s+'))
              END AS n_tokens,
              round((length(text) -

@@ -87,7 +87,9 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached stream dir so the un-flushed stream used by complete-mode
     queries is untouched."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
     src = f"{sf_dir}/events.parquet"
     # v2: cache key versioned with the sentinel schema — a dir written by an
@@ -97,16 +99,26 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = os.stat(src)
     key = f"{src.replace('/', '_')}-{st.st_mtime_ns}-{st.st_size}"
     d = os.path.join(tempfile.gettempdir(), f"empujar-stream-flush-v2-{key}")
+    # Build-then-rename: the bare isdir check must only ever see a COMPLETE
+    # dir. Populating d in place would poison the cache permanently if a
+    # crash (or a concurrent caller) lands between makedirs and the
+    # sentinel write — every later call would skip creation and stream an
+    # empty/sentinel-less dir (append-mode windows then never flush).
     if not os.path.isdir(d):
-        os.makedirs(d, exist_ok=True)
-        os.symlink(src, os.path.join(d, "events.parquet"))
+        build = f"{d}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        os.makedirs(build)
+        os.symlink(src, os.path.join(build, "events.parquet"))
         sentinel = spark.createDataFrame(
             [(-1, FLUSH_SENTINEL_TS, FLUSH_USER_ID, "flush", 0.0, "{}")],
             schema=EVENTS_SCHEMA,
         )
         sentinel.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(d, "zz_sentinel")
+            os.path.join(build, "zz_sentinel")
         )
+        try:
+            os.rename(build, d)  # atomic publish
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # concurrent winner
     raw = spark.readStream.schema(EVENTS_SCHEMA).option(
         "recursiveFileLookup", "true"
     ).parquet(d)
@@ -212,7 +224,10 @@ def running_user_totals(events: DataFrame) -> DataFrame:
     import pandas as pd  # noqa: F401 (kernel runs on executors)
 
     def update(key, pdf_iter, state):
-        n, total = state.get() if state.exists else (0, 0.0)
+        # GroupState.get is a PROPERTY in PySpark (state.get() would call
+        # the returned tuple and crash on the first returning key — i.e.
+        # on any second micro-batch; pinned by the multi-batch test)
+        n, total = state.get if state.exists else (0, 0.0)
         for pdf in pdf_iter:
             n += len(pdf)
             total += float(pdf["value"].sum())

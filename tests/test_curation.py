@@ -39,6 +39,21 @@ def test_repetition_signals_known_values(spark):
     assert r4["frac_dup_ngrams"] == 0.0 and r4["top_gram_frac"] == 0.0
 
 
+def test_repetition_signals_fraction_capped_and_null_text(spark):
+    """Overlapping modal-gram occurrences must not push top_gram_frac
+    past 1.0 ('a a a a', k=3: modal count 2 × 3 > 4 tokens), and NULL
+    text behaves like blank text instead of NULLing every stat (which
+    would silently vanish from both sides of any threshold filter)."""
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, None)], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r.asDict() for r in C.repetition_signals(df).collect()}
+    assert out[1]["top_gram_frac"] == pytest.approx(1.0)  # capped, not 1.5
+    r2 = out[2]
+    assert r2["n_tokens"] == 0 and r2["type_token_ratio"] == 0.0
+    assert r2["frac_dup_ngrams"] == 0.0 and r2["top_gram_frac"] == 0.0
+
+
 def test_redact_pii_counts_and_placeholders(spark):
     df = spark.createDataFrame(
         [

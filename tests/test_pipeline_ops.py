@@ -326,3 +326,37 @@ def test_bm25_duplicate_doc_id_no_join_fanout(spark):
         return round(round(idf * sat, 6), 4)
 
     assert rows == {(1, score(3, 6)), (2, score(1, 2))}
+
+
+def test_histogram_constant_column_one_bin(spark):
+    """lo == hi (constant column) must yield a one-bin histogram, not an
+    ANSI DIVIDE_BY_ZERO (session default spark.sql.ansi.enabled=true)."""
+    from empujar_spark.operators.profile import numeric_histogram
+
+    df = spark.createDataFrame([(5.0,), (5.0,), (5.0,)], "x double")
+    rows = numeric_histogram(df, "x", n_bins=10).collect()
+    assert len(rows) == 1
+    assert rows[0].bin == 0 and rows[0].n == 3
+
+
+def test_linear_trend_singleton_group_null_slope(spark):
+    """n==1 or constant-x groups have a zero denominator: slope comes
+    back NULL, the job does not abort."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators.profile import grouped_linear_trend
+
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("b", 2, 1.0), ("b", 3, 2.0), ("c", 4, 5.0),
+         ("c", 4, 9.0)],
+        "g string, x int, y double",
+    )
+    out = {
+        r.g: r.slope
+        for r in grouped_linear_trend(
+            df, ["g"], F.col("x"), F.col("y")
+        ).collect()
+    }
+    assert out["a"] is None          # singleton
+    assert out["c"] is None          # constant x
+    assert abs(out["b"] - 1.0) < 1e-9  # well-defined slope intact

@@ -246,3 +246,46 @@ def test_quality_monitor_stream_counts_planted_violations(spark, tmp_path):
     assert audit["not_null(ts)"] == (1, 0)
     assert audit["in_range(value,0.0,1000.0)"] == (2, 0)
     assert audit["accepted_values(event_type)"] == (1, 0)
+
+
+def test_running_user_totals_multi_batch_state_roundtrip(spark, tmp_path):
+    """State must survive ACROSS micro-batches: two files + 
+    maxFilesPerTrigger=1 forces two batches, so batch 2 hits the
+    state.exists=True path for returning users (the path a single-batch
+    drain never exercises — a state.get misuse crashes exactly here)."""
+    import os
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(1, 10.0, "2024-01-01 00:00:00"), (2, 5.0, "2024-01-01 00:01:00")],
+        "user_id long, value double, ts string",
+    ).selectExpr("user_id", "value", "CAST(ts AS TIMESTAMP) ts").coalesce(
+        1
+    ).write.mode("overwrite").parquet(d + "/b1")
+    spark.createDataFrame(
+        [(1, 7.0, "2024-01-01 00:02:00")],
+        "user_id long, value double, ts string",
+    ).selectExpr("user_id", "value", "CAST(ts AS TIMESTAMP) ts").coalesce(
+        1
+    ).write.mode("overwrite").parquet(d + "/b2")
+    # one flat dir with both files so maxFilesPerTrigger splits batches
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat)
+    import glob, shutil
+
+    for i, f in enumerate(
+        sorted(glob.glob(d + "/b*/part-*.parquet"))
+    ):
+        shutil.copy(f, f"{flat}/{i:03d}.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, value double, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    )
+    out = drain(spark, SO.running_user_totals(stream), "rt_multibatch",
+                mode="update")
+    last = {r["user_id"]: r for r in out.collect()}
+    # user 1 appears in both batches: final update must ACCUMULATE
+    assert last[1]["n_events"] == 2 and last[1]["total_value"] == 17.0
+    assert last[2]["n_events"] == 1 and last[2]["total_value"] == 5.0

@@ -633,3 +633,117 @@ def test_save_zordered_files_narrow_in_both_dims(spark, tmp_path):
         assert mean_extent < 0.5 * span, (col, mean_extent, span)
 
     assert wh.read_zordered("lineitem").count() == li.count()
+
+
+def test_rollup_null_group_key_merges_not_duplicates(spark, tmp_path):
+    """A NULL group key is one group (SQL GROUP BY semantics): repeated
+    refreshes must merge into the same NULL-group row, not append a new
+    one each time (plain-equality full_outer would never pair them)."""
+    import datetime as dt
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    T0 = dt.datetime(2024, 1, 1)
+    src1 = spark.createDataFrame(
+        [(1, None, 10.0, T0), (2, "a", 5.0, T0)],
+        "id int, g string, v double, ts timestamp",
+    )
+    wh.refresh_rollup("r", src1, ["g"], ["v"], "ts")
+    src2 = spark.createDataFrame(
+        [(3, None, 7.0, T0 + dt.timedelta(hours=1))],
+        "id int, g string, v double, ts timestamp",
+    )
+    wh.refresh_rollup("r", src2, ["g"], ["v"], "ts")
+    rows = wh.read("r").collect()
+    null_rows = [r for r in rows if r.g is None]
+    assert len(null_rows) == 1, f"NULL group duplicated: {rows}"
+    assert null_rows[0].n_rows == 2
+    assert null_rows[0].sum_v == 17_000_000  # scale-6 integer partials
+
+
+def test_meta_saved_after_data_write(spark, tmp_path, monkeypatch):
+    """Crash-safety ordering: if the staged data write dies, the meta on
+    disk must still describe the OLD physical files — a promoted type in
+    _schema.json over un-promoted parquet bricks the table."""
+    import pytest as _pytest
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data("t", spark.createDataFrame([(1, 2)], "id int, x long"))
+    before = wh.column_types("t")["x"].kind
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash during staged write")
+
+    monkeypatch.setattr(wh, "_write", boom)
+    with _pytest.raises(RuntimeError):
+        # float batch promotes x long→double in the reconciled meta
+        wh.insert_data("t", spark.createDataFrame([(2, 0.5)], "id int, x double"))
+    monkeypatch.undo()
+    # meta unchanged on disk → table still reads under the true schema
+    assert wh.column_types("t")["x"].kind == before
+    assert wh.read("t").count() == 1
+
+
+def test_read_survives_meta_data_type_skew(spark, tmp_path):
+    """The residual skew window (data swapped, meta not yet): read()
+    falls back to cast-conform instead of a parquet conversion error."""
+    import json
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data("t", spark.createDataFrame([(1, 0.5)], "id int, x double"))
+    # simulate stale meta: claim x is long while parquet stores double
+    mp = wh._meta_path("t")
+    meta = json.load(open(mp))
+    for c in meta["columns"]:
+        if c["name"] == "x":
+            c["kind"] = "long"
+    json.dump(meta, open(mp, "w"))
+    rows = wh.read("t").collect()  # must not raise
+    assert rows[0].x == 0  # cast double→long under the stale meta
+
+
+def test_scd2_rejects_late_rows_and_resolves_ties_deterministically(spark, tmp_path):
+    """A replayed CDC batch older than the open version must not create
+    intervals overlapping closed history, and an update tied with the
+    open version's timestamp supersedes it (one version at t, not a
+    partition-layout-dependent winner)."""
+    import datetime as dt
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    T = lambda h: dt.datetime(2024, 1, 1, h)
+    wh.merge_scd2(
+        "dim",
+        spark.createDataFrame([(1, "v1", T(1))], "id int, attr string, updated_at timestamp"),
+    )
+    wh.merge_scd2(
+        "dim",
+        spark.createDataFrame([(1, "v2", T(5))], "id int, attr string, updated_at timestamp"),
+    )
+    # late replay: older than the open version (T5) — must be a no-op
+    wh.merge_scd2(
+        "dim",
+        spark.createDataFrame([(1, "stale", T(3))], "id int, attr string, updated_at timestamp"),
+    )
+    rows = sorted(
+        wh.read("dim").collect(), key=lambda r: r.scd_valid_from
+    )
+    assert [r.attr for r in rows] == ["v1", "v2"]
+    # intervals tile with no overlap: v1 closes exactly where v2 opens
+    assert rows[0].scd_valid_to == rows[1].scd_valid_from
+
+    # tie at the open version's own timestamp: the update's attrs win,
+    # still exactly one version at T5
+    wh.merge_scd2(
+        "dim",
+        spark.createDataFrame([(1, "v2b", T(5))], "id int, attr string, updated_at timestamp"),
+    )
+    rows = sorted(wh.read("dim").collect(), key=lambda r: r.scd_valid_from)
+    assert [r.attr for r in rows] == ["v1", "v2b"]
+    assert rows[1].scd_is_current == 1
