@@ -25,7 +25,7 @@ import time
 from typing import Callable
 
 from empujar_spark.chapter import Chapter
-from empujar_spark.errors import PidLockError
+from empujar_spark.errors import PidLockError, UnknownConnectionType
 
 logger = logging.getLogger("empujar_spark")
 
@@ -102,18 +102,25 @@ class Book:
         for path in sorted(_glob.glob(pattern)):
             with open(path) as f:
                 cfg = _json.load(f)
+            # resolve the type OUTSIDE the registry try: a config missing
+            # 'type' (or a KeyError raised inside a factory) must not be
+            # misreported as an unknown type — and the old skip branch
+            # itself re-read cfg['type'], crashing on its own recovery path
+            ctype = cfg.get("type")
             try:
+                if ctype is None:
+                    raise UnknownConnectionType(f"{path}: no 'type' field")
                 conn = build_connection(
-                    self.spark, cfg["type"], cfg.get("options", {})
+                    self.spark, ctype, cfg.get("options", {})
                 )
-            except KeyError:
+            except UnknownConnectionType:
                 # lib/book.js:188-190: unknown type → log + skip (unless
                 # failOnConnectionError)
                 if self.options.get("fail_on_connection_error", True):
                     raise
                 logger.error(
                     "unknown connection type: %s; skipping connection: %s",
-                    cfg["type"], cfg.get("name", path),
+                    ctype, cfg.get("name", path),
                 )
                 continue
             self.add_connection(cfg.get("name", os.path.basename(path)[:-5]), conn)
@@ -268,7 +275,7 @@ def build_connection(spark, type_name: str, options: dict):
     if factory is None:
         factory = _builtin_connection_types().get(type_name)
     if factory is None:
-        raise KeyError(f"unknown connection type: {type_name}")
+        raise UnknownConnectionType(f"unknown connection type: {type_name}")
     return factory(spark, **options)
 
 
@@ -290,6 +297,11 @@ def _parse_chapter_filter(spec: str | None):
 def _pid_running(pid: int) -> bool:
     try:
         os.kill(pid, 0)
+    except PermissionError:
+        # EPERM means the process EXISTS but belongs to another user —
+        # the lock must hold (treating it as dead would let a second
+        # instance overwrite the pidfile and run concurrently)
+        return True
     except OSError:
         return False
     return True

@@ -64,28 +64,61 @@ class Chapter:
         try:
             # loaders: unbounded parallel (async.parallel, lib/chapter.js:77)
             if self.loaders:
-                with ThreadPoolExecutor(max_workers=len(self.loaders)) as pool:
-                    futures = [
-                        pool.submit(self._run_unit, "loader", n, f)
-                        for n, f in self.loaders
-                    ]
-                    for fut in as_completed(futures):
-                        fut.result()  # raises first failure
+                self._run_parallel(
+                    len(self.loaders),
+                    [(n, ("loader", n, f)) for n, f in self.loaders],
+                    unit=self._run_unit,
+                )
             # pages list is snapshotted AFTER loaders ran (lib/chapter.js:82-85)
             pages = list(self.pages)
             if pages:
-                with ThreadPoolExecutor(max_workers=self.threads) as pool:
-                    futures = [
-                        pool.submit(self._run_in_pool, n, f) for n, f in pages
-                    ]
-                    for fut in as_completed(futures):
-                        fut.result()
+                self._run_parallel(
+                    self.threads,
+                    [(n, (n, f)) for n, f in pages],
+                    unit=self._run_in_pool,
+                )
         finally:
             self.book.log_state(
                 "chapter:end",
                 name=self.name,
                 duration=time.monotonic() - started,
             )
+
+    def _run_parallel(self, workers: int, jobs, unit) -> None:
+        """Run units on a bounded pool with REAL fail-fast (the reference
+        contract, lib/chapter.js:116-118): after the first failure no
+        further unit does work. Exiting the with-block would otherwise
+        shutdown(wait=True) and run the whole backlog to completion
+        (Spark jobs, side effects and all) before the error surfaced.
+        Two mechanisms because each alone races: Future.cancel() stops
+        still-queued units, and the abort flag no-ops units a worker
+        dequeued in the instant between the failure and the cancel sweep
+        (a worker grabs the next queue item as soon as its current unit
+        returns — cancel() alone loses that race). In-flight units finish
+        (thread semantics)."""
+        import threading
+
+        abort = threading.Event()
+
+        def guarded(*args):
+            if abort.is_set():
+                return
+            try:
+                unit(*args)
+            except BaseException:
+                abort.set()
+                raise
+
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(guarded, *args) for _, args in jobs]
+            try:
+                for fut in as_completed(futures):
+                    fut.result()  # raises first failure
+            except BaseException:
+                abort.set()
+                for f in futures:
+                    f.cancel()
+                raise
 
     def _run_in_pool(self, name: str, func: Callable) -> None:
         spark = getattr(self.book, "spark", None)

@@ -17,6 +17,13 @@ class PageError(EmpujarError):
     (lib/book.js:280-288)."""
 
 
+class UnknownConnectionType(EmpujarError, KeyError):
+    """No factory registered for a connection config's 'type'.
+
+    Subclasses KeyError for backward compatibility with callers that
+    caught the old ``raise KeyError`` from build_connection."""
+
+
 class PidLockError(EmpujarError):
     """Another instance is running (lib/book.js:84-101)."""
 

@@ -437,6 +437,13 @@ def near_dup_clusters(
         changed = (
             updated.filter(F.col("cluster_id") < F.col("__prev")).limit(1).count()
         )
+        # Rebinding `labels` drops the last Python reference to the
+        # previous round's checkpoint; Spark's ContextCleaner then frees
+        # its blocks asynchronously, so live checkpoint storage is O(GC
+        # lag), not O(rounds) — and the MEMORY_AND_DISK level spills
+        # rather than OOMs in the window before cleanup. On a cluster,
+        # long-diameter graphs can tighten this with
+        # spark.cleaner.periodicGC.interval.
         labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             break
@@ -488,10 +495,15 @@ def near_dup_keep_best(
     if clusters is None:
         clusters = near_dup_clusters(df, text_col, k, threshold)
     clusters = clusters.select("doc_id", "cluster_id")
+    # \s+ tokenization, consistent with text.token_count and every other
+    # operator: counting only literal single spaces would rate a 200-token
+    # newline-separated document as 1 token and keep a truncated snippet
+    # over it — the exact inversion of the keep-the-longest heuristic
     t = F.trim(F.col(text_col))
     ntok = df.select(
         "doc_id",
-        (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+        F.when(F.coalesce(t, F.lit("")) == "", F.lit(0))
+        .otherwise(F.size(F.split(t, r"\s+")))
         .cast("bigint")
         .alias("n_tokens"),
     )

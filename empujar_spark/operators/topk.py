@@ -77,6 +77,15 @@ def grouped_topk(
     hazard = F.col(id_col).isNull() | F.col(order_col).isNull()
     if order_f:
         hazard = hazard | F.isnan(F.col(order_col))
+    # Float GROUP keys have the same NULL/NaN blindness: pandas maps both
+    # to NaN, so groupby(dropna=False) MERGES two Spark-distinct groups
+    # and head(k) is taken over the merged rows — a rightful top-k row of
+    # the NaN group can be pruned. Route those rows around the prefilter
+    # too (non-float group NULLs are safe: no NaN twin exists to collide
+    # with, the pandas NaN group IS the NULL group).
+    for gc in group_cols:
+        if src.schema[gc].dataType.typeName() in ("double", "float"):
+            hazard = hazard | F.col(gc).isNull() | F.isnan(F.col(gc))
     pruned = (
         src.filter(~hazard)
         .mapInPandas(head_k, schema)

@@ -2765,8 +2765,9 @@ def near_dup_clusters(spark, sf_dir):
       GROUP BY d.doc_id),
     ntok AS (
       SELECT doc_id,
-             CAST(length(trim(text)) - length(replace(trim(text), ' ', ''))
-                  + 1 AS BIGINT) AS n_tokens
+             CAST(CASE WHEN COALESCE(trim(text), '') = '' THEN 0
+                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS BIGINT) AS n_tokens
       FROM documents)
     SELECT c.doc_id, c.cluster_id, t.n_tokens,
            CAST(row_number() OVER (PARTITION BY c.cluster_id

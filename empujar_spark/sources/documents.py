@@ -22,7 +22,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-ISO_DATE_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}\.\d*Z$"  # es.js:109-114
+# es.js:109-114 — with one deliberate deviation: the fractional-second
+# part is OPTIONAL here. The reference's unescaped-dot regex effectively
+# rejects whole-second ISO stamps ('2024-01-01T00:00:00Z'), a standard
+# ISO-8601 form that would then silently stay a string column.
+ISO_DATE_RE = r"^\d{4}-\d{2}-\d{2}T\d{2}:\d{2}:\d{2}(\.\d+)?Z$"
 
 
 class DocumentIndex:
@@ -76,14 +80,19 @@ class DocumentIndex:
         8-minute scroll window and per-page chunking disappear: Spark
         partitions are the scan unit."""
         df = self._indices[index]
+        # Revive dates BEFORE compiling predicates: a range filter on a
+        # raw ISO string compares lexicographically ('...00.95Z' sorts
+        # before '...00.9Z' because '5' < 'Z'), silently excluding rows
+        # whose timestamps are in range. On the revived timestamp column
+        # Spark casts the literal bound and compares temporally.
+        for c in self._date_cols.get(index, []):
+            if c in df.columns:
+                df = df.withColumn(c, F.to_timestamp(F.col(c)))
         df = df.filter(self._compile(df, query))
         if fields:
             df = df.select(*fields)  # _source projection (es.js:80-82)
         if limit is not None:
             df = df.limit(limit)
-        for c in self._date_cols.get(index, []):
-            if c in df.columns:
-                df = df.withColumn(c, F.to_timestamp(F.col(c)))
         return df
 
     def _infer_date_cols(self, df: DataFrame) -> list[str]:
@@ -134,11 +143,22 @@ class DocumentIndex:
                 tuples, lattice.to_struct_type(col_types)
             )
         if index not in self._indices:
-            self.register(index, data)  # keeps the date-column cache fresh
+            self.register(index, data)  # infers the date-column cache once
             return data
         existing = self._indices[index]
         deduped = Warehouse._dedup_last_wins(data, key)
         kept = existing.join(F.broadcast(deduped.select(key)), on=key, how="left_anti")
-        merged = kept.unionByName(deduped, allowMissingColumns=True)
-        self.register(index, merged)
+        # localCheckpoint (lazy) caps the per-insert lineage growth — an
+        # ingest loop would otherwise accrete one anti-join + union of
+        # plan per batch until analysis cost or driver memory blows up
+        merged = kept.unionByName(
+            deduped, allowMissingColumns=True
+        ).localCheckpoint(eager=False)
+        # keep the date-column cache instead of re-inferring: register()'s
+        # inference is a full-index aggregation, which would turn an
+        # N-batch ingest into O(N × index) scans; the merged frame has the
+        # same columns (new ones from this batch stay un-revived until an
+        # explicit re-register — the reference's scroll reader likewise
+        # revives only per its fixed regex, es.js:109-114)
+        self._indices[index] = merged
         return merged

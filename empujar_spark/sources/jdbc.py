@@ -60,6 +60,15 @@ class JdbcSource:
         ``limit`` honors getAllLimit (lib/book.js:74)."""
         opts: dict = {"dbtable": table}
         if partition_column is not None:
+            if lower_bound is None or upper_bound is None:
+                # str(None) would reach the JDBC datasource as the literal
+                # 'None' and die in a cryptic bound-parse error deep inside
+                # the relation — fail loudly at the call site instead
+                raise ValueError(
+                    "partition_column requires explicit lower_bound and "
+                    "upper_bound (run a MIN/MAX query first, or omit "
+                    "partition_column for a single-partition read)"
+                )
             opts.update(
                 partitionColumn=partition_column,
                 lowerBound=str(lower_bound),

@@ -236,3 +236,20 @@ def test_temperature_mixture_flattens_skew(spark):
     # deterministic across reruns
     again = temperature_mixture(df, alpha=0.3, target_frac=0.5).toPandas()
     assert sorted(again["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_grouped_topk_float_group_null_vs_nan_distinct(spark):
+    """Spark treats NULL and NaN group keys as DISTINCT groups; the
+    pandas prefilter maps both to NaN and would merge them — those rows
+    must route around the prefilter so each group keeps its own top-k."""
+    from empujar_spark.operators.topk import grouped_topk
+
+    df = spark.createDataFrame(
+        [(None, 1, 10.0), (float("nan"), 2, 5.0), (1.0, 3, 7.0)],
+        "g double, id int, v double",
+    )
+    out = grouped_topk(df, ["g"], "v", "id", k=1)
+    rows = out.collect()
+    assert len(rows) == 3  # one winner per distinct group: NULL, NaN, 1.0
+    by_id = {r.id: r.rnk for r in rows}
+    assert by_id == {1: 1, 2: 1, 3: 1}

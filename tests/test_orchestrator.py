@@ -238,3 +238,77 @@ def test_connect_skips_unknown_type_when_tolerant(tmp_path):
     )
     tolerant.connect(str(tmp_path / "config"))  # no raise
     assert "bad" not in tolerant.connections
+
+
+def test_chapter_fail_fast_cancels_queued_pages(spark):
+    """The first page failure must CANCEL the queued backlog (reference
+    fail-fast, lib/chapter.js:116-118) — with threads=1, pages after the
+    failing one must never start."""
+    import pytest as _pytest
+
+    from empujar_spark.book import Book
+    from empujar_spark.errors import PageError
+
+    book = Book(spark=spark, name="failfast")
+    ch = book.add_chapter(100, "c", threads=1)
+    ran = []
+
+    def boom():
+        ran.append("p1")
+        raise RuntimeError("p1 dies")
+
+    ch.add_page("p1", boom)
+    for i in (2, 3, 4):
+        ch.add_page(f"p{i}", lambda i=i: ran.append(f"p{i}"))
+    with _pytest.raises(PageError):
+        ch.run()
+    assert ran == ["p1"], f"queued pages ran after the failure: {ran}"
+
+
+def test_pid_lock_holds_on_permission_error(monkeypatch):
+    """EPERM from kill(pid, 0) means the process EXISTS under another
+    user — the single-instance lock must hold, not be overwritten."""
+    from empujar_spark import book as B
+
+    def eperm(pid, sig):
+        raise PermissionError("not permitted")
+
+    monkeypatch.setattr(B.os, "kill", eperm)
+    assert B._pid_running(12345) is True
+
+
+def test_book_connect_missing_type_skips_cleanly(spark, tmp_path):
+    """A connection config without 'type' must log-and-skip under
+    fail_on_connection_error=False (not crash in its own error handler)
+    and raise a clear error otherwise."""
+    import json
+
+    import pytest as _pytest
+
+    from empujar_spark.book import Book
+    from empujar_spark.errors import UnknownConnectionType
+
+    cdir = tmp_path / "config" / "connections"
+    cdir.mkdir(parents=True)
+    (cdir / "bad.json").write_text(json.dumps({"name": "bad", "options": {}}))
+
+    strict = Book(spark=spark, name="b1")
+    with _pytest.raises(UnknownConnectionType):
+        strict.connect(str(tmp_path / "config"))
+
+    lenient = Book(
+        spark=spark, name="b2",
+        options={"fail_on_connection_error": False},
+    )
+    lenient.connect(str(tmp_path / "config"))  # must not raise
+    assert "bad" not in lenient.connections
+
+
+def test_jdbc_partition_column_requires_bounds(spark):
+    import pytest as _pytest
+
+    from empujar_spark.sources.jdbc import JdbcSource
+
+    src = JdbcSource(spark, url="jdbc:h2:mem:x", driver="org.h2.Driver")
+    with _pytest.raises(ValueError, match="lower_bound"):
+        src.get_all("orders", partition_column="id")
