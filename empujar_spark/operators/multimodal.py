@@ -56,11 +56,7 @@ def text_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content", F.encode(F.col(text_col), "UTF-8"))
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Hash-spread rows across the cluster before a CPU-bound Python
-    kernel (single-file parquet input = one partition = one core)."""
-    n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n)
+from empujar_spark.operators.common import spread as _spread  # noqa: E402
 
 
 # --------------------------------------------------------------------- kernels
@@ -79,6 +75,8 @@ def _parse_image_dims(content: bytes) -> tuple[int, int] | None:
     if len(content) < 16:
         return None
     if content[:8] == b"\x89PNG\r\n\x1a\n" and content[12:16] == b"IHDR":
+        if len(content) < 24:  # truncated mid-IHDR: corrupt, not a crash
+            return None
         w, h = struct.unpack(">II", content[16:24])
         return (w, h)
     if content[:6] in (b"GIF87a", b"GIF89a"):
@@ -186,12 +184,19 @@ def frame_sample_plan(
     rows — one per sampled "frame" — without decoding (the real decoder
     slots into extract_image_features' kernel). Pure JVM-side sequence
     explode; scales linearly, no shuffle."""
-    n_frames = (F.col("mm_meta.n_bytes") / every_n_bytes).cast("int")
+    n_frames = F.greatest(
+        (F.col("mm_meta.n_bytes") / every_n_bytes).cast("int"), F.lit(1)
+    )
     return (
+        # zero-byte payloads have no frames to sample — emit NO rows
+        # (the old greatest(n_frames-1, 0) floor emitted a phantom
+        # frame_no=0 pointing into an empty blob); non-empty payloads
+        # shorter than every_n_bytes still sample one frame at offset 0
         df.select(id_col, "mm_meta")
+        .filter(F.col("mm_meta.n_bytes") > 0)
         .withColumn(
             "frame_no",
-            F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))),
+            F.explode(F.sequence(F.lit(0), n_frames - 1)),
         )
         .select(
             id_col,

@@ -75,16 +75,19 @@ def cosine_topk(
     # norms are per-VECTOR, so compute them in the pre-join projections —
     # inside the pair expression each corpus norm would be re-folded once
     # per query (Q× redundant work on the big side)
-    q = queries.select(
+    # NULL and zero-norm vectors (failed embeddings, padding rows) have
+    # no defined cosine; dividing by a 0.0 norm is FATAL under Spark 4's
+    # default ANSI mode, so filter them out of both sides up front
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
-    )
-    c = corpus.select(
+    ).filter(F.col("q_norm") > 0)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
         / (F.col("q_norm") * F.col("c_norm")),
@@ -218,13 +221,13 @@ def lsh_topk(
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
         F.explode(bucket_fn(F.col(vec_col))).alias("bucket"),
-    )
+    ).filter(F.col("c_norm") > 0)  # zero norm → ANSI div-by-zero
     q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(bucket_fn(F.col(vec_col))).alias("bucket"),
-    )
+    ).filter(F.col("q_norm") > 0)
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
         / (F.col("q_norm") * F.col("c_norm")),
@@ -274,7 +277,8 @@ def ivf_train(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
     ).cast("bigint")
     rows = (
-        corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(md5_key.asc(), F.col(id_col).asc())
         .limit(sample_size)
         .collect()
@@ -385,18 +389,20 @@ def ivf_topk(
     )
     assign = _nearest_centroids_udf(C, 1)
     probe = _nearest_centroids_udf(C, nprobe)
-    c = corpus.select(
+    # isNotNull BEFORE the centroid UDF: np.vstack over a batch holding
+    # None raises inside the kernel; zero norms are ANSI-fatal below
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
         assign(F.col(vec_col))[0].alias("cid"),
-    )
-    q = queries.select(
+    ).filter(F.col("c_norm") > 0)
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe(F.col(vec_col))).alias("cid"),
-    )
+    ).filter(F.col("q_norm") > 0)
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
         / (F.col("q_norm") * F.col("c_norm")),
@@ -442,19 +448,19 @@ def embedding_decontam(
     carries the (rare) contaminated hits, not the corpus.
     """
     _guard_brute_force(benchmark, "embedding_decontam benchmark side", force)
-    b = benchmark.select(
+    b = benchmark.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("bench_id"),
         F.col(vec_col).alias("b_vec"),
         _norm(F.col(vec_col)).alias("b_norm"),
-    )
+    ).filter(F.col("b_norm") > 0)
     # the corpus norm folds ONCE per vector here; inside the pair
     # expression it would re-fold once per benchmark row (|B|× on the
     # big side)
-    c = corpus.select(
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("c_vec"),
         _norm(F.col(vec_col)).alias("c_norm"),
-    )
+    ).filter(F.col("c_norm") > 0)
     cos = F.round(
         _dot(F.col("c_vec"), F.col("b_vec"))
         / (F.col("c_norm") * F.col("b_norm")),

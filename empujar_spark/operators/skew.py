@@ -26,10 +26,13 @@ def salted_count(df: DataFrame, key: str, salt: int = 16) -> DataFrame:
 
 def salted_agg(df: DataFrame, key: str, agg_col: str, salt: int = 16) -> DataFrame:
     """Two-phase sum per key (decimal-exact): same shape as salted_count."""
+    # decimal(38,6): the hot-key workloads this helper exists for carry
+    # large counters — an 18-digit cast overflows (ANSI job abort) at
+    # values >= 10^12 that a plain sum would handle fine
     partial = (
         df.withColumn("__salt", (F.rand(seed=0) * salt).cast("int"))
         .groupBy(key, "__salt")
-        .agg(F.sum(F.col(agg_col).cast("decimal(18,6)")).alias("__partial"))
+        .agg(F.sum(F.col(agg_col).cast("decimal(38,6)")).alias("__partial"))
     )
     return partial.groupBy(key).agg(F.sum("__partial").alias("total"))
 

@@ -43,10 +43,7 @@ def char_classes(text: Column) -> dict[str, Column]:
     }
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Documents often arrive as few large files (locally: one) — spread
-    CPU-heavy per-row work across cores before the map."""
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+from empujar_spark.operators.common import spread as _spread  # noqa: E402
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -141,8 +138,18 @@ def shingles_of_tokens(tokens: Column, k: int = 3) -> Column:
         idx,
         lambda i: F.concat_ws(" ", *[F.element_at(tokens, (i + j + 1).cast("int")) for j in range(k)]),
     )
+    # short non-blank docs fall back to ONE whole-text shingle (so
+    # 1-2-token near-identical docs can still pair); blank/NULL text
+    # yields an EMPTY set — the old [''] fallback made every blank doc
+    # "share" the empty gram with every other blank doc (quadratic
+    # all-blank pairing, and a blank benchmark row would mark every
+    # blank corpus doc contaminated)
+    whole = F.concat_ws(" ", tokens)
     return F.when(n >= k, F.array_distinct(grams)).otherwise(
-        F.array_distinct(F.array(F.concat_ws(" ", tokens)))
+        F.when(
+            F.coalesce(whole, F.lit("")) == "",
+            F.array().cast("array<string>"),
+        ).otherwise(F.array(whole))
     )
 
 
@@ -441,9 +448,12 @@ def chunk_documents(
     chunk_size - stride tokens of context).
 
     Output: (doc_id, chunk_id, n_chunk_tokens, chunk_text). chunk_id is
-    the 0-based window index; the final chunk is the natural remainder
-    (1..chunk_size tokens), never padded. Blank/NULL-text docs emit no
-    chunks (there is nothing to train on).
+    the 0-based window index; the final chunk is the LAST window that
+    adds new tokens — short when the doc ends mid-window, never padded,
+    and never a strict suffix of the previous chunk (a start within
+    chunk_size − stride of a doc-covering window would duplicate
+    training data it contributes nothing to). Blank/NULL-text docs emit
+    no chunks (there is nothing to train on).
 
     Plan shape for 100 TB: pure per-row column expressions — the window
     starts are a `sequence`, the chunks a `transform` + `slice` over the
@@ -455,7 +465,14 @@ def chunk_documents(
         raise ValueError("chunk_size and stride must be positive")
     blank_pred = F.coalesce(F.trim(F.col(text_col)), F.lit("")) == ""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    starts = F.sequence(F.lit(1), F.size("__toks"), F.lit(stride))
+    n = F.size("__toks")
+    # keep a start only while the PREVIOUS window hasn't already covered
+    # the whole doc (s == 1, or s ≤ n − chunk_size + stride): later
+    # windows are strict suffixes of the previous chunk
+    starts = F.filter(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda s: (s == 1) | (s <= n - chunk_size + stride),
+    )
     chunks = F.transform(
         starts, lambda s: F.slice(F.col("__toks"), s, chunk_size)
     )
@@ -616,8 +633,10 @@ def bm25_search(
     """
     all_terms = sorted({t for ts in queries.values() for t in ts})
     spark = df.sparkSession
+    # unique terms per query (Lucene-variant scoring): a repeated term in
+    # the query list would fan the tf join out and double its partial sum
     qterms = spark.createDataFrame(
-        [(q, t) for q, ts in queries.items() for t in ts],
+        [(q, t) for q, ts in queries.items() for t in sorted(set(ts))],
         "query_id string, term string",
     )
     spread = _spread(df)
@@ -721,15 +740,16 @@ def word_freqs(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def _merge_pair_expr(syms: str, left: str, right: str) -> Column:
+def _merge_pair_expr(syms, left: str, right: str) -> Column:
     """Greedy left-to-right single-pass merge of adjacent (left, right)
-    symbol pairs inside an array column — a JVM-side aggregate fold
-    (struct accumulator: emitted prefix + one pending symbol), no Python.
-    Overlaps resolve greedily: merging (a,a) over [a,a,a] → [aa, a],
-    the reference BPE behavior."""
+    symbol pairs inside an array column (name or Column) — a JVM-side
+    aggregate fold (struct accumulator: emitted prefix + one pending
+    symbol), no Python. Overlaps resolve greedily: merging (a,a) over
+    [a,a,a] → [aa, a], the reference BPE behavior."""
     l, r = F.lit(left), F.lit(right)
+    arr = F.col(syms) if isinstance(syms, str) else syms
     return F.aggregate(
-        F.col(syms),
+        arr,
         F.struct(
             F.lit([]).cast("array<string>").alias("out"),
             F.lit(None).cast("string").alias("pend"),
@@ -857,17 +877,21 @@ def bpe_encode(
     (vocab_prune / longest-match) — deeply nested fold codegen grows
     linearly with n_merges.
     """
-    # per-word char split, then flatten: spaces are hard boundaries, so
-    # applying merges to the flattened stream cannot cross words as long
-    # as no merge symbol contains a space — guaranteed because merges
-    # come from whitespace-split training (word_freqs)
+    # merges apply PER WORD, then the words' symbol streams concatenate:
+    # flattening first would let a merge pair straddle a word boundary
+    # ('xa by' + merge (a,b) must stay [x, a, b, y], never [x, ab, y]) —
+    # whitespace is a hard token boundary in BPE, exactly as in training
+    # where pairs are only ever counted inside one word.
+    def encode_word(w):
+        col = F.split(w, "")
+        for left, right in merges:
+            col = _merge_pair_expr(col, left, right)
+        return col
+
     syms = F.flatten(
         F.transform(
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
-            lambda w: F.split(w, ""),
+            encode_word,
         )
     )
-    out = df.withColumn(out_col, syms)
-    for left, right in merges:
-        out = out.withColumn(out_col, _merge_pair_expr(out_col, left, right))
-    return out
+    return df.withColumn(out_col, syms)

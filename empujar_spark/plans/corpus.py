@@ -901,6 +901,11 @@ _SHINGLES_SQL = """
       FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
             FROM documents)
       WHERE len(t) >= 3
+      UNION ALL
+      SELECT doc_id, array_to_string(t, ' ') AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+      WHERE len(t) < 3 AND array_to_string(t, ' ') <> ''
 """
 
 @q(
@@ -1241,11 +1246,12 @@ def multimodal_meta(spark, sf_dir):
     "frame_sample",
     """
     SELECT doc_id,
-           CAST(unnest(generate_series(0, greatest(octet_length(encode(text)) // 1024 - 1, 0)))
+           CAST(unnest(generate_series(0, greatest(octet_length(encode(text)) // 1024, 1) - 1))
                 AS BIGINT) AS frame_no,
-           CAST(unnest(generate_series(0, greatest(octet_length(encode(text)) // 1024 - 1, 0))) * 1024
+           CAST(unnest(generate_series(0, greatest(octet_length(encode(text)) // 1024, 1) - 1)) * 1024
                 AS BIGINT) AS byte_offset
     FROM documents
+    WHERE octet_length(encode(text)) > 0
     """,
 )
 def frame_sample(spark, sf_dir):
@@ -1443,9 +1449,11 @@ def oov_rate(spark, sf_dir):
       SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
       FROM documents WHERE coalesce(trim(text), '') <> ''),
     s AS (
-      SELECT doc_id, toks,
-             unnest(generate_series(1, len(toks), 48)) AS start
-      FROM t)
+      SELECT doc_id, toks, start FROM (
+        SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks), 48)) AS start
+        FROM t)
+      WHERE start = 1 OR start <= len(toks) - 64 + 48)
     SELECT doc_id,
            CAST((start - 1) // 48 AS BIGINT) AS chunk_id,
            CAST(len(list_slice(toks, start, start + 63)) AS BIGINT)
@@ -4591,6 +4599,11 @@ _SHINGLES5_SQL = """
       FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
             FROM documents)
       WHERE len(t) >= 5
+      UNION ALL
+      SELECT doc_id, array_to_string(t, ' ') AS g
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM documents)
+      WHERE len(t) < 5 AND array_to_string(t, ' ') <> ''
 """
 
 @q(

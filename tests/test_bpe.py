@@ -144,3 +144,16 @@ def test_bpe_encode_plan_has_no_shuffle_or_python(spark):
     plan = enc._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "Python" not in plan and "MapInPandas" not in plan
+
+
+def test_bpe_encode_never_merges_across_word_boundary(spark):
+    """Whitespace is a hard BPE boundary: a merge pair whose halves end
+    one word and start the next must NOT fuse ('xa by' + merge (a,b)
+    stays [x, a, b, y] — a flattened-stream encoder would emit 'ab')."""
+    df = spark.createDataFrame([("xa by",)], ["text"])
+    out = X.bpe_encode(df, [("a", "b")]).collect()[0].bpe_tokens
+    assert out == ["x", "a", "b", "y"]
+    # and the same pair DOES merge inside one word
+    df2 = spark.createDataFrame([("xab y",)], ["text"])
+    out2 = X.bpe_encode(df2, [("a", "b")]).collect()[0].bpe_tokens
+    assert out2 == ["x", "ab", "y"]

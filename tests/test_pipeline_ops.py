@@ -141,19 +141,29 @@ def test_grouped_linear_trend_matches_numpy(spark):
 
 
 def test_chunk_documents_windows_and_remainder(spark):
-    # 10 tokens, chunk_size=4, stride=3 → starts 1,4,7,10:
-    # [t1..t4], [t4..t7], [t7..t10], [t10] — final chunk is the remainder
+    # 10 tokens, chunk_size=4, stride=3 → candidate starts 1,4,7,10; the
+    # window at 10 is a strict suffix of [t7..t10] (adds no new token)
+    # and is dropped: [t1..t4], [t4..t7], [t7..t10]
     text = " ".join(f"t{i}" for i in range(1, 11))
     df = spark.createDataFrame(
         [(1, text), (2, "  "), (3, None)], "doc_id int, text string"
     )
     out = X.chunk_documents(df, chunk_size=4, stride=3).collect()
     rows = {r["chunk_id"]: r for r in out}
-    assert [r["doc_id"] for r in out] == [1, 1, 1, 1]  # blank/NULL emit none
+    assert [r["doc_id"] for r in out] == [1, 1, 1]  # blank/NULL emit none
     assert rows[0]["chunk_text"] == "t1 t2 t3 t4"
     assert rows[1]["chunk_text"] == "t4 t5 t6 t7"
-    assert rows[3]["chunk_text"] == "t10"
-    assert rows[3]["n_chunk_tokens"] == 1
+    assert rows[2]["chunk_text"] == "t7 t8 t9 t10"
+
+    # 11 tokens: the window at 10 adds t11 → kept as the short remainder
+    text11 = " ".join(f"t{i}" for i in range(1, 12))
+    out11 = X.chunk_documents(
+        spark.createDataFrame([(1, text11)], "doc_id int, text string"),
+        chunk_size=4, stride=3,
+    ).collect()
+    last = max(out11, key=lambda r: r["chunk_id"])
+    assert last["chunk_text"] == "t10 t11"
+    assert last["n_chunk_tokens"] == 2
 
 
 def test_chunk_documents_overlap_covers_every_token(docs):
