@@ -85,7 +85,9 @@ def main(argv: list[str] | None = None) -> None:
     spark = get_spark("etl-book")
     wh = Warehouse(spark, args.warehouse, primary_key="id")
     book = build_etl_book(spark, args.source, wh, threads=args.threads)
-    book.chapter_filter = __import__("empujar_spark.book", fromlist=["x"])._parse_chapter_filter(args.chapters)
+    from empujar_spark.book import _parse_chapter_filter
+
+    book.chapter_filter = _parse_chapter_filter(args.chapters)
     book.get_all_limit = args.get_all_limit
     book.log_state_events = True
     book.run()

@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 
 
 def chapter_loader(book):
-    from empujar_spark.operators.text import fingerprint
+    from empujar_spark.operators.text import fingerprint_col
     from empujar_spark.plans.corpus import load
 
     chapter = book.add_chapter(100, "ingest", threads=2)
@@ -25,7 +25,11 @@ def chapter_loader(book):
 
     def ingest_documents():
         docs = load(spark, source_dir, "documents")
-        fp = fingerprint(docs).join(docs, "doc_id")
+        # fingerprint as a projection on the SAME scan — joining
+        # fingerprint(docs) back to docs would re-scan the source and
+        # pay a doc_id shuffle just to re-attach the columns the
+        # projection dropped
+        fp = docs.withColumn("fingerprint", fingerprint_col(F.col("text")))
         if "documents" in wh.show_tables():
             seen = wh.read("documents").select("fingerprint").distinct()
             fp = fp.join(seen, "fingerprint", "left_anti")

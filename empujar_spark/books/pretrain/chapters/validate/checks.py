@@ -33,12 +33,18 @@ def chapter_loader(book):
             Q.expect_in_range(seqs, "seq_offset", 0, 255),
             Q.expect_not_null(clean, "clean_text"),
         ])
-        wh.insert_data("quality_audit", audit, merge_key="check")
-        failed = [
-            r.check
-            for r in wh.read("quality_audit").collect()
-            if r.passed == 0
-        ]
+        # Gate on THIS run's audit, not the upserted history: a stale row
+        # from a renamed/removed check would otherwise fail the gate
+        # forever (or a historical pass could mask a current failure the
+        # merge didn't overwrite). The audit rows are tiny (one per
+        # check), so collect them once and reuse for both persist + gate.
+        rows = audit.collect()
+        wh.insert_data(
+            "quality_audit",
+            book.spark.createDataFrame(rows, audit.schema),
+            merge_key="check",
+        )
+        failed = [r.check for r in rows if r.passed != 1]
         if failed:
             raise ValueError(f"quality gate failed: {failed}")
 

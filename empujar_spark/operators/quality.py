@@ -20,9 +20,13 @@ from pyspark.sql import functions as F
 
 
 def _one(df: DataFrame, name: str, violations: Column) -> DataFrame:
+    # coalesce: aggregates like sum() return NULL over an EMPTY input,
+    # and a NULL n_violations would make passed = (NULL == 0) = NULL —
+    # which an `== 0` fail-fast gate silently treats as a pass. Zero
+    # rows means zero violations for every check shape used here.
     return df.agg(
         F.lit(name).alias("check"),
-        violations.cast("bigint").alias("n_violations"),
+        F.coalesce(violations.cast("bigint"), F.lit(0)).alias("n_violations"),
     )
 
 

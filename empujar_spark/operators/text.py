@@ -117,12 +117,20 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def fingerprint_col(text: Column) -> Column:
+    """md5-of-normalized-text as a pure COLUMN expression — compose it
+    into an existing projection (e.g. the ingest book adds it to the
+    source scan) instead of joining fingerprint()'s two-column frame
+    back to the data."""
+    normalized = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
+    return F.md5(F.encode(normalized, "UTF-8"))
+
+
 def fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of whitespace-normalized lowercased text.
     Identical bytes ⇒ identical fingerprint — the exact-dedup key."""
-    normalized = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     return df.select(
-        "doc_id", F.md5(F.encode(normalized, "UTF-8")).alias("fingerprint")
+        "doc_id", fingerprint_col(F.col(text_col)).alias("fingerprint")
     )
 
 

@@ -102,12 +102,32 @@ def dec(col) -> F.Column:
     return c.cast("decimal(18,6)")
 
 
+# Every per-(session, sf_dir) cache below registers here so
+# _session_key can evict entries bound to DEAD sessions: a process that
+# loops get_spark()/stop() would otherwise accumulate one entry (plus
+# one /tmp warehouse) per application forever, pinning DataFrames whose
+# contexts no longer exist. Only one SparkContext is live per process,
+# so purging every foreign-appId entry on access is safe.
+_SESSION_CACHES: list[dict] = []
+
+
+def _session_cache() -> dict:
+    c: dict = {}
+    _SESSION_CACHES.append(c)
+    return c
+
+
 def _session_key(spark: SparkSession) -> str:
     """Session-lifetime cache token for the per-(session, sf_dir) caches
     below: applicationId is unique per SparkContext, unlike id(spark),
     which CPython can reuse after a session is garbage-collected —
     a stale-cache collision waiting to happen (r5 ADVICE)."""
-    return spark.sparkContext.applicationId
+    app = spark.sparkContext.applicationId
+    for cache in _SESSION_CACHES:
+        stale = [k for k in cache if k[0] != app]
+        for k in stale:
+            del cache[k]
+    return app
 
 
 _TMP_WAREHOUSE_DIRS: list[str] = []
@@ -219,6 +239,8 @@ def watermark_extract(spark, sf_dir):
     )
     import datetime as dt
 
+    if wm is None:  # no finalized orders: the get_max None contract → full extract
+        return o
     return o.filter(F.col("o_orderdate") >= F.lit(wm - dt.timedelta(days=90)))
 
 
@@ -725,8 +747,10 @@ def retention_cohorts(spark, sf_dir):
         .select(
             "user_id",
             F.to_date("__t0").alias("__d0"),
-            (F.datediff(F.to_date("__t0"), anchor) / 7)
-            .cast("int")
+            # floor(), not int-cast: cast truncates toward ZERO, so a
+            # pre-anchor first-seen date (-12 days → -1.71) would land in
+            # week -1 while the oracle's // floor-divides to -2
+            F.floor(F.datediff(F.to_date("__t0"), anchor) / 7)
             .cast("bigint")
             .alias("cohort_week"),
         )
@@ -1591,7 +1615,7 @@ def embedding_ivf_exact(spark, sf_dir):
 # per-query work is the probe join, and that is what repeat invocations
 # (and the bench) should measure. Training is deterministic (md5-ordered
 # sample + Lloyd), so caching cannot change any result.
-_IVF_CACHE: dict = {}
+_IVF_CACHE: dict = _session_cache()
 
 
 def _ivf_centroids(spark, sf_dir, n_centroids):
@@ -1821,9 +1845,10 @@ def gapfill_weekly(spark, sf_dir):
     "data_quality_checks",
     """
     SELECT 'unique(o_orderkey)' AS check,
-           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+           CAST(count(*) - count(DISTINCT row(o_orderkey)) AS BIGINT)
                AS n_violations,
-           CAST(count(*) - count(DISTINCT o_orderkey) = 0 AS INT) AS passed
+           CAST(count(*) - count(DISTINCT row(o_orderkey)) = 0 AS INT)
+               AS passed
     FROM orders
     UNION ALL
     SELECT 'not_null(ts)',
@@ -2592,7 +2617,7 @@ def streaming_user_totals(spark, sf_dir):
     )
 
 
-_CDC_WH: dict = {}
+_CDC_WH: dict = _session_cache()
 
 
 @q(
@@ -2608,7 +2633,6 @@ def streaming_cdc_upsert(spark, sf_dir):
     warehouse's final state must equal the source exactly — what's under
     test is that the stream→merge path neither drops, duplicates, nor
     mangles rows across micro-batches."""
-    import tempfile
 
     from empujar_spark.catalog import Warehouse
     from empujar_spark.streaming import stream_ops as SO
@@ -2808,7 +2832,7 @@ def dedup_keep_best(spark, sf_dir):
 # label propagation is the expensive build step; retention/reporting
 # passes consume the assignment table. Deterministic, so caching cannot
 # change any result.
-_NDC_CACHE: dict = {}
+_NDC_CACHE: dict = _session_cache()
 
 
 def _ndc_clusters(spark, sf_dir):
@@ -3257,7 +3281,11 @@ def q12_priority_shipping(spark, sf_dir):
         .groupBy("l_linestatus")
         .agg(
             F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
-            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+            # NOT ~high, not otherwise(1): a NULL priority makes `high`
+            # NULL, and when(NULL, 0).otherwise(1) would count the row
+            # as low while the oracle's CASE WHEN x NOT IN (...) falls
+            # through to ELSE 0 — mirror the oracle's NULL-drops-out rule
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
         )
     )
 
@@ -4187,7 +4215,7 @@ def range_join_events(spark, sf_dir):
     )
 
 
-_ROLLUP_WH: dict = {}
+_ROLLUP_WH: dict = _session_cache()
 
 
 @q(
@@ -4206,7 +4234,6 @@ def incremental_rollup(spark, sf_dir):
     one-shot GROUP BY the oracle runs, bit for bit. At 100 TB the fact
     table is never rescanned; only rows past the stored watermark
     aggregate."""
-    import tempfile
 
     from empujar_spark.catalog import Warehouse
 
@@ -4232,7 +4259,7 @@ def incremental_rollup(spark, sf_dir):
     )
 
 
-_SCD2_WH: dict = {}
+_SCD2_WH: dict = _session_cache()
 
 
 @q(
@@ -4266,7 +4293,6 @@ def scd2_history(spark, sf_dir):
     key, consecutive no-change versions suppressed) through its staged
     atomic write. Oracle recomputes the same intervals with window
     functions."""
-    import tempfile
 
     from empujar_spark.catalog import Warehouse
 
@@ -4291,7 +4317,7 @@ def scd2_history(spark, sf_dir):
     return _SCD2_WH[key].read("dim_cust_priority")
 
 
-_BUCKETED_WH: dict = {}
+_BUCKETED_WH: dict = _session_cache()
 
 
 @q(
@@ -4313,7 +4339,6 @@ def bucketed_join_agg(spark, sf_dir):
     distkey analogue, redshift.js:340-342). Bucketing happens once per
     (session, sf_dir) here; results are identical to the plain join the
     oracle runs."""
-    import tempfile
 
     from empujar_spark.catalog import Warehouse
 
@@ -4743,7 +4768,7 @@ def event_value_trend(spark, sf_dir):
     return P.grouped_linear_trend(ev, ["event_type"], x, F.col("value"))
 
 
-_PART_WH: dict = {}
+_PART_WH: dict = _session_cache()
 
 @q(
     "partitioned_prune",
@@ -4761,7 +4786,6 @@ def partitioned_prune(spark, sf_dir):
     types. At 100 TB this is the difference between reading 1/5 of the
     table and all of it. Results equal the plain filtered scan the
     oracle runs."""
-    import tempfile
 
     from empujar_spark.catalog import Warehouse
 
@@ -4785,7 +4809,7 @@ def partitioned_prune(spark, sf_dir):
     )
 
 
-_CLUST_WH: dict = {}
+_CLUST_WH: dict = _session_cache()
 
 
 @q(
@@ -4809,7 +4833,6 @@ def clustered_prune(spark, sf_dir):
     high-cardinality keys, where Hive partitioning (one dir per value)
     would explode the namespace. Results equal the plain filtered scan
     the oracle runs."""
-    import tempfile
 
     from empujar_spark.catalog import Warehouse
 
@@ -4840,7 +4863,7 @@ def clustered_prune(spark, sf_dir):
     )
 
 
-_ZORD_WH: dict = {}
+_ZORD_WH: dict = _session_cache()
 
 
 @q(
@@ -4890,7 +4913,7 @@ def zorder_prune(spark, sf_dir):
     )
 
 
-_SNAP_WH: dict = {}
+_SNAP_WH: dict = _session_cache()
 
 
 @q(
@@ -4906,7 +4929,6 @@ def snapshot_read(spark, sf_dir):
     (the oracle is the untouched source table). Hardlink clones of
     immutable staged parquet: Delta/Iceberg-style pinning for
     reproducible training runs, at zero copy cost."""
-    import tempfile
 
     from empujar_spark.catalog import Warehouse
 

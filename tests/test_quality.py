@@ -79,3 +79,18 @@ def test_expect_fresh_stale_and_fresh(spark):
     assert (fresh.n_violations, fresh.passed) == (0, 1)
     assert (stale.n_violations, stale.passed) == (1, 0)
     assert (empty.n_violations, empty.passed) == (1, 0)
+
+
+def test_checks_pass_on_empty_input(spark):
+    """Aggregating an EMPTY table must yield n_violations=0 / passed=1 —
+    sum() over zero rows is NULL, and a NULL passed flag silently slips
+    through any `== 0` fail-fast gate (an empty corpus would publish)."""
+    empty = spark.createDataFrame([], "id int, d double, flag string")
+    out = Q.run_checks([
+        Q.expect_not_null(empty, "id"),
+        Q.expect_in_range(empty, "d", 0.0, 1.0),
+        Q.expect_accepted_values(empty, "flag", ["A"]),
+        Q.expect_unique(empty, ["id"]),
+    ]).collect()
+    for r in out:
+        assert r.n_violations == 0 and r.passed == 1, r
