@@ -2798,7 +2798,7 @@ def near_dup_clusters(spark, sf_dir):
     ntok AS (
       SELECT doc_id,
              CAST(CASE WHEN COALESCE(trim(text), '') = '' THEN 0
-                       ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                       ELSE len(regexp_split_to_array(trim(text), '\\s+'))
                   END AS BIGINT) AS n_tokens
       FROM documents)
     SELECT c.doc_id, c.cluster_id, t.n_tokens,
@@ -5719,84 +5719,34 @@ def copurchase_pagerank(spark, sf_dir):
 
 
 # =====================================================================
-# Driver-gate registration order — round-7 rotation
+# Driver-gate registration order — round-8 rotation
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round. Order by evidence value so a truncated run
-# still lands the rows that matter. Round-7 rotation (VERDICT r6 item 1):
-#   1. _GATE_ORDER_R7_FIRST — the 39 entries with ZERO driver rows in
-#      any CORRECTNESS_r0{1..6}.json (computed, not hand-counted: see
-#      tests/test_gate_order.py which re-derives this census from the
-#      recorded JSON and asserts these lists partition CORPUS exactly).
-#      The 11 judge-only TPC-H shapes lead — the headline suite claim.
-#      All 39 were verified exact-green by the r6 judge's own sf0.01
-#      oracle run; this rotation converts that to driver evidence.
-#   2. Anything NOT pinned in a list below — entries added THIS round.
-#   3. _GATE_ORDER_ROWS_ONLY — the 3 no-oracle approximate entries
-#      (recall pinned in tests/test_similarity.py); rows-check only.
-#   4. _GATE_ORDER_R5_STALE — the 47 entries last proven in r5 (two
-#      rounds stale after this round); the ~8 slots left under the cap
+# still lands the rows that matter. Round-8 rotation (VERDICT r7 item 4):
+#   1. _GATE_ORDER_R8_FIRST — the 45 entries whose latest driver
+#      evidence is CORRECTNESS_r05.json (three rounds stale after this
+#      round). `hll_rolling_distinct` leads: its only driver row
+#      predates the exact count-distinct oracle pairing added in r6,
+#      so this is its first exact-gated run (VERDICT r7 missing #2).
+#      The census is computed, not hand-counted — see
+#      tests/test_gate_order.py, which re-derives it from the recorded
+#      JSON and asserts these lists partition CORPUS exactly.
+#   2. Anything NOT pinned in a list below — entries added THIS round
+#      (the two pipeline-summary gates, VERDICT r7 missing #1).
+#   3. _GATE_ORDER_ROWS_ONLY — the no-oracle approximate entries
+#      (recall pinned in tests/test_similarity.py; bpe_merges golden
+#      -tested in tests/test_bpe.py); rows-check only.
+#   4. _GATE_ORDER_R6_STALE — the 50 entries last proven in r6 (two
+#      rounds stale after this round); remaining slots under the cap
 #      go to the head of this block.
-#   5. _GATE_ORDER_R6_PROVEN — the 50 entries green in
-#      CORRECTNESS_r06.json (freshest evidence) yield their slots.
+#   5. _GATE_ORDER_R7_PROVEN — the 44 entries exact-green in
+#      CORRECTNESS_r07.json (freshest evidence) yield their slots.
 
-_GATE_ORDER_R7_FIRST = [
-    # --- the 11 judge-only TPC-H shapes (headline suite claim) ---
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q22_dormant_customers",
-    # --- remaining never-driver-checked entries (rounds 5-6 additions) ---
-    "retention_cohorts",
-    "minhash_incremental_pairs",
-    "oov_rate",
-    "doc_chunks",
-    "vocab_prune",
-    "asof_join_forward_events",
-    "gapfill_hourly",
-    "data_quality_checks",
-    "bm25_search",
-    "null_safe_join",
-    "retrieval_quality",
-    "cumulative_new_users",
-    "hybrid_search_rrf",
-    "streaming_quality_audit",
-    "dedup_keep_best",
-    "source_quota_cap",
-    "zorder_prune",
-    "temperature_mixture",
-    "segment_dedup",
-    "embedding_decontam",
-    "winsorized_stats",
-    "quality_median_filter",
-    "label_centroids",
-    "event_transitions",
-    "bigram_doc_score",
-    "copurchase_pairs",
-    "copurchase_triangles",
-    "copurchase_pagerank",
-]
-# Rows-only (no-oracle) entries: weaker check, keep them inside the
-# ~50-row window but after everything oracle-paired and unproven.
-_GATE_ORDER_ROWS_ONLY = [
-    "embedding_dup_pairs_ann",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "hybrid_search_rrf_ann",  # added r7 with the exact/ANN hybrid split
-    "approx_stats_sketch",  # added r7: sketch-only production path
-    "bpe_merges",  # added r7: iterative merge argmax, golden-tested
-]
-# Last proven green in CORRECTNESS_r05.json — two rounds stale now.
-_GATE_ORDER_R5_STALE = [
-    "max_watermark",
-    "count_table",
+_GATE_ORDER_R8_FIRST = [
+    # --- first exact-gated run since the r6 oracle pairing ---
+    "hll_rolling_distinct",
+    # --- r5-stale entries (latest driver evidence: CORRECTNESS_r05) ---
     "watermark_extract",
     "correlated_count",
     "join_groupby_sum",
@@ -5833,7 +5783,6 @@ _GATE_ORDER_R5_STALE = [
     "streaming_join_events",
     "time_rollup_hierarchy",
     "range_join_events",
-    "hll_rolling_distinct",
     "event_value_trend",
     "partitioned_prune",
     "clustered_prune",
@@ -5843,8 +5792,18 @@ _GATE_ORDER_R5_STALE = [
     "source_overlap",
     "curated_corpus",
 ]
-# Green in CORRECTNESS_r06.json — freshest evidence, yield slots.
-_GATE_ORDER_R6_PROVEN = [
+# Rows-only (no-oracle) entries: weaker check, keep them inside the
+# gate window but after everything oracle-paired and stale.
+_GATE_ORDER_ROWS_ONLY = [
+    "embedding_dup_pairs_ann",
+    "embedding_lsh_topk",
+    "embedding_ivf_topk",
+    "hybrid_search_rrf_ann",  # added r7 with the exact/ANN hybrid split
+    "approx_stats_sketch",  # added r7: sketch-only production path
+    "bpe_merges",  # added r7: iterative merge argmax, golden-tested
+]
+# Last proven green in CORRECTNESS_r06.json — two rounds stale now.
+_GATE_ORDER_R6_STALE = [
     "q1_pricing_summary",
     "string_funcs",
     "date_funcs_monthly",
@@ -5896,22 +5855,72 @@ _GATE_ORDER_R6_PROVEN = [
     "pii_redaction",
     "pack_sequences",
 ]
+# Exact-green in CORRECTNESS_r07.json — freshest evidence, yield slots.
+_GATE_ORDER_R7_PROVEN = [
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume",
+    "q19_discounted_revenue",
+    "q22_dormant_customers",
+    "retention_cohorts",
+    "minhash_incremental_pairs",
+    "oov_rate",
+    "doc_chunks",
+    "vocab_prune",
+    "asof_join_forward_events",
+    "gapfill_hourly",
+    "data_quality_checks",
+    "bm25_search",
+    "null_safe_join",
+    "retrieval_quality",
+    "cumulative_new_users",
+    "hybrid_search_rrf",
+    "streaming_quality_audit",
+    "dedup_keep_best",
+    "source_quota_cap",
+    "zorder_prune",
+    "temperature_mixture",
+    "segment_dedup",
+    "embedding_decontam",
+    "winsorized_stats",
+    "quality_median_filter",
+    "label_centroids",
+    "event_transitions",
+    "bigram_doc_score",
+    "copurchase_pairs",
+    "copurchase_triangles",
+    "copurchase_pagerank",
+    # the three r7 middle-bucket additions, evidenced by the r7 record
+    # (VERDICT r7 item 1 — re-pinned as part of the r8 round-close routine)
+    "asof_join_tolerance_events",
+    "bpe_pair_counts",
+    "gapfill_weekly",
+    # the two r5-stale head entries the r7 window reached
+    "max_watermark",
+    "count_table",
+]
 
 
 def _gate_ordered() -> dict[str, Query]:
     pinned = (
-        set(_GATE_ORDER_R7_FIRST)
+        set(_GATE_ORDER_R8_FIRST)
         | set(_GATE_ORDER_ROWS_ONLY)
-        | set(_GATE_ORDER_R5_STALE)
-        | set(_GATE_ORDER_R6_PROVEN)
+        | set(_GATE_ORDER_R6_STALE)
+        | set(_GATE_ORDER_R7_PROVEN)
     )
     middle = [n for n in CORPUS if n not in pinned]  # new this round
     order = (
-        _GATE_ORDER_R7_FIRST
+        _GATE_ORDER_R8_FIRST
         + middle
         + _GATE_ORDER_ROWS_ONLY
-        + _GATE_ORDER_R5_STALE
-        + _GATE_ORDER_R6_PROVEN
+        + _GATE_ORDER_R6_STALE
+        + _GATE_ORDER_R7_PROVEN
     )
     missing = [n for n in order if n not in CORPUS]
     assert not missing, f"gate order names unknown queries: {missing}"
