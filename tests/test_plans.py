@@ -170,6 +170,11 @@ _PLAN_AUDIT_SKIP = {
     "incremental_rollup",
     "scd2_history",
     "bucketed_join_agg",
+    # the pipeline-summary gates run their whole book at call time and
+    # return a collected ≤40-row summary — the books' own plans are
+    # audited by test_etl_book / test_pretrain_book
+    "etl_pipeline_summary",
+    "pretrain_pipeline_summary",
 }
 
 
