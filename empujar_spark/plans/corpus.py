@@ -4537,8 +4537,12 @@ def bpe_merges(spark, sf_dir):
     argmax is sequential by definition) → rows-only; exact behavior is
     golden-tested against a pure-Python reference in tests/test_bpe.py,
     and the first iteration's pair table is the oracle-paired
-    `bpe_pair_counts`. Scale: iterations run on the |distinct words|
-    table, corpus-size-independent after the one word_freqs scan."""
+    `bpe_pair_counts`. Scale: ONE corpus scan collapses to the
+    vocabulary-bounded |distinct words| table; when that fits the
+    driver (it does even web-scale) the merge loop runs driver-local —
+    a 32k-merge vocab is dict passes, not 32k Spark jobs — with the
+    distributed per-iteration loop retained above the threshold
+    (bpe_train, both paths golden + cross-asserted)."""
     return X.bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
 
 

@@ -56,13 +56,32 @@ TEXTS = [
 ]
 
 
-def test_bpe_train_matches_reference(spark):
+@pytest.mark.parametrize("local_max_words", [500_000, 0])
+def test_bpe_train_matches_reference(spark, local_max_words):
+    """Both the driver-local fast path (default) and the distributed
+    loop (local_max_words=0) match the pure-Python reference."""
     df = spark.createDataFrame([(t,) for t in TEXTS], ["text"])
     got = [
         (r.rank, r.left, r.right, r.merged, r.pair_freq)
-        for r in X.bpe_train(df, n_merges=8).orderBy("rank").collect()
+        for r in X.bpe_train(df, n_merges=8, local_max_words=local_max_words)
+        .orderBy("rank")
+        .collect()
     ]
     assert got == _ref_bpe(TEXTS, 8)
+
+
+def test_bpe_local_equals_distributed(spark):
+    """The local fast path and the distributed loop produce identical
+    merge tables on real data — same argmax tie-break, same greedy
+    overlap semantics — and a 1-word threshold falls back to the
+    distributed loop rather than truncating the collected table."""
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").limit(80)
+    local = X.bpe_train(docs, n_merges=6).collect()
+    dist = X.bpe_train(docs, n_merges=6, local_max_words=0).collect()
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+    fallback = X.bpe_train(docs, n_merges=6, local_max_words=1).collect()
+    assert [tuple(r) for r in fallback] == [tuple(r) for r in dist]
 
 
 def test_bpe_greedy_overlap_semantics(spark):
@@ -79,15 +98,18 @@ def test_bpe_train_on_documents_deterministic(spark):
     than the pair table returns the exhausted prefix."""
     sf = "/root/testdata/sf0.001"
     docs = spark.read.parquet(f"{sf}/documents.parquet").limit(60)
-    a = X.bpe_train(docs.coalesce(1), n_merges=5).collect()
-    b = X.bpe_train(docs.repartition(7), n_merges=5).collect()
+    # local_max_words=0 pins the DISTRIBUTED loop — the path whose
+    # partition-invariance this test exists to cover.
+    a = X.bpe_train(docs.coalesce(1), n_merges=5, local_max_words=0).collect()
+    b = X.bpe_train(docs.repartition(7), n_merges=5, local_max_words=0).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert len(a) == 5
 
     tiny = spark.createDataFrame([("ab ab",)], ["text"])
-    drained = X.bpe_train(tiny, n_merges=50).collect()
-    # 'ab' has one pair; after merging (a,b) no pairs remain
-    assert [tuple(r)[:4] for r in drained] == [(0, "a", "b", "ab")]
+    for lmw in (500_000, 0):
+        drained = X.bpe_train(tiny, n_merges=50, local_max_words=lmw).collect()
+        # 'ab' has one pair; after merging (a,b) no pairs remain
+        assert [tuple(r)[:4] for r in drained] == [(0, "a", "b", "ab")]
 
 
 def test_pair_counts_shuffle_carries_pairs_not_corpus(spark):
