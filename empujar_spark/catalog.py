@@ -93,6 +93,13 @@ class Warehouse:
         # pruning turns time-range scans into directory selection at 100 TB)
         self.partition_cols = partition_cols or {}
         self.tables: list[str] = []  # cached like reference self.tables (mysql.js:78-80)
+        # table → ((inode, mtime_ns), inferred footer schema). Writes
+        # always rename a fresh staging dir over data/, so the stat key
+        # changes on every swap — including swaps by another process.
+        self._inferred_schema_cache: dict[str, tuple[tuple[int, int], T.StructType]] = {}
+        # rows the LAST merge_scd2 call rejected as older than the open
+        # version (0 when the table didn't exist yet) — see merge_scd2
+        self.scd2_rejected_late = 0
         self._lock = threading.RLock()
         os.makedirs(self.path, exist_ok=True)
         self.show_tables()
@@ -168,7 +175,16 @@ class Warehouse:
             for f in os.listdir(data_dir)
         ):
             return self.spark.createDataFrame([], schema)
-        inferred = self.spark.read.parquet(data_dir).schema
+        st = os.stat(data_dir)
+        key = (st.st_ino, st.st_mtime_ns)
+        cached = self._inferred_schema_cache.get(table)
+        if cached is not None and cached[0] == key:
+            inferred = cached[1]
+        else:
+            # footer inference (file listing + footer reads) runs once
+            # per data swap, not once per read() call
+            inferred = self.spark.read.parquet(data_dir).schema
+            self._inferred_schema_cache[table] = (key, inferred)
         by_name = {f.name: f.dataType for f in inferred}
         if all(
             by_name.get(f.name, f.dataType) == f.dataType
@@ -179,13 +195,15 @@ class Warehouse:
             df = self.spark.read.schema(schema).parquet(data_dir)
             return df.select(*[f.name for f in schema.fields])
         # skew window (crash between data swap and meta save, or vice
-        # versa): conform by CAST so the table stays readable — missing
-        # columns surface as NULL, widened/narrowed numerics cast
+        # versa): conform by try_cast so the table stays readable even
+        # under ANSI mode — missing columns surface as NULL, widened/
+        # narrowed numerics cast, residual incompatible values degrade
+        # to NULL instead of aborting the scan
         df = self.spark.read.parquet(data_dir)
         return df.select(
             *[
                 (
-                    F.col(f.name).cast(f.dataType)
+                    F.col(f.name).try_cast(f.dataType)
                     if f.name in by_name
                     else F.lit(None).cast(f.dataType)
                 ).alias(f.name)
@@ -555,6 +573,9 @@ class Warehouse:
         ``scd_valid_to`` (NULL = open) / ``scd_is_current``. Incoming rows
         open a new version only when tracked attributes actually changed;
         the previous version closes at the new version's timestamp.
+        Updates older than a key's open version are rejected (idempotent
+        CDC replay); the rejected count lands on
+        ``self.scd2_rejected_late`` and logs a WARNING when non-zero.
 
         Plan (one shuffle on the key): closed history rows pass through
         untouched; current rows union the update batch, a window per key
@@ -585,18 +606,32 @@ class Warehouse:
             # closed history — their interval would overlap rows this
             # merge never re-windows, making point-in-time reads return
             # two "valid" versions. Reject them: replaying an old CDC
-            # batch is then idempotent instead of corrupting.
+            # batch is then idempotent instead of corrupting. The
+            # rejected count is surfaced (scd2_rejected_late + a WARN)
+            # so operators can tell replay noise from genuinely
+            # out-of-order new facts, which are silently dropped
+            # otherwise; the extra count() job scans only the update
+            # batch joined to the slim key boundary, not the table.
             boundary = current.select(
                 *keys, F.col("scd_valid_from").alias("__cur_from")
             )
-            upd = (
-                upd.join(boundary, keys, "left")
-                .filter(
-                    F.col("__cur_from").isNull()
-                    | (F.col("scd_valid_from") >= F.col("__cur_from"))
-                )
-                .drop("__cur_from")
+            joined = upd.join(boundary, keys, "left")
+            on_time = F.col("__cur_from").isNull() | (
+                F.col("scd_valid_from") >= F.col("__cur_from")
             )
+            self.scd2_rejected_late = joined.filter(~on_time).count()
+            if self.scd2_rejected_late:
+                import logging as _logging
+
+                _logging.getLogger("empujar_spark").warning(
+                    "merge_scd2(%s): rejected %d late update row(s) older "
+                    "than the open version (CDC replay is idempotent; a "
+                    "genuinely new out-of-order fact needs a history "
+                    "rebuild)",
+                    table,
+                    self.scd2_rejected_late,
+                )
+            upd = joined.filter(on_time).drop("__cur_from")
             # A timestamp TIE between the open version and an update is a
             # same-instant supersede: keep exactly the update's attrs
             # (one version at t, deterministically), never an
@@ -614,6 +649,7 @@ class Warehouse:
         else:
             history = None
             versions = upd
+            self.scd2_rejected_late = 0
 
         w = Window.partitionBy(*keys).orderBy(F.col("scd_valid_from").asc())
         attrs = F.struct(*[F.col(c) for c in tracked])

@@ -707,6 +707,48 @@ def test_read_survives_meta_data_type_skew(spark, tmp_path):
     assert rows[0].x == 0  # cast double→long under the stale meta
 
 
+def test_read_skew_fallback_survives_ansi_incompatible_values(spark, tmp_path):
+    """Under Spark 4's default ANSI mode, a plain cast() in the skew
+    fallback would ABORT the scan on a non-numeric string → bigint;
+    try_cast degrades the residual value to NULL so the table stays
+    readable (the whole point of the fallback)."""
+    import json
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data(
+        "t", spark.createDataFrame([(1, "abc"), (2, "7")], "id int, x string")
+    )
+    mp = wh._meta_path("t")
+    meta = json.load(open(mp))
+    for c in meta["columns"]:
+        if c["name"] == "x":
+            c["kind"] = "long"
+    json.dump(meta, open(mp, "w"))
+    rows = {r.id: r.x for r in wh.read("t").collect()}  # must not raise
+    assert rows == {1: None, 2: 7}
+
+
+def test_read_schema_inference_cached_per_data_swap(spark, tmp_path):
+    """Footer inference runs once per data swap, not once per read():
+    repeated reads hit the (inode, mtime) cache; a write invalidates it."""
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data("t", spark.createDataFrame([(1, "a")], "id int, x string"))
+    assert wh.read("t").count() == 1
+    key1, schema1 = wh._inferred_schema_cache["t"]
+    # poison the cached schema object identity; a cache HIT returns the
+    # same object, a spurious re-inference would replace it
+    wh.read("t")
+    assert wh._inferred_schema_cache["t"][1] is schema1
+    wh.insert_data("t", spark.createDataFrame([(2, "b")], "id int, x string"))
+    assert wh.read("t").count() == 2
+    key2, _ = wh._inferred_schema_cache["t"]
+    assert key2 != key1  # the swap rotated the stat key
+
+
 def test_scd2_rejects_late_rows_and_resolves_ties_deterministically(spark, tmp_path):
     """A replayed CDC batch older than the open version must not create
     intervals overlapping closed history, and an update tied with the
@@ -726,11 +768,15 @@ def test_scd2_rejects_late_rows_and_resolves_ties_deterministically(spark, tmp_p
         "dim",
         spark.createDataFrame([(1, "v2", T(5))], "id int, attr string, updated_at timestamp"),
     )
-    # late replay: older than the open version (T5) — must be a no-op
+    assert wh.scd2_rejected_late == 0  # on-time merges reject nothing
+    # late replay: older than the open version (T5) — must be a no-op,
+    # and the rejected count is surfaced so operators can tell replay
+    # noise from a genuinely out-of-order new fact
     wh.merge_scd2(
         "dim",
         spark.createDataFrame([(1, "stale", T(3))], "id int, attr string, updated_at timestamp"),
     )
+    assert wh.scd2_rejected_late == 1
     rows = sorted(
         wh.read("dim").collect(), key=lambda r: r.scd_valid_from
     )
