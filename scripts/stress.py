@@ -71,11 +71,19 @@ def noop(df: DataFrame) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--factors", default="1,2,4,8")
+    ap.add_argument(
+        "--ops",
+        default="",
+        help="comma list restricting which ops run; results MERGE into an "
+        "existing --out capture (e.g. extend just embedding_ann/pagerank "
+        "to x16 without re-running the whole table)",
+    )
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "STRESS_LOCAL.json"))
     args = ap.parse_args()
     factors = [int(x) for x in args.factors.split(",")]
+    only = {x for x in args.ops.split(",") if x}
     spark = get_spark("stress")
 
     li0 = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
@@ -162,18 +170,32 @@ def main() -> None:
     noop(D_warm(docs0))
 
     secs: dict[str, dict[str, float]] = {}
+    if only and os.path.isfile(args.out):
+        with open(args.out) as fh:
+            secs = json.load(fh).get("secs", {})
     for f in factors:
         table = ops(f)
         for name, fn in table.items():
+            if only and name not in only:
+                continue
             t0 = time.monotonic()
             fn()
             secs.setdefault(name, {})[str(f)] = round(time.monotonic() - t0, 2)
             print(f"x{f} {name}: {secs[name][str(f)]}s", file=sys.stderr)
-    lo, hi = str(factors[0]), str(factors[-1])
-    ratio = {n: round(v[hi] / v[lo], 2) for n, v in secs.items() if v.get(lo)}
-    payload = {"sf": SF_DIR, "factors": factors, "secs": secs,
+    # per-op ratio over the op's OWN factor span (ops extended to a
+    # higher octave report t(max)/t(min) against their own ideal)
+    ratio: dict[str, float] = {}
+    ideal: dict[str, float] = {}
+    all_factors: set[int] = set()
+    for n, v in secs.items():
+        fs = sorted(int(k) for k in v)
+        all_factors.update(fs)
+        if v.get(str(fs[0])):
+            ratio[n] = round(v[str(fs[-1])] / v[str(fs[0])], 2)
+            ideal[n] = fs[-1] / fs[0]
+    payload = {"sf": SF_DIR, "factors": sorted(all_factors), "secs": secs,
                "scale_ratio": ratio,
-               "ideal_ratio": factors[-1] / factors[0]}
+               "ideal_ratio": ideal}
     with open(args.out, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps(payload))
