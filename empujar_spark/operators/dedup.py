@@ -125,6 +125,73 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by shingle containment
+    C(A→B) = |S(A)∩S(B)| / |S(A)| — the subset-duplication detector.
+
+    A short document quoted or embedded inside a much longer one has
+    near-total containment but a tiny symmetric Jaccard (the union is
+    dominated by the container), so Jaccard-threshold dedup never sees
+    it; containment is the standard complement (Broder's original
+    resemblance/containment pairing). Output one row per DIRECTION that
+    crosses the threshold: (contained_id, container_id, n_shared,
+    containment) — a near-identical pair emits both directions.
+
+    Plan: identical candidate shape to ngram_jaccard_pairs — explode →
+    (optional stop-shingle df-cap) → self-join on the shingle key →
+    count shared per unordered pair (ONE pair shuffle) — then the two
+    directions are derived from that small aggregated pair table by a
+    union of two filters, never a second candidate join. Same 100 TB
+    properties: one shuffle on the shingle, one on the pair, no
+    cartesian anywhere.
+    """
+    sh = doc_shingles(df, text_col, k)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+        sh = (
+            sh.join(freq.filter(F.col("__df") <= max_shingle_freq), "shingle")
+            .drop("__df")
+        )
+    from pyspark.sql import Window
+
+    sh = sh.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("a.n_sh").alias("na"),
+            F.first("b.n_sh").alias("nb"),
+        )
+    )
+    c_ab = F.round(F.col("n_shared") / F.col("na").cast("double"), 6)
+    c_ba = F.round(F.col("n_shared") / F.col("nb").cast("double"), 6)
+    fwd = shared.filter(c_ab >= threshold).select(
+        F.col("id_a").alias("contained_id"),
+        F.col("id_b").alias("container_id"),
+        "n_shared",
+        c_ab.alias("containment"),
+    )
+    rev = shared.filter(c_ba >= threshold).select(
+        F.col("id_b").alias("contained_id"),
+        F.col("id_a").alias("container_id"),
+        "n_shared",
+        c_ba.alias("containment"),
+    )
+    return fwd.unionByName(rev)
+
+
 def _md5_bucket(col: Column, seed: int, buckets: int = 2_147_483_647) -> Column:
     """Deterministic 31-bit hash, identical in any engine with md5 + hex
     parsing (the SQL twin uses the same hex window). One md5 digest yields

@@ -986,6 +986,44 @@ def ngram_jaccard_capped(spark, sf_dir):
     return D.ngram_jaccard_pairs(docs, k=3, threshold=0.1, max_shingle_freq=5)
 
 
+@q(
+    "containment_dup_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    c AS (
+      SELECT id_a, id_b, n_shared,
+             round(n_shared / CAST(sa.n_sh AS DOUBLE), 6) AS c_ab,
+             round(n_shared / CAST(sb.n_sh AS DOUBLE), 6) AS c_ba
+      FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b)
+    SELECT id_a AS contained_id, id_b AS container_id, n_shared,
+           c_ab AS containment
+    FROM c WHERE c_ab >= 0.5
+    UNION ALL
+    SELECT id_b, id_a, n_shared, c_ba FROM c WHERE c_ba >= 0.5
+    """,
+)
+def containment_dup_pairs(spark, sf_dir):
+    """ASYMMETRIC containment near-dups C(A→B) = |S(A)∩S(B)|/|S(A)| ≥
+    0.5 (operators/dedup.py containment_pairs) — the subset-duplication
+    detector: a short doc quoted inside a long one has near-total
+    containment but a Jaccard the container's size dilutes below any
+    dedup threshold, so symmetric near-dup passes never see it
+    (Broder's resemblance/containment pairing). Same candidate shape as
+    ngram_jaccard_pairs — shingle equi-join, ONE pair shuffle — with
+    both directions derived from the aggregated pair table by two
+    filters, never a second join; asymmetric-direction semantics pinned
+    synthetically in tests/test_dedup_properties.py."""
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_pairs(docs, k=3, threshold=0.5)
+
+
 # Windowed md5 scheme (dedup._md5_bucket): seed i slices the 8-hex-char
 # window i%4 of md5('{i//4}|' || v) — 4 hash functions per digest.
 def _mh_hash(seed: int) -> str:

@@ -64,3 +64,36 @@ def test_pagerank_mass_conservation(spark, pairs):
     ranks = [r.rank for r in pagerank(e, iters=3).collect()]
     assert all(r > 0 for r in ranks)
     assert abs(sum(ranks) - 1.0) < 1e-6
+
+
+def test_containment_detects_subset_duplication_jaccard_misses(spark):
+    """The defining case: a short doc fully quoted inside a 10x-longer
+    one — containment C(short→long) = 1.0 while symmetric Jaccard is
+    diluted below any dedup threshold; only the passing DIRECTION is
+    emitted, and a near-identical pair emits both directions."""
+    from empujar_spark.operators import dedup as D
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(20))
+    long = f"{filler} {short} {filler.replace('w', 'z')}"
+    df = spark.createDataFrame(
+        [(1, short), (2, long), (3, "unrelated text entirely " * 3)],
+        "doc_id long, text string",
+    )
+    rows = D.containment_pairs(df, k=3, threshold=0.8).collect()
+    assert [(r.contained_id, r.container_id, r.containment) for r in rows] == [
+        (1, 2, 1.0)
+    ]
+    # symmetric Jaccard on the same pair sits far below the threshold
+    jac = D.ngram_jaccard_pairs(df, k=3, threshold=0.0).collect()
+    j12 = [r.jaccard for r in jac if (r.id_a, r.id_b) == (1, 2)]
+    assert j12 and j12[0] < 0.1
+
+    twins = spark.createDataFrame(
+        [(1, short), (2, short + " omega")], "doc_id long, text string"
+    )
+    both = sorted(
+        (r.contained_id, r.container_id)
+        for r in D.containment_pairs(twins, k=3, threshold=0.8).collect()
+    )
+    assert both == [(1, 2), (2, 1)]
