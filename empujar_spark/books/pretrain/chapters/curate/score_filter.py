@@ -15,6 +15,15 @@ computed exactly once, the filter runs over the parquet scan where
 predicate pushdown on the (now plain) stat columns is a BENEFIT, and
 the scored table itself is the audit/threshold-tuning artifact a data
 team keeps anyway.
+
+Why the scored table is SLIM (doc_id + signals, no text): carrying the
+corpus text through documents_scored would write — and re-scan — the
+heaviest column twice. Instead the filter runs on the slim stat
+parquet (pushdown on plain columns) and the survivors equi-join back
+to the documents table on doc_id to pick up text for the curated
+write. At 100 TB that halves the pipeline's dominant IO; the join is
+one co-partitioned shuffle on the primary key versus a full second
+copy of the corpus.
 """
 
 from pyspark.sql import functions as F
@@ -38,13 +47,12 @@ def chapter_loader(book):
             docs,
             carry=[
                 (F.col("source"), "source"),
-                (F.col("text"), "text"),
                 (F.round(cls["n_alpha"].cast("double") / safe_n, 4), "alpha_ratio"),
                 (lang_pred, "lang_pred"),
             ],
         ).select(
             "doc_id", "source", "lang_pred", "n_tokens",
-            "alpha_ratio", "frac_dup_ngrams", "text",
+            "alpha_ratio", "frac_dup_ngrams",
         )
         wh.insert_data("documents_scored", scored, merge_key="doc_id")
         kept = wh.read("documents_scored").filter(
@@ -53,6 +61,7 @@ def chapter_loader(book):
             & (F.col("frac_dup_ngrams") <= 0.9)
             & (F.col("lang_pred") != "und")
         )
-        wh.insert_data("documents_curated", kept, merge_key="doc_id")
+        curated = kept.join(docs.select("doc_id", "text"), "doc_id")
+        wh.insert_data("documents_curated", curated, merge_key="doc_id")
 
     chapter.add_page("score+filter", score_and_filter)
