@@ -6023,213 +6023,85 @@ def pretrain_pipeline_summary(spark, sf_dir):
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
+# Driver-gate order — COMPUTED census (round 8)
+# =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
-# most ~50 rows per round. Order by evidence value so a truncated run
-# still lands the rows that matter. Round-8 rotation (VERDICT r7 item 4):
-#   1. _GATE_ORDER_R8_FIRST — the 45 entries whose latest driver
-#      evidence is CORRECTNESS_r05.json (three rounds stale after this
-#      round). `hll_rolling_distinct` leads: its only driver row
-#      predates the exact count-distinct oracle pairing added in r6,
-#      so this is its first exact-gated run (VERDICT r7 missing #2).
-#      The census is computed, not hand-counted — see
-#      tests/test_gate_order.py, which re-derives it from the recorded
-#      JSON and asserts these lists partition CORPUS exactly.
-#   2. Anything NOT pinned in a list below — entries added THIS round
-#      (the two pipeline-summary gates, VERDICT r7 missing #1).
-#   3. _GATE_ORDER_ROWS_ONLY — the no-oracle approximate entries
-#      (recall pinned in tests/test_similarity.py; bpe_merges golden
-#      -tested in tests/test_bpe.py); rows-check only.
-#   4. _GATE_ORDER_R6_STALE — the 50 entries last proven in r6 (two
-#      rounds stale after this round); remaining slots under the cap
-#      go to the head of this block.
-#   5. _GATE_ORDER_R7_PROVEN — the 44 entries exact-green in
-#      CORRECTNESS_r07.json (freshest evidence) yield their slots.
-
-_GATE_ORDER_R8_FIRST = [
-    # --- first exact-gated run since the r6 oracle pairing ---
-    "hll_rolling_distinct",
-    # --- r5-stale entries (latest driver evidence: CORRECTNESS_r05) ---
-    "watermark_extract",
-    "correlated_count",
-    "join_groupby_sum",
-    "dedup_keep_latest",
-    "dedup_all_columns",
-    "merge_upsert",
-    "topk_per_group",
-    "topk_partial_agg",
-    "rollup_agg",
-    "anti_join",
-    "semi_join",
-    "sessionize",
-    "pivot_status",
-    "json_extract",
-    "hourly_events",
-    "incremental_ingest_dedup",
-    "simhash",
-    "simhash_dup_pairs",
-    "image_features",
-    "profile_table",
-    "unigram_doc_score",
-    "audio_features",
-    "embedding_ivf_exact",
-    "asof_join_events",
-    "skew_salted_agg",
-    "user_event_profile",
-    "trailing_window_agg",
-    "streaming_hourly_events",
-    "streaming_sessionize",
-    "streaming_user_totals",
-    "streaming_cdc_upsert",
-    "streaming_dedup",
-    "streaming_enrich_dim",
-    "streaming_join_events",
-    "time_rollup_hierarchy",
-    "range_join_events",
-    "event_value_trend",
-    "partitioned_prune",
-    "clustered_prune",
-    "snapshot_read",
-    "mixture_sample",
-    "interval_overlap_events",
-    "source_overlap",
-    "curated_corpus",
-]
-# Rows-only (no-oracle) entries: weaker check, keep them inside the
-# gate window but after everything oracle-paired and stale.
-_GATE_ORDER_ROWS_ONLY = [
-    "embedding_dup_pairs_ann",
-    "embedding_lsh_topk",
-    "embedding_ivf_topk",
-    "hybrid_search_rrf_ann",  # added r7 with the exact/ANN hybrid split
-    "approx_stats_sketch",  # added r7: sketch-only production path
-    "bpe_merges",  # added r7: iterative merge argmax, golden-tested
-]
-# Last proven green in CORRECTNESS_r06.json — two rounds stale now.
-_GATE_ORDER_R6_STALE = [
-    "q1_pricing_summary",
-    "string_funcs",
-    "date_funcs_monthly",
-    "window_running_sum",
-    "event_funnel",
-    "doc_fingerprint",
-    "dedup_exact",
-    "ngram_jaccard_pairs",
-    "ngram_jaccard_capped",
-    "minhash_signatures",
-    "minhash_lsh_pairs",
-    "embedding_topk",
-    "token_count",
-    "text_quality",
-    "lang_id",
-    "multimodal_meta",
-    "frame_sample",
-    "hash_sample",
-    "tfidf_top_terms",
-    "image_resize",
-    "cube_agg",
-    "quantiles",
-    "bpe_token_count",
-    "window_rank_funcs",
-    "set_ops",
-    "near_dup_clusters",
-    "embedding_dup_pairs",
-    "q5_local_supplier_volume",
-    "q14_promo_share",
-    "global_topk",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q16_part_supplier_counts",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "incremental_rollup",
-    "scd2_history",
-    "bucketed_join_agg",
-    "approx_stats",
-    "stratified_split",
-    "benchmark_contamination",
-    "modp_fingerprints",
-    "histogram_price",
-    "unpivot_metrics",
-    "repetition_signals",
-    "pii_redaction",
-    "pack_sequences",
-]
-# Exact-green in CORRECTNESS_r07.json — freshest evidence, yield slots.
-_GATE_ORDER_R7_PROVEN = [
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume",
-    "q19_discounted_revenue",
-    "q22_dormant_customers",
-    "retention_cohorts",
-    "minhash_incremental_pairs",
-    "oov_rate",
-    "doc_chunks",
-    "vocab_prune",
-    "asof_join_forward_events",
-    "gapfill_hourly",
-    "data_quality_checks",
-    "bm25_search",
-    "null_safe_join",
-    "retrieval_quality",
-    "cumulative_new_users",
-    "hybrid_search_rrf",
-    "streaming_quality_audit",
-    "dedup_keep_best",
-    "source_quota_cap",
-    "zorder_prune",
-    "temperature_mixture",
-    "segment_dedup",
-    "embedding_decontam",
-    "winsorized_stats",
-    "quality_median_filter",
-    "label_centroids",
-    "event_transitions",
-    "bigram_doc_score",
-    "copurchase_pairs",
-    "copurchase_triangles",
-    "copurchase_pagerank",
-    # the three r7 middle-bucket additions, evidenced by the r7 record
-    # (VERDICT r7 item 1 — re-pinned as part of the r8 round-close routine)
-    "asof_join_tolerance_events",
-    "bpe_pair_counts",
-    "gapfill_weekly",
-    # the two r5-stale head entries the r7 window reached
-    "max_watermark",
-    "count_table",
-]
+# most ~50 rows per round, so the walk order decides which entries get
+# fresh driver evidence. Rounds 6-8 hand-pinned the rotation in
+# _GATE_ORDER_* lists; that census lagged the driver's own record the
+# moment a new CORRECTNESS_r0N.json landed (the r7 RED suite,
+# VERDICT r7 item 1). The census is now DERIVED from the committed
+# records at import time, so it can never lag them:
+#
+#   effective evidence round per entry =
+#     - 0 (never gated / gate it first) if no record names it, or —
+#       for oracle-paired entries — if no record ever hash-matched it
+#       (an entry gated only before its oracle pairing, e.g.
+#       hll_rolling_distinct's r5 no_oracle row, must re-gate as if
+#       never checked; a FAILED hash likewise pins the entry to its
+#       last GOOD round so regressions re-gate immediately);
+#     - else the newest round whose record hash-matched it (rows-only
+#       entries: the newest round with any record, + 0.5 so at equal
+#       staleness the stronger oracle-paired check runs first).
+#
+# Sort ascending by (effective round, registration order): stalest and
+# never-gated entries lead, the freshest yield their slots. When the
+# driver lands CORRECTNESS_r08.json, the next import re-rotates
+# automatically — there is no list to re-pin and no round-close
+# bookkeeping. Invariants are asserted in tests/test_gate_order.py
+# against the same committed records.
 
 
-def _gate_ordered() -> dict[str, Query]:
-    pinned = (
-        set(_GATE_ORDER_R8_FIRST)
-        | set(_GATE_ORDER_ROWS_ONLY)
-        | set(_GATE_ORDER_R6_STALE)
-        | set(_GATE_ORDER_R7_PROVEN)
+def _evidence_rounds(repo: str | None = None) -> dict[str, dict[int, bool]]:
+    """entry -> {round: hash_matched} from the committed driver records.
+
+    ``repo`` overrides the records directory (tests point it at a
+    scratch layout to prove a NEW record re-rotates instead of breaking
+    the census)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    repo = repo or _os.path.dirname(
+        _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    middle = [n for n in CORPUS if n not in pinned]  # new this round
-    order = (
-        _GATE_ORDER_R8_FIRST
-        + middle
-        + _GATE_ORDER_ROWS_ONLY
-        + _GATE_ORDER_R6_STALE
-        + _GATE_ORDER_R7_PROVEN
-    )
-    missing = [n for n in order if n not in CORPUS]
-    assert not missing, f"gate order names unknown queries: {missing}"
-    assert len(order) == len(CORPUS)
-    return {name: CORPUS[name] for name in order}
+    out: dict[str, dict[int, bool]] = {}
+    for f in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
+        n = int(_re.search(r"r(\d+)", _os.path.basename(f)).group(1))
+        try:
+            with open(f) as fh:
+                rec = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rec.items():
+            out.setdefault(name, {})[n] = bool(
+                isinstance(row, dict) and row.get("hash_match")
+            )
+    return out
 
 
-_ordered = _gate_ordered()
+def gate_order(
+    corpus: dict[str, Query],
+    evidence: dict[str, dict[int, bool]] | None = None,
+) -> list[str]:
+    """The driver-gate walk order, derived from the committed records."""
+    if evidence is None:
+        evidence = _evidence_rounds()
+    reg = {n: i for i, n in enumerate(corpus)}
+
+    def effective(name: str) -> float:
+        rounds = evidence.get(name, {})
+        if corpus[name].sql is None:
+            # rows-only: any record is the strongest check it can get
+            return (max(rounds) + 0.5) if rounds else 0.5
+        good = [r for r, ok in rounds.items() if ok]
+        return max(good) if good else 0.0
+
+    return sorted(corpus, key=lambda n: (effective(n), reg[n]))
+
+
+_ordered = {name: CORPUS[name] for name in gate_order(CORPUS)}
+assert len(_ordered) == len(CORPUS)
 CORPUS.clear()
 CORPUS.update(_ordered)

@@ -1,124 +1,107 @@
-"""Audit trail for the driver-gate rotation (VERDICT r6 item 7).
+"""Audit trail for the driver-gate rotation.
 
-The gate-order lists in plans/corpus.py are the rotation's record of
-which entries carry driver evidence from which round. Hand-maintained
-counts drifted in r6; these tests re-derive the census from the
-committed CORRECTNESS_r0N.json files and assert the lists partition
-CORPUS exactly — no entry unpinned-by-accident, none double-pinned,
-none stale-labelled when it actually has fresher evidence.
+Rounds 6-8 hand-pinned the rotation in _GATE_ORDER_* lists; that census
+lagged the driver's own record the moment a new CORRECTNESS_r0N.json
+landed (the r7 RED suite). The walk order is now COMPUTED from the
+committed records at corpus import (plans/corpus.py gate_order), so
+there is nothing to re-pin at round close — these tests assert the
+computation's invariants against the same records instead:
 
-Round-close routine (VERDICT r7 item 1): when a new CORRECTNESS_r0N.json
-lands, re-pin every newly-evidenced middle-bucket entry into the proven
-list for that round, then bump FROZEN_THROUGH below — the census tests
-fail loudly until both happen, which is the audit doing its job.
+- stalest-first: effective evidence round is non-decreasing along
+  CORPUS order, with registration order breaking ties;
+- never-gated entries (and oracle-paired entries no record ever
+  hash-matched, e.g. an entry gated only before its oracle pairing)
+  lead the walk;
+- a NEW driver record re-rotates the order instead of breaking the
+  census (the exact failure mode that opened rounds 7 and 8 red).
 """
 
 import json
 import re
 from pathlib import Path
 
-from empujar_spark.plans.corpus import (
-    CORPUS,
-    _GATE_ORDER_R6_STALE,
-    _GATE_ORDER_R7_PROVEN,
-    _GATE_ORDER_R8_FIRST,
-    _GATE_ORDER_ROWS_ONLY,
-)
+from empujar_spark.plans.corpus import CORPUS, _evidence_rounds, gate_order
 
 REPO = Path(__file__).resolve().parent.parent
 
-# The newest CORRECTNESS record the census lists have been reconciled
-# against. The r8 driver run will add CORRECTNESS_r08.json, after which
-# the r9 rotation must recompute the lists and bump this to 8.
-FROZEN_THROUGH = 7
 
-LISTS = {
-    "r8_first": _GATE_ORDER_R8_FIRST,
-    "rows_only": _GATE_ORDER_ROWS_ONLY,
-    "r6_stale": _GATE_ORDER_R6_STALE,
-    "r7_proven": _GATE_ORDER_R7_PROVEN,
-}
+def _effective(name: str, evidence) -> float:
+    rounds = evidence.get(name, {})
+    if CORPUS[name].sql is None:
+        return (max(rounds) + 0.5) if rounds else 0.5
+    good = [r for r, ok in rounds.items() if ok]
+    return max(good) if good else 0.0
 
 
-def _driver_rounds(through: int | None = None) -> dict[int, set[str]]:
-    out = {}
+def test_corpus_is_in_computed_gate_order():
+    assert list(CORPUS) == gate_order(CORPUS)
+
+
+def test_order_is_stalest_first():
+    evidence = _evidence_rounds()
+    effs = [_effective(n, evidence) for n in CORPUS]
+    assert effs == sorted(effs), "gate order is not stalest-first"
+
+
+def test_never_gated_and_never_hash_matched_lead():
+    """Entries with no usable evidence sort before every evidenced one
+    — new entries gate first, and an oracle-paired entry whose only
+    records predate its pairing (no hash row ever) re-gates as if new."""
+    evidence = _evidence_rounds()
+    seen_evidenced = False
+    for n in CORPUS:
+        if _effective(n, evidence) <= 0.5:
+            assert not seen_evidenced, (
+                f"unevidenced entry {n} sorts after evidenced entries"
+            )
+        else:
+            seen_evidenced = True
+
+
+def test_failed_hash_regates_before_fresh_green():
+    """A record row with hash_match False pins the entry to its last
+    GOOD round — a regression re-enters the gate window immediately."""
+    evidence = _evidence_rounds()
+    # synthetic: take the freshest oracle-paired entry and flip its
+    # newest record row to a failure; it must sort strictly earlier
+    fresh = [n for n in CORPUS if CORPUS[n].sql is not None][-1]
+    rounds = dict(evidence.get(fresh, {}))
+    assert rounds, "expected the tail of the order to carry evidence"
+    broken = dict(evidence)
+    broken[fresh] = {r: (ok if r != max(rounds) else False)
+                     for r, ok in rounds.items()}
+    good = [r for r, ok in broken[fresh].items() if ok]
+    eff_broken = max(good) if good else 0.0
+    assert eff_broken < _effective(fresh, evidence)
+
+
+def test_new_driver_record_rerotates_instead_of_breaking(tmp_path):
+    """The r7 failure mode, inverted: simulate the driver landing a new
+    CORRECTNESS record covering the current gate head — the order must
+    recompute with those entries demoted, and nothing asserts stale
+    hand-pinned state."""
+    head = [n for n in list(CORPUS)[:10] if CORPUS[n].sql is not None]
+    evidence = _evidence_rounds()
+    newest = max((r for v in evidence.values() for r in v), default=0)
+    fake = {n: {"hash_match": True} for n in head}
+    for f in REPO.glob("CORRECTNESS_r*.json"):
+        (tmp_path / f.name).write_text(f.read_text())
+    (tmp_path / f"CORRECTNESS_r{newest + 1:02d}.json").write_text(json.dumps(fake))
+
+    ev2 = _evidence_rounds(str(tmp_path))
+    order2 = gate_order(CORPUS, ev2)
+    for n in fake:
+        assert max(ev2[n]) == newest + 1
+    # the freshly-gated entries hold the newest effective round, so they
+    # demote to exactly the last |fake| positions of the walk
+    assert set(order2[-len(fake):]) == set(fake)
+
+
+def test_records_parse_and_name_known_entries():
+    """Every committed record row names a corpus entry (renames must
+    keep the evidence trail attached)."""
+    known = set(CORPUS)
     for f in sorted(REPO.glob("CORRECTNESS_r*.json")):
-        n = int(re.search(r"r(\d+)", f.name).group(1))
-        if through is not None and n > through:
-            continue
-        out[n] = set(json.loads(f.read_text()).keys())
-    return out
-
-
-def test_lists_are_internally_duplicate_free():
-    for label, lst in LISTS.items():
-        assert len(lst) == len(set(lst)), f"{label} has duplicates"
-
-
-def test_lists_partition_corpus():
-    union: set[str] = set()
-    for label, lst in LISTS.items():
-        overlap = union & set(lst)
-        assert not overlap, f"{label} re-pins already-pinned entries: {sorted(overlap)}"
-        union |= set(lst)
-    pinned_unknown = union - set(CORPUS)
-    assert not pinned_unknown, f"pinned names not in CORPUS: {sorted(pinned_unknown)}"
-    # Entries in CORPUS but in no list are the 'new this round' middle
-    # bucket — allowed, but they must be NEW relative to the reconciled
-    # records (evidence from rounds newer than FROZEN_THROUGH is the
-    # expected state of the middle bucket until the next rotation).
-    middle = set(CORPUS) - union
-    ever = set().union(*_driver_rounds(FROZEN_THROUGH).values())
-    evidenced_middle = middle & ever
-    assert not evidenced_middle, (
-        f"entries with driver evidence missing from the gate lists: "
-        f"{sorted(evidenced_middle)}"
-    )
-
-
-def test_census_matches_correctness_records():
-    """Each list's evidence claim is literally true per the JSON record.
-
-    Frozen against rounds 1-FROZEN_THROUGH; the next driver run adds a
-    newer record, after which the rotation must recompute these lists
-    (this test then forces the update by failing on any entry whose
-    claimed staleness no longer matches the record).
-    """
-    rounds = _driver_rounds(FROZEN_THROUGH)
-    for name in _GATE_ORDER_R8_FIRST:
-        assert name in rounds[5] and name not in rounds[6] and name not in rounds[7], (
-            f"{name} claimed r5-stale but record disagrees"
-        )
-    for name in _GATE_ORDER_ROWS_ONLY:
-        assert CORPUS[name].sql is None, f"{name} has an oracle; not rows-only"
-    for name in _GATE_ORDER_R6_STALE:
-        assert name in rounds[6] and name not in rounds[7], (
-            f"{name} claimed r6-stale but record disagrees"
-        )
-    for name in _GATE_ORDER_R7_PROVEN:
-        assert name in rounds[7], f"{name} claimed r7-proven but not in r7 record"
-
-
-def test_rows_only_entries_are_exactly_the_no_oracle_ones():
-    no_oracle = {n for n, q in CORPUS.items() if q.sql is None}
-    assert no_oracle == set(_GATE_ORDER_ROWS_ONLY), (
-        "no-oracle corpus entries and the rows-only gate list diverged: "
-        f"{sorted(no_oracle ^ set(_GATE_ORDER_ROWS_ONLY))}"
-    )
-
-
-def test_gate_head_is_the_stale_block():
-    head = list(CORPUS)[: len(_GATE_ORDER_R8_FIRST)]
-    assert head == list(_GATE_ORDER_R8_FIRST)
-
-
-def test_no_record_newer_than_frozen_through():
-    """Force the round-close re-pin: a CORRECTNESS record newer than
-    FROZEN_THROUGH means the rotation (and this constant) must be
-    updated in the same commit that lands the record."""
-    newest = max(_driver_rounds())
-    assert newest <= FROZEN_THROUGH, (
-        f"CORRECTNESS_r{newest:02d}.json is newer than the reconciled "
-        f"census (FROZEN_THROUGH={FROZEN_THROUGH}); re-pin the newly "
-        "evidenced entries and bump FROZEN_THROUGH"
-    )
+        rec = json.loads(f.read_text())
+        unknown = set(rec) - known
+        assert not unknown, f"{f.name} names unknown entries: {sorted(unknown)}"
