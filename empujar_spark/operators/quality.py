@@ -138,3 +138,50 @@ def expect_fresh(
         name or f"fresh({ts_col},{max_age_hours}h)",
         F.when(age_ok, 0).otherwise(1),
     )
+
+
+def volume_anomaly(
+    df: DataFrame,
+    ts_col: str,
+    group_col: str,
+    z_threshold: float = 2.0,
+) -> DataFrame:
+    """Ingest-volume anomaly detection: per (group, day) row counts
+    z-scored against the group's own daily history — the observability
+    check that catches a collapsed or runaway source feed before it
+    poisons downstream mixes (the monitoring face of the reference's
+    audit/state events, lib/book.js state machinery).
+
+    Output: (group, day, n_rows, z_score, is_anomaly) for every day —
+    anomalies flagged, not filtered, so dashboards see the context.
+    z is computed from integer-exact aggregates (sum, sum of squares,
+    day count → population variance) so the result is deterministic
+    and oracle-comparable; a group with zero variance yields NULL z
+    and is never flagged.
+
+    Scale: ONE scan → groupBy(group, day) shuffle whose cardinality is
+    |groups| × |days| (tiny at any corpus size), then a window over the
+    group — no second scan, no join, no collect.
+    """
+    from pyspark.sql import Window
+
+    daily = df.groupBy(
+        F.col(group_col).alias("grp"),
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = Window.partitionBy("grp")
+    s = F.sum("n_rows").over(w).cast("double")
+    sq = F.sum(F.col("n_rows") * F.col("n_rows")).over(w).cast("double")
+    nd = F.count(F.lit(1)).over(w).cast("double")
+    mean = s / nd
+    var = sq / nd - mean * mean
+    z = F.when(var > 0, (F.col("n_rows") - mean) / F.sqrt(var))
+    return daily.select(
+        F.col("grp").alias(group_col),
+        "day",
+        "n_rows",
+        F.round(z, 4).alias("z_score"),
+        F.coalesce(F.abs(z) >= z_threshold, F.lit(False)).cast("int").alias(
+            "is_anomaly"
+        ),
+    )

@@ -1955,6 +1955,47 @@ _BM25_QUERIES = {
 
 
 @q(
+    "ingest_volume_anomaly",
+    """
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(count(*) AS BIGINT) AS n_rows
+      FROM events GROUP BY 1, 2),
+    st AS (
+      SELECT *,
+             CAST(sum(n_rows) OVER (PARTITION BY event_type) AS DOUBLE)
+                 / count(*) OVER (PARTITION BY event_type) AS mean,
+             CAST(sum(n_rows * n_rows) OVER (PARTITION BY event_type)
+                  AS DOUBLE)
+                 / count(*) OVER (PARTITION BY event_type) AS msq
+      FROM daily),
+    zed AS (
+      SELECT event_type, day, n_rows,
+             CASE WHEN msq - mean * mean > 0
+                  THEN (n_rows - mean) / sqrt(msq - mean * mean)
+             END AS z
+      FROM st)
+    SELECT event_type, day, n_rows, round(z, 4) AS z_score,
+           CAST(coalesce(abs(z) >= 2.0, FALSE) AS INT) AS is_anomaly
+    FROM zed
+    """,
+)
+def ingest_volume_anomaly(spark, sf_dir):
+    """Ingest-volume observability (operators/quality.py
+    volume_anomaly): per (event_type, day) counts z-scored against the
+    type's own daily history, anomalies flagged in place — the check
+    that catches a collapsed or runaway feed before it poisons
+    downstream mixtures. ONE scan → a (type, day) aggregate whose
+    cardinality is corpus-size-independent → a window over the type; z
+    derives from integer-exact sums (population variance), so the
+    result hash-matches the SQL twin despite the float division."""
+    from empujar_spark.operators import quality as Q
+
+    ev = load(spark, sf_dir, "events")
+    return Q.volume_anomaly(ev, "ts", "event_type", z_threshold=2.0)
+
+
+@q(
     "bm25_search",
     f"""
     WITH toks AS (

@@ -97,3 +97,32 @@ def test_containment_detects_subset_duplication_jaccard_misses(spark):
         for r in D.containment_pairs(twins, k=3, threshold=0.8).collect()
     )
     assert both == [(1, 2), (2, 1)]
+
+
+@settings(max_examples=5, deadline=None)
+@given(docs=st.lists(texts.filter(lambda t: len(t.split()) >= 3),
+                     min_size=2, max_size=8))
+def test_containment_dominates_jaccard_and_is_bounded(spark, docs):
+    """For ANY corpus: every emitted containment is in (0, 1], and for
+    each ordered pair containment(A→B) ≥ their symmetric Jaccard (the
+    union is never smaller than |S(A)|)."""
+    from empujar_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    cont = {
+        (r.contained_id, r.container_id): r.containment
+        for r in D.containment_pairs(df, k=3, threshold=0.0).collect()
+    }
+    jac = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.ngram_jaccard_pairs(df, k=3, threshold=0.0).collect()
+    }
+    for (a, b), c in cont.items():
+        assert 0.0 < c <= 1.0
+        j = jac.get((a, b), jac.get((b, a)))
+        assert j is not None and c >= j - 1e-9
+    # and every Jaccard-visible pair surfaces in at least one direction
+    for (a, b), j in jac.items():
+        assert (a, b) in cont or (b, a) in cont

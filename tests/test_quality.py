@@ -94,3 +94,30 @@ def test_checks_pass_on_empty_input(spark):
     ]).collect()
     for r in out:
         assert r.n_violations == 0 and r.passed == 1, r
+
+
+def test_volume_anomaly_flags_spikes_not_constant_feeds(spark):
+    """A flat feed has zero variance → NULL z, never flagged; a feed
+    with one collapsed day flags exactly that day (|z| >= 2)."""
+    import datetime as dt
+
+    from empujar_spark.operators import quality as Q
+
+    rows = []
+    # source 'flat': 4 rows every day for 6 days
+    for d in range(6):
+        rows += [("flat", dt.datetime(2024, 1, 1 + d, 12))] * 4
+    # source 'drop': 10 rows daily except day 4 collapses to 0... a
+    # missing day produces NO group row (count aggregates can't see
+    # absent data) — so model the collapse as a 1-row day instead
+    for d in range(6):
+        rows += [("drop", dt.datetime(2024, 1, 1 + d, 12))] * (1 if d == 3 else 10)
+    df = spark.createDataFrame(rows, "src string, ts timestamp")
+    out = {
+        (r.src, r.day.day): (r.n_rows, r.z_score, r.is_anomaly)
+        for r in Q.volume_anomaly(df, "ts", "src").collect()
+    }
+    assert all(z is None and a == 0 for (s, _), (_, z, a) in out.items() if s == "flat")
+    flagged = [(d, v) for (s, d), v in out.items() if s == "drop" and v[2] == 1]
+    assert [d for d, _ in flagged] == [4]
+    assert flagged[0][1][1] < -2.0
