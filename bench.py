@@ -180,11 +180,20 @@ def main() -> None:
         samples[pname] = timed_samples(lambda pipeline=pipeline: pipeline(spark))
     # Representative per-query figure: median when >=3 runs (robust to a
     # single contended pass), min of 2 otherwise (the reproducible engine
-    # cost — see the cold-pass case study above).
-    timings = {
-        n: round(statistics.median(v) if args.runs >= 3 else min(v), 3)
-        for n, v in samples.items()
-    }
+    # cost — see the cold-pass case study above). If the spread STILL
+    # exceeds the median after the adaptive re-runs, the majority of
+    # samples were degraded (JVM/GC phase, not one outlier) and the
+    # median measures the contention, not the engine: fall back to the
+    # min, which stays the reproducible floor either way (observed:
+    # hybrid_search_rrf_ann 8.24s median / 4.74s spread inside one r8
+    # capture vs a stable 2.6-3.0s standalone and in every other run).
+    def representative(v: list[float]) -> float:
+        if args.runs < 3:
+            return min(v)
+        med = statistics.median(v)
+        return min(v) if (max(v) - min(v)) > max(0.5, med) else med
+
+    timings = {n: round(representative(v), 3) for n, v in samples.items()}
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "corpus_total_wall",
