@@ -175,21 +175,32 @@ def containment_pairs(
             F.first("b.n_sh").alias("nb"),
         )
     )
+    # BOTH directions from one pass: a union of two filtered branches
+    # would re-run the whole candidate join per branch (Spark shares no
+    # subplans across a union) — explode a 2-struct array instead, so
+    # the shingle join and pair aggregate execute exactly once.
     c_ab = F.round(F.col("n_shared") / F.col("na").cast("double"), 6)
     c_ba = F.round(F.col("n_shared") / F.col("nb").cast("double"), 6)
-    fwd = shared.filter(c_ab >= threshold).select(
-        F.col("id_a").alias("contained_id"),
-        F.col("id_b").alias("container_id"),
+    both = shared.select(
         "n_shared",
-        c_ab.alias("containment"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("contained_id"),
+                    F.col("id_b").alias("container_id"),
+                    c_ab.alias("containment"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("contained_id"),
+                    F.col("id_a").alias("container_id"),
+                    c_ba.alias("containment"),
+                ),
+            )
+        ).alias("d"),
     )
-    rev = shared.filter(c_ba >= threshold).select(
-        F.col("id_b").alias("contained_id"),
-        F.col("id_a").alias("container_id"),
-        "n_shared",
-        c_ba.alias("containment"),
+    return both.filter(F.col("d.containment") >= threshold).select(
+        "d.contained_id", "d.container_id", "n_shared", "d.containment"
     )
-    return fwd.unionByName(rev)
 
 
 def _md5_bucket(col: Column, seed: int, buckets: int = 2_147_483_647) -> Column:
