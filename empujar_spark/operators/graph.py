@@ -170,10 +170,21 @@ def basket_edges(
     min_support: int = 2,
 ) -> DataFrame:
     """Symmetrized (src, dst) edge list from basket_pairs — the graph
-    the co-purchase pagerank runs on (both directions of every pair)."""
+    the co-purchase pagerank runs on (both directions of every pair).
+    Symmetrization explodes a two-struct array per pair rather than
+    unioning two projections: a union would re-run the whole basket
+    self-join + support aggregate once per branch (Spark shares no
+    subplans across a union)."""
     pairs = basket_pairs(df, basket_col, item_col, min_support)
     return pairs.select(
-        F.col("item_a").alias("src"), F.col("item_b").alias("dst")
-    ).unionByName(
-        pairs.select(F.col("item_b").alias("src"), F.col("item_a").alias("dst"))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("item_a").alias("src"), F.col("item_b").alias("dst")
+                ),
+                F.struct(
+                    F.col("item_b").alias("src"), F.col("item_a").alias("dst")
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
