@@ -175,7 +175,16 @@ class Warehouse:
             for f in os.listdir(data_dir)
         ):
             return self.spark.createDataFrame([], schema)
-        st = os.stat(data_dir)
+        try:
+            st = os.stat(data_dir)
+        except FileNotFoundError:
+            # raced a concurrent staged swap (old dir renamed to trash,
+            # new not yet in place — pages run in threads); the window
+            # is two renames wide, so one locked re-stat settles it
+            with self._lock:
+                if not os.path.isdir(data_dir):
+                    return self.spark.createDataFrame([], schema)
+                st = os.stat(data_dir)
         key = (st.st_ino, st.st_mtime_ns)
         cached = self._inferred_schema_cache.get(table)
         if cached is not None and cached[0] == key:
