@@ -685,6 +685,14 @@ def bm25_search(
     stats = df.agg(F.count(F.lit(1)).alias("__N")).crossJoin(
         doclen.agg(F.avg("dl").alias("__avgdl"))
     )
+    return _bm25_score(tf, dfreq, qterms, doclen, stats, k1, b, top_n)
+
+
+def _bm25_score(tf, dfreq, qterms, doclen, stats, k1, b, top_n) -> DataFrame:
+    """Shared BM25 scoring tail (from-scratch and indexed paths produce
+    bit-identical scores because they share this exact expression
+    tree): idf·saturated-tf partials rounded to 6 dp, per-(query, doc)
+    sums to 4 dp, per-query top-n by (score desc, doc_id asc)."""
     n = F.col("__N").cast("double")
     idf = F.round(
         F.log(
@@ -721,6 +729,85 @@ def bm25_search(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= top_n)
         .select("query_id", "doc_id", "score", "rnk")
+    )
+
+
+def bm25_build_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> dict[str, DataFrame]:
+    """Build the persistable BM25 inverted index: ``postings`` (term,
+    doc_id, tf), ``dfreq`` (term, df), ``doclen`` (doc_id, dl), and the
+    one-row ``stats`` (__N, __avgdl).
+
+    The PRODUCTION retrieval shape at 100 TB: the full-vocabulary tf
+    shuffle runs ONCE at build time instead of once per query set
+    (bm25_search's from-scratch path pre-filters to query terms — right
+    for ad-hoc queries, wasteful for a serving index). Persist the four
+    tables in a Warehouse — postings bucketed/clustered by term so a
+    query's candidate read touches only its terms' posting lists — and
+    every later query is the sub-linear join in bm25_search_indexed.
+    """
+    spread = _spread(df)
+    toks = spread.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+        ).alias("term"),
+    )
+    postings = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    # (doc_id, term) is unique after the groupBy, so df is a plain count
+    dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    doclen = (
+        spread.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+            ).cast("bigint").alias("__sz"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("__sz").alias("dl"))
+    )
+    stats = df.agg(F.count(F.lit(1)).alias("__N")).crossJoin(
+        doclen.agg(F.avg("dl").alias("__avgdl"))
+    )
+    return {
+        "postings": postings,
+        "dfreq": dfreq,
+        "doclen": doclen,
+        "stats": stats,
+    }
+
+
+def bm25_search_indexed(
+    index: dict[str, DataFrame],
+    queries: dict[str, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_n: int = 10,
+) -> DataFrame:
+    """BM25 retrieval against a prebuilt inverted index
+    (bm25_build_index output, typically read back from a Warehouse):
+    the query's terms semi-filter the postings and dfreq tables — with
+    term-clustered postings storage the scan touches only the queried
+    posting lists — then the shared scoring tail runs, producing
+    bit-identical results to bm25_search on the same corpus. Per-query
+    cost is bounded by the queried terms' posting lists, independent of
+    corpus vocabulary size.
+    """
+    spark = index["postings"].sparkSession
+    qterms = spark.createDataFrame(
+        [(q, t) for q, ts in queries.items() for t in sorted(set(ts))],
+        "query_id string, term string",
+    )
+    wanted = F.broadcast(qterms.select("term").distinct())
+    tf = index["postings"].join(wanted, "term", "left_semi")
+    dfreq = index["dfreq"].join(wanted, "term", "left_semi")
+    return _bm25_score(
+        tf, dfreq, qterms, index["doclen"], index["stats"], k1, b, top_n
     )
 
 

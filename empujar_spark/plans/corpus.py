@@ -1995,9 +1995,8 @@ def ingest_volume_anomaly(spark, sf_dir):
     return Q.volume_anomaly(ev, "ts", "event_type", z_threshold=2.0)
 
 
-@q(
-    "bm25_search",
-    f"""
+_BM25_ORACLE_SQL = f"""
+
     WITH toks AS (
       SELECT doc_id,
              unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
@@ -2031,7 +2030,16 @@ def ingest_volume_anomaly(spark, sf_dir):
                                    ORDER BY score DESC, doc_id ASC) AS rnk
       FROM summed) t
     WHERE rnk <= 10
-    """,
+"""
+# One oracle, two physical paths: bm25_search (from-scratch, query-term
+# prefilter) and bm25_search_indexed (prebuilt inverted index) are
+# value-identical by construction (shared scoring tail in
+# operators/text.py _bm25_score), so both entries pin against this SQL.
+
+
+@q(
+    "bm25_search",
+    _BM25_ORACLE_SQL,
 )
 def bm25_search(spark, sf_dir):
     """BM25 keyword retrieval (operators/text.py bm25_search): top-10
@@ -2044,6 +2052,24 @@ def bm25_search(spark, sf_dir):
     return X.bm25_search(
         load(spark, sf_dir, "documents"), _BM25_QUERIES
     )
+
+
+@q(
+    "bm25_search_indexed",
+    _BM25_ORACLE_SQL,
+)
+def bm25_search_indexed(spark, sf_dir):
+    """BM25 against a PREBUILT inverted index (operators/text.py
+    bm25_build_index + bm25_search_indexed) — the serving shape: the
+    full-vocabulary tf shuffle runs once at build time and every query
+    is a broadcast-semi-filter of the postings/df tables plus the
+    shared scoring tail, so per-query cost is bounded by the queried
+    terms' posting lists. Value-identical to the from-scratch
+    bm25_search twin (same _bm25_score expression tree), pinned against
+    the same SQL oracle; this entry benches build + one query set,
+    which production amortizes across every query after the first."""
+    idx = X.bm25_build_index(load(spark, sf_dir, "documents"))
+    return X.bm25_search_indexed(idx, _BM25_QUERIES)
 
 
 @q(

@@ -370,3 +370,24 @@ def test_linear_trend_singleton_group_null_slope(spark):
     assert out["a"] is None          # singleton
     assert out["c"] is None          # constant x
     assert abs(out["b"] - 1.0) < 1e-9  # well-defined slope intact
+
+
+def test_bm25_indexed_equals_from_scratch(spark):
+    """The prebuilt-index path returns bit-identical rows to the
+    from-scratch path on real data (shared _bm25_score expression
+    tree), and the index's postings/df cover the full vocabulary (the
+    from-scratch tf table only ever holds query terms)."""
+    from empujar_spark.operators import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = {"q1": ["table", "scan"], "q2": ["spark", "join", "join"]}
+    direct = X.bm25_search(docs, queries, top_n=5).collect()
+    idx = X.bm25_build_index(docs)
+    indexed = X.bm25_search_indexed(idx, queries, top_n=5).collect()
+    key = lambda r: (r.query_id, r.rnk)
+    assert sorted(map(tuple, direct), key=lambda t: (t[0], t[3])) == sorted(
+        map(tuple, indexed), key=lambda t: (t[0], t[3])
+    )
+    assert direct  # non-trivial result
+    # index is full-vocabulary: strictly more terms than any query set
+    assert idx["dfreq"].count() > 2

@@ -147,6 +147,7 @@ def test_embedding_dup_pairs_bucketed_no_cartesian(spark):
 _CROSS_JOIN_ALLOWED = {
     "q11_important_parts",
     "bm25_search",  # N/avgdl one-row scalar broadcast, tfidf pattern
+    "bm25_search_indexed",  # same scalar stats cross via _bm25_score
     "hybrid_search_rrf",  # composes bm25 (scalar cross) + the IVF dense
                           # leg — bm25's N/avgdl scalar is the BNL
     "hybrid_search_rrf_ann",  # same composition, nprobe=4 dense leg
