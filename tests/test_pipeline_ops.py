@@ -391,3 +391,34 @@ def test_bm25_indexed_equals_from_scratch(spark):
     assert direct  # non-trivial result
     # index is full-vocabulary: strictly more terms than any query set
     assert idx["dfreq"].count() > 2
+
+
+def test_bm25_index_survives_warehouse_roundtrip(spark, tmp_path):
+    """The index IS persistable state: write the four tables through a
+    Warehouse, read them back, query — identical rows to querying the
+    freshly-built index (the serving deployment shape)."""
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.operators import text as X
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    queries = {"q1": ["table", "scan"], "q2": ["spark", "join"]}
+    idx = X.bm25_build_index(docs)
+    fresh = X.bm25_search_indexed(idx, queries).collect()
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="doc_id")
+    # each index table carries its own natural key — the warehouse
+    # upsert-dedups on merge_key, so the default doc_id pk would
+    # collapse the multi-row-per-doc postings table
+    wh.insert_data("bm25_postings", idx["postings"], merge_key=["term", "doc_id"])
+    wh.insert_data("bm25_dfreq", idx["dfreq"], merge_key="term")
+    wh.insert_data("bm25_doclen", idx["doclen"], merge_key="doc_id")
+    wh.insert_data("bm25_stats", idx["stats"], merge_key="__N")
+    stored = {
+        "postings": wh.read("bm25_postings"),
+        "dfreq": wh.read("bm25_dfreq"),
+        "doclen": wh.read("bm25_doclen"),
+        "stats": wh.read("bm25_stats"),
+    }
+    replayed = X.bm25_search_indexed(stored, queries).collect()
+    key = lambda t: (t[0], t[3])
+    assert sorted(map(tuple, fresh), key=key) == sorted(map(tuple, replayed), key=key)
