@@ -11,12 +11,15 @@ from empujar_spark.operators import (  # noqa: F401
     asof,
     curation,
     dedup,
+    graph,
     multimodal,
     profile,
+    quality,
     ranges,
     similarity,
     skew,
     text,
+    timeseries,
     topk,
 )
 
@@ -24,11 +27,14 @@ __all__ = [
     "asof",
     "curation",
     "dedup",
+    "graph",
     "multimodal",
     "profile",
+    "quality",
     "ranges",
     "similarity",
     "skew",
     "text",
+    "timeseries",
     "topk",
 ]
