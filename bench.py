@@ -22,7 +22,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from empujar_spark.session import get_spark  # noqa: E402
-from empujar_spark.plans.corpus import CORPUS, load  # noqa: E402
+from empujar_spark.plans.corpus import (  # noqa: E402
+    CORPUS,
+    REGISTRATION_ORDER,
+    load,
+)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -167,9 +171,16 @@ def main() -> None:
     # pretrain_pipeline keys.
     skip = {"etl_pipeline_summary", "pretrain_pipeline_summary"}
     samples: dict[str, list[float]] = {}
-    for name, query in CORPUS.items():
+    # Walk REGISTRATION_ORDER, not CORPUS: the gate census re-sorts
+    # CORPUS by evidence staleness at every import, so its order
+    # changes every round — and per-entry timings are order-sensitive
+    # (JIT warm-up, GC phase, shuffle-dir state from the preceding
+    # ~140 queries). The registration order only changes when an entry
+    # is added, so round-over-round diffs compare like with like.
+    for name in REGISTRATION_ORDER:
         if name in skip:
             continue
+        query = CORPUS[name]
         samples[name] = timed_samples(
             lambda query=query: materialize(query.fn(spark, SF_DIR))
         )
@@ -187,13 +198,27 @@ def main() -> None:
     # min, which stays the reproducible floor either way (observed:
     # hybrid_search_rrf_ann 8.24s median / 4.74s spread inside one r8
     # capture vs a stable 2.6-3.0s standalone and in every other run).
-    def representative(v: list[float]) -> float:
+    def representative(v: list[float]) -> tuple[float, str]:
         if args.runs < 3:
-            return min(v)
+            return min(v), "min2"
         med = statistics.median(v)
-        return min(v) if (max(v) - min(v)) > max(0.5, med) else med
+        if (max(v) - min(v)) <= max(0.5, med):
+            return med, "median"
+        # The spread check above includes the outlier that TRIGGERED
+        # the adaptive re-runs, so an entry whose extra passes fully
+        # recovered the steady state would still flip to min. Trim the
+        # single worst pass first: if the remaining samples are tight,
+        # the majority of passes were fine and their median is the
+        # honest figure; only when even the trimmed samples disagree
+        # (JVM/GC phase degraded the majority) fall back to the min,
+        # the reproducible floor.
+        w = sorted(v)[:-1]
+        if (max(w) - min(w)) <= max(0.5, statistics.median(w)):
+            return statistics.median(w), "median_trimmed"
+        return min(v), "min_fallback"
 
-    timings = {n: round(representative(v), 3) for n, v in samples.items()}
+    rep = {n: representative(v) for n, v in samples.items()}
+    timings = {n: round(val, 3) for n, (val, _stat) in rep.items()}
     total = round(sum(timings.values()), 3)
     payload = {
         "metric": "corpus_total_wall",
@@ -217,6 +242,12 @@ def main() -> None:
     # compares a 5-sample median against a 3-sample one unknowingly.
     local["n_samples"] = {
         n: len(v) for n, v in samples.items() if len(v) != args.runs
+    }
+    # Which statistic each non-plain-median entry used (VERDICT r8
+    # item 6): the judge can separate median-read entries from
+    # trimmed/min-read ones without re-deriving the decision.
+    local["stat"] = {
+        n: stat for n, (_val, stat) in rep.items() if stat != "median"
     }
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"

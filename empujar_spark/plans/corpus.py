@@ -6087,6 +6087,47 @@ def pretrain_pipeline_summary(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# --------------------------------------------------------------------
+# Round-9 additions — registered at the END so REGISTRATION_ORDER keeps
+# every pre-existing entry's bench walk position (new entries only ever
+# append; see the stable-walk-order note below).
+# --------------------------------------------------------------------
+
+
+@q("embedding_ivf_indexed", None)
+def embedding_ivf_indexed(spark, sf_dir):
+    """ANN top-k against the PREBUILT IVF index (operators/similarity.py
+    ivf_build_index + ivf_search_indexed) — the serving shape beside
+    bm25_search_indexed: quantizer training and the corpus assignment
+    pass are build-time costs; each query probes nprobe=4 of 16
+    inverted lists via the shared _ivf_rank tail. Value-identical to
+    per-call ivf_topk at the same centroids/nprobe (shared expression
+    tree — pinned in tests/test_similarity.py, with the warehouse
+    round-trip); approximate by construction → rows-only."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = S.ivf_build_index(
+        emb, n_centroids=16, centroids=_ivf_centroids(spark, sf_dir, 16)
+    )
+    return S.ivf_search_indexed(idx, queries, k=5, nprobe=4)
+
+
+@q("embedding_ivf_indexed_exact", _BRUTE_TOPK_SQL)
+def embedding_ivf_indexed_exact(spark, sf_dir):
+    """The indexed IVF path at nprobe = n_centroids, hash-checked
+    against the BRUTE-FORCE oracle (the embedding_ivf_exact twin, via
+    the prebuilt index): with every inverted list probed the candidate
+    set is provably complete, so the serving path must reproduce exact
+    top-k — driver-verifiable evidence that the build/serve split
+    changes nothing but when the assignment pass runs."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = S.ivf_build_index(
+        emb, n_centroids=16, centroids=_ivf_centroids(spark, sf_dir, 16)
+    )
+    return S.ivf_search_indexed(idx, queries, k=5, nprobe=16)
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
@@ -6167,6 +6208,15 @@ def gate_order(
 
     return sorted(corpus, key=lambda n: (effective(n), reg[n]))
 
+
+# Stable walk order for benchmarking (VERDICT r8 item 1): the census
+# sort below re-orders CORPUS every round as evidence lands, which is
+# exactly what the driver gate needs — but per-entry bench timings are
+# order-sensitive (JIT warm-up, GC phase, shuffle-dir state from the
+# preceding ~140 queries), so bench.py must walk an order that never
+# changes round-over-round. Snapshot the registration order BEFORE the
+# sort; it only changes when an entry is added or removed.
+REGISTRATION_ORDER: tuple[str, ...] = tuple(CORPUS)
 
 _ordered = {name: CORPUS[name] for name in gate_order(CORPUS)}
 assert len(_ordered) == len(CORPUS)

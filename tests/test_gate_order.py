@@ -20,7 +20,12 @@ import json
 import re
 from pathlib import Path
 
-from empujar_spark.plans.corpus import CORPUS, _evidence_rounds, gate_order
+from empujar_spark.plans.corpus import (
+    CORPUS,
+    REGISTRATION_ORDER,
+    _evidence_rounds,
+    gate_order,
+)
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -95,6 +100,67 @@ def test_new_driver_record_rerotates_instead_of_breaking(tmp_path):
     # the freshly-gated entries hold the newest effective round, so they
     # demote to exactly the last |fake| positions of the walk
     assert set(order2[-len(fake):]) == set(fake)
+
+
+def test_registration_order_is_evidence_independent():
+    """bench.py walks REGISTRATION_ORDER, which must be a snapshot of
+    the pre-census registration order: same entry set as CORPUS, but
+    NOT a function of the committed evidence — landing a new driver
+    record re-rotates CORPUS while the bench walk order stays put
+    (VERDICT r8 item 1: order-confounded timings)."""
+    assert isinstance(REGISTRATION_ORDER, tuple)
+    assert set(REGISTRATION_ORDER) == set(CORPUS)
+    # the census sorts stalest-first, so with real evidence the two
+    # orders must already disagree (150 entries, 100 with non-zero age)
+    assert list(REGISTRATION_ORDER) != list(CORPUS)
+    # simulate the driver landing a fresh record over the gate head:
+    # gate_order changes, REGISTRATION_ORDER is definitionally constant
+    evidence = _evidence_rounds()
+    newest = max((r for v in evidence.values() for r in v), default=0)
+    mutated = dict(evidence)
+    for n in list(CORPUS)[:10]:
+        mutated[n] = {**evidence.get(n, {}), newest + 1: True}
+    assert gate_order(CORPUS, mutated) != list(CORPUS)
+    assert set(gate_order(CORPUS, mutated)) == set(REGISTRATION_ORDER)
+
+
+def test_evidence_age_never_exceeds_three_rounds():
+    """Census cadence (VERDICT r8 item 5): with |CORPUS| entries and
+    the driver gating the first `slots` of the walk each round, every
+    entry — including the rows-only class, which carries a +0.5
+    staleness penalty — must re-gate at least every
+    ceil(|CORPUS|/slots) rounds. Assert it for the committed records
+    AND for the simulated next gate (the first `slots` entries of the
+    current walk landing as round max+1), so a cadence break surfaces
+    one round before the driver would record it."""
+    evidence = _evidence_rounds()
+    newest = max((r for v in evidence.values() for r in v), default=0)
+    recs = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    slots = len(json.loads(recs[-1].read_text()))
+    max_age = -(-len(CORPUS) // slots)  # ceil
+
+    def ages(ev, top_round):
+        return {
+            n: top_round - max(ev[n]) if ev.get(n) else float("inf")
+            for n in CORPUS
+        }
+
+    for name, age in ages(evidence, newest).items():
+        if age == float("inf"):
+            # brand-new entry: no committed evidence yet — it leads the
+            # walk, so the one-round-ahead check below covers it
+            continue
+        assert age < max_age, (
+            f"{name} last gated {age} rounds ago (cadence {max_age})"
+        )
+    # one round ahead: the current gate head gets round newest+1
+    ahead = dict(evidence)
+    for n in list(CORPUS)[:slots]:
+        ahead[n] = {**evidence.get(n, {}), newest + 1: True}
+    for name, age in ages(ahead, newest + 1).items():
+        assert age < max_age, (
+            f"{name} would age out next round ({age} >= {max_age})"
+        )
 
 
 def test_records_parse_and_name_known_entries():
