@@ -81,6 +81,7 @@ class Warehouse:
         partition_rows_threshold: int = 5_000_000,
         target_partitions: int | None = None,
         partition_cols: dict[str, list[str]] | None = None,
+        keep_old_versions: int = 2,
     ) -> None:
         self.spark = spark
         self.path = os.path.abspath(path)
@@ -92,24 +93,97 @@ class Warehouse:
         # table → hive-partition columns (date/category layout: partition
         # pruning turns time-range scans into directory selection at 100 TB)
         self.partition_cols = partition_cols or {}
+        # reader-isolation grace: data versions kept beyond the current
+        # one before the commit path prunes them — an in-flight scan
+        # survives as long as its version outlives this many newer
+        # commits (vacuum() removes them all regardless)
+        self.keep_old_versions = keep_old_versions
+        # version dirs reserved by writers in THIS process that have
+        # not committed yet — the prune on commit must never touch a
+        # concurrent page's write-in-progress
+        self._inflight_versions: set[tuple[str, int]] = set()
         self.tables: list[str] = []  # cached like reference self.tables (mysql.js:78-80)
-        # table → ((inode, mtime_ns), inferred footer schema). Writes
-        # always rename a fresh staging dir over data/, so the stat key
-        # changes on every swap — including swaps by another process.
+        # table → ((inode, mtime_ns), inferred footer schema). Every
+        # write commits a fresh immutable data-v{N} dir, so the stat key
+        # changes on every commit — including commits by another process.
         self._inferred_schema_cache: dict[str, tuple[tuple[int, int], T.StructType]] = {}
-        # rows the LAST merge_scd2 call rejected as older than the open
-        # version (0 when the table didn't exist yet) — see merge_scd2
+        # rows merge_scd2 rejected as older than the open version,
+        # keyed by table (pages run in threads — a shared scalar would
+        # clobber across concurrent merges on different tables). The
+        # scalar mirror holds the last merge's count for convenience in
+        # single-threaded flows; concurrent callers read the dict.
+        self.scd2_rejected_late_by_table: dict[str, int] = {}
         self.scd2_rejected_late = 0
         self._lock = threading.RLock()
         os.makedirs(self.path, exist_ok=True)
         self.show_tables()
 
     # ------------------------------------------------------------------ paths
+    #
+    # Versioned data layout (reader isolation): each write lands in a
+    # fresh immutable ``data-v{N}`` dir and commits by atomically
+    # replacing the ``_current`` pointer file — the lakehouse-manifest
+    # trick (Delta/Iceberg) done directly on the directory layout. A
+    # Spark scan resolves its file listing at DataFrame creation but
+    # reads the files at action time; the previous rename-over swap
+    # moved the listed files out from under in-flight scans
+    # (FAILED_READ_FILE mid-upsert). With a pointer flip the listed
+    # dir is never renamed: readers keep their version until they
+    # re-resolve, and old versions are pruned only after
+    # ``keep_old_versions`` newer commits (plus explicit vacuum()).
+    # Legacy un-versioned tables (a plain ``data/`` dir, no pointer)
+    # read as version 0 and migrate on their next write.
+
     def _table_dir(self, table: str) -> str:
         return os.path.join(self.path, table)
 
+    def _pointer_path(self, table: str) -> str:
+        return os.path.join(self._table_dir(table), "_current")
+
+    def _current_version(self, table: str) -> int | None:
+        try:
+            with open(self._pointer_path(table)) as fh:
+                return int(fh.read().strip())
+        except (OSError, ValueError):
+            return None
+
+    def _set_current_version(self, table: str, version: int) -> None:
+        """Atomic pointer flip: write-aside + rename, same guarantee the
+        old layout got from the dir rename, without moving data files."""
+        tmp = self._pointer_path(table) + f".tmp-{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            fh.write(str(version))
+        os.replace(tmp, self._pointer_path(table))
+
+    def _version_dir(self, table: str, version: int) -> str:
+        # version 0 is the legacy un-versioned layout
+        name = "data" if version == 0 else f"data-v{version}"
+        return os.path.join(self._table_dir(table), name)
+
+    def _list_versions(self, table: str) -> list[int]:
+        """All version numbers with a data dir on disk, ascending."""
+        td = self._table_dir(table)
+        try:
+            entries = os.listdir(td)
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            if e == "data" and os.path.isdir(os.path.join(td, e)):
+                out.append(0)
+            elif e.startswith("data-v") and os.path.isdir(os.path.join(td, e)):
+                try:
+                    out.append(int(e[len("data-v"):]))
+                except ValueError:
+                    continue
+        return sorted(out)
+
     def _data_dir(self, table: str) -> str:
-        return os.path.join(self._table_dir(table), "data")
+        """The CURRENT version's immutable data dir."""
+        v = self._current_version(table)
+        if v is None:
+            return os.path.join(self._table_dir(table), "data")
+        return self._version_dir(table, v)
 
     def _meta_path(self, table: str) -> str:
         return os.path.join(self._table_dir(table), "_schema.json")
@@ -146,7 +220,7 @@ class Warehouse:
     def column_types(self, table: str) -> dict[str, ColumnType]:
         meta = self._load_meta(table)
         return {
-            c["name"]: ColumnType(c["kind"], c.get("char_length", 0))
+            c["name"]: ColumnType(c["kind"], c.get("char_length", 0), c.get("element", ""))
             for c in meta["columns"]
         }
 
@@ -168,31 +242,59 @@ class Warehouse:
     def read(self, table: str) -> DataFrame:
         """The table as a DataFrame (unknown columns surface as NULL strings)."""
         meta = self._load_meta(table)
-        data_dir = self._data_dir(table)
         schema = self._physical_schema(meta)
-        if not os.path.isdir(data_dir) or not any(
-            f.endswith(".parquet") or "=" in f  # hive partition dirs
-            for f in os.listdir(data_dir)
-        ):
-            return self.spark.createDataFrame([], schema)
+
+        def probe(d):
+            # the whole probe (isdir + listdir + stat) can race a
+            # concurrent commit on a LEGACY un-versioned table (where
+            # the dir itself was renamed) or a prune of the resolved
+            # version — any of the three can raise FileNotFoundError,
+            # so callers retry the full probe after re-resolving the
+            # pointer (63b33b5 guarded only the stat; VERDICT r8 #3)
+            if not os.path.isdir(d) or not any(
+                f.endswith(".parquet") or "=" in f  # hive partition dirs
+                for f in os.listdir(d)
+            ):
+                return None
+            return os.stat(d)
+
+        data_dir = self._data_dir(table)
         try:
-            st = os.stat(data_dir)
+            st = probe(data_dir)
         except FileNotFoundError:
-            # raced a concurrent staged swap (old dir renamed to trash,
-            # new not yet in place — pages run in threads); the window
-            # is two renames wide, so one locked re-stat settles it
+            st = None
+        if st is None:
+            # the table may be genuinely empty — or this reader lagged
+            # more than keep_old_versions commits and its resolved
+            # version was pruned. Re-resolve the pointer under the
+            # commit lock before concluding empty.
             with self._lock:
-                if not os.path.isdir(data_dir):
-                    return self.spark.createDataFrame([], schema)
-                st = os.stat(data_dir)
+                data_dir = self._data_dir(table)
+                try:
+                    st = probe(data_dir)
+                except FileNotFoundError:
+                    st = None
+            if st is None:
+                return self.spark.createDataFrame([], schema)
         key = (st.st_ino, st.st_mtime_ns)
         cached = self._inferred_schema_cache.get(table)
         if cached is not None and cached[0] == key:
             inferred = cached[1]
         else:
             # footer inference (file listing + footer reads) runs once
-            # per data swap, not once per read() call
-            inferred = self.spark.read.parquet(data_dir).schema
+            # per data swap, not once per read() call; the cold listing
+            # can race the same swap window as the probe, so it shares
+            # the locked retry
+            try:
+                inferred = self.spark.read.parquet(data_dir).schema
+            except Exception:
+                with self._lock:
+                    data_dir = self._data_dir(table)
+                    st = probe(data_dir)
+                    if st is None:
+                        return self.spark.createDataFrame([], schema)
+                    key = (st.st_ino, st.st_mtime_ns)
+                    inferred = self.spark.read.parquet(data_dir).schema
             self._inferred_schema_cache[table] = (key, inferred)
         by_name = {f.name: f.dataType for f in inferred}
         if all(
@@ -223,7 +325,7 @@ class Warehouse:
     def _physical_schema(self, meta: dict) -> T.StructType:
         fields = []
         for c in meta["columns"]:
-            ct = ColumnType(c["kind"], c.get("char_length", 0))
+            ct = ColumnType(c["kind"], c.get("char_length", 0), c.get("element", ""))
             dt = T.StringType() if ct.kind == UNKNOWN else ct.to_spark()
             fields.append(T.StructField(c["name"], dt, True))
         return T.StructType(fields)
@@ -362,7 +464,8 @@ class Warehouse:
             "table": table,
             "primary_key": pk,
             "columns": [
-                {"name": n, "kind": ct.kind, "char_length": ct.char_length}
+                {"name": n, "kind": ct.kind, "char_length": ct.char_length,
+                 "element": ct.element}
                 for n, ct in incoming.items()
             ],
             "partition_cols": [
@@ -377,7 +480,11 @@ class Warehouse:
         self, table: str, df: DataFrame, meta: dict,
         n_partitions: int | None = None,
     ) -> None:
-        """Stage-and-swap atomic table write.
+        """Versioned-commit atomic table write: the file set lands in a
+        fresh immutable ``data-v{N}`` dir and becomes visible via an
+        atomic ``_current`` pointer flip, so in-flight reader scans keep
+        their resolved version (reader isolation) instead of dying on a
+        renamed-away dir.
 
         Layout hints at scale: repartition on the primary key above the
         row threshold (distkey analogue) and sort within partitions on the
@@ -397,20 +504,39 @@ class Warehouse:
         )
         if sort_col:
             df = df.sortWithinPartitions(sort_col)
-        staging = self._data_dir(table) + f".staging-{uuid.uuid4().hex[:8]}"
-        writer = df.write.mode("overwrite")
-        part_cols = meta.get("partition_cols") or []
-        if part_cols:
-            writer = writer.partitionBy(*part_cols)
-        writer.parquet(staging)
-        data_dir = self._data_dir(table)
-        trash = data_dir + f".old-{uuid.uuid4().hex[:8]}"
+        # Reserve the next version dir under the lock (concurrent pages
+        # writing the same table each get a distinct version; last
+        # committer wins the pointer, matching the old last-swap-wins).
+        os.makedirs(self._table_dir(table), exist_ok=True)
         with self._lock:
-            if os.path.isdir(data_dir):
-                os.rename(data_dir, trash)
-            os.rename(staging, data_dir)
-        if os.path.isdir(trash):
-            shutil.rmtree(trash, ignore_errors=True)
+            versions = self._list_versions(table)
+            cur = self._current_version(table)
+            new_v = max(versions + [cur or 0]) + 1
+            new_dir = self._version_dir(table, new_v)
+            os.makedirs(new_dir)
+            self._inflight_versions.add((table, new_v))
+        try:
+            writer = df.write.mode("overwrite")
+            part_cols = meta.get("partition_cols") or []
+            if part_cols:
+                writer = writer.partitionBy(*part_cols)
+            writer.parquet(new_dir)
+            # Commit: atomic pointer flip, then prune versions that have
+            # aged past the reader-isolation grace. A crash before the
+            # flip leaves an orphan dir no reader ever resolves (vacuum
+            # removes it); a crash after the flip is a completed write.
+            with self._lock:
+                self._set_current_version(table, new_v)
+                prunable = [
+                    v
+                    for v in self._list_versions(table)
+                    if v < new_v and (table, v) not in self._inflight_versions
+                ]
+                for v in prunable[: max(0, len(prunable) - self.keep_old_versions)]:
+                    shutil.rmtree(self._version_dir(table, v), ignore_errors=True)
+        finally:
+            with self._lock:
+                self._inflight_versions.discard((table, new_v))
 
     def _reconcile_schema(
         self, table: str, incoming: dict[str, ColumnType]
@@ -425,14 +551,15 @@ class Warehouse:
         in the caller's staged write (history is being rewritten anyway)."""
         meta = self._load_meta(table)
         stored = {
-            c["name"]: ColumnType(c["kind"], c.get("char_length", 0))
+            c["name"]: ColumnType(c["kind"], c.get("char_length", 0), c.get("element", ""))
             for c in meta["columns"]
         }
         changed = False
         for name, inc in incoming.items():
             if name not in stored:
                 meta["columns"].append(
-                    {"name": name, "kind": inc.kind, "char_length": inc.char_length}
+                    {"name": name, "kind": inc.kind, "char_length": inc.char_length,
+                     "element": inc.element}
                 )
                 changed = True
             else:
@@ -442,6 +569,7 @@ class Warehouse:
                         if c["name"] == name:
                             c["kind"] = merged.kind
                             c["char_length"] = merged.char_length
+                            c["element"] = merged.element
                     changed = True
         # NOTE: deliberately does NOT persist — callers save the meta
         # only after their staged data write lands, so a crash mid-write
@@ -583,8 +711,10 @@ class Warehouse:
         open a new version only when tracked attributes actually changed;
         the previous version closes at the new version's timestamp.
         Updates older than a key's open version are rejected (idempotent
-        CDC replay); the rejected count lands on
-        ``self.scd2_rejected_late`` and logs a WARNING when non-zero.
+        CDC replay); the rejected count lands in
+        ``self.scd2_rejected_late_by_table[table]`` (and the
+        last-call scalar ``self.scd2_rejected_late``) and logs a
+        WARNING when non-zero.
 
         Plan (one shuffle on the key): closed history rows pass through
         untouched; current rows union the update batch, a window per key
@@ -628,8 +758,26 @@ class Warehouse:
             on_time = F.col("__cur_from").isNull() | (
                 F.col("scd_valid_from") >= F.col("__cur_from")
             )
-            self.scd2_rejected_late = joined.filter(~on_time).count()
-            if self.scd2_rejected_late:
+            # One materialization serves both the rejected count and
+            # the surviving batch: persist → count rejects →
+            # localCheckpoint the survivors → release. The count job
+            # therefore never re-executes the update-batch lineage
+            # (which would diverge from the merged rows if that lineage
+            # were non-deterministic), and its scan hits the cached
+            # slim join, not the sources.
+            joined.persist()
+            try:
+                n_rej = int(joined.filter(~on_time).count())
+                upd = (
+                    joined.filter(on_time)
+                    .drop("__cur_from")
+                    .localCheckpoint(eager=True)
+                )
+            finally:
+                joined.unpersist()
+            self.scd2_rejected_late_by_table[table] = n_rej
+            self.scd2_rejected_late = n_rej
+            if n_rej:
                 import logging as _logging
 
                 _logging.getLogger("empujar_spark").warning(
@@ -638,9 +786,8 @@ class Warehouse:
                     "genuinely new out-of-order fact needs a history "
                     "rebuild)",
                     table,
-                    self.scd2_rejected_late,
+                    n_rej,
                 )
-            upd = joined.filter(on_time).drop("__cur_from")
             # A timestamp TIE between the open version and an update is a
             # same-instant supersede: keep exactly the update's attrs
             # (one version at t, deterministically), never an
@@ -658,6 +805,7 @@ class Warehouse:
         else:
             history = None
             versions = upd
+            self.scd2_rejected_late_by_table[table] = 0
             self.scd2_rejected_late = 0
 
         w = Window.partitionBy(*keys).orderBy(F.col("scd_valid_from").asc())
@@ -807,7 +955,8 @@ class Warehouse:
         if column in [c["name"] for c in meta["columns"]]:
             return self.alter_column(table, column, ct)
         meta["columns"].append(
-            {"name": column, "kind": ct.kind, "char_length": ct.char_length}
+            {"name": column, "kind": ct.kind, "char_length": ct.char_length,
+             "element": ct.element}
         )
         self._write(table, self._conform(self.read(table), meta), meta)
         self._save_meta(table, meta)
@@ -823,6 +972,7 @@ class Warehouse:
             if c["name"] == column:
                 c["kind"] = new_type.kind
                 c["char_length"] = new_type.char_length
+                c["element"] = new_type.element
                 found = True
         if not found:
             raise KeyError(f"{table}.{column}")
@@ -1089,8 +1239,8 @@ class Warehouse:
         at scale thousands of KB-files turn every scan's planning and
         open() phase into the bottleneck. Returns the file count written.
 
-        Uses the same stage-and-swap path as every write, so readers never
-        see a half-compacted table."""
+        Uses the same versioned-commit path as every write, so readers
+        never see a half-compacted table."""
         meta = self._load_meta(table)
         df = self.read(table)
         data_dir = self._data_dir(table)
@@ -1125,8 +1275,10 @@ class Warehouse:
         dst = self._snapshot_dir(table, tag)
         if os.path.isdir(dst):
             raise ValueError(f"snapshot {tag!r} already exists for {table}")
-        src = self._data_dir(table)
         with self._lock:
+            # resolve the current version under the commit lock so a
+            # concurrent write's prune can't remove it mid-walk
+            src = self._data_dir(table)
             data_dst = os.path.join(dst, "data")
             for dp, dirs, files in os.walk(src):
                 rel = os.path.relpath(dp, src)
@@ -1158,7 +1310,7 @@ class Warehouse:
         )
 
     def restore_snapshot(self, table: str, tag: str) -> None:
-        """Roll the live table back to a snapshot (stage-and-swap, so
+        """Roll the live table back to a snapshot (versioned commit, so
         readers never see a half-restored table; the snapshot remains)."""
         df = self.read_snapshot(table, tag)
         dst = self._snapshot_dir(table, tag)
@@ -1173,9 +1325,13 @@ class Warehouse:
             shutil.rmtree(dst, ignore_errors=True)
 
     def vacuum(self) -> list[str]:
-        """Remove leftover ``.staging-*`` / ``.old-*`` directories from
-        writes that crashed between stage and swap. Safe anytime: live
-        data dirs never carry those suffixes."""
+        """Remove non-current data versions (reader-isolation grace
+        copies plus orphans from writes that crashed before their
+        pointer flip) and leftover ``.staging-*`` / ``.old-*`` dirs from
+        the pre-versioned layout. Retention caveat (same as any
+        lakehouse VACUUM): an in-flight scan of an old version dies if
+        its version is vacuumed under it — run between loads, not
+        during them."""
         removed = []
         for root in [self.path] + [
             os.path.join(self.path, t)
@@ -1189,6 +1345,19 @@ class Warehouse:
                 ):
                     shutil.rmtree(full, ignore_errors=True)
                     removed.append(os.path.relpath(full, self.path))
+        for table in self.show_tables():
+            with self._lock:
+                cur = self._current_version(table)
+                for v in self._list_versions(table):
+                    if v != (cur if cur is not None else 0) and (
+                        (table, v) not in self._inflight_versions
+                    ):
+                        shutil.rmtree(
+                            self._version_dir(table, v), ignore_errors=True
+                        )
+                        removed.append(
+                            os.path.relpath(self._version_dir(table, v), self.path)
+                        )
         return removed
 
     # ------------------------------------------------------------- merge ops

@@ -309,17 +309,23 @@ def test_compact_and_vacuum(spark, tmp_path):
     data_dir = wh._data_dir("orders")
     n_before = sum(f.endswith(".parquet") for f in os.listdir(data_dir))
     n_target = wh.compact("orders")
+    # compaction committed a NEW immutable version — re-resolve
+    data_dir = wh._data_dir("orders")
     assert wh.table_size("orders") == before  # lossless
     n_after = sum(f.endswith(".parquet") for f in os.listdir(data_dir))
     assert n_after <= max(n_target, 1) + 1
     assert n_after <= n_before
 
-    # vacuum removes a faked crashed-write leftover, not live data
+    # vacuum removes a faked crashed-write leftover plus the
+    # reader-isolation grace versions, never the live data
     fake = data_dir + ".staging-deadbeef"
     os.makedirs(fake)
     removed = wh.vacuum()
     assert any("staging-deadbeef" in r for r in removed)
     assert not os.path.isdir(fake)
+    assert os.path.isdir(data_dir)  # live version untouched
+    # only the current version dir remains after vacuum
+    assert wh._list_versions("orders") == [wh._current_version("orders")]
     assert wh.table_size("orders") == before
 
 
@@ -777,6 +783,7 @@ def test_scd2_rejects_late_rows_and_resolves_ties_deterministically(spark, tmp_p
         spark.createDataFrame([(1, "stale", T(3))], "id int, attr string, updated_at timestamp"),
     )
     assert wh.scd2_rejected_late == 1
+    assert wh.scd2_rejected_late_by_table["dim"] == 1
     rows = sorted(
         wh.read("dim").collect(), key=lambda r: r.scd_valid_from
     )
@@ -793,3 +800,78 @@ def test_scd2_rejects_late_rows_and_resolves_ties_deterministically(spark, tmp_p
     rows = sorted(wh.read("dim").collect(), key=lambda r: r.scd_valid_from)
     assert [r.attr for r in rows] == ["v1", "v2b"]
     assert rows[1].scd_is_current == 1
+
+
+def test_read_probe_retries_whole_window_on_race(spark, tmp_path, monkeypatch):
+    """The two-rename swap window can make ANY of read()'s probe calls
+    (isdir → listdir → stat) raise FileNotFoundError, not just the
+    stat: simulate the listdir landing mid-swap and assert read()
+    retries the whole probe under the swap lock instead of surfacing
+    the race (VERDICT r8 item 3 — 63b33b5 guarded only the stat)."""
+    import os as _os
+
+    import empujar_spark.catalog as cat
+
+    wh = cat.Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data("t", spark.createDataFrame([(1, "a")], "id int, v string"))
+    data_dir = wh._data_dir("t")
+
+    real_listdir = _os.listdir
+    calls = {"n": 0}
+
+    def flaky_listdir(path):
+        if _os.fspath(path) == data_dir:
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise FileNotFoundError(path)
+        return real_listdir(path)
+
+    monkeypatch.setattr(cat.os, "listdir", flaky_listdir)
+    assert wh.read("t").count() == 1
+    assert calls["n"] >= 2  # the probe was retried, not skipped
+
+
+def test_read_swap_race_tight_loop(spark, tmp_path):
+    """Swap concurrently with read() in a tight loop: a writer thread
+    re-runs the staged upsert (two renames under the swap lock) while
+    readers hammer read().count(); no call may surface
+    FileNotFoundError or an empty-DF misread of a populated table."""
+    import threading
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    base = spark.createDataFrame([(i, "v") for i in range(50)], "id int, v string")
+    wh.insert_data("t", base, merge_key="id")
+
+    errors = []
+    stop = threading.Event()
+
+    def writer():
+        try:
+            for _ in range(6):
+                wh.insert_data("t", base, merge_key="id")
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+        finally:
+            stop.set()
+
+    def reader():
+        try:
+            while not stop.is_set():
+                n = wh.read("t").count()
+                # the table is never empty after the initial load: a
+                # 0-row read means the probe raced the swap into the
+                # "absent dir" branch
+                assert n == 50, f"misread {n} rows mid-swap"
+        except Exception as e:  # pragma: no cover - failure surface
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer)] + [
+        threading.Thread(target=reader) for _ in range(3)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
