@@ -403,6 +403,15 @@ def ivf_topk(
         _norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe(F.col(vec_col))).alias("cid"),
     ).filter(F.col("q_norm") > 0)
+    return _ivf_rank(c, q, k)
+
+
+def _ivf_rank(c: DataFrame, q: DataFrame, k: int) -> DataFrame:
+    """Shared IVF scoring tail (per-call ivf_topk AND the prebuilt-index
+    ivf_search_indexed): probe equi-join on centroid id, cosine from the
+    pre-hoisted norms, per-query top-k window. One expression tree ⇒ the
+    two paths are value-identical by construction on the same
+    assignments."""
     cos = F.round(
         _dot(F.col("q_vec"), F.col("c_vec"))
         / (F.col("q_norm") * F.col("c_norm")),
@@ -421,6 +430,83 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+def ivf_build_index(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> dict[str, DataFrame]:
+    """Build the persistable IVF index: ``centroids`` (cid, centroid
+    array<double>) and ``assignments`` (neighbor_id, c_vec, c_norm, cid).
+
+    The PRODUCTION serving shape at 100 TB (mirror of
+    text.py bm25_build_index): quantizer training and the full-corpus
+    assignment pass run ONCE at build time instead of once per query
+    set. Persist both tables in a Warehouse — assignments
+    hive-partitioned or clustered by ``cid`` so a probe reads only its
+    nprobe inverted lists — and every later query is the sub-linear
+    probe join in :func:`ivf_search_indexed`. The typed-array lattice
+    kind (types.py ARRAY) keeps the vector columns exact through the
+    warehouse round-trip.
+    """
+    C = (
+        centroids
+        if centroids is not None
+        else ivf_train(corpus, n_centroids, iters, id_col=id_col, vec_col=vec_col)
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(int(j), [float(x) for x in row]) for j, row in enumerate(C)],
+        "cid int, centroid array<double>",
+    )
+    assign = _nearest_centroids_udf(C, 1)
+    assignments = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+            assign(F.col(vec_col))[0].alias("cid"),
+        )
+        .filter(F.col("c_norm") > 0)
+    )
+    return {"centroids": centroids, "assignments": assignments}
+
+
+def ivf_search_indexed(
+    index: dict[str, DataFrame],
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k against a prebuilt IVF index (ivf_build_index output,
+    typically read back from a Warehouse): queries hash against the
+    stored centroid table (bounded collect — n_centroids rows) and probe
+    their ``nprobe`` inverted lists via the shared ``_ivf_rank`` tail,
+    producing results identical to per-call ``ivf_topk`` at the same
+    centroids/nprobe. Per-query cost is bounded by the probed lists'
+    size, independent of corpus scale; the corpus itself is never
+    re-assigned."""
+    cent = index["centroids"].orderBy("cid").collect()
+    C = [list(r["centroid"]) for r in cent]
+    probe = _nearest_centroids_udf(C, nprobe)
+    q = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+            F.explode(probe(F.col(vec_col))).alias("cid"),
+        )
+        .filter(F.col("q_norm") > 0)
+    )
+    return _ivf_rank(index["assignments"], q, k)
 
 
 def embedding_decontam(

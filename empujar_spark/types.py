@@ -40,18 +40,31 @@ DOUBLE = "double"
 TIMESTAMP = "timestamp"
 VARCHAR = "varchar"
 TEXT = "text"
+# Engine extension beyond the reference's MySQL-shaped lattice: typed
+# array columns (embedding vectors, token-id lists, IVF centroids).
+# The reference JSON-stringifies containers (snowflake.js:479-524) —
+# right for a SQL sink, wrong for a vector warehouse, where a
+# stringified embedding can never round-trip back into the Arrow
+# kernels. ``element`` carries the element type as a Spark
+# simpleString ("float", "double", "bigint", "string", nested
+# "array<float>").
+ARRAY = "array"
 
 ZERO_DATES = {"0000-00-00", "0000-00-00 00:00:00"}  # redshift.js:98-104
 
 
 @dataclass(frozen=True)
 class ColumnType:
-    """Engine-level column type: lattice kind + varchar length metadata."""
+    """Engine-level column type: lattice kind + varchar length metadata
+    (+ element type simpleString for array columns)."""
 
     kind: str
     char_length: int = 0
+    element: str = ""
 
     def to_spark(self) -> T.DataType:
+        if self.kind == ARRAY:
+            return T.ArrayType(_element_to_spark(self.element))
         return _SPARK_TYPES[self.kind]
 
     def render(self) -> str:
@@ -60,6 +73,8 @@ class ColumnType:
             return f"varchar({self.char_length})"
         if self.kind == UNKNOWN:
             return "varchar(0)"
+        if self.kind == ARRAY:
+            return f"array<{self.element}>"
         return {BOOLEAN: "tinyint(1)", LONG: "bigint(20)", DOUBLE: "float",
                 TIMESTAMP: "datetime", TEXT: "text"}[self.kind]
 
@@ -73,6 +88,29 @@ _SPARK_TYPES: dict[str, T.DataType] = {
     VARCHAR: T.StringType(),
     TEXT: T.StringType(),
 }
+
+# Element types resolved WITHOUT a SparkSession (DataType.fromDDL needs
+# an active session — this module must stay importable/pure).
+_ELEMENT_TYPES: dict[str, T.DataType] = {
+    "boolean": T.BooleanType(),
+    "tinyint": T.ByteType(),
+    "smallint": T.ShortType(),
+    "int": T.IntegerType(),
+    "bigint": T.LongType(),
+    "float": T.FloatType(),
+    "double": T.DoubleType(),
+    "string": T.StringType(),
+    "timestamp": T.TimestampType(),
+    "date": T.DateType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _element_to_spark(element: str) -> T.DataType:
+    if element.startswith("array<") and element.endswith(">"):
+        return T.ArrayType(_element_to_spark(element[6:-1]))
+    # unknown element strings degrade to string, the lattice's safe sink
+    return _ELEMENT_TYPES.get(element, T.StringType())
 
 
 def infer_value_type(value, varchar_length: int = VARCHAR_DEFAULT_LENGTH) -> ColumnType:
@@ -99,7 +137,14 @@ def infer_value_type(value, varchar_length: int = VARCHAR_DEFAULT_LENGTH) -> Col
         return ColumnType(TEXT)
     if isinstance(value, (bytes, bytearray)):
         return ColumnType(TEXT)
-    # dict/list/etc: the reference JSON-stringifies on write (snowflake.js:479-524)
+    if isinstance(value, (list, tuple)):
+        # typed array column (engine extension — see ARRAY above); the
+        # element type is the promotion over the items' scalar kinds
+        elem = ColumnType(UNKNOWN)
+        for item in value:
+            elem = promote(elem, infer_value_type(item, varchar_length))
+        return ColumnType(ARRAY, element=_ELEMENT_DDL.get(elem.kind, "string"))
+    # dict/etc: the reference JSON-stringifies on write (snowflake.js:479-524)
     return ColumnType(TEXT)
 
 
@@ -108,6 +153,10 @@ def promote(a: ColumnType, b: ColumnType) -> ColumnType:
     if a.kind == b.kind:
         if a.kind == VARCHAR:
             return ColumnType(VARCHAR, max(a.char_length, b.char_length))
+        if a.kind == ARRAY and a.element != b.element:
+            return ColumnType(
+                ARRAY, element=_promote_elements(a.element, b.element)
+            )
         return a
     if a.kind == UNKNOWN:
         return b
@@ -120,6 +169,53 @@ def promote(a: ColumnType, b: ColumnType) -> ColumnType:
         return ColumnType(TEXT)
     # any other mixed pair degrades to text (total-lattice choice)
     return ColumnType(TEXT)
+
+
+# numeric array elements promote along the scalar lattice; anything
+# else meets at string — mirrors the scalar total-lattice choice
+_ELEMENT_PROMOTIONS = {
+    frozenset({"float", "double"}): "double",
+    frozenset({"int", "bigint"}): "bigint",
+    frozenset({"int", "float"}): "double",
+    frozenset({"int", "double"}): "double",
+    frozenset({"bigint", "float"}): "double",
+    frozenset({"bigint", "double"}): "double",
+    frozenset({"tinyint", "int"}): "int",
+    frozenset({"tinyint", "bigint"}): "bigint",
+    frozenset({"smallint", "int"}): "int",
+    frozenset({"smallint", "bigint"}): "bigint",
+}
+
+# scalar lattice kind → array-element DDL (for inference over lists)
+_ELEMENT_DDL = {
+    BOOLEAN: "boolean",
+    LONG: "bigint",
+    DOUBLE: "double",
+    TIMESTAMP: "timestamp",
+    VARCHAR: "string",
+    TEXT: "string",
+    UNKNOWN: "string",
+}
+
+
+def _promote_elements(a: str, b: str) -> str:
+    if a == b:
+        return a
+    return _ELEMENT_PROMOTIONS.get(frozenset({a, b}), "string")
+
+
+# element DDL → scalar lattice kind (for normalizing array items)
+_DDL_TO_KIND = {
+    "boolean": BOOLEAN,
+    "tinyint": LONG,
+    "smallint": LONG,
+    "int": LONG,
+    "bigint": LONG,
+    "float": DOUBLE,
+    "double": DOUBLE,
+    "string": VARCHAR,
+    "timestamp": TIMESTAMP,
+}
 
 
 def infer_column_types(
@@ -173,6 +269,8 @@ def from_spark_type(dt: T.DataType, char_length: int = VARCHAR_DEFAULT_LENGTH) -
         return ColumnType(TIMESTAMP)
     if isinstance(dt, T.StringType):
         return ColumnType(VARCHAR, char_length)
+    if isinstance(dt, T.ArrayType):
+        return ColumnType(ARRAY, element=dt.elementType.simpleString())
     return ColumnType(TEXT)
 
 
@@ -214,6 +312,14 @@ def normalize_value(value, col_type: ColumnType):
         if isinstance(value, _dt.datetime):
             return value.replace(microsecond=0).isoformat(sep=" ")
         return str(value)
+    if kind == ARRAY:
+        if isinstance(value, (list, tuple)):
+            if col_type.element.startswith("array<"):
+                elem = ColumnType(ARRAY, element=col_type.element[6:-1])
+            else:
+                elem = ColumnType(_DDL_TO_KIND.get(col_type.element, VARCHAR))
+            return [normalize_value(v, elem) for v in value]
+        return value
     return value
 
 

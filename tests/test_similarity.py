@@ -288,3 +288,49 @@ def test_hybrid_ann_overlap_with_exact_twin(spark):
     for qid in e:
         overlap = len(e[qid] & a[qid]) / len(e[qid])
         assert overlap >= 0.5, f"{qid}: fused overlap {overlap} too low"
+
+
+def test_ivf_indexed_equals_per_call(emb):
+    """The prebuilt-index serving path (ivf_build_index +
+    ivf_search_indexed) is value-identical to per-call ivf_topk at the
+    same centroids and nprobe — shared _ivf_rank expression tree, so
+    every row (cosine included) matches, both approximate (nprobe=4)
+    and full-probe (nprobe=16)."""
+    queries = emb.filter(F.col("vec_id") < 5)
+    C = S.ivf_train(emb, 16)
+    idx = S.ivf_build_index(emb, n_centroids=16, centroids=C)
+    for nprobe in (4, 16):
+        per_call = sorted(map(tuple, S.ivf_topk(
+            emb, queries, k=5, n_centroids=16, nprobe=nprobe,
+            centroids=C).collect()))
+        served = sorted(map(tuple, S.ivf_search_indexed(
+            idx, queries, k=5, nprobe=nprobe).collect()))
+        assert served == per_call and len(served) > 0
+
+
+def test_ivf_index_survives_warehouse_roundtrip(emb, spark, tmp_path):
+    """Persist centroids+assignments in a Warehouse (typed-array lattice
+    columns), read them back, search — identical rows to searching the
+    in-memory index. The build-once/serve-many split for ANN, mirroring
+    the BM25 inverted-index round-trip."""
+    from empujar_spark.catalog import Warehouse
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    idx = S.ivf_build_index(emb, n_centroids=16)
+    wh = Warehouse(spark, str(tmp_path), primary_key="cid")
+    wh.insert_data("ivf_centroids", idx["centroids"], merge_key="cid")
+    wh.insert_data(
+        "ivf_assignments", idx["assignments"], merge_key="neighbor_id"
+    )
+    # vector columns round-trip as typed arrays, not stringified
+    assert wh.show_columns("ivf_centroids")["centroid"]["type"] == "array<double>"
+    assert wh.show_columns("ivf_assignments")["c_vec"]["type"].startswith("array<")
+    stored = {
+        "centroids": wh.read("ivf_centroids"),
+        "assignments": wh.read("ivf_assignments"),
+    }
+    direct = sorted(map(tuple, S.ivf_search_indexed(
+        idx, queries, k=5, nprobe=4).collect()))
+    roundtrip = sorted(map(tuple, S.ivf_search_indexed(
+        stored, queries, k=5, nprobe=4).collect()))
+    assert roundtrip == direct and len(direct) > 0

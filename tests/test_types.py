@@ -93,3 +93,44 @@ def test_struct_type_pk_first_and_not_null():
     assert st.fields[0].name == "id"
     assert st.fields[0].nullable is False
     assert isinstance(st.fields[0].dataType, T.LongType)
+
+
+def test_array_lattice_inference_and_promotion():
+    """Typed array columns (engine extension): lists infer to
+    array<elem> with element promotion along the scalar lattice;
+    mismatched arrays meet at array<string>; array vs scalar degrades
+    to text (total-lattice choice)."""
+    from empujar_spark import types as lt
+
+    assert lt.infer_value_type([1, 2, 3]) == lt.ColumnType(lt.ARRAY, element="bigint")
+    assert lt.infer_value_type([0.5, 1]) == lt.ColumnType(lt.ARRAY, element="double")
+    assert lt.infer_value_type(["a", "b"]) == lt.ColumnType(lt.ARRAY, element="string")
+    assert lt.infer_value_type([]) == lt.ColumnType(lt.ARRAY, element="string")
+    a_f = lt.ColumnType(lt.ARRAY, element="float")
+    a_d = lt.ColumnType(lt.ARRAY, element="double")
+    assert lt.promote(a_f, a_d) == a_d
+    assert lt.promote(a_d, a_d) == a_d
+    assert lt.promote(a_d, lt.ColumnType(lt.ARRAY, element="string")) == lt.ColumnType(
+        lt.ARRAY, element="string"
+    )
+    assert lt.promote(a_d, lt.ColumnType(lt.UNKNOWN)) == a_d
+    assert lt.promote(a_d, lt.ColumnType(lt.LONG)) == lt.ColumnType(lt.TEXT)
+    # spark round-trip: to_spark ∘ from_spark_type is the identity
+    import pyspark.sql.types as T
+
+    assert a_d.to_spark() == T.ArrayType(T.DoubleType())
+    assert lt.from_spark_type(T.ArrayType(T.FloatType())) == a_f
+    nested = lt.ColumnType(lt.ARRAY, element="array<float>")
+    assert nested.to_spark() == T.ArrayType(T.ArrayType(T.FloatType()))
+    assert lt.from_spark_type(nested.to_spark()) == nested
+    assert nested.render() == "array<array<float>>"
+
+
+def test_array_normalize_value():
+    from empujar_spark import types as lt
+
+    a_d = lt.ColumnType(lt.ARRAY, element="double")
+    assert lt.normalize_value([1, 2.5, None], a_d) == [1.0, 2.5, None]
+    a_s = lt.ColumnType(lt.ARRAY, element="string")
+    assert lt.normalize_value([1, "x"], a_s) == ["1", "x"]
+    assert lt.normalize_value(None, a_d) is None
