@@ -203,6 +203,101 @@ def containment_pairs(
     )
 
 
+def history_shingle_table(
+    df: DataFrame, text_col: str = "text", k: int = 3
+) -> DataFrame:
+    """The persistable shingle table for incremental containment:
+    (doc_id, shingle, n_sh) — each stored document's distinct k-shingles
+    plus its shingle count, built ONCE at ingest and stored clustered on
+    ``shingle`` so a batch's candidate join reads only the buckets its
+    shingles hash to. Carrying ``n_sh`` on every row costs one long per
+    shingle and saves the per-ingest window/join that would otherwise
+    re-derive history sizes."""
+    sh = doc_shingles(df, text_col, k)
+    from pyspark.sql import Window
+
+    return sh.withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+
+
+def containment_incremental_pairs(
+    new: DataFrame,
+    history: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    history_shingles: DataFrame | None = None,
+) -> DataFrame:
+    """INCREMENTAL asymmetric containment: each incoming document
+    against the STORED corpus only — the containment completion of the
+    incremental-ingest family (incremental_ingest_dedup catches exact
+    re-deliveries, minhash_incremental_pairs near-identical ones; this
+    catches subset/superset duplication, which symmetric Jaccard never
+    sees when the container is much longer).
+
+    One row per (new, stored) pair where EITHER direction crosses the
+    threshold: (new_id, hist_id, n_shared, c_new_in_hist, c_hist_in_new)
+    — c_new_in_hist ≥ t means the incoming doc is (near-)contained in a
+    stored one (drop/route the new doc), c_hist_in_new ≥ t means a
+    stored doc is contained in the incoming one (the new doc supersedes
+    it). Both directions come from the ONE pair aggregate; no second
+    candidate join, no union-duplicated subplan.
+
+    Steady-state shape: pass ``history_shingles`` (a stored
+    :func:`history_shingle_table`, clustered on shingle) instead of
+    ``history`` — then the plan shingles ONLY the new batch and the
+    history side is a plain scan of the prebuilt table
+    (plan-asserted in tests: exactly one shingle explode). With raw
+    ``history`` both sides derive from scratch so an end-to-end oracle
+    can check values.
+    """
+    if (history is None) == (history_shingles is None):
+        raise ValueError("pass exactly one of history / history_shingles")
+    from pyspark.sql import Window
+
+    new_sh = doc_shingles(new, text_col, k).withColumn(
+        "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+    )
+    h_sh = (
+        history_shingles
+        if history_shingles is not None
+        else history_shingle_table(history, text_col, k)
+    )
+    shared = (
+        new_sh.select(
+            F.col("doc_id").alias("new_id"),
+            F.col("n_sh").alias("nn"),
+            "shingle",
+        )
+        .join(
+            h_sh.select(
+                F.col("doc_id").alias("hist_id"),
+                F.col("n_sh").alias("nh"),
+                "shingle",
+            ),
+            "shingle",
+        )
+        .groupBy("new_id", "hist_id")
+        .agg(
+            F.count("*").alias("n_shared"),
+            F.first("nn").alias("nn"),
+            F.first("nh").alias("nh"),
+        )
+    )
+    c_new = F.round(F.col("n_shared") / F.col("nn").cast("double"), 6)
+    c_hist = F.round(F.col("n_shared") / F.col("nh").cast("double"), 6)
+    return (
+        shared.withColumn("c_new_in_hist", c_new)
+        .withColumn("c_hist_in_new", c_hist)
+        .filter(
+            (F.col("c_new_in_hist") >= threshold)
+            | (F.col("c_hist_in_new") >= threshold)
+        )
+        .select("new_id", "hist_id", "n_shared", "c_new_in_hist", "c_hist_in_new")
+    )
+
+
 def _md5_bucket(col: Column, seed: int, buckets: int = 2_147_483_647) -> Column:
     """Deterministic 31-bit hash, identical in any engine with md5 + hex
     parsing (the SQL twin uses the same hex window). One md5 digest yields

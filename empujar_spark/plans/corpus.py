@@ -6128,6 +6128,45 @@ def embedding_ivf_indexed_exact(spark, sf_dir):
     return S.ivf_search_indexed(idx, queries, k=5, nprobe=16)
 
 
+@q(
+    "containment_incremental_pairs",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT n.doc_id AS new_id, h.doc_id AS hist_id, count(*) AS n_shared
+      FROM sh n JOIN sh h ON n.shingle = h.shingle
+      WHERE n.doc_id % 5 = 0 AND h.doc_id % 5 <> 0
+      GROUP BY new_id, hist_id)
+    SELECT s.new_id, s.hist_id, s.n_shared,
+           round(CAST(s.n_shared AS DOUBLE) / zn.n_sh, 6) AS c_new_in_hist,
+           round(CAST(s.n_shared AS DOUBLE) / zh.n_sh, 6) AS c_hist_in_new
+    FROM shared s
+    JOIN sizes zn ON s.new_id = zn.doc_id
+    JOIN sizes zh ON s.hist_id = zh.doc_id
+    WHERE round(CAST(s.n_shared AS DOUBLE) / zn.n_sh, 6) >= 0.5
+       OR round(CAST(s.n_shared AS DOUBLE) / zh.n_sh, 6) >= 0.5
+    """,
+)
+def containment_incremental_pairs(spark, sf_dir):
+    """Incremental ASYMMETRIC containment at ingest (operators/dedup.py
+    containment_incremental_pairs): the incoming batch (doc_id % 5 == 0,
+    the family's simulated split) shingle-joined against the stored
+    corpus only — subset/superset duplication that exact fingerprints
+    and symmetric Jaccard both miss. One shingle equi-join + one pair
+    shuffle, both directions from the single aggregate. In production
+    the history side is the prebuilt history_shingle_table clustered on
+    shingle, so steady-state ingest shingles only the new batch
+    (plan-asserted in tests/test_dedup_properties.py); here both sides
+    derive from scratch so this oracle checks values end-to-end."""
+    docs = load(spark, sf_dir, "documents")
+    return D.containment_incremental_pairs(
+        docs.filter(F.col("doc_id") % 5 == 0),
+        docs.filter(F.col("doc_id") % 5 != 0),
+        threshold=0.5,
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

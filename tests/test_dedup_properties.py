@@ -126,3 +126,66 @@ def test_containment_dominates_jaccard_and_is_bounded(spark, docs):
     # and every Jaccard-visible pair surfaces in at least one direction
     for (a, b), j in jac.items():
         assert (a, b) in cont or (b, a) in cont
+
+
+def test_containment_incremental_prebuilt_history_not_reshingled(spark, tmp_path):
+    """Steady-state ingest shape: with a PREBUILT history_shingle_table
+    read from parquet, the plan shingles only the new batch — exactly
+    one Generate (explode) node — and produces the same rows as the
+    derive-from-scratch path."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    scratch = D.containment_incremental_pairs(new, hist, threshold=0.3)
+
+    hist_path = str(tmp_path / "hist_shingles")
+    D.history_shingle_table(hist).write.parquet(hist_path)
+    stored = spark.read.parquet(hist_path)
+    served = D.containment_incremental_pairs(
+        new, history_shingles=stored, threshold=0.3
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1, (
+        "prebuilt-history path must shingle only the new batch"
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    assert served.count() > 0
+
+
+def test_containment_incremental_detects_subset_ingest(spark):
+    """A new doc that is a strict subset of a stored doc crosses
+    c_new_in_hist; a new doc that contains a stored doc crosses
+    c_hist_in_new; unrelated docs emit nothing."""
+    from empujar_spark.operators import dedup as D
+
+    hist = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "one two three"),
+            (3, "totally unrelated content lives here quietly"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),  # subset of 1
+            (11, "zero one two three four five six"),  # contains 2
+            (12, "nothing in common at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.new_id, r.hist_id): r
+        for r in D.containment_incremental_pairs(new, hist, threshold=0.9).collect()
+    }
+    assert set(rows) == {(10, 1), (11, 2)}
+    assert rows[(10, 1)].c_new_in_hist == 1.0  # every new shingle stored
+    assert rows[(11, 2)].c_hist_in_new == 1.0  # stored doc fully contained
+    assert rows[(10, 1)].c_hist_in_new < 0.9
+    assert rows[(11, 2)].c_new_in_hist < 0.9
