@@ -311,16 +311,59 @@ class Warehouse:
         # narrowed numerics cast, residual incompatible values degrade
         # to NULL instead of aborting the scan
         df = self.spark.read.parquet(data_dir)
+        return self._conform_scan(df, schema)
+
+    @staticmethod
+    def _conform_scan(df: DataFrame, schema: T.StructType) -> DataFrame:
+        """Conform a raw parquet scan to the meta schema by try_cast:
+        missing columns surface as NULL, widened/narrowed numerics cast,
+        residual incompatible values degrade to NULL instead of aborting
+        the scan under ANSI mode."""
+        present = {f.name for f in df.schema.fields}
         return df.select(
             *[
                 (
                     F.col(f.name).try_cast(f.dataType)
-                    if f.name in by_name
+                    if f.name in present
                     else F.lit(None).cast(f.dataType)
                 ).alias(f.name)
                 for f in schema.fields
             ]
         )
+
+    def table_versions(self, table: str) -> list[int]:
+        """Committed data versions still on disk, ascending (current
+        last). The versioned-commit layout retains ``keep_old_versions``
+        predecessors, so recent history is queryable until pruned or
+        vacuumed."""
+        if not self.table_exists(table):
+            raise TableNotFound(table)
+        cur = self._current_version(table)
+        if cur is None:
+            return [0] if os.path.isdir(self._version_dir(table, 0)) else []
+        return [v for v in self._list_versions(table) if v <= cur]
+
+    def read_version(self, table: str, version: int) -> DataFrame:
+        """Time travel: read a retained committed version of the table —
+        the versioned-commit counterpart of snapshot/read_snapshot
+        (snapshots pin indefinitely via hardlinks; versions are the
+        rolling automatic history). The scan conforms to the CURRENT
+        meta (an old version may predate added or retyped columns, which
+        surface as NULL / try_cast like the skew-window read path)."""
+        meta = self._load_meta(table)
+        schema = self._physical_schema(meta)
+        cur = self._current_version(table)
+        if version == (cur if cur is not None else 0):
+            return self.read(table)
+        d = self._version_dir(table, version)
+        if version > (cur if cur is not None else 0) or not os.path.isdir(d):
+            raise ValueError(
+                f"version {version} of {table!r} is not on disk "
+                f"(committed versions: {self.table_versions(table)}; "
+                f"older ones age out after keep_old_versions="
+                f"{self.keep_old_versions} commits or vacuum())"
+            )
+        return self._conform_scan(self.spark.read.parquet(d), schema)
 
     def _physical_schema(self, meta: dict) -> T.StructType:
         fields = []

@@ -6167,6 +6167,47 @@ def containment_incremental_pairs(spark, sf_dir):
     )
 
 
+_VT_WH: dict = _session_cache()
+
+
+@q(
+    "version_travel",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    """,
+)
+def version_travel(spark, sf_dir):
+    """Automatic rolling time travel (catalog.py table_versions /
+    read_version): every write commits an immutable data-v{N} dir behind
+    an atomic pointer flip, and keep_old_versions predecessors stay
+    queryable — load orders, then UPSERT mutated rows; reading the
+    PRE-upsert version must return the ORIGINAL data byte-for-byte (the
+    oracle is the untouched source table). The versioned counterpart of
+    snapshot_read: snapshots pin indefinitely via hardlinks, versions
+    are the free rolling history the reader-isolation layout already
+    keeps."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _VT_WH:
+        wh = Warehouse(spark, _tmp_warehouse_dir(prefix="vt-wh-"),
+                       primary_key="o_orderkey")
+        orders = load(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        wh.insert_data("orders", orders, merge_key="o_orderkey")
+        v0 = wh.table_versions("orders")[-1]
+        mutated = orders.limit(500).withColumn(
+            "o_totalprice", F.col("o_totalprice") + F.lit(1.0)
+        )
+        wh.insert_data("orders", mutated, merge_key="o_orderkey")
+        _VT_WH[key] = (wh, v0)
+    wh, v0 = _VT_WH[key]
+    return wh.read_version("orders", v0).select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

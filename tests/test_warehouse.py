@@ -875,3 +875,39 @@ def test_read_swap_race_tight_loop(spark, tmp_path):
     for t in threads:
         t.join(timeout=120)
     assert not errors, errors
+
+
+def test_version_time_travel(spark, tmp_path):
+    """Rolling automatic history: each commit retains keep_old_versions
+    predecessors; read_version returns each committed state exactly, the
+    current version matches read(), pruned versions raise with the
+    retention hint, and an old version conforms to the CURRENT schema
+    (columns added later surface as NULL)."""
+    import pytest as _pytest
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id", keep_old_versions=2)
+    wh.insert_data("t", [{"id": 1, "v": "a"}])
+    v1 = wh.table_versions("t")[-1]
+    wh.insert_data("t", [{"id": 2, "v": "b", "extra": 7}])  # adds a column
+    v2 = wh.table_versions("t")[-1]
+    assert wh.table_versions("t") == [v1, v2]
+
+    old = {r["id"]: r.asDict() for r in wh.read_version("t", v1).collect()}
+    assert set(old) == {1}
+    assert old[1]["extra"] is None  # later column conforms to NULL
+    assert {r["id"] for r in wh.read_version("t", v2).collect()} == {1, 2}
+    # current-version read_version is exactly read()
+    assert sorted(map(tuple, wh.read_version("t", v2).collect())) == sorted(
+        map(tuple, wh.read("t").collect())
+    )
+
+    # age v1 out: two more commits push it past keep_old_versions=2
+    wh.insert_data("t", [{"id": 3, "v": "c"}])
+    wh.insert_data("t", [{"id": 4, "v": "d"}])
+    assert v1 not in wh.table_versions("t")
+    with _pytest.raises(ValueError, match="keep_old_versions"):
+        wh.read_version("t", v1)
+    with _pytest.raises(ValueError, match="not on disk"):
+        wh.read_version("t", 999)
