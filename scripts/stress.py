@@ -107,8 +107,36 @@ def main() -> None:
         from empujar_spark.operators import curation as C
         from empujar_spark.operators import dedup as D
         from empujar_spark.operators import graph as G
+        from empujar_spark.operators import similarity as S
         from empujar_spark.operators import text as X
         from empujar_spark.operators import timeseries as T
+
+        idx_serve = None
+        if not only or "ivf_serve" in only:
+            # Untimed build, same rule as bench.py's warmup: serving
+            # cost is the measured claim, the build is the amortized
+            # ingest cost. √n centroid rule keeps inverted-list length
+            # bounded, so the timed probe should scale ~√f for a FIXED
+            # query set even as the corpus grows ×f.
+            import tempfile
+
+            from empujar_spark.catalog import Warehouse
+
+            wh = Warehouse(
+                spark,
+                tempfile.mkdtemp(prefix="stress-ivf-"),
+                primary_key="cid",
+                partition_cols={"ivf_assignments": ["cid"]},
+            )
+            idx = S.ivf_build_index(emb, n_centroids=int(32 * (f ** 0.5)))
+            wh.insert_data("ivf_centroids", idx["centroids"], merge_key="cid")
+            wh.insert_data(
+                "ivf_assignments", idx["assignments"], merge_key="neighbor_id"
+            )
+            idx_serve = {
+                "centroids": wh.read("ivf_centroids"),
+                "assignments": wh.read("ivf_assignments"),
+            }
 
         one = F.lit(1).cast("decimal(18,6)")
         return {
@@ -162,6 +190,17 @@ def main() -> None:
             # broadcast join + agg over an edge list growing with data
             "pagerank": lambda: noop(
                 G.pagerank(copurchase_edges(li), iters=3)
+            ),
+            # STORED-index ANN serving: fixed 25-query set against the
+            # prebuilt cid-partitioned index of the ×f corpus — the
+            # per-query serving claim (probe reads nprobe lists of
+            # bounded length under the √n rule, so the curve should sit
+            # far below linear even as the corpus grows ×f)
+            "ivf_serve": lambda: noop(
+                S.ivf_search_indexed(
+                    idx_serve, emb0.filter(F.col("vec_id") < 25),
+                    k=5, nprobe=8,
+                )
             ),
         }
 
