@@ -646,3 +646,261 @@ def rrf_fuse(
         .filter(F.col("rnk") <= top_n)
         .select("query_id", "doc_id", "rrf_score", "rnk")
     )
+
+
+# ---------------------------------------------------------------------
+# Product quantization (PQ) — memory-bounded ANN serving
+# ---------------------------------------------------------------------
+# At 100 TB the raw fp32 vectors cannot live in executor memory: a
+# 64-dim float vector is 256 bytes, its PQ code (m=8 subspaces × 256
+# centroids) is 8 bytes — a 32× compression that turns the scan side of
+# similarity search into a byte-code table scored by codebook lookups
+# (asymmetric distance computation: the QUERY stays exact, only the
+# corpus is quantized). Deterministic end-to-end: codebooks train with
+# Lloyd rounds on the same md5-ordered sample rule as ivf_train.
+
+
+def pq_train(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 256,
+    iters: int = 5,
+    sample_size: int = 2048,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Train PQ codebooks: split the NORMALIZED vector into ``m``
+    subvectors and run k-means (``ks`` centroids, ``iters`` Lloyd
+    rounds) per subspace on the deterministic md5-ordered sample —
+    normalization first means summed subspace dots approximate COSINE,
+    matching the rest of this module. Returns ndarray [m, ks, dim/m]
+    (ks capped at the sample size). Empty clusters keep their previous
+    centroid, so training is total and deterministic for any data."""
+    md5_key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(md5_key.asc(), F.col(id_col).asc())
+        .limit(sample_size)
+        .collect()
+    )
+    X = np.array([r["v"] for r in rows], dtype=np.float64)
+    X = X / np.clip(np.linalg.norm(X, axis=1, keepdims=True), 1e-12, None)
+    n, dim = X.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    ks = min(ks, n)
+    dsub = dim // m
+    books = np.empty((m, ks, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub:(j + 1) * dsub]
+        C = S[:ks].copy()
+        for _ in range(iters):
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ C.T)
+                + (C * C).sum(axis=1)
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(ks):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books[j] = C
+    return books
+
+
+def _pq_encode_udf(codebooks):
+    """Arrow-batched encoder: per subspace, argmin L2 between the
+    normalized input subvector and the codebook centroids (first-index
+    tie-break via np.argmin — deterministic)."""
+    B = np.asarray(codebooks, dtype=np.float64)
+    m, ks, dsub = B.shape
+
+    @F.pandas_udf(T.ArrayType(T.ShortType()))
+    def encode(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        V = V / np.clip(np.linalg.norm(V, axis=1, keepdims=True), 1e-12, None)
+        codes = np.empty((len(V), m), dtype=np.int16)
+        for j in range(m):
+            S = V[:, j * dsub:(j + 1) * dsub]
+            d2 = (
+                (S * S).sum(axis=1, keepdims=True)
+                - 2.0 * (S @ B[j].T)
+                + (B[j] * B[j]).sum(axis=1)
+            )
+            codes[:, j] = d2.argmin(axis=1).astype(np.int16)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_build_index(
+    corpus: DataFrame,
+    m: int = 8,
+    ks: int = 256,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebooks=None,
+) -> dict[str, DataFrame]:
+    """Build the persistable PQ index: ``codebooks`` (j, code, centroid
+    array<double>) and ``codes`` (vec_id, codes array<smallint> — the
+    8-byte row that replaces the 256-byte vector). Both tables
+    round-trip through the Warehouse via the typed-array lattice; the
+    serving path (:func:`pq_search_indexed`) reads ONLY these, never
+    the raw vectors — the memory story that makes 100 TB embedding
+    search feasible on bounded executors."""
+    B = (
+        np.asarray(codebooks, dtype=np.float64)
+        if codebooks is not None
+        else pq_train(corpus, m, ks, iters, id_col=id_col, vec_col=vec_col)
+    )
+    spark = corpus.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (int(j), int(c), [float(x) for x in B[j, c]])
+            for j in range(B.shape[0])
+            for c in range(B.shape[1])
+        ],
+        "j int, code int, centroid array<double>",
+    )
+    enc = _pq_encode_udf(B)
+    codes = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .filter(_norm(F.col(vec_col)) > 0)
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            enc(F.col(vec_col)).alias("codes"),
+        )
+    )
+    return {"codebooks": cb, "codes": codes}
+
+
+def pq_search_indexed(
+    index: dict[str, DataFrame],
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rerank_corpus: DataFrame | None = None,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """ADC top-k against a prebuilt PQ index: each query builds its
+    [m, ks] lookup table of exact partial dots (query normalized, the
+    asymmetric side), every corpus CODE row scores as the sum of m
+    table lookups — one Arrow-batched gather+sum per batch, no raw
+    vectors touched. The bounded collects are the codebook table
+    (m·ks rows) and the query set (small by construction, as in
+    cosine_topk); scores round to 6 like every cosine in this module.
+    Output: (query_id, neighbor_id, pq_score, rnk).
+
+    Two-stage serving (the standard production shape): pass
+    ``rerank_corpus`` to exact-rescore a PQ ``shortlist`` (default
+    10·k) from the raw vectors — only the shortlist rows are ever
+    fetched (a join on the shortlist ids), so memory stays
+    code-table-bounded while recall is limited only by the shortlist's
+    coverage. Output then carries exact ``cosine`` instead of
+    ``pq_score``."""
+    cb_rows = index["codebooks"].orderBy("j", "code").collect()
+    m = 1 + max(r["j"] for r in cb_rows)
+    ks = 1 + max(r["code"] for r in cb_rows)
+    dsub = len(cb_rows[0]["centroid"])
+    B = np.empty((m, ks, dsub), dtype=np.float64)
+    for r in cb_rows:
+        B[r["j"], r["code"]] = r["centroid"]
+    q_rows = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy("id")
+        .collect()
+    )
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    keep = qn[:, 0] > 0
+    Q, q_ids = Q[keep] / qn[keep], [r["id"] for i, r in enumerate(q_rows) if keep[i]]
+    # LUT[q, j, code] = exact query subvector · quantized centroid
+    lut = np.einsum("qjd,jcd->qjc", Q.reshape(len(Q), m, dsub), B)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def adc(codes: pd.Series) -> pd.Series:
+        if len(codes) == 0:
+            return pd.Series([], dtype=object)
+        C = np.vstack(codes.to_numpy()).astype(np.int64)
+        out = np.zeros((len(C), lut.shape[0]), dtype=np.float64)
+        for j in range(m):
+            out += lut[:, j, C[:, j]].T
+        return pd.Series(list(np.round(out, 6)))
+
+    qid_arr = F.array(*[F.lit(q) for q in q_ids])
+    scored = (
+        index["codes"]
+        .select("neighbor_id", F.posexplode(adc(F.col("codes"))).alias("qpos", "pq_score"))
+        .withColumn("query_id", qid_arr[F.col("qpos")])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("pq_score").desc(), F.col("neighbor_id").asc()
+    )
+    if rerank_corpus is not None:
+        r = shortlist or 10 * k
+        cand = (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= r)
+            .select("query_id", "neighbor_id")
+        )
+        raw = rerank_corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+        ).filter(F.col("c_norm") > 0)
+        qdf = queries.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+        ).filter(F.col("q_norm") > 0)
+        cos = F.round(
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        )
+        # the shortlist is |queries|·r rows — broadcast it onto the raw
+        # table so only those vectors are materialized, then exact-score
+        rescored = (
+            raw.join(F.broadcast(cand), "neighbor_id")
+            .join(F.broadcast(qdf), "query_id")
+            .select("query_id", "neighbor_id", cos.alias("cosine"))
+        )
+        w2 = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("neighbor_id").asc()
+        )
+        return (
+            rescored.withColumn("rnk", F.row_number().over(w2))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rnk")
+        )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "pq_score", "rnk")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    ks: int = 256,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Convenience build-then-search (tests and ad-hoc use; production
+    persists :func:`pq_build_index` once and serves from the stored
+    tables)."""
+    idx = pq_build_index(corpus, m, ks, id_col=id_col, vec_col=vec_col)
+    return pq_search_indexed(idx, queries, k, id_col=id_col, vec_col=vec_col)

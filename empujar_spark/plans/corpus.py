@@ -6278,6 +6278,68 @@ def version_travel(spark, sf_dir):
     )
 
 
+_PQ_IDX_WH: dict = _session_cache()
+
+
+def _pq_stored_index(spark, sf_dir, m: int) -> dict:
+    """Build the PQ index ONCE per (session, table, m) and persist
+    codes+codebooks through a Warehouse (typed-array columns: the
+    8-int16 code row replaces the 64-float32 vector — 32× smaller, the
+    memory story that lets 100 TB of embeddings fit a scan). Serving
+    entries read the STORED tables; round-trip parity pinned in
+    tests/test_similarity.py."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir, m)
+    if key not in _PQ_IDX_WH:
+        wh = Warehouse(
+            spark, _tmp_warehouse_dir(prefix="pq-idx-"), primary_key="neighbor_id"
+        )
+        idx = S.pq_build_index(load(spark, sf_dir, "embeddings"), m=m, ks=256)
+        wh.insert_data("pq_codes", idx["codes"], merge_key="neighbor_id")
+        wh.insert_data("pq_codebooks", idx["codebooks"], merge_key=["j", "code"])
+        _PQ_IDX_WH[key] = wh
+    wh = _PQ_IDX_WH[key]
+    return {
+        "codes": wh.read("pq_codes"),
+        "codebooks": wh.read("pq_codebooks"),
+    }
+
+
+@q("embedding_pq_topk", None)
+def embedding_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py pq_*): the
+    corpus is served as 8-int16 PQ codes (32× smaller than the raw
+    float32 vectors — at 100 TB the codes fit executor scans where the
+    vectors cannot); each query scores every code row as m lookup-table
+    sums (asymmetric distance computation, one Arrow gather+sum per
+    batch). Stored-index serving via _pq_stored_index. Approximate by
+    construction → rows-only; ADC recall floors (≥0.5 at m=8, ≥0.7 at
+    m=16 on this PQ-hostile synthetic corpus) pinned in
+    tests/test_similarity.py."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_search_indexed(_pq_stored_index(spark, sf_dir, 8), queries, k=5)
+
+
+@q("embedding_pq_rerank", None)
+def embedding_pq_rerank(spark, sf_dir):
+    """TWO-STAGE PQ serving (the standard production shape): the PQ
+    code scan shortlists 50 candidates per query, then ONLY those rows'
+    raw vectors are fetched (broadcast shortlist join) and exact-scored
+    with the shared cosine fold — memory stays code-table-bounded while
+    recall is limited only by shortlist coverage (measured 1.0 recall@5
+    at sf0.001, ≥0.9 pinned; returned cosines are bit-equal to the
+    exact path's). Rows-only: the shortlist is approximate by
+    construction."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return S.pq_search_indexed(
+        _pq_stored_index(spark, sf_dir, 8), queries, k=5,
+        rerank_corpus=emb, shortlist=50,
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
