@@ -385,13 +385,31 @@ def _band_table(sig: DataFrame, num_hashes: int, band_size: int) -> DataFrame:
     )
 
 
-def minhash_incremental_pairs(
-    new: DataFrame,
-    history: DataFrame,
+def band_history_table(
+    df: DataFrame,
     text_col: str = "text",
     k: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+) -> DataFrame:
+    """The persistable LSH band table for incremental near-dup ingest:
+    (doc_id, band, bucket) for every stored document, built ONCE at
+    ingest and stored clustered on (band, bucket) so a batch's
+    candidate join reads only the buckets its bands hash to — the LSH
+    counterpart of :func:`history_shingle_table`."""
+    return _band_table(
+        minhash_signatures(df, text_col, k, num_hashes), num_hashes, band_size
+    )
+
+
+def minhash_incremental_pairs(
+    new: DataFrame,
+    history: DataFrame | None = None,
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    history_bands: DataFrame | None = None,
 ) -> DataFrame:
     """INCREMENTAL near-dup candidates: each incoming document against
     the HISTORICAL corpus only — the LSH completion of the exact
@@ -401,16 +419,21 @@ def minhash_incremental_pairs(
 
     Output: (new_id, hist_id, n_bands_shared).
 
-    Scale shape: in production the HISTORY band table is precomputed
-    once and stored bucketed on (band, bucket) — steady-state cost per
-    ingest is hashing the NEW batch (tiny) plus a bucket-local join;
-    history is never re-shingled. Here both sides derive from scratch
-    so the oracle can check values end-to-end."""
+    Steady-state shape: pass ``history_bands`` (a stored
+    :func:`band_history_table`, clustered on (band, bucket)) instead of
+    ``history`` — then the plan shingles and hashes ONLY the new batch
+    and the history side is a plain scan of the prebuilt table
+    (plan-asserted in tests). With raw ``history`` both sides derive
+    from scratch so the oracle can check values end-to-end."""
+    if (history is None) == (history_bands is None):
+        raise ValueError("pass exactly one of history / history_bands")
     bands_new = _band_table(
         minhash_signatures(new, text_col, k, num_hashes), num_hashes, band_size
     ).withColumnRenamed("doc_id", "new_id")
-    bands_hist = _band_table(
-        minhash_signatures(history, text_col, k, num_hashes), num_hashes, band_size
+    bands_hist = (
+        history_bands
+        if history_bands is not None
+        else band_history_table(history, text_col, k, num_hashes, band_size)
     ).withColumnRenamed("doc_id", "hist_id")
     return (
         bands_new.join(bands_hist, ["band", "bucket"])

@@ -189,3 +189,33 @@ def test_containment_incremental_detects_subset_ingest(spark):
     assert rows[(11, 2)].c_hist_in_new == 1.0  # stored doc fully contained
     assert rows[(10, 1)].c_hist_in_new < 0.9
     assert rows[(11, 2)].c_new_in_hist < 0.9
+
+
+def test_minhash_incremental_prebuilt_bands_not_rehashed(spark, tmp_path):
+    """Steady-state LSH ingest: with a PREBUILT band_history_table read
+    from parquet, the plan shingles/hashes only the new batch — the
+    history side is a plain scan (its Generate/explode nodes vanish) —
+    and rows equal the derive-from-scratch path."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    scratch = D.minhash_incremental_pairs(new, hist)
+    n_scratch = scratch._jdf.queryExecution().executedPlan().toString().count("Generate")
+
+    path = str(tmp_path / "hist_bands")
+    D.band_history_table(hist).write.parquet(path)
+    served = D.minhash_incremental_pairs(
+        new, history_bands=spark.read.parquet(path)
+    )
+    n_served = served._jdf.queryExecution().executedPlan().toString().count("Generate")
+    assert n_served == n_scratch // 2, (
+        "prebuilt-band path must hash only the new batch"
+    )
+    assert sorted(map(tuple, served.collect())) == sorted(
+        map(tuple, scratch.collect())
+    )
+    assert served.count() > 0
