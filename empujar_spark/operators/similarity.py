@@ -801,11 +801,11 @@ def pq_search_indexed(
 
     Two-stage serving (the standard production shape): pass
     ``rerank_corpus`` to exact-rescore a PQ ``shortlist`` (default
-    10·k) from the raw vectors — only the shortlist rows are ever
-    fetched (a join on the shortlist ids), so memory stays
-    code-table-bounded while recall is limited only by the shortlist's
-    coverage. Output then carries exact ``cosine`` instead of
-    ``pq_score``."""
+    10·k) from the raw vectors — only shortlist rows survive the
+    broadcast shortlist join (and with the raw table stored clustered
+    on id the scan itself prunes), so memory stays code-table-bounded
+    while recall is limited only by the shortlist's coverage. Output
+    then carries exact ``cosine`` instead of ``pq_score``."""
     cb_rows = index["codebooks"].orderBy("j", "code").collect()
     m = 1 + max(r["j"] for r in cb_rows)
     ks = 1 + max(r["code"] for r in cb_rows)

@@ -6325,8 +6325,9 @@ def embedding_pq_topk(spark, sf_dir):
 @q("embedding_pq_rerank", None)
 def embedding_pq_rerank(spark, sf_dir):
     """TWO-STAGE PQ serving (the standard production shape): the PQ
-    code scan shortlists 50 candidates per query, then ONLY those rows'
-    raw vectors are fetched (broadcast shortlist join) and exact-scored
+    code scan shortlists 50 candidates per query; only those rows
+    survive the broadcast shortlist join over the raw vectors (an
+    id-clustered raw table prunes the scan itself) and are exact-scored
     with the shared cosine fold — memory stays code-table-bounded while
     recall is limited only by shortlist coverage (measured 1.0 recall@5
     at sf0.001, ≥0.9 pinned; returned cosines are bit-equal to the
