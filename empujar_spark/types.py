@@ -171,21 +171,6 @@ def promote(a: ColumnType, b: ColumnType) -> ColumnType:
     return ColumnType(TEXT)
 
 
-# numeric array elements promote along the scalar lattice; anything
-# else meets at string — mirrors the scalar total-lattice choice
-_ELEMENT_PROMOTIONS = {
-    frozenset({"float", "double"}): "double",
-    frozenset({"int", "bigint"}): "bigint",
-    frozenset({"int", "float"}): "double",
-    frozenset({"int", "double"}): "double",
-    frozenset({"bigint", "float"}): "double",
-    frozenset({"bigint", "double"}): "double",
-    frozenset({"tinyint", "int"}): "int",
-    frozenset({"tinyint", "bigint"}): "bigint",
-    frozenset({"smallint", "int"}): "int",
-    frozenset({"smallint", "bigint"}): "bigint",
-}
-
 # scalar lattice kind → array-element DDL (for inference over lists)
 _ELEMENT_DDL = {
     BOOLEAN: "boolean",
@@ -197,11 +182,26 @@ _ELEMENT_DDL = {
     UNKNOWN: "string",
 }
 
+_INT_RANK = {"tinyint": 0, "smallint": 1, "int": 2, "bigint": 3}
+_NUMERIC_ELEMENTS = set(_INT_RANK) | {"float", "double"}
+
 
 def _promote_elements(a: str, b: str) -> str:
+    """Join of two array-element types. A genuine semilattice join
+    (tinyint<smallint<int<bigint<double, float<double, string on top),
+    NOT a pair table — pairwise tables break associativity for
+    three-way mixes like tinyint ∨ int ∨ float, and promote() must stay
+    a least-upper-bound for hypothesis's algebra properties to hold
+    over arrays too."""
     if a == b:
         return a
-    return _ELEMENT_PROMOTIONS.get(frozenset({a, b}), "string")
+    if a.startswith("array<") and b.startswith("array<"):
+        return f"array<{_promote_elements(a[6:-1], b[6:-1])}>"
+    if a in _INT_RANK and b in _INT_RANK:
+        return a if _INT_RANK[a] >= _INT_RANK[b] else b
+    if a in _NUMERIC_ELEMENTS and b in _NUMERIC_ELEMENTS:
+        return "double"
+    return "string"
 
 
 # element DDL → scalar lattice kind (for normalizing array items)

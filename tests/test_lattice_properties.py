@@ -19,13 +19,19 @@ from empujar_spark.types import (
 kinds = st.sampled_from(
     ["unknown", "boolean", "long", "double", "timestamp", "varchar", "text"]
 )
-col_types = st.builds(
+elements = st.sampled_from(
+    ["tinyint", "smallint", "int", "bigint", "float", "double", "string",
+     "boolean", "timestamp", "array<float>", "array<int>", "array<string>"]
+)
+scalar_types = st.builds(
     lambda k, n: ColumnType(k, n if k == "varchar" else 0),
     kinds,
     st.integers(min_value=1, max_value=1000),
 )
+array_types = st.builds(lambda e: ColumnType("array", element=e), elements)
+col_types = st.one_of(scalar_types, array_types)
 
-values = st.one_of(
+scalar_values = st.one_of(
     st.none(),
     st.booleans(),
     st.integers(min_value=-(2**62), max_value=2**62),
@@ -33,6 +39,7 @@ values = st.one_of(
     st.text(max_size=300),
     st.datetimes(min_value=dt.datetime(1900, 1, 1), max_value=dt.datetime(2100, 1, 1)),
 )
+values = st.one_of(scalar_values, st.lists(scalar_values, max_size=4))
 
 
 @given(col_types, col_types)
@@ -80,4 +87,5 @@ def test_inference_split_invariant(vs, cut):
 @given(values)
 def test_infer_value_total(v):
     t = infer_value_type(v)
-    assert t.kind in {"unknown", "boolean", "long", "double", "timestamp", "varchar", "text"}
+    assert t.kind in {"unknown", "boolean", "long", "double", "timestamp",
+                      "varchar", "text", "array"}
