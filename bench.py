@@ -131,6 +131,7 @@ def main() -> None:
         _bm25_stored_index,
         _ivf_centroids,
         _ivf_stored_index,
+        _neardup_stored_history,
         _pq_stored_index,
     )
 
@@ -139,6 +140,7 @@ def main() -> None:
     _bm25_stored_index(spark, SF_DIR)
     _ivf_stored_index(spark, SF_DIR, 16)
     _pq_stored_index(spark, SF_DIR, 8)
+    _neardup_stored_history(spark, SF_DIR)
     # Steady-state timing: min of 2 runs per query. A single cold pass
     # conflates each query's cost with whole-stage-codegen compilation,
     # GC pressure from the preceding 70 queries, and background box load

@@ -449,3 +449,115 @@ def quality_monitor_stream(
         "n_violations",
         (F.col("n_violations") == 0).cast("int").alias("passed"),
     )
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """File-source stream over the documents table, split once into
+    ``n_files`` landing files (cached per source generation, same
+    build-then-rename discipline as read_events_stream_flushed) and
+    read with maxFilesPerTrigger=1 — a bounded drain then exercises
+    REAL multi-micro-batch execution instead of swallowing the single
+    testdata file in one batch."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    src = f"{sf_dir}/documents.parquet"
+    st = os.stat(src)
+    key = f"{src.replace('/', '_')}-{st.st_mtime_ns}-{st.st_size}-{n_files}"
+    d = os.path.join(tempfile.gettempdir(), f"empujar-stream-docs-{key}")
+    if not os.path.isdir(d):
+        build = f"{d}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.schema(DOCS_SCHEMA)
+            .parquet(src)
+            .repartition(n_files)
+            .write.mode("overwrite")
+            .parquet(build)
+        )
+        try:
+            os.rename(build, d)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)  # concurrent winner
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+
+
+NEARDUP_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("new_id", T.LongType()),
+        T.StructField("hist_id", T.LongType()),
+        T.StructField("n_shared", T.LongType()),
+        T.StructField("c_new_in_hist", T.DoubleType()),
+        T.StructField("c_hist_in_new", T.DoubleType()),
+    ]
+)
+
+
+def neardup_ingest_stream(
+    docs: DataFrame,
+    history_shingles: DataFrame,
+    threshold: float = 0.5,
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """STREAMING near-dup admission check: every micro-batch of incoming
+    documents is containment-checked against the FROZEN stored shingle
+    history (a history_shingle_table, typically read back from the
+    Warehouse) via foreachBatch — the operators/dedup.py incremental
+    containment as an ingest gate instead of a post-hoc sweep.
+
+    Because each document's verdict depends only on itself and the
+    frozen history, the accumulated audit is micro-batch-boundary-
+    invariant: the batch twin (containment_incremental_pairs on the
+    whole stream input) is its EXACT oracle however the source files
+    split — the same additivity argument as quality_monitor_stream.
+    Production appends each batch's flagged pairs to an audit table
+    keyed by batch id (and merges the admitted batch's shingles into
+    history afterwards, which re-freezes it for the next batch); here
+    the pairs accumulate for the oracle to check."""
+    import threading
+
+    from empujar_spark.operators.dedup import containment_incremental_pairs
+
+    rows: list = []
+    batch_ids: list = []
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        flagged = containment_incremental_pairs(
+            batch_df,
+            history_shingles=history_shingles,
+            threshold=threshold,
+        ).collect()
+        rows.extend(tuple(r) for r in flagged)
+
+    spark = docs.sparkSession
+    q = docs.writeStream.foreachBatch(check_batch).start()
+    watchdog = threading.Timer(timeout_s, q.stop)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        watchdog.cancel()
+        q.stop()
+    out = spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA)
+    out._neardup_batches = batch_ids  # test hook: real multi-batch
+    return out

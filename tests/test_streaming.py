@@ -289,3 +289,28 @@ def test_running_user_totals_multi_batch_state_roundtrip(spark, tmp_path):
     # user 1 appears in both batches: final update must ACCUMULATE
     assert last[1]["n_events"] == 2 and last[1]["total_value"] == 17.0
     assert last[2]["n_events"] == 1 and last[2]["total_value"] == 5.0
+
+
+def test_neardup_ingest_stream_multibatch_equals_batch_twin(spark):
+    """The streaming admission gate drains the 4-file landing split in
+    REAL multiple micro-batches (maxFilesPerTrigger=1) and its
+    accumulated audit equals the batch twin exactly — per-document
+    verdicts against a frozen history are batch-boundary-invariant."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    hist_sh = D.history_shingle_table(hist)
+
+    stream = SO.read_documents_stream(spark, sf).filter(F.col("doc_id") % 5 == 0)
+    out = SO.neardup_ingest_stream(stream, hist_sh, threshold=0.3)
+    assert len(out._neardup_batches) >= 2, "expected real multi-batch drain"
+
+    twin = D.containment_incremental_pairs(new, hist, threshold=0.3)
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, twin.collect()))
+    assert out.count() > 0
