@@ -17,6 +17,7 @@ from empujar_spark.operators import (  # noqa: F401
     quality,
     ranges,
     similarity,
+    sketch,
     skew,
     text,
     timeseries,
@@ -33,6 +34,7 @@ __all__ = [
     "quality",
     "ranges",
     "similarity",
+    "sketch",
     "skew",
     "text",
     "timeseries",

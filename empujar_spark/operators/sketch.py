@@ -1,0 +1,254 @@
+"""Broadcastable sketches for ingest-scale dedup and frequency analysis.
+
+Two sketches, both chosen because their RESULTS stay exact — the sketch
+only reroutes work, it never changes an answer — so every consumer keeps
+a hash-exact DuckDB oracle:
+
+- **Bloom prefilter** (``bloom_ingest_dedup``): at steady-state ingest the
+  history fingerprint table is petabyte-scale while the incoming batch is
+  not. A plain anti-join shuffles the batch AND re-scans history every
+  load. A Bloom filter over history (built once per load window, a few MB
+  per billion keys at 1% fpp) is broadcast to the batch scan: rows whose
+  bits miss are *definitely fresh* and bypass the join entirely; only the
+  "maybe" rows (true dups + ~fpp of the fresh) confirm against history.
+  No false negatives ⇒ the union of definite-fresh and confirmed-fresh is
+  EXACTLY the anti-join result. (Analogue of the reference's incremental
+  extract, lib/book.js watermark pattern — fetch only what's new — applied
+  to content identity; same contract as Spark's runtime row-level-filter
+  bloom joins, but usable across loads because we own the bits.)
+
+- **Certified heavy hitters** (``heavy_hitters``): per-partition top-C
+  candidate generation (vectorized pandas ``value_counts``, no per-row
+  Python) plus a *truncation certificate*: each partition also reports the
+  count of its C-th key — any key absent from a partition's candidate list
+  has at most that count there, so a non-candidate's global count is
+  bounded by Σ(per-partition bounds). If the exact recount of the
+  candidates puts the k-th hitter above that bound, the top-k is provably
+  exact; otherwise we fall back to the full groupBy. Either way the
+  answer equals ``GROUP BY key ORDER BY count DESC LIMIT k`` — oracle-exact.
+
+Hashing is ``xxhash64`` computed JVM-side (two salted columns), so the
+Python kernels only do vectorized uint64 arithmetic on numpy arrays —
+no per-row hashing in Python.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+# --------------------------------------------------------------- bloom
+
+# Cap the bit array at 2^30 bits (128 MiB): one partition-local array per
+# task plus the driver OR must fit comfortably; beyond this, shard the
+# filter by key range (one bloom per history bucket) rather than growing m.
+_MAX_BITS = 1 << 30
+
+
+def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
+    """Standard sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2).
+
+    m is rounded up to a multiple of 64 and capped at ``_MAX_BITS``."""
+    n = max(1, expected_items)
+    m = int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2)))
+    m = min(_MAX_BITS, ((m + 63) // 64) * 64)
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, min(k, 16)
+
+
+def _hash_cols(col: str) -> list:
+    """Two independent 64-bit hashes, JVM-side (double hashing derives all
+    k probe positions from these — Kirsch-Mitzenmacher)."""
+    return [
+        F.xxhash64(F.col(col)).alias("__h1"),
+        F.xxhash64(F.col(col), F.lit("empujar-bloom-2")).alias("__h2"),
+    ]
+
+
+def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
+    """(n, k) probe positions via double hashing, vectorized uint64.
+
+    h2 is forced odd so the stride never degenerates to 0 (m is a
+    multiple of 64, so an even-stride cycle could alias badly)."""
+    h1u = h1.astype(np.uint64)
+    h2u = h2.astype(np.uint64) | np.uint64(1)
+    i = np.arange(k, dtype=np.uint64)[None, :]
+    return ((h1u[:, None] + i * h2u[:, None]) % np.uint64(m)).astype(np.int64)
+
+
+def build_bloom(
+    df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
+) -> tuple[bytes, int, int]:
+    """Distributed Bloom build: each partition fills a local (m/8)-byte
+    bitmap over its rows (one Arrow pass, ``np.bitwise_or.at``), emits it
+    as ONE binary row, and the driver ORs the per-partition bitmaps.
+    Collected data is bounded by n_partitions × m/8 bytes — independent of
+    row count, which is the entire point at 100 TB.
+
+    Returns (bitmap bytes, m, k)."""
+    m, k = bloom_params(expected_items, fpp)
+    nbytes = m // 8
+    hashed = df.select(*_hash_cols(col))
+
+    def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            pos = _positions(
+                pdf["__h1"].to_numpy(np.int64),
+                pdf["__h2"].to_numpy(np.int64),
+                k, m,
+            ).ravel()
+            np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+        if seen:
+            yield pd.DataFrame({"bits": [bits.tobytes()]})
+
+    parts = hashed.mapInPandas(fill, "bits binary").collect()
+    merged = np.zeros(nbytes, dtype=np.uint8)
+    for row in parts:
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return merged.tobytes(), m, k
+
+
+def with_bloom_flag(
+    df: DataFrame,
+    col: str,
+    bloom: bytes,
+    m: int,
+    k: int,
+    flag_col: str = "__maybe_seen",
+) -> DataFrame:
+    """Add a boolean column: True ⇔ all k bits are set (might be in the
+    build set), False ⇔ definitely not. The bitmap rides an executor
+    broadcast; the check is a vectorized Arrow kernel."""
+    spark = df.sparkSession
+    b_bits = spark.sparkContext.broadcast(bloom)
+
+    @F.pandas_udf(T.BooleanType())
+    def might_contain(h1: pd.Series, h2: pd.Series) -> pd.Series:
+        bits = np.frombuffer(b_bits.value, dtype=np.uint8)
+        pos = _positions(h1.to_numpy(np.int64), h2.to_numpy(np.int64), k, m)
+        hit = (bits[pos >> 3] & (1 << (pos & 7)).astype(np.uint8)) != 0
+        return pd.Series(hit.all(axis=1))
+
+    h1, h2 = _hash_cols(col)
+    return (
+        df.withColumn("__h1", F.xxhash64(F.col(col)))
+        .withColumn("__h2", F.xxhash64(F.col(col), F.lit("empujar-bloom-2")))
+        .withColumn(flag_col, might_contain("__h1", "__h2"))
+        .drop("__h1", "__h2")
+    )
+
+
+def bloom_ingest_dedup(
+    history: DataFrame,
+    batch: DataFrame,
+    key: str,
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+) -> DataFrame:
+    """Exact anti-join of ``batch`` against ``history`` on ``key``, with a
+    Bloom prefilter so only the batch's "maybe seen" sliver reaches the
+    join. Result is EXACTLY ``batch WHERE key NOT IN history`` (bloom has
+    no false negatives), so the oracle is the plain anti-join SQL.
+
+    At 100 TB: history never moves — the build is one scan emitting
+    n_partitions bitmaps; the confirm join's left side is |dups| + fpp·|fresh|
+    rows instead of the whole batch, and its history side is semi-joinable
+    on the surviving key set. Locally the history scan dominates either
+    way; the win shows at real batch:history ratios."""
+    if expected_items is None:
+        expected_items = history.select(key).count()
+    bloom, m, k = build_bloom(history, key, expected_items, fpp)
+    flagged = with_bloom_flag(batch, key, bloom, m, k).cache()
+    definite_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+    maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+    confirmed_fresh = maybe.join(
+        history.select(key).distinct(), key, "left_anti"
+    )
+    return definite_fresh.unionByName(confirmed_fresh)
+
+
+# ------------------------------------------------------- heavy hitters
+
+def heavy_hitters(
+    df: DataFrame,
+    key: str,
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Exact top-k keys by count, via certified candidate generation.
+
+    Stage 1 (one scan): each partition counts its rows per key with
+    vectorized ``value_counts`` and emits (a) its top-``capacity`` keys
+    with their partition-local counts, (b) a certificate row carrying the
+    count of its (capacity+1)-th key — an upper bound on the local count
+    of ANY key it did not emit. Stage 2: exact global recount of the
+    candidate keys only (semi-join on a broadcast candidate set), take the
+    top k. If the k-th exact count exceeds Σ(bounds), no non-candidate can
+    belong to the top-k and the result is certified exact; otherwise fall
+    back to the full groupBy (correctness never depends on the sketch).
+
+    Output: (key, cnt) ordered by (cnt desc, key asc) — deterministic ties.
+
+    100 TB shape: stage 1 moves n_partitions × capacity candidate rows +
+    one bound per partition (no full-key shuffle); stage 2 shuffles only
+    rows whose key is a candidate. The full-groupBy fallback is the plain
+    exact plan, taken only when the data genuinely has no heavy tail at
+    this capacity."""
+    df = df.filter(F.col(key).isNotNull())  # null has no defined rank; oracle twin matches
+    key_type = dict(df.dtypes)[key]
+    out_schema = f"`{key}` {key_type}, part_cnt bigint, bound bigint"
+
+    def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        total: pd.Series | None = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vc = pdf[key].value_counts()
+            total = vc if total is None else total.add(vc, fill_value=0)
+        if total is None:
+            return
+        total = total.astype("int64").sort_values(ascending=False)
+        top = total.iloc[:capacity]
+        bound = int(total.iloc[capacity]) if len(total) > capacity else 0
+        out = pd.DataFrame(
+            {key: top.index, "part_cnt": top.to_numpy(), "bound": 0}
+        )
+        # one certificate row per partition (null key, bound only)
+        cert = pd.DataFrame({key: [None], "part_cnt": [0], "bound": [bound]})
+        yield pd.concat([out, cert], ignore_index=True)
+
+    summary = df.select(key).mapInPandas(summarize, out_schema).cache()
+    slack = summary.agg(F.sum("bound")).collect()[0][0] or 0
+    cand = summary.filter(F.col(key).isNotNull()).select(key).distinct()
+    exact = (
+        df.join(F.broadcast(cand), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(key).asc())
+        .limit(k)
+    )
+    rows = exact.collect()
+    certified = len(rows) == k and rows[-1]["cnt"] > slack
+    if certified or slack == 0:
+        return df.sparkSession.createDataFrame(rows, exact.schema).orderBy(
+            F.col("cnt").desc(), F.col(key).asc()
+        )
+    # certificate failed: no heavy tail at this capacity — exact fallback
+    return (
+        df.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col(key).asc())
+        .limit(k)
+    )

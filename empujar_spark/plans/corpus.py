@@ -42,6 +42,7 @@ from empujar_spark.operators import multimodal as M
 from empujar_spark.operators import similarity as S
 from empujar_spark.operators import profile as P
 from empujar_spark.operators import ranges as R
+from empujar_spark.operators import sketch as SK
 from empujar_spark.operators import text as X
 
 TABLES = [
@@ -6388,6 +6389,63 @@ def _neardup_stored_history(spark, sf_dir):
         wh.insert_data("shingle_history", hist, merge_key=["doc_id", "shingle"])
         _NEARDUP_HIST_WH[key] = wh
     return _NEARDUP_HIST_WH[key].read("shingle_history")
+
+
+@q(
+    "bloom_ingest_dedup",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint
+                FROM documents),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 7 <> 0),
+    incoming AS (SELECT * FROM fp WHERE doc_id % 7 = 0),
+    fresh AS (SELECT i.* FROM incoming i
+              WHERE i.fingerprint NOT IN (SELECT fingerprint FROM seen))
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM fresh GROUP BY 1
+    """,
+)
+def bloom_ingest_dedup(spark, sf_dir):
+    """Incremental ingest dedup behind a BROADCAST BLOOM PREFILTER
+    (operators/sketch.py): same semantics as ``incremental_ingest_dedup``
+    (the reference's fetch-only-what's-new identity, lib/book.js
+    watermark pattern, applied to content), different physical path.
+    History's fingerprints are summarized into a few-MB bitmap (one scan,
+    one bitmap per partition, driver OR); the batch checks the broadcast
+    bits and only the "maybe seen" sliver — true dups + ~1% fpp of the
+    fresh rows — pays the exact confirm anti-join. Bloom filters have no
+    false negatives, so the result (and the oracle) is the plain
+    anti-join. Split differs from the %5 twin so the two entries can't
+    mask each other: doc_id % 7 == 0 is the incoming batch."""
+    fp = X.fingerprint(load(spark, sf_dir, "documents"))
+    hist = fp.filter(F.col("doc_id") % 7 != 0)
+    batch = fp.filter(F.col("doc_id") % 7 == 0)
+    fresh = SK.bloom_ingest_dedup(hist, batch, "fingerprint", fpp=0.01)
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
+@q(
+    "heavy_hitters_users",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events GROUP BY user_id
+    ORDER BY cnt DESC, user_id LIMIT 10
+    """,
+)
+def heavy_hitters_users(spark, sf_dir):
+    """Top-10 users by event count via CERTIFIED heavy hitters
+    (operators/sketch.py): per-partition vectorized top-C candidates +
+    a truncation certificate (Σ of per-partition miss bounds), exact
+    recount of candidates only, full-groupBy fallback if the certificate
+    fails — so the answer always equals the plain GROUP BY/ORDER/LIMIT
+    oracle. On this uniform test data the certificate passes with bound
+    0 (C exceeds per-partition distinct); on production Zipfian keys the
+    candidate shuffle is C·n_partitions rows instead of |keys|."""
+    return SK.heavy_hitters(
+        load(spark, sf_dir, "events"), "user_id", k=10, capacity=2048
+    )
 
 
 # =====================================================================

@@ -1,0 +1,96 @@
+"""Sketch operators: Bloom prefilter dedup and certified heavy hitters.
+
+Both sketches must never change an ANSWER — only the physical route —
+so every test here is an exact-equality check against the plain plan.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from empujar_spark.operators import sketch as K
+
+
+def _keys_df(spark, keys):
+    return spark.createDataFrame([(k,) for k in keys], "key string")
+
+
+class TestBloom:
+    def test_no_false_negatives(self, spark):
+        rng = random.Random(7)
+        keys = [f"k{rng.randrange(10_000)}" for _ in range(2_000)]
+        df = _keys_df(spark, keys)
+        bloom, m, k = K.build_bloom(df, "key", expected_items=2_000, fpp=0.01)
+        flagged = K.with_bloom_flag(df, "key", bloom, m, k)
+        assert flagged.filter(~F.col("__maybe_seen")).count() == 0
+
+    def test_fpp_in_range(self, spark):
+        build = _keys_df(spark, [f"in{i}" for i in range(5_000)])
+        probe = _keys_df(spark, [f"out{i}" for i in range(5_000)])
+        bloom, m, k = K.build_bloom(build, "key", expected_items=5_000, fpp=0.01)
+        fp = (
+            K.with_bloom_flag(probe, "key", bloom, m, k)
+            .filter(F.col("__maybe_seen"))
+            .count()
+        )
+        # 1% nominal; allow generous slack, but an order-of-magnitude
+        # blowout means the bit math is wrong
+        assert fp / 5_000 < 0.05
+
+    def test_ingest_dedup_equals_anti_join(self, spark):
+        rng = random.Random(13)
+        # dup-heavy: 300 distinct contents across 1 500 rows, split 1:4
+        rows = [(i, f"c{rng.randrange(300)}") for i in range(1_500)]
+        df = spark.createDataFrame(rows, "id long, key string")
+        hist = df.filter(F.col("id") % 5 != 0)
+        batch = df.filter(F.col("id") % 5 == 0)
+        got = K.bloom_ingest_dedup(hist, batch, "key").select("id", "key")
+        want = batch.join(
+            hist.select("key").distinct(), "key", "left_anti"
+        ).select("id", "key")
+        assert {tuple(r) for r in got.collect()} == {
+            tuple(r) for r in want.collect()
+        }
+
+    def test_params_monotone_and_capped(self):
+        m1, _ = K.bloom_params(1_000, 0.01)
+        m2, _ = K.bloom_params(10_000, 0.01)
+        assert m2 > m1 and m1 % 64 == 0
+        m_cap, _ = K.bloom_params(10**12, 0.01)
+        assert m_cap == K._MAX_BITS
+
+
+class TestHeavyHitters:
+    def _exact(self, df, key, k):
+        return [
+            tuple(r)
+            for r in df.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col(key).asc())
+            .limit(k)
+            .collect()
+        ]
+
+    @pytest.mark.parametrize("capacity", [4, 64, 10_000])
+    def test_matches_exact_on_zipf(self, spark, capacity):
+        rng = random.Random(42)
+        # Zipf-ish: key j with weight 1/(j+1)
+        pop = [j for j in range(200) for _ in range(200 // (j + 1))]
+        rows = [(rng.choice(pop),) for _ in range(5_000)]
+        df = spark.createDataFrame(rows, "key long").repartition(8)
+        got = [tuple(r) for r in K.heavy_hitters(df, "key", k=10, capacity=capacity).collect()]
+        assert got == self._exact(df, "key", 10)
+
+    def test_nulls_excluded_and_ties_deterministic(self, spark):
+        rows = [(v,) for v in [1, 1, 2, 2, 3, None, None, None]]
+        df = spark.createDataFrame(rows, "key int")
+        got = [tuple(r) for r in K.heavy_hitters(df, "key", k=2, capacity=10).collect()]
+        assert got == [(1, 2), (2, 2)]
+
+    def test_fewer_keys_than_k(self, spark):
+        df = spark.createDataFrame([(1,), (1,), (2,)], "key int")
+        got = [tuple(r) for r in K.heavy_hitters(df, "key", k=10, capacity=10).collect()]
+        assert got == [(1, 2), (2, 1)]
