@@ -936,3 +936,48 @@ def segment_dedup(
             F.lit(""),
         ).alias("clean_text"),
     )
+
+
+def blocked_fuzzy_pairs(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+    block: Column | None = None,
+) -> DataFrame:
+    """Record-linkage candidate pairs: distinct names whose edit distance
+    is ≤ ``max_dist``, generated per BLOCK — never all-pairs.
+
+    Classic entity-resolution blocking: an equi-join on a cheap key
+    (default: the first whitespace token — swap in soundex/prefix/sorted-
+    neighborhood per domain) bounds the quadratic comparison to Σ(block²)
+    over DISTINCT names, which is orders of magnitude below row count on
+    real entity data (names repeat; dedupe first, link representatives).
+    The in-block comparator is Spark's thresholded ``levenshtein`` (banded
+    DP, early exit at ``max_dist`` — cost O(max_dist·len), not O(len²)).
+    A length-band prefilter would be redundant: |len(a)−len(b)| > max_dist
+    already implies dist > max_dist, so the thresholded DP rejects those
+    rows in its first band.
+
+    Output: (name_a, name_b, dist) with name_a < name_b — deterministic,
+    oracle = the same join with plain ``levenshtein`` in ANSI SQL.
+    """
+    blk = (
+        block
+        if block is not None
+        else F.substring_index(F.col("name"), " ", 1)
+    )
+    names = df.select(F.col(name_col).alias("name")).distinct()
+    a = names.select(
+        F.col("name").alias("name_a"), blk.alias("__blk")
+    )
+    b = names.select(
+        F.col("name").alias("name_b"), blk.alias("__blk")
+    )
+    dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
+    return (
+        a.join(b, "__blk")
+        .filter(F.col("name_a") < F.col("name_b"))
+        .withColumn("dist", dist)
+        .filter(F.col("dist") >= 0)  # thresholded form returns -1 above max_dist
+        .select("name_a", "name_b", "dist")
+    )

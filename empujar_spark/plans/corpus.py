@@ -6448,6 +6448,32 @@ def heavy_hitters_users(spark, sf_dir):
     )
 
 
+@q(
+    "fuzzy_name_match",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part)
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM names a JOIN names b
+      ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+     AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def fuzzy_name_match(spark, sf_dir):
+    """Entity-resolution linkage pairs (operators/dedup.py): distinct
+    part names within edit distance 3, candidates generated by BLOCKING
+    on the first token — an equi-join, never a cross join; comparisons
+    are Σ(block²) over the distinct-name table (64 names here; the
+    distinct-then-link shape is why this survives a 100 TB row count).
+    In-block comparator is Spark's thresholded levenshtein (banded DP,
+    early exit), exact-equal to the oracle's plain levenshtein on every
+    kept pair."""
+    return D.blocked_fuzzy_pairs(
+        load(spark, sf_dir, "part"), "p_name", max_dist=3
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

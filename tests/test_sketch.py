@@ -94,3 +94,39 @@ class TestHeavyHitters:
         df = spark.createDataFrame([(1,), (1,), (2,)], "key int")
         got = [tuple(r) for r in K.heavy_hitters(df, "key", k=10, capacity=10).collect()]
         assert got == [(1, 2), (2, 1)]
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+class TestBlockedFuzzyPairs:
+    def test_equals_bruteforce_within_blocks(self, spark):
+        from empujar_spark.operators.dedup import blocked_fuzzy_pairs
+
+        rng = random.Random(5)
+        words = ["cat", "car", "cart", "dog", "dig", "dug", "bolt", "bold"]
+        names = list({
+            f"{rng.choice(words)} {rng.choice(words)}" for _ in range(40)
+        })
+        # duplicate rows: operator must dedupe to distinct names first
+        rows = [(n,) for n in names for _ in range(3)]
+        df = spark.createDataFrame(rows, "p_name string")
+        got = {
+            tuple(r)
+            for r in blocked_fuzzy_pairs(df, "p_name", max_dist=2).collect()
+        }
+        want = set()
+        for a in names:
+            for b in names:
+                if a < b and a.split(" ")[0] == b.split(" ")[0]:
+                    d = _lev(a, b)
+                    if d <= 2:
+                        want.add((a, b, d))
+        assert got == want and len(want) > 0
