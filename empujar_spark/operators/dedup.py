@@ -590,8 +590,21 @@ def near_dup_clusters(
     component, is_kept = 1 for the representative.
     """
     pairs = ngram_jaccard_pairs(df, text_col, k, threshold).select("id_a", "id_b")
+    return connected_components(pairs, df.select("doc_id"))
+
+
+def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+    """Connected components over (id_a, id_b) pairs via iterative
+    min-label propagation, labeling every id in ``ids`` (single column
+    ``doc_id``; isolated ids become singleton clusters without ever
+    entering the loop).
+
+    Output: (doc_id, cluster_id, is_kept) — cluster_id = component min,
+    is_kept = 1 for the representative. Each round is one join + one
+    aggregate; the frontier is localCheckpointed so lineage stays O(1)
+    per round (memory: iterative-loop-lineage)."""
     # Symmetrize via struct-explode, NOT a self-union: a union would
-    # evaluate the whole shingle-join pipeline twice.
+    # evaluate the whole pair pipeline twice.
     edges = (
         pairs.select(
             F.explode(
@@ -645,7 +658,8 @@ def near_dup_clusters(
             break
     clustered = labels
     return (
-        df.select("doc_id")
+        ids.select("doc_id")
+        .distinct()
         .join(clustered, "doc_id", "left")
         .select(
             "doc_id",
@@ -980,4 +994,40 @@ def blocked_fuzzy_pairs(
         .withColumn("dist", dist)
         .filter(F.col("dist") >= 0)  # thresholded form returns -1 above max_dist
         .select("name_a", "name_b", "dist")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int | str = 16,
+    nprobe: int | None = None,
+    centroids=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public
+    arXiv:2303.09540): embedding-cosine near-dup PAIRS → connected
+    components → one kept representative per semantic cluster.
+
+    The pair stage is ``embedding_dup_pairs`` — IVF-bucketed candidates
+    re-scored exactly, an equi-join on centroid id, never all-pairs. At
+    ``nprobe = n_centroids`` the pair set (hence the clustering) is
+    provably complete and the whole result stays oracle-exact; at
+    production scale run ``nprobe < n_centroids`` and c ∝ √n exactly as
+    documented on embedding_dup_pairs. Components and retention reuse
+    ``connected_components`` — the same loop the text near-dup path runs,
+    because once pairs exist the modality is irrelevant.
+
+    Output: (vec_id, cluster_id, is_kept) over ALL input vectors
+    (semantically unique vectors are their own singleton cluster).
+    """
+    pairs = embedding_dup_pairs(
+        df, threshold=threshold, id_col=id_col, vec_col=vec_col,
+        method="ivf", n_centroids=n_centroids, nprobe=nprobe,
+        centroids=centroids,
+    ).select("id_a", "id_b")
+    ids = df.select(F.col(id_col).alias("doc_id"))
+    return connected_components(pairs, ids).select(
+        F.col("doc_id").alias(id_col), "cluster_id", "is_kept"
     )

@@ -6474,6 +6474,49 @@ def fuzzy_name_match(spark, sf_dir):
     )
 
 
+@q(
+    "semantic_dedup",
+    """
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS vec,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS nrm
+      FROM embeddings),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM base a JOIN base b ON a.id < b.id
+      WHERE round(list_dot_product(a.vec, b.vec) / (a.nrm * b.nrm), 6) >= 0.3),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    conn AS (
+      WITH RECURSIVE walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+      ) SELECT * FROM walk)
+    SELECT m.vec_id,
+           least(m.vec_id, coalesce(min(c.v), m.vec_id)) AS cluster_id,
+           CAST(m.vec_id = least(m.vec_id, coalesce(min(c.v), m.vec_id)) AS INT)
+               AS is_kept
+    FROM embeddings m LEFT JOIN conn c ON c.u = m.vec_id
+    GROUP BY m.vec_id
+    """,
+)
+def semantic_dedup(spark, sf_dir):
+    """SemDeDup-style SEMANTIC dedup (operators/dedup.py, public
+    arXiv:2303.09540): embedding-cosine pairs ≥ 0.3 via IVF-bucketed
+    candidates (nprobe = n_centroids here, so the pair set is provably
+    complete and the clustering oracle-exact) → connected components →
+    one kept representative per semantic cluster. Shares the centroid
+    cache with the other embedding entries and the SAME component loop
+    as the text near-dup path — past the pair stage the modality is
+    irrelevant. Oracle: brute pairs + recursive-CTE closure."""
+    return D.semantic_dedup(
+        load(spark, sf_dir, "embeddings"), threshold=0.3,
+        n_centroids=32, centroids=_ivf_centroids(spark, sf_dir, 32),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

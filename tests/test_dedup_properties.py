@@ -219,3 +219,54 @@ def test_minhash_incremental_prebuilt_bands_not_rehashed(spark, tmp_path):
         map(tuple, scratch.collect())
     )
     assert served.count() > 0
+
+
+def test_semantic_dedup_equals_unionfind_over_brute_pairs(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    rng = random.Random(11)
+    # planted clusters: 12 anchors, each with 0-3 tiny perturbations,
+    # plus lone vectors — perturbed copies land above the threshold
+    rows, vid = [], 0
+    anchors = []
+    for _ in range(12):
+        v = [rng.gauss(0, 1) for _ in range(16)]
+        anchors.append(v)
+        rows.append((vid, v)); vid += 1
+        for _ in range(rng.randrange(4)):
+            rows.append((vid, [x + rng.gauss(0, 0.01) for x in v])); vid += 1
+    for _ in range(10):
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(16)])); vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    got = {
+        (r.vec_id, r.cluster_id, r.is_kept)
+        for r in D.semantic_dedup(df, threshold=0.95, n_centroids=4).collect()
+    }
+
+    # reference: brute pairs + union-find
+    pairs = D.embedding_dup_pairs(
+        df, threshold=0.95, method="exact", force=True
+    ).collect()
+    parent = {i: i for i, _ in rows}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for p in pairs:
+        a, b = find(p.id_a), find(p.id_b)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    want = set()
+    roots = {i: find(i) for i, _ in rows}
+    for i, _ in rows:
+        want.add((i, roots[i], int(roots[i] == i)))
+    assert got == want
+    assert len({c for _, c, _ in got}) < len(rows)  # clustering happened
