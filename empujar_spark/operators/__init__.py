@@ -9,6 +9,7 @@ so the same computation is expressible as ANSI SQL for the DuckDB oracle.
 
 from empujar_spark.operators import (  # noqa: F401
     asof,
+    classifier,
     curation,
     dedup,
     graph,
@@ -26,6 +27,7 @@ from empujar_spark.operators import (  # noqa: F401
 
 __all__ = [
     "asof",
+    "classifier",
     "curation",
     "dedup",
     "graph",

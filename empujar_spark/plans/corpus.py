@@ -36,6 +36,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from empujar_spark.operators import classifier as CL
 from empujar_spark.operators import curation as C
 from empujar_spark.operators import dedup as D
 from empujar_spark.operators import multimodal as M
@@ -6514,6 +6515,62 @@ def semantic_dedup(spark, sf_dir):
     return D.semantic_dedup(
         load(spark, sf_dir, "embeddings"), threshold=0.3,
         n_centroids=32, centroids=_ivf_centroids(spark, sf_dir, 32),
+    )
+
+
+# Teacher rule + trained student for the classifier-filter entry. The
+# model is trained once per (session, sf_dir) — in production the student
+# is a build artifact (train on the labeled sample, serve across the
+# whole corpus), exactly like the IVF/BM25 indexes.
+def _teacher() -> F.Column:
+    # lazy: Column construction needs an active SparkContext, and corpus.py
+    # imports before any session exists (bench/driver import order)
+    return F.when(
+        F.size(F.split(F.col("text"), " ")) >= 56, "keep"
+    ).otherwise("drop")
+
+
+_QCLS_CACHE: dict = _session_cache()
+
+
+def _quality_classifier(spark, sf_dir):
+    key = (_session_key(spark), sf_dir)
+    if key not in _QCLS_CACHE:
+        train = (
+            load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 5 != 0)
+            .withColumn("teacher", _teacher())
+        )
+        _QCLS_CACHE[key] = CL.train_text_classifier(
+            train, label_col="teacher"
+        )
+    return _QCLS_CACHE[key]
+
+
+@q("quality_classifier_filter", None)
+def quality_classifier_filter(spark, sf_dir):
+    """LEARNED quality filtering, DCLM / FineWeb-Edu shape
+    (operators/classifier.py): a cheap linear student (hashingTF +
+    logistic regression, all JVM MLlib) is distilled from a teacher rule
+    (here a token-count heuristic standing in for the expensive LLM
+    judgment) on the history split, then scores the incoming split
+    map-only — the serving pass touches each doc once, no shuffle, no
+    vocabulary broadcast (hashing trick). Rows-only by construction
+    (L-BFGS float accumulation is partition-order sensitive, so scores
+    are not bit-pinned); holdout agreement ≥ 0.9 is pinned in
+    tests/test_classifier.py."""
+    hold = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 5 == 0)
+        .withColumn("teacher", _teacher())
+    )
+    scored = CL.classify_text(_quality_classifier(spark, sf_dir), hold)
+    return scored.select(
+        "doc_id",
+        "teacher",
+        "pred",
+        "pred_conf",
+        (F.col("teacher") == F.col("pred")).cast("int").alias("agree"),
     )
 
 

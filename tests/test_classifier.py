@@ -1,0 +1,52 @@
+"""Learned text classifier: distillation agreement and plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from empujar_spark.operators import classifier as CL
+
+SF = "/root/testdata/sf0.01"
+
+def TEACHER():
+    return F.when(
+        F.size(F.split(F.col("text"), " ")) >= 56, "keep"
+    ).otherwise("drop")
+
+
+def test_distilled_student_agrees_with_teacher(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "teacher", TEACHER()
+    )
+    model = CL.train_text_classifier(
+        docs.filter(F.col("doc_id") % 5 != 0), label_col="teacher"
+    )
+    scored = CL.classify_text(model, docs.filter(F.col("doc_id") % 5 == 0))
+    agree = scored.agg(
+        F.avg((F.col("teacher") == F.col("pred")).cast("double"))
+    ).collect()[0][0]
+    assert agree >= 0.9, f"holdout agreement {agree}"
+
+
+def test_scored_frame_shape(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").withColumn(
+        "teacher", TEACHER()
+    )
+    model = CL.train_text_classifier(docs.limit(200), label_col="teacher")
+    out = CL.classify_text(model, docs.limit(50))
+    # ML intermediates dropped; label + confidence present
+    assert {"pred", "pred_conf"} <= set(out.columns)
+    assert not {"__toks", "__feats", "probability"} & set(out.columns)
+    rows = out.select("pred", "pred_conf").collect()
+    assert all(r.pred in ("keep", "drop") for r in rows)
+    assert all(0.0 <= r.pred_conf <= 1.0 for r in rows)
+    assert out.count() == 50
+
+
+def test_corpus_entry_rows(spark):
+    from empujar_spark.plans.corpus import CORPUS
+
+    df = CORPUS["quality_classifier_filter"].fn(spark, SF)
+    n = df.count()
+    assert n == 100  # every holdout doc scored, none dropped
+    assert df.filter(F.col("agree") == 1).count() >= 0.9 * n
