@@ -185,3 +185,25 @@ def volume_anomaly(
             "is_anomaly"
         ),
     )
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: list[str], k: int = 8
+) -> DataFrame:
+    """Quasi-identifier groups smaller than ``k`` — the k-anonymity audit.
+
+    A record whose quasi-identifier combination is shared by fewer than k
+    rows is re-identifiable by joining public attributes; training
+    corpora scrub or generalize those slices before release (k-anonymity,
+    Sweeney 2002 — public). One hash aggregate on the quasi-identifier
+    tuple (map-side combinable), then a size filter: the audit costs the
+    same as any groupBy at 100 TB, and the violating-group output is tiny
+    by definition.
+
+    Output: (*quasi_cols, group_size) for every group with size < k.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

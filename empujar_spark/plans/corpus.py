@@ -6574,6 +6574,84 @@ def quality_classifier_filter(spark, sf_dir):
     )
 
 
+@q(
+    "k_anonymity_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 8
+    """,
+)
+def k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (operators/quality.py): quasi-identifier groups
+    (nation, segment, account-balance band) with fewer than k=8 members —
+    the re-identifiable slices a release pipeline must generalize or
+    drop. One map-side-combinable hash aggregate + a size filter; the
+    violating output is tiny by definition, so the audit costs one
+    groupBy at any scale."""
+    c = load(spark, sf_dir, "customer").withColumn(
+        "bal_band", F.floor(F.col("c_acctbal") / 1000).cast("bigint")
+    )
+    from empujar_spark.operators import quality as Q
+
+    return Q.k_anonymity_violations(
+        c, ["c_nationkey", "c_mktsegment", "bal_band"], k=8
+    )
+
+
+@q(
+    "copurchase_components",
+    """
+    WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (SELECT a.l_partkey AS pa, c.l_partkey AS pb
+              FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey
+                               AND a.l_partkey < c.l_partkey
+              GROUP BY pa, pb HAVING count(*) >= 3),
+    edges AS (SELECT pa AS u, pb AS v FROM pairs
+              UNION ALL SELECT pb, pa FROM pairs),
+    conn AS (
+      WITH RECURSIVE walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+      ) SELECT * FROM walk)
+    SELECT p.p_partkey AS part_id,
+           least(p.p_partkey, coalesce(min(c.v), p.p_partkey)) AS component_id,
+           CAST(p.p_partkey = least(p.p_partkey, coalesce(min(c.v), p.p_partkey))
+                AS INT) AS is_rep
+    FROM part p LEFT JOIN conn c ON c.u = p.p_partkey
+    GROUP BY p.p_partkey
+    """,
+)
+def copurchase_components(spark, sf_dir):
+    """GENERIC connected components over the co-purchase graph
+    (operators/dedup.py connected_components — the same min-label
+    propagation loop the near-dup and semantic-dedup paths run, exposed
+    as a graph operator): parts linked when co-purchased in ≥3 orders;
+    every part not in any basket pair is its own singleton component.
+    Each round is one join + one aggregate on vertex id; the frontier is
+    localCheckpointed so lineage stays O(1) per round. Oracle:
+    recursive-CTE transitive closure."""
+    from empujar_spark.operators.dedup import connected_components
+    from empujar_spark.operators.graph import basket_pairs
+
+    li = load(spark, sf_dir, "lineitem")
+    pairs = basket_pairs(li, "l_orderkey", "l_partkey", min_support=3).select(
+        F.col("item_a").alias("id_a"), F.col("item_b").alias("id_b")
+    )
+    ids = load(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("doc_id")
+    )
+    return connected_components(pairs, ids).select(
+        F.col("doc_id").alias("part_id"),
+        F.col("cluster_id").alias("component_id"),
+        F.col("is_kept").alias("is_rep"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

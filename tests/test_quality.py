@@ -121,3 +121,17 @@ def test_volume_anomaly_flags_spikes_not_constant_feeds(spark):
     flagged = [(d, v) for (s, d), v in out.items() if s == "drop" and v[2] == 1]
     assert [d for d, _ in flagged] == [4]
     assert flagged[0][1][1] < -2.0
+
+
+def test_k_anonymity_violations(spark):
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators.quality import k_anonymity_violations
+
+    rows = [("a", 1)] * 10 + [("a", 2)] * 3 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "qa string, qb int")
+    out = k_anonymity_violations(df, ["qa", "qb"], k=8).collect()
+    got = {(r.qa, r.qb, r.group_size) for r in out}
+    assert got == {("a", 2, 3), ("b", 1, 1)}
+    # every reported group is genuinely below k
+    assert all(r.group_size < 8 for r in out)
