@@ -6652,6 +6652,36 @@ def copurchase_components(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_join_events_outer",
+    """
+    SELECT e.event_id, e.user_id, e.ts, e.event_type,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM events e
+    LEFT JOIN (SELECT event_id, user_id, ts, value FROM events
+               WHERE event_type = 'purchase') p
+      ON e.user_id = p.user_id
+     AND e.ts >= p.ts AND e.ts <= p.ts + INTERVAL 30 MINUTE
+    WHERE e.event_type <> 'purchase'
+    """,
+)
+def streaming_join_events_outer(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join, oracle-checked
+    (stream_ops.purchase_followers_left_join): the subtle outer case —
+    unmatched followers may only emit once the watermark proves no
+    matching purchase can still arrive, so the bounded replay feeds the
+    FLUSHED stream (sentinel advances both branch watermarks; the
+    purchase filter keeps the sentinel type, its user_id -1 joins
+    nothing). Drained result equals the batch LEFT JOIN with the same
+    interval bound."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    ev = SO.read_events_stream_flushed(spark, sf_dir)
+    joined = SO.purchase_followers_left_join(ev, ev)
+    res = SO.drain_to_memory(joined, "__streaming_join_events_outer")
+    return res.filter(F.col("user_id") != SO.FLUSH_USER_ID)
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

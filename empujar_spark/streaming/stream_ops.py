@@ -561,3 +561,54 @@ def neardup_ingest_stream(
     out = spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA)
     out._neardup_batches = batch_ids  # test hook: real multi-batch
     return out
+
+
+def purchase_followers_left_join(
+    events_a: DataFrame,
+    events_b: DataFrame,
+    window: str = "30 minutes",
+    late: str = "10 minutes",
+) -> DataFrame:
+    """STREAM-STREAM interval join, LEFT OUTER: every non-purchase event
+    emits — joined to the purchases it follows within ``window``, or
+    null-extended if none exists.
+
+    Outer stream-stream joins are the subtle case: an unmatched left row
+    may only emit once the watermark PROVES no matching purchase can
+    still arrive (purchase-side state for its interval is evictable), so
+    unmatched results trail the inner results by the watermark. On a
+    bounded replay that proof needs the flush sentinel to advance BOTH
+    branch watermarks — feed this from ``read_events_stream_flushed`` and
+    note the purchase filter keeps the sentinel type: the sentinel's
+    user_id (-1) can never equal a real follower's, so it joins nothing
+    and exists purely as punctuation. Callers filter
+    ``user_id != FLUSH_USER_ID`` after the drain.
+
+    State bound: identical to the inner variant — the time bound in the
+    join condition lets Spark evict each buffered purchase once the
+    follower watermark passes p_ts + window + late.
+    """
+    purchases = (
+        events_a.filter(F.col("event_type").isin("purchase", "flush"))
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", late)
+    )
+    others = (
+        events_b.filter(F.col("event_type") != "purchase")
+        .select("event_id", "user_id", "ts", "event_type")
+        .withWatermark("ts", late)
+    )
+    return others.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("ts") >= F.col("p_ts"))
+        & (F.col("ts") <= F.col("p_ts") + F.expr(f"INTERVAL {window}")),
+        "left_outer",
+    ).select(
+        "event_id", "user_id", "ts", "event_type", "purchase_id", "purchase_value"
+    )
