@@ -156,6 +156,7 @@ def bloom_ingest_dedup(
     key: str,
     expected_items: int | None = None,
     fpp: float = 0.01,
+    bloom: tuple[bytes, int, int] | None = None,
 ) -> DataFrame:
     """Exact anti-join of ``batch`` against ``history`` on ``key``, with a
     Bloom prefilter so only the batch's "maybe seen" sliver reaches the
@@ -166,11 +167,21 @@ def bloom_ingest_dedup(
     n_partitions bitmaps; the confirm join's left side is |dups| + fpp·|fresh|
     rows instead of the whole batch, and its history side is semi-joinable
     on the surviving key set. Locally the history scan dominates either
-    way; the win shows at real batch:history ratios."""
-    if expected_items is None:
-        expected_items = history.select(key).count()
-    bloom, m, k = build_bloom(history, key, expected_items, fpp)
-    flagged = with_bloom_flag(batch, key, bloom, m, k).cache()
+    way; the win shows at real batch:history ratios.
+
+    Pass ``bloom=(bits, m, k)`` (a stored artifact loaded via
+    ``bloom_from_df``) to skip the build scan entirely — the steady-state
+    serving path. The artifact MUST cover all of ``history``: a stale
+    filter only costs extra confirm-join rows (false "maybe"), but a
+    filter missing history keys would break the no-false-negative
+    argument — maintain it with ``bloom_union`` at every append."""
+    if bloom is not None:
+        bloom_bits, m, k = bloom
+    else:
+        if expected_items is None:
+            expected_items = history.select(key).count()
+        bloom_bits, m, k = build_bloom(history, key, expected_items, fpp)
+    flagged = with_bloom_flag(batch, key, bloom_bits, m, k).cache()
     definite_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_fresh = maybe.join(
@@ -252,3 +263,32 @@ def heavy_hitters(
         .orderBy(F.col("cnt").desc(), F.col(key).asc())
         .limit(k)
     )
+
+
+# ----------------------------------------------- bloom as a build artifact
+
+def bloom_to_df(spark: SparkSession, bloom: bytes, m: int, k: int) -> DataFrame:
+    """One-row DataFrame (m, k, bits) — the bloom as a storable artifact.
+    Write it with ``df.write.parquet(path)`` (parquet binary column);
+    at 100 TB the filter is built once per load window and served to
+    every subsequent ingest, exactly like the BM25/IVF index tables."""
+    return spark.createDataFrame([(m, k, bytearray(bloom))], "m long, k long, bits binary")
+
+
+def bloom_from_df(df: DataFrame) -> tuple[bytes, int, int]:
+    """Load a stored bloom artifact (inverse of ``bloom_to_df``)."""
+    row = df.select("m", "k", "bits").head()
+    return bytes(row["bits"]), int(row["m"]), int(row["k"])
+
+
+def bloom_union(a: bytes, b: bytes) -> bytes:
+    """OR two bitmaps built with the SAME (m, k): the result is exactly
+    the bloom of the union of their build sets — bit-identical to a
+    from-scratch build, which is what makes the stored artifact
+    INCREMENTALLY maintainable (each new batch builds its own small
+    bloom and ORs in; no rescan of history, ever)."""
+    if len(a) != len(b):
+        raise ValueError("bloom_union requires equal (m, k) parameters")
+    return (
+        np.frombuffer(a, dtype=np.uint8) | np.frombuffer(b, dtype=np.uint8)
+    ).tobytes()

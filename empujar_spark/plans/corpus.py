@@ -6682,6 +6682,62 @@ def streaming_join_events_outer(spark, sf_dir):
     return res.filter(F.col("user_id") != SO.FLUSH_USER_ID)
 
 
+# Stored bloom artifact per (session, sf_dir): written to parquet once
+# and READ BACK on every serve, so the entry proves the round trip —
+# the same build-once/serve-many split as the BM25 and IVF indexes.
+_BLOOM_IDX: dict = _session_cache()
+
+
+def _bloom_artifact(spark, sf_dir):
+    key = (_session_key(spark), sf_dir)
+    if key not in _BLOOM_IDX:
+        import os
+
+        hist = X.fingerprint(load(spark, sf_dir, "documents")).filter(
+            F.col("doc_id") % 7 != 0
+        )
+        bits, m, k = SK.build_bloom(
+            hist, "fingerprint", expected_items=hist.count(), fpp=0.01
+        )
+        path = os.path.join(_tmp_warehouse_dir(prefix="bloom-idx-"), "bloom")
+        SK.bloom_to_df(spark, bits, m, k).write.parquet(path)
+        _BLOOM_IDX[key] = path
+    return SK.bloom_from_df(spark.read.parquet(_BLOOM_IDX[key]))
+
+
+@q(
+    "bloom_ingest_dedup_indexed",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint
+                FROM documents),
+    seen AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 7 <> 0),
+    incoming AS (SELECT * FROM fp WHERE doc_id % 7 = 0),
+    fresh AS (SELECT i.* FROM incoming i
+              WHERE i.fingerprint NOT IN (SELECT fingerprint FROM seen))
+    SELECT fingerprint, min(doc_id) AS keep_id, count(*) AS n_dups
+    FROM fresh GROUP BY 1
+    """,
+)
+def bloom_ingest_dedup_indexed(spark, sf_dir):
+    """The SERVING path of bloom_ingest_dedup: the history bitmap is a
+    STORED artifact (parquet round-trip pinned by the session cache
+    holding only the path) loaded per ingest instead of rebuilt — at
+    steady state each new batch ORs its own small bloom into the stored
+    one (``bloom_union`` is exact: OR of bitmaps ≡ bloom of the union),
+    so history is never rescanned. Results identical to the from-scratch
+    twin, hence the same exact oracle."""
+    fp = X.fingerprint(load(spark, sf_dir, "documents"))
+    hist = fp.filter(F.col("doc_id") % 7 != 0)
+    batch = fp.filter(F.col("doc_id") % 7 == 0)
+    fresh = SK.bloom_ingest_dedup(
+        hist, batch, "fingerprint", bloom=_bloom_artifact(spark, sf_dir)
+    )
+    return fresh.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
