@@ -6738,6 +6738,86 @@ def bloom_ingest_dedup_indexed(spark, sf_dir):
     )
 
 
+@q(
+    "scd2_pit_join",
+    """
+    WITH upd AS (
+      SELECT o_custkey, o_orderdate, o_orderpriority
+      FROM (SELECT o_custkey, o_orderdate, o_orderpriority,
+                   row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                      ORDER BY o_orderkey DESC) AS rn
+            FROM orders) t
+      WHERE rn = 1),
+    chg AS (
+      SELECT o_custkey, scd_valid_from, o_orderpriority FROM (
+        SELECT o_custkey, o_orderdate AS scd_valid_from, o_orderpriority,
+               lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                          ORDER BY o_orderdate) AS prev
+        FROM upd) t2
+      WHERE prev IS NULL OR prev <> o_orderpriority),
+    dim AS (
+      SELECT o_custkey, o_orderpriority, scd_valid_from,
+             lead(scd_valid_from) OVER (PARTITION BY o_custkey
+                                        ORDER BY scd_valid_from)
+                 AS scd_valid_to
+      FROM chg),
+    fact AS (
+      SELECT o.o_custkey, l.l_shipdate,
+             CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+             (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))
+                 AS rev
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+    SELECT d.o_orderpriority AS priority_at_ship,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(rev), 4) AS DOUBLE) AS revenue
+    FROM fact f JOIN dim d
+      ON f.o_custkey = d.o_custkey
+     AND f.l_shipdate >= d.scd_valid_from
+     AND (d.scd_valid_to IS NULL OR f.l_shipdate < d.scd_valid_to)
+    GROUP BY 1
+    """,
+)
+def scd2_pit_join(spark, sf_dir):
+    """POINT-IN-TIME join against the SCD2 dimension (the feature-store
+    correctness primitive): each lineitem is attributed to the customer
+    priority version VALID AT ITS SHIP DATE — never the current one,
+    which is how training-serving leakage happens. Plan: hash equi-join
+    on the surrogate key with the validity-interval predicate as a
+    residual filter — per-key version counts are small and bounded, so
+    the fan-out is versions-per-key, never a range explosion. The
+    dimension itself comes from the same per-(session, sf_dir) SCD2
+    Warehouse the scd2_history entry builds (merge_scd2's staged atomic
+    write); revenue aggregates in DECIMAL then casts, per the corpus
+    determinism rules."""
+    dim = scd2_history(spark, sf_dir)
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf_dir, "lineitem")
+    one = F.lit(1).cast("decimal(18,6)")
+    fact = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_custkey",
+        "l_shipdate",
+        (
+            F.col("l_extendedprice").cast("decimal(18,6)")
+            * (one - F.col("l_discount").cast("decimal(18,6)"))
+        ).alias("rev"),
+    )
+    joined = fact.join(
+        dim,
+        (fact.o_custkey == dim.o_custkey)
+        & (F.col("l_shipdate") >= F.col("scd_valid_from"))
+        & (
+            F.col("scd_valid_to").isNull()
+            | (F.col("l_shipdate") < F.col("scd_valid_to"))
+        ),
+    )
+    return joined.groupBy(
+        F.col("o_orderpriority").alias("priority_at_ship")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("rev"), 4).cast("double").alias("revenue"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
