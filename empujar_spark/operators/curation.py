@@ -385,3 +385,41 @@ def quality_median_filter(
         .filter(F.col("score") >= F.col("__med"))
         .select("doc_id", "source", "score")
     )
+
+
+def shard_assignments(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    seed: str = "shuf1",
+) -> DataFrame:
+    """Deterministic seeded global shuffle + shard assignment — the
+    training-dataloader layout step: every row gets a shard and a
+    position within it, both pure functions of (seed, id).
+
+    Unlike ``df.orderBy(rand())`` (partition-layout dependent, different
+    every run) the md5 ordering is reproducible on any engine and any
+    partitioning — re-running the pipeline yields byte-identical epoch
+    order, which is what makes a training run repeatable. Changing the
+    seed re-deals every shard.
+
+    Plan: one hash shuffle on the shard id + an in-partition sort (the
+    window never crosses shards). Size n_shards so a shard fits an
+    executor partition — dataloader sharding wants thousands of shards
+    at 100 TB anyway, which keeps each sort small.
+
+    Output: (id, shard, pos) with pos = 1..|shard| in md5 order,
+    id as tiebreak on the (astronomically unlikely) digest collision.
+    """
+    hk = F.md5(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(hk, 1, 8), 16, 10).cast("bigint") % n_shards
+    )
+    w = Window.partitionBy("shard").orderBy("hk", id_col)
+    return (
+        df.select(F.col(id_col), hk.alias("hk"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select(id_col, "shard", "pos")
+    )

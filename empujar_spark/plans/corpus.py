@@ -6818,6 +6818,33 @@ def scd2_pit_join(spark, sf_dir):
     )
 
 
+@q(
+    "shard_assignments",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             md5(concat('shuf1|', CAST(doc_id AS VARCHAR))) AS hk
+      FROM documents)
+    SELECT doc_id,
+           CAST(('0x' || substr(hk, 1, 8)) AS BIGINT) % 8 AS shard,
+           row_number() OVER (
+             PARTITION BY CAST(('0x' || substr(hk, 1, 8)) AS BIGINT) % 8
+             ORDER BY hk, doc_id) AS pos
+    FROM h
+    """,
+)
+def shard_assignments(spark, sf_dir):
+    """Deterministic seeded global shuffle + dataloader shard layout
+    (operators/curation.py): shard and in-shard position are pure
+    functions of (seed, doc_id) via md5 — reproducible epoch order on
+    any engine and any partitioning, unlike orderBy(rand()). One hash
+    shuffle on the shard id + an in-partition sort; at 100 TB shard
+    count is in the thousands, so each sort stays small."""
+    return C.shard_assignments(
+        load(spark, sf_dir, "documents"), n_shards=8
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

@@ -253,3 +253,27 @@ def test_grouped_topk_float_group_null_vs_nan_distinct(spark):
     assert len(rows) == 3  # one winner per distinct group: NULL, NaN, 1.0
     by_id = {r.id: r.rnk for r in rows}
     assert by_id == {1: 1, 2: 1, 3: 1}
+
+
+def test_shard_assignments_deterministic_and_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators.curation import shard_assignments
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    a = shard_assignments(df, n_shards=8, seed="s1")
+    b = shard_assignments(df.repartition(13), n_shards=8, seed="s1")
+    # partitioning-independent: identical layout either way
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    rows = a.collect()
+    # every row placed exactly once; positions are 1..|shard| per shard
+    assert len(rows) == 500
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(8))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # a different seed re-deals the order
+    c = shard_assignments(df, n_shards=8, seed="s2")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
