@@ -1276,6 +1276,34 @@ class Warehouse:
             shutil.rmtree(self._table_dir(table))
         self.show_tables()
 
+    def delete_rows(self, table: str, condition) -> int:
+        """Row-level DELETE (SQL semantics: rows where ``condition`` IS
+        TRUE go; NULL-condition rows stay) via copy-on-write — the
+        GDPR / right-to-be-forgotten verb the merge family lacks.
+
+        Rewrites the survivors through the same versioned commit as every
+        write, so concurrent readers keep their version until the pointer
+        flips (reader isolation). Returns the number of rows deleted.
+
+        PHYSICAL-ERASURE CAVEAT: the commit only flips the pointer —
+        deleted rows still exist in retained older versions (that is what
+        makes ``read_version`` time travel work). A compliance delete is
+        DELETE + ``vacuum()``; the erasure test pins that the bytes are
+        actually gone afterwards."""
+        from pyspark.sql import Column
+
+        meta = self._load_meta(table)
+        df = self.read(table)
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        assert isinstance(cond, Column)
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        n_deleted = df.filter(hit).count()
+        if n_deleted:
+            self._write(table, df.filter(~hit), meta)
+        return n_deleted
+
     def compact(self, table: str, target_file_bytes: int = 256 * 1024 * 1024) -> int:
         """Rewrite a table into ~target_file_bytes files (small-file
         compaction). Incremental upserts accrete one file set per merge;

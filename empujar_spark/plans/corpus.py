@@ -6845,6 +6845,48 @@ def shard_assignments(spark, sf_dir):
     )
 
 
+_GDPR_WH: dict = _session_cache()
+
+
+@q(
+    "gdpr_delete",
+    """
+    SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+    FROM events WHERE user_id % 10 <> 3
+    GROUP BY user_id
+    """,
+)
+def gdpr_delete(spark, sf_dir):
+    """Right-to-be-forgotten DELETE through the Warehouse
+    (catalog.delete_rows): load events, erase every row of the
+    requesting users (user_id % 10 == 3) via copy-on-write versioned
+    commit, then VACUUM so retained versions no longer hold the data
+    physically (time travel vs compliance is a real tension — the
+    docstring and erasure test pin it). The entry reads the surviving
+    table back and aggregates per user; the oracle is the same aggregate
+    with the deletion as a WHERE — post-delete state must be
+    indistinguishable from never having loaded those rows."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _GDPR_WH:
+        wh = Warehouse(spark, _tmp_warehouse_dir(prefix="gdpr-wh-"),
+                       primary_key="event_id")
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        )
+        wh.insert_data("events_pii", ev)
+        wh.delete_rows("events_pii", F.col("user_id") % 10 == 3)
+        wh.vacuum()
+        _GDPR_WH[key] = wh
+    return (
+        _GDPR_WH[key]
+        .read("events_pii")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

@@ -911,3 +911,58 @@ def test_version_time_travel(spark, tmp_path):
         wh.read_version("t", v1)
     with _pytest.raises(ValueError, match="not on disk"):
         wh.read_version("t", 999)
+
+
+class TestDeleteRows:
+    def test_delete_counts_and_survivors(self, warehouse, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id long, grp long"
+        )
+        warehouse.insert_data("t", df)
+        n = warehouse.delete_rows("t", F.col("grp") == 1)
+        assert n == 10
+        left = warehouse.read("t")
+        assert left.count() == 20
+        assert left.filter(F.col("grp") == 1).count() == 0
+        # deleting nothing writes nothing (no new version)
+        v = warehouse.table_versions("t")
+        assert warehouse.delete_rows("t", F.col("grp") == 99) == 0
+        assert warehouse.table_versions("t") == v
+
+    def test_null_condition_rows_survive(self, warehouse, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id long, grp long"
+        )
+        warehouse.insert_data("t", df)
+        # condition is NULL for grp != 2: SQL DELETE keeps those rows
+        n = warehouse.delete_rows("t", F.when(F.col("grp") == 2, True))
+        assert n == 10
+        assert warehouse.read("t").count() == 20
+
+    def test_physical_erasure_needs_vacuum(self, warehouse, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, i % 3) for i in range(30)], "id long, grp long"
+        )
+        warehouse.insert_data("t", df)
+        warehouse.delete_rows("t", F.col("grp") == 1)
+        # before vacuum: an older retained version still holds the rows
+        vs = warehouse.table_versions("t")
+        assert len(vs) > 1
+        old = warehouse.read_version("t", vs[0])
+        assert old.filter(F.col("grp") == 1).count() == 10
+        warehouse.vacuum()
+        # after vacuum: only the current version remains, bytes gone
+        vs2 = warehouse.table_versions("t")
+        assert len(vs2) == 1
+        assert (
+            warehouse.read_version("t", vs2[0])
+            .filter(F.col("grp") == 1)
+            .count()
+            == 0
+        )
