@@ -1304,6 +1304,54 @@ class Warehouse:
             self._write(table, df.filter(~hit), meta)
         return n_deleted
 
+    def update_rows(self, table: str, condition, assignments: dict) -> int:
+        """Row-level UPDATE (SQL semantics: rows where ``condition`` IS
+        TRUE take the assignments; NULL-condition rows are untouched) via
+        copy-on-write — the in-place-redaction verb: GDPR anonymization
+        keeps the row for aggregates but scrubs the payload, where
+        ``delete_rows`` removes it entirely.
+
+        ``assignments`` maps column name → Column/SQL-string expression,
+        evaluated against the PRE-update row (standard UPDATE semantics:
+        all assignments see the old values). Unknown columns are
+        rejected — UPDATE never widens a schema; that is ``add_column``'s
+        job. Returns the number of rows updated; a no-match update writes
+        no version. Same versioned commit and erasure caveat as
+        delete_rows (old versions retain pre-update rows until vacuum)."""
+        from pyspark.sql import Column
+
+        meta = self._load_meta(table)
+        df = self.read(table)
+        unknown = set(assignments) - set(df.columns)
+        if unknown:
+            raise KeyError(
+                f"update_rows: unknown column(s) {sorted(unknown)} — "
+                "UPDATE never adds columns; use add_column first"
+            )
+        cond = (
+            F.expr(condition) if isinstance(condition, str) else condition
+        )
+        assert isinstance(cond, Column)
+        hit = F.coalesce(cond.cast("boolean"), F.lit(False))
+        n_updated = df.filter(hit).count()
+        if n_updated:
+            exprs = []
+            for c in df.columns:
+                if c in assignments:
+                    a = assignments[c]
+                    new = F.expr(a) if isinstance(a, str) else a
+                    # keep the column's declared type stable across the
+                    # rewrite — UPDATE must not retype the table
+                    exprs.append(
+                        F.when(hit, new.cast(df.schema[c].dataType))
+                        .otherwise(F.col(c))
+                        .alias(c)
+                    )
+                else:
+                    exprs.append(F.col(c))
+            self._write(table, df.select(*exprs), meta)
+        return n_updated
+
     def compact(self, table: str, target_file_bytes: int = 256 * 1024 * 1024) -> int:
         """Rewrite a table into ~target_file_bytes files (small-file
         compaction). Incremental upserts accrete one file set per merge;

@@ -6887,6 +6887,59 @@ def gdpr_delete(spark, sf_dir):
     )
 
 
+_UPDATE_WH: dict = _session_cache()
+
+
+@q(
+    "warehouse_update_redaction",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN props = '{}' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_redacted
+    FROM (SELECT event_type,
+                 CASE WHEN user_id % 10 = 3 THEN '{}' ELSE props END AS props
+          FROM events)
+    GROUP BY 1
+    """,
+)
+def warehouse_update_redaction(spark, sf_dir):
+    """Row-level UPDATE through the Warehouse (catalog.update_rows): the
+    in-place GDPR redaction — the requesting users' payloads (props) are
+    scrubbed to '{}' while the rows stay countable, the anonymize
+    counterpart to gdpr_delete's erase. Copy-on-write through the same
+    versioned commit; assignments see pre-update values; column types
+    pinned across the rewrite. Oracle applies the same redaction as a
+    CASE and must be indistinguishable from the updated table."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _UPDATE_WH:
+        wh = Warehouse(spark, _tmp_warehouse_dir(prefix="upd-wh-"),
+                       primary_key="event_id")
+        ev = load(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "props"
+        )
+        wh.insert_data("events_props", ev)
+        wh.update_rows(
+            "events_props",
+            F.col("user_id") % 10 == 3,
+            {"props": F.lit("{}")},
+        )
+        _UPDATE_WH[key] = wh
+    return (
+        _UPDATE_WH[key]
+        .read("events_props")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col("props") == "{}").cast("bigint")).alias(
+                "n_redacted"
+            ),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

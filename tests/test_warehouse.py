@@ -966,3 +966,49 @@ class TestDeleteRows:
             .count()
             == 0
         )
+
+
+class TestUpdateRows:
+    def test_update_semantics(self, warehouse, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame(
+            [(i, i % 3, float(i)) for i in range(30)],
+            "id long, grp long, val double",
+        )
+        warehouse.insert_data("t", df)
+        # assignments see PRE-update values: swap-like update is safe
+        n = warehouse.update_rows(
+            "t", F.col("grp") == 1,
+            {"val": F.col("val") + 100, "grp": F.lit(9)},
+        )
+        assert n == 10
+        out = warehouse.read("t")
+        assert out.filter(F.col("grp") == 9).count() == 10
+        assert out.filter(F.col("grp") == 1).count() == 0
+        got = {r.id: r.val for r in out.collect()}
+        for i in range(30):
+            assert got[i] == (float(i) + 100 if i % 3 == 1 else float(i))
+
+    def test_update_rejects_unknown_column_and_noop(self, warehouse, spark):
+        import pytest as _pytest
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 2)], "id long, grp long")
+        warehouse.insert_data("t", df)
+        with _pytest.raises(KeyError):
+            warehouse.update_rows("t", F.lit(True), {"nope": F.lit(1)})
+        v = warehouse.table_versions("t")
+        assert warehouse.update_rows("t", F.col("grp") == 99, {"grp": F.lit(0)}) == 0
+        assert warehouse.table_versions("t") == v
+
+    def test_update_preserves_column_type(self, warehouse, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.createDataFrame([(1, 5)], "id long, grp int")
+        warehouse.insert_data("t", df)
+        before = dict(warehouse.read("t").dtypes)
+        warehouse.update_rows("t", F.lit(True), {"grp": F.lit(7.9)})
+        after = warehouse.read("t")
+        assert dict(after.dtypes) == before  # no silent retype
+        assert after.head().grp == 7  # cast to the declared type
