@@ -106,6 +106,7 @@ def main() -> None:
         ev = replicate(ev0, "event_id", f)
         from empujar_spark.operators import curation as C
         from empujar_spark.operators import dedup as D
+        from empujar_spark.operators import sketch as K
         from empujar_spark.operators import graph as G
         from empujar_spark.operators import similarity as S
         from empujar_spark.operators import text as X
@@ -137,6 +138,25 @@ def main() -> None:
                 "centroids": wh.read("ivf_centroids"),
                 "assignments": wh.read("ivf_assignments"),
             }
+
+        bloom_art = None
+        fp_batch = None
+        if not only or "bloom_probe" in only:
+            # Untimed build over the ×f history (amortized ingest cost,
+            # same rule as ivf_serve); timed claim = admission-gate
+            # throughput for a FIXED batch, which should be flat in f:
+            # the probe is O(|batch|·k) bit lookups however large the
+            # history bitmap grew.
+            from empujar_spark.operators import sketch as K2
+
+            fp_hist = X.fingerprint(docs)
+            bloom_art = K2.build_bloom(
+                fp_hist, "fingerprint",
+                expected_items=fp_hist.count(), fpp=0.01,
+            )
+            fp_batch = X.fingerprint(
+                docs0.filter(F.col("doc_id") % 7 == 0)
+            )
 
         one = F.lit(1).cast("decimal(18,6)")
         return {
@@ -201,6 +221,21 @@ def main() -> None:
                     idx_serve, emb0.filter(F.col("vec_id") < 25),
                     k=5, nprobe=8,
                 )
+            ),
+            # Bloom admission gate: flag a FIXED batch against the
+            # prebuilt ×f-history bitmap — probe cost is O(|batch|·k)
+            # bit lookups regardless of history size, so the curve
+            # should be FLAT (the anti-join it replaces re-scans the
+            # ×f history every ingest)
+            "bloom_probe": lambda: noop(
+                K.with_bloom_flag(fp_batch, "fingerprint", *bloom_art)
+            ),
+            # Certified heavy hitters over ×f events (key space fixed,
+            # counts grow ×f): one scan + a bounded candidate shuffle
+            # (n_partitions × capacity rows) + the candidate recount —
+            # should track the scan, ~linear
+            "heavy_hitters": lambda: noop(
+                K.heavy_hitters(ev, "user_id", k=10, capacity=2048)
             ),
         }
 
