@@ -6940,6 +6940,57 @@ def warehouse_update_redaction(spark, sf_dir):
     )
 
 
+@q(
+    "entity_clusters",
+    """
+    WITH names AS (SELECT DISTINCT p_name AS name FROM part),
+    pairs AS (
+      SELECT a.name AS name_a, b.name AS name_b
+      FROM names a JOIN names b
+        ON split_part(a.name, ' ', 1) = split_part(b.name, ' ', 1)
+       AND a.name < b.name
+      WHERE levenshtein(a.name, b.name) <= 3),
+    edges AS (SELECT name_a AS u, name_b AS v FROM pairs
+              UNION ALL SELECT name_b, name_a FROM pairs),
+    conn AS (
+      WITH RECURSIVE walk(u, v) AS (
+        SELECT u, v FROM edges
+        UNION
+        SELECT w.u, e.v FROM walk w JOIN edges e ON w.v = e.u
+      ) SELECT * FROM walk)
+    SELECT n.name,
+           least(n.name, coalesce(min(c.v), n.name)) AS entity_id,
+           CAST(n.name = least(n.name, coalesce(min(c.v), n.name)) AS INT)
+               AS is_canonical
+    FROM names n LEFT JOIN conn c ON c.u = n.name
+    GROUP BY n.name
+    """,
+)
+def entity_clusters(spark, sf_dir):
+    """Entity RESOLUTION end-to-end (operators/dedup.py): the blocked
+    fuzzy pairs become edges, the same connected_components loop groups
+    transitively-linked name variants into one entity, and the lexical
+    min becomes the canonical form — blocking + pairwise similarity +
+    transitive closure is the classic record-linkage pipeline, here
+    composed from the same primitives the near-dup and semantic paths
+    run. String vertex ids exercise the loop's key-type generality.
+    Oracle: recursive-CTE closure over the same pairs."""
+    from empujar_spark.operators.dedup import (
+        blocked_fuzzy_pairs, connected_components,
+    )
+
+    part = load(spark, sf_dir, "part")
+    pairs = blocked_fuzzy_pairs(part, "p_name", max_dist=3).select(
+        F.col("name_a").alias("id_a"), F.col("name_b").alias("id_b")
+    )
+    ids = part.select(F.col("p_name").alias("doc_id")).distinct()
+    return connected_components(pairs, ids).select(
+        F.col("doc_id").alias("name"),
+        F.col("cluster_id").alias("entity_id"),
+        F.col("is_kept").alias("is_canonical"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
