@@ -6991,6 +6991,112 @@ def entity_clusters(spark, sf_dir):
     )
 
 
+@q(
+    "trending_events_daily",
+    """
+    WITH d AS (
+      SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT day, event_type, n, rnk FROM (
+      SELECT day, event_type, n,
+             row_number() OVER (PARTITION BY day
+                                ORDER BY n DESC, event_type) AS rnk
+      FROM d) t
+    WHERE rnk <= 3
+    """,
+)
+def trending_events_daily(spark, sf_dir):
+    """Per-day trending top-3 event types — the windowed-rank trending
+    shape every analytics surface ships: one map-side-combinable
+    aggregate to (day, type) granularity (tiny — |days|·|types| rows),
+    then the rank window runs on the AGGREGATE, never the raw events.
+    Deterministic ties (count desc, type asc)."""
+    ev = load(spark, sf_dir, "events")
+    d = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("day").orderBy(
+        F.col("n").desc(), F.col("event_type").asc()
+    )
+    return (
+        d.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("day", "event_type", "n", "rnk")
+    )
+
+
+@q(
+    "vocab_growth",
+    """
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+      FROM documents WHERE COALESCE(trim(text), '') <> ''),
+    tok AS (
+      SELECT doc_id, unnest(list_transform(generate_series(1, len(a) - 1),
+                            i -> concat_ws(' ', a[i], a[i+1]))) AS tok
+      FROM t WHERE len(a) >= 2),
+    first_seen AS (SELECT tok, min(doc_id) AS first_doc FROM tok GROUP BY tok),
+    decile AS (
+      SELECT CAST(floor(first_doc * 10.0 /
+                        (SELECT max(doc_id) + 1 FROM documents)) AS BIGINT)
+                 AS bucket,
+             CAST(count(*) AS BIGINT) AS new_tokens
+      FROM first_seen GROUP BY 1)
+    SELECT bucket, new_tokens,
+           CAST(sum(new_tokens) OVER (ORDER BY bucket) AS BIGINT)
+               AS cumulative_vocab
+    FROM decile
+    """,
+)
+def vocab_growth(spark, sf_dir):
+    """Vocabulary-growth curve (Heaps' law observable): cumulative
+    distinct BIGRAMS as the corpus is consumed in doc_id order (the
+    unigram vocabulary is closed on this synthetic data; bigrams grow).
+    The naive form — running COUNT(DISTINCT) over an ordered stream —
+    is quadratic and order-coupled; the distributed identity is
+    FIRST-OCCURRENCE analytics: min(doc_id) per gram (one explode +
+    one groupBy, order-free), bucket the firsts into corpus deciles,
+    then a |buckets|-row running sum. The same min-per-key trick any
+    'new users this week' cumulative metric runs on at 100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    arr = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    tok = (
+        docs.filter(F.coalesce(F.trim(F.col("text")), F.lit("")) != "")
+        .select("doc_id", arr.alias("a"))
+        .filter(F.size("a") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("a") - 1),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at(F.col("a"), i),
+                        F.element_at(F.col("a"), i + 1),
+                    ),
+                )
+            ).alias("tok"),
+        )
+    )
+    first_seen = tok.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    decile = first_seen.groupBy(
+        F.floor(F.col("first_doc") * 10 / F.lit(max_doc))
+        .cast("bigint")
+        .alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("new_tokens"))
+    w = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return decile.select(
+        "bucket",
+        "new_tokens",
+        F.sum("new_tokens").over(w).alias("cumulative_vocab"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
