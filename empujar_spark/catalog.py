@@ -1304,6 +1304,75 @@ class Warehouse:
             self._write(table, df.filter(~hit), meta)
         return n_deleted
 
+    def delete_keys(self, table: str, keys: DataFrame, key: str | list[str]) -> int:
+        """Distributed DELETE by key set: drop every row whose key appears
+        in ``keys`` (a DataFrame — never a collected list, so the delete
+        side can itself be petabyte-scale CDC output). A LEFT ANTI join on
+        the merge key through the same copy-on-write versioned commit as
+        delete_rows; the erasure caveat is identical.
+
+        Returns the number of rows deleted."""
+        kcols = _as_key_list(key)
+        meta = self._load_meta(table)
+        df = self.read(table)
+        slim = keys.select(*kcols).distinct()
+        n_before = df.count()
+        survivors = df.join(slim, kcols, "left_anti")
+        n_after = survivors.count()
+        if n_after != n_before:
+            self._write(table, survivors, meta)
+        return n_before - n_after
+
+    def apply_cdc(
+        self,
+        table: str,
+        batch: DataFrame,
+        key: str | list[str],
+        op_col: str = "op",
+        seq_col: str | None = None,
+    ) -> dict:
+        """Apply an I/U/D change batch (Debezium-shaped CDC) to a table:
+        the lakehouse MERGE that ``stream_upsert`` (upserts only) lacks.
+
+        Within the batch, the LAST op per key wins (ordered by ``seq_col``
+        when given — required whenever a key can appear twice; without it,
+        duplicate keys in one batch are rejected loudly rather than
+        resolved arbitrarily). Then one upsert pass for the surviving
+        I/U rows and one anti-join delete pass for the D keys — two
+        versioned commits, both key-shuffle-bounded, never row loops.
+
+        Returns {"upserted": n, "deleted": n}."""
+        kcols = _as_key_list(key)
+        if seq_col is not None:
+            w = Window.partitionBy(*kcols).orderBy(F.col(seq_col).desc())
+            batch = (
+                batch.withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .drop("__rn")
+            )
+        else:
+            dup = (
+                batch.groupBy(*kcols)
+                .agg(F.count(F.lit(1)).alias("__n"))
+                .filter(F.col("__n") > 1)
+                .limit(1)
+                .count()
+            )
+            if dup:
+                raise ValueError(
+                    "apply_cdc: duplicate keys in batch and no seq_col to "
+                    "order them — last-op-wins needs a sequence"
+                )
+        ups = batch.filter(F.col(op_col) != "D").drop(op_col)
+        dels = batch.filter(F.col(op_col) == "D").select(*kcols)
+        n_up = ups.count()
+        if n_up:
+            self.insert_data(table, ups, merge_key=key)
+        n_del = 0
+        if self.table_exists(table) and dels.limit(1).count():
+            n_del = self.delete_keys(table, dels, key)
+        return {"upserted": n_up, "deleted": n_del}
+
     def update_rows(self, table: str, condition, assignments: dict) -> int:
         """Row-level UPDATE (SQL semantics: rows where ``condition`` IS
         TRUE take the assignments; NULL-condition rows are untouched) via

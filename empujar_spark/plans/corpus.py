@@ -7097,6 +7097,55 @@ def vocab_growth(spark, sf_dir):
     )
 
 
+_CDC_DEL_WH: dict = _session_cache()
+
+
+@q(
+    "cdc_apply_deletes",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           round(sum(value), 4) AS total_value
+    FROM events
+    WHERE event_type <> 'error'
+    GROUP BY event_type
+    """,
+)
+def cdc_apply_deletes(spark, sf_dir):
+    """Debezium-shaped CDC apply WITH DELETES (catalog.apply_cdc): the
+    events feed becomes a change batch — 'error' events are tombstones
+    (op=D), everything else upserts — applied through one key-bounded
+    upsert pass plus one anti-join delete pass (delete_keys takes the
+    tombstone KEY SET as a DataFrame, never a collected list, so the
+    delete side scales like any join). Final table state must equal
+    replaying the feed minus the tombstoned keys — the oracle is that
+    replay. Completes stream_upsert (upserts only) into the full
+    lakehouse MERGE verb set."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _CDC_DEL_WH:
+        wh = Warehouse(spark, _tmp_warehouse_dir(prefix="cdcdel-wh-"),
+                       primary_key="event_id")
+        batch = load(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value",
+            F.when(F.col("event_type") == "error", "D")
+            .otherwise("U")
+            .alias("op"),
+        )
+        wh.apply_cdc("events_cdc_d", batch, key="event_id")
+        _CDC_DEL_WH[key] = wh
+    return (
+        _CDC_DEL_WH[key]
+        .read("events_cdc_d")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

@@ -1012,3 +1012,54 @@ class TestUpdateRows:
         after = warehouse.read("t")
         assert dict(after.dtypes) == before  # no silent retype
         assert after.head().grp == 7  # cast to the declared type
+
+
+class TestApplyCdc:
+    def test_iud_batch_with_seq(self, warehouse, spark):
+        from pyspark.sql import functions as F
+
+        base = spark.createDataFrame(
+            [(1, "a", 1), (2, "b", 1), (3, "c", 1)],
+            "id long, v string, seq long",
+        )
+        warehouse.insert_data("t", base.drop("seq"))
+        # one batch: update 1 twice (last wins), delete 2, insert 4,
+        # insert-then-delete 5 (net: absent)
+        batch = spark.createDataFrame(
+            [
+                (1, "a1", 10, "U"), (1, "a2", 11, "U"),
+                (2, None, 10, "D"),
+                (4, "d", 10, "U"),
+                (5, "e", 10, "U"), (5, None, 11, "D"),
+            ],
+            "id long, v string, seq long, op string",
+        )
+        res = warehouse.apply_cdc("t", batch, key="id", seq_col="seq")
+        assert res == {"upserted": 2, "deleted": 1}
+        got = {(r.id, r.v) for r in warehouse.read("t").select("id", "v").collect()}
+        assert got == {(1, "a2"), (3, "c"), (4, "d")}
+
+    def test_duplicate_keys_without_seq_rejected(self, warehouse, spark):
+        import pytest as _pytest
+
+        warehouse.insert_data(
+            "t", spark.createDataFrame([(1, "a")], "id long, v string")
+        )
+        batch = spark.createDataFrame(
+            [(1, "x", "U"), (1, "y", "U")], "id long, v string, op string"
+        )
+        with _pytest.raises(ValueError):
+            warehouse.apply_cdc("t", batch, key="id")
+
+    def test_delete_keys_distributed(self, warehouse, spark):
+        from pyspark.sql import functions as F
+
+        warehouse.insert_data(
+            "t",
+            spark.createDataFrame([(i, i % 4) for i in range(40)],
+                                  "id long, grp long"),
+        )
+        dels = spark.createDataFrame([(i,) for i in range(0, 40, 2)], "id long")
+        n = warehouse.delete_keys("t", dels, key="id")
+        assert n == 20
+        assert warehouse.read("t").filter(F.col("id") % 2 == 0).count() == 0
