@@ -7146,6 +7146,62 @@ def cdc_apply_deletes(spark, sf_dir):
     )
 
 
+_COMPACT_WH: dict = _session_cache()
+
+
+@q(
+    "compact_roundtrip",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(round(sum(CAST(l_quantity AS DECIMAL(18,6))), 4) AS DOUBLE)
+               AS sum_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def compact_roundtrip(spark, sf_dir):
+    """Small-file COMPACTION driven end-to-end (catalog.compact): the
+    table accretes one file set per incremental append (8 slices here —
+    real ingest produces thousands), then compact() rewrites it to
+    size-targeted files through the same versioned commit as any write,
+    so readers never see a half-compacted table. The data must be
+    byte-for-byte indistinguishable before and after — the oracle
+    aggregates the original source; the file-count collapse itself is
+    pinned in tests/test_warehouse.py."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _COMPACT_WH:
+        wh = Warehouse(spark, _tmp_warehouse_dir(prefix="compact-wh-"),
+                       primary_key="l_orderkey")
+        li = load(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_returnflag", "l_quantity"
+        )
+        for i in range(8):  # 8 small appends -> 8 file sets
+            wh.insert_data(
+                "lineitem_frag",
+                li.filter(F.col("l_orderkey") % 8 == i),
+                merge_on_duplicates=False,  # plain append: lineitem has no unique key
+            )
+        wh.compact("lineitem_frag")
+        wh.vacuum()
+        _COMPACT_WH[key] = wh
+    return (
+        _COMPACT_WH[key]
+        .read("lineitem_frag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(
+                F.sum(F.col("l_quantity").cast("decimal(18,6)")), 4
+            )
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
