@@ -7202,6 +7202,33 @@ def compact_roundtrip(spark, sf_dir):
     )
 
 
+@q("streaming_classifier_scores", None)
+def streaming_classifier_scores(spark, sf_dir):
+    """MODEL SERVING IN A STREAM: each documents micro-batch is scored
+    by the pre-trained quality classifier (operators/classifier.py —
+    same cached model the batch entry serves). Tokenizer → hashingTF →
+    LR are all map-only transformers, so the fitted PipelineModel
+    composes with a streaming DataFrame directly — no foreachBatch
+    escape hatch, no state; the model weights ride the task closure
+    like any broadcast dim. Per-doc scores are micro-batch-invariant by
+    construction; drained output equals the batch scoring path
+    (pinned in tests/test_classifier.py). Rows-only: the score floats
+    inherit L-BFGS's partition-order sensitivity, like the batch twin."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    model = _quality_classifier(spark, sf_dir)
+    docs = SO.read_documents_stream(spark, sf_dir).withColumn(
+        "teacher", _teacher()
+    )
+    scored = CL.classify_text(model, docs).select(
+        "doc_id",
+        "teacher",
+        "pred",
+        (F.col("teacher") == F.col("pred")).cast("int").alias("agree"),
+    )
+    return SO.drain_to_memory(scored, "__streaming_classifier_scores")
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

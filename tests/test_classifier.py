@@ -50,3 +50,23 @@ def test_corpus_entry_rows(spark):
     n = df.count()
     assert n == 100  # every holdout doc scored, none dropped
     assert df.filter(F.col("agree") == 1).count() >= 0.9 * n
+
+
+def test_streaming_scores_equal_batch_scores(spark):
+    from empujar_spark.plans.corpus import CORPUS, _quality_classifier
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    streamed = CORPUS["streaming_classifier_scores"].fn(spark, sf)
+    got = {tuple(r) for r in streamed.collect()}
+
+    model = _quality_classifier(spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet").withColumn(
+        "teacher", TEACHER()
+    )
+    batch = CL.classify_text(model, docs).select(
+        "doc_id", "teacher", "pred",
+        (F.col("teacher") == F.col("pred")).cast("int").alias("agree"),
+    )
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want and len(got) > 0
