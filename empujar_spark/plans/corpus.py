@@ -7229,6 +7229,68 @@ def streaming_classifier_scores(spark, sf_dir):
     return SO.drain_to_memory(scored, "__streaming_classifier_scores")
 
 
+@q(
+    "dedup_rate_by_source",
+    f"""
+    WITH fp AS (SELECT doc_id, source, md5({_NORM_TEXT_SQL}) AS fingerprint
+                FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fingerprint) AS BIGINT) AS n_distinct,
+           round(1.0 - count(DISTINCT fingerprint) / CAST(count(*) AS DOUBLE), 6)
+               AS dup_rate
+    FROM fp GROUP BY source
+    """,
+)
+def dedup_rate_by_source(spark, sf_dir):
+    """Dedup OBSERVABILITY: per-source duplicate rate (1 − distinct
+    fingerprints / docs) — the report that decides which crawl gets the
+    aggressive dedup pass and which is already clean. One aggregate with
+    a distinct-count (two-phase under the hood); the per-source
+    cardinality is what a 100 TB ingest dashboard actually reads."""
+    fp = X.fingerprint(load(spark, sf_dir, "documents"))
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        fp.join(docs, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("fingerprint").alias("n_distinct"),
+            F.round(
+                1.0
+                - F.countDistinct("fingerprint")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+@q(
+    "curriculum_stages",
+    """
+    SELECT doc_id, n_chars,
+           CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage
+    FROM documents
+    """,
+)
+def curriculum_stages(spark, sf_dir):
+    """Length-based CURRICULUM staging: every document assigned to one of
+    4 equal-size stages by (n_chars, doc_id) total order — short-first
+    schedules are the standard curriculum-learning warmup. ntile over a
+    deterministic total order; at 100 TB the global sort is one range
+    exchange (Spark samples boundaries), and the tie-broken order makes
+    the assignment reproducible run-over-run."""
+    return load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.ntile(4)
+        .over(Window.orderBy("n_chars", "doc_id"))
+        .cast("bigint")
+        .alias("stage"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
