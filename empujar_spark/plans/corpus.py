@@ -7269,23 +7269,43 @@ def dedup_rate_by_source(spark, sf_dir):
 @q(
     "curriculum_stages",
     """
-    SELECT doc_id, n_chars,
-           CAST(ntile(4) OVER (ORDER BY n_chars, doc_id) AS BIGINT) AS stage
-    FROM documents
+    WITH q AS (
+      SELECT round(percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars), 6) AS q1,
+             round(percentile_cont(0.50) WITHIN GROUP (ORDER BY n_chars), 6) AS q2,
+             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars), 6) AS q3
+      FROM documents)
+    SELECT d.doc_id, d.n_chars,
+           CAST(1 + CAST(d.n_chars > q.q1 AS INT)
+                  + CAST(d.n_chars > q.q2 AS INT)
+                  + CAST(d.n_chars > q.q3 AS INT) AS BIGINT) AS stage
+    FROM documents d CROSS JOIN q
     """,
 )
 def curriculum_stages(spark, sf_dir):
-    """Length-based CURRICULUM staging: every document assigned to one of
-    4 equal-size stages by (n_chars, doc_id) total order — short-first
-    schedules are the standard curriculum-learning warmup. ntile over a
-    deterministic total order; at 100 TB the global sort is one range
-    exchange (Spark samples boundaries), and the tie-broken order makes
-    the assignment reproducible run-over-run."""
-    return load(spark, sf_dir, "documents").select(
+    """Length-based CURRICULUM staging: each document assigned to one of
+    4 stages by length quartile — short-first schedules are the standard
+    curriculum-learning warmup. Deliberately NOT ntile: a global-window
+    rank funnels the whole corpus through ONE task (Spark executes an
+    unpartitioned window single-partition — the memory-trap this repo's
+    plans avoid); instead the three quartile boundaries are ONE
+    aggregate row broadcast into a scan-local projection. Same
+    interpolation + rounding on both engines, so the boundary
+    comparisons agree exactly."""
+    docs = load(spark, sf_dir, "documents")
+    q = docs.agg(
+        F.round(F.percentile("n_chars", F.lit(0.25)), 6).alias("q1"),
+        F.round(F.percentile("n_chars", F.lit(0.50)), 6).alias("q2"),
+        F.round(F.percentile("n_chars", F.lit(0.75)), 6).alias("q3"),
+    )
+    return docs.crossJoin(F.broadcast(q)).select(
         "doc_id",
         "n_chars",
-        F.ntile(4)
-        .over(Window.orderBy("n_chars", "doc_id"))
+        (
+            F.lit(1)
+            + (F.col("n_chars") > F.col("q1")).cast("int")
+            + (F.col("n_chars") > F.col("q2")).cast("int")
+            + (F.col("n_chars") > F.col("q3")).cast("int")
+        )
         .cast("bigint")
         .alias("stage"),
     )

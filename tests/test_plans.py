@@ -159,6 +159,9 @@ _CROSS_JOIN_ALLOWED = {
     "temperature_mixture",
     "embedding_decontam",
     "q22_dormant_customers",
+    "curriculum_stages",  # one-row quartile-boundary broadcast, the
+                          # histogram_price scalar pattern (chosen OVER a
+                          # global-window ntile, which would single-task)
 }
 
 # Entries whose fn() actually executes work at call time (streaming drains,
