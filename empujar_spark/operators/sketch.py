@@ -251,6 +251,7 @@ def heavy_hitters(
         .limit(k)
     )
     rows = exact.collect()
+    summary.unpersist()  # both uses (slack agg, candidate set) are done
     certified = len(rows) == k and rows[-1]["cnt"] > slack
     if certified or slack == 0:
         return df.sparkSession.createDataFrame(rows, exact.schema).orderBy(
