@@ -7311,6 +7311,95 @@ def curriculum_stages(spark, sf_dir):
     )
 
 
+@q(
+    "time_weighted_avg",
+    """
+    WITH e AS (
+      SELECT user_id, ts, value,
+             lead(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nts
+      FROM events)
+    SELECT user_id,
+           round(sum(value * epoch(nts - ts)) / sum(epoch(nts - ts)), 4)
+               AS twap,
+           CAST(count(*) AS BIGINT) AS n_segments
+    FROM e WHERE nts IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark, sf_dir):
+    """Time-weighted average over IRREGULAR events (the TWAP shape —
+    metering, pricing, sensor state): each observation holds until the
+    next one, so its weight is that duration. One lead() window per key
+    (the per-user sort rides the same exchange as the final aggregate)
+    — no grid densification, no gap-fill: the weighting IS the
+    irregular-interval handling. Last observation per key has no
+    duration and drops, matching the oracle."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = (
+        F.unix_micros(F.col("nts")) - F.unix_micros(F.col("ts"))
+    ) / F.lit(1_000_000.0)
+    e = ev.withColumn("nts", F.lead("ts").over(w)).filter(
+        F.col("nts").isNotNull()
+    )
+    return e.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value") * sec) / F.sum(sec), 4
+        ).alias("twap"),
+        F.count(F.lit(1)).alias("n_segments"),
+    )
+
+
+@q(
+    "ohlc_hourly",
+    """
+    WITH e AS (
+      SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events)
+    SELECT hour,
+           round(max(CASE WHEN rn_a = 1 THEN value END), 4) AS open,
+           round(max(value), 4) AS high,
+           round(min(value), 4) AS low,
+           round(max(CASE WHEN rn_d = 1 THEN value END), 4) AS close,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM e GROUP BY hour
+    """,
+)
+def ohlc_hourly(spark, sf_dir):
+    """OHLC candlestick bars per hour — open/close are the FIRST/LAST
+    values in event order (deterministic ties via event_id), high/low
+    plain extremes. Both row_number windows share the hour partitioning,
+    so the plan pays ONE exchange and two in-partition sorts, then the
+    bar aggregate is map-side-combinable. The finance-bar shape every
+    time-series store ships, here as one window + one groupBy."""
+    ev = load(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    wa = Window.partitionBy(hour).orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    wd = Window.partitionBy(hour).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    e = ev.select(
+        hour.alias("hour"),
+        "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return e.groupBy("hour").agg(
+        F.round(F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 4).alias("open"),
+        F.round(F.max("value"), 4).alias("high"),
+        F.round(F.min("value"), 4).alias("low"),
+        F.round(F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 4).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
