@@ -230,6 +230,23 @@ def main() -> None:
             "bloom_probe": lambda: noop(
                 K.with_bloom_flag(fp_batch, "fingerprint", *bloom_art)
             ),
+            # Iterative min-label connected components over the ×f
+            # co-purchase pair graph (the loop semantic_dedup /
+            # entity_clusters / near-dup clustering all share): each
+            # round is one join + one aggregate on vertex id; rounds =
+            # graph diameter, so growth should land on the per-round
+            # edge shuffle, not the round count
+            "components": lambda: noop(
+                D.connected_components(
+                    G.basket_pairs(
+                        li, "l_orderkey", "l_partkey", min_support=2
+                    ).select(
+                        F.col("item_a").alias("id_a"),
+                        F.col("item_b").alias("id_b"),
+                    ),
+                    li.select(F.col("l_partkey").alias("doc_id")).distinct(),
+                )
+            ),
             # Certified heavy hitters over ×f events (key space fixed,
             # counts grow ×f): one scan + a bounded candidate shuffle
             # (n_partitions × capacity rows) + the candidate recount —
