@@ -1316,12 +1316,12 @@ class Warehouse:
         meta = self._load_meta(table)
         df = self.read(table)
         slim = keys.select(*kcols).distinct()
-        n_before = df.count()
-        survivors = df.join(slim, kcols, "left_anti")
-        n_after = survivors.count()
-        if n_after != n_before:
-            self._write(table, survivors, meta)
-        return n_before - n_after
+        # one semi-join count for the hit total (not before/after full
+        # counts — that would scan the table twice before the write)
+        n_deleted = df.join(slim, kcols, "left_semi").count()
+        if n_deleted:
+            self._write(table, df.join(slim, kcols, "left_anti"), meta)
+        return n_deleted
 
     def apply_cdc(
         self,
@@ -1363,6 +1363,21 @@ class Warehouse:
                     "apply_cdc: duplicate keys in batch and no seq_col to "
                     "order them — last-op-wins needs a sequence"
                 )
+        # NULL / unknown ops would fall through BOTH filters below
+        # (NULL-false on each side) and vanish silently — reject loudly,
+        # matching the duplicate-key behavior above
+        bad = (
+            batch.filter(
+                F.col(op_col).isNull() | ~F.col(op_col).isin("I", "U", "D")
+            )
+            .limit(1)
+            .count()
+        )
+        if bad:
+            raise ValueError(
+                "apply_cdc: op column contains NULL or values outside "
+                "I/U/D — such rows would be silently dropped"
+            )
         ups = batch.filter(F.col(op_col) != "D").drop(op_col)
         dels = batch.filter(F.col(op_col) == "D").select(*kcols)
         n_up = ups.count()

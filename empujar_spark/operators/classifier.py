@@ -50,8 +50,13 @@ def train_text_classifier(
         Tokenizer(inputCol=text_col, outputCol="__toks"),
         HashingTF(inputCol="__toks", outputCol="__feats",
                   numFeatures=n_features),
+        # handleInvalid="keep": scoring frames carry the label column
+        # (the pipeline model transforms every stage), and a label value
+        # unseen at training must not abort the serving job — it maps to
+        # the synthetic 'unseen' index, which nothing downstream reads
         StringIndexer(inputCol=label_col, outputCol="__label",
-                      stringOrderType="alphabetAsc"),
+                      stringOrderType="alphabetAsc",
+                      handleInvalid="keep"),
         LogisticRegression(featuresCol="__feats", labelCol="__label",
                            regParam=reg_param, maxIter=max_iter),
     ])

@@ -975,18 +975,19 @@ def blocked_fuzzy_pairs(
     Output: (name_a, name_b, dist) with name_a < name_b — deterministic,
     oracle = the same join with plain ``levenshtein`` in ANSI SQL.
     """
+    # the block expression is written over name_col (the caller's column
+    # — docstring: swap in soundex/prefix per domain), so evaluate it
+    # BEFORE the internal rename, while name_col still resolves
     blk = (
         block
         if block is not None
-        else F.substring_index(F.col("name"), " ", 1)
+        else F.substring_index(F.col(name_col), " ", 1)
     )
-    names = df.select(F.col(name_col).alias("name")).distinct()
-    a = names.select(
-        F.col("name").alias("name_a"), blk.alias("__blk")
-    )
-    b = names.select(
-        F.col("name").alias("name_b"), blk.alias("__blk")
-    )
+    names = df.select(
+        F.col(name_col).alias("name"), blk.alias("__blk")
+    ).distinct()
+    a = names.select(F.col("name").alias("name_a"), "__blk")
+    b = names.select(F.col("name").alias("name_b"), "__blk")
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), max_dist)
     return (
         a.join(b, "__blk")

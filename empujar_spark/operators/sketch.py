@@ -181,6 +181,12 @@ def bloom_ingest_dedup(
         if expected_items is None:
             expected_items = history.select(key).count()
         bloom_bits, m, k = build_bloom(history, key, expected_items, fpp)
+    # Cache + broadcast lifetime: both branches below read `flagged`, so
+    # the probe runs once; the cached blocks and the bitmap broadcast are
+    # released by Spark's ContextCleaner once the caller drops the result
+    # DataFrame (same GC-lag-bounded retention the components loop
+    # documents) — a per-batch ingest loop therefore does NOT accumulate
+    # one cache+broadcast per batch beyond the cleaner's lag.
     flagged = with_bloom_flag(batch, key, bloom_bits, m, k).cache()
     definite_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")

@@ -7248,11 +7248,13 @@ def dedup_rate_by_source(spark, sf_dir):
     aggressive dedup pass and which is already clean. One aggregate with
     a distinct-count (two-phase under the hood); the per-source
     cardinality is what a 100 TB ingest dashboard actually reads."""
-    fp = X.fingerprint(load(spark, sf_dir, "documents"))
-    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        X.fingerprint_col(F.col("text")).alias("fingerprint"),
+    )
     return (
-        fp.join(docs, "doc_id")
-        .groupBy("source")
+        docs.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.countDistinct("fingerprint").alias("n_distinct"),

@@ -139,10 +139,17 @@ def infer_value_type(value, varchar_length: int = VARCHAR_DEFAULT_LENGTH) -> Col
         return ColumnType(TEXT)
     if isinstance(value, (list, tuple)):
         # typed array column (engine extension — see ARRAY above); the
-        # element type is the promotion over the items' scalar kinds
+        # element type is the promotion over the items' scalar kinds.
+        # A list-of-lists recurses: the promoted item is itself ARRAY and
+        # its element grammar nests ("array<double>"), not the "string"
+        # fallback — dropping to string here would silently repr-encode
+        # nested vectors (and retype a DataFrame-created array<array<…>>
+        # column on reconcile).
         elem = ColumnType(UNKNOWN)
         for item in value:
             elem = promote(elem, infer_value_type(item, varchar_length))
+        if elem.kind == ARRAY:
+            return ColumnType(ARRAY, element=f"array<{elem.element}>")
         return ColumnType(ARRAY, element=_ELEMENT_DDL.get(elem.kind, "string"))
     # dict/etc: the reference JSON-stringifies on write (snowflake.js:479-524)
     return ColumnType(TEXT)

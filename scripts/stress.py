@@ -147,10 +147,8 @@ def main() -> None:
             # throughput for a FIXED batch, which should be flat in f:
             # the probe is O(|batch|·k) bit lookups however large the
             # history bitmap grew.
-            from empujar_spark.operators import sketch as K2
-
             fp_hist = X.fingerprint(docs)
-            bloom_art = K2.build_bloom(
+            bloom_art = K.build_bloom(
                 fp_hist, "fingerprint",
                 expected_items=fp_hist.count(), fpp=0.01,
             )

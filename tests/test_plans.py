@@ -171,9 +171,21 @@ _PLAN_AUDIT_SKIP = {
     "streaming_quality_audit",
     "streaming_hourly_events",
     "streaming_join_events",
+    "streaming_join_events_outer",
+    "streaming_neardup_ingest",
+    "streaming_classifier_scores",
     "incremental_rollup",
     "scd2_history",
     "bucketed_join_agg",
+    # eager warehouse builds / collected results — the returned frame is
+    # a read of the outcome; their real plans are audited by their own
+    # operator tests
+    "gdpr_delete",
+    "warehouse_update_redaction",
+    "cdc_apply_deletes",
+    "compact_roundtrip",
+    "version_travel",
+    "heavy_hitters_users",  # certified path returns collected top-k rows
     # the pipeline-summary gates run their whole book at call time and
     # return a collected ≤40-row summary — the books' own plans are
     # audited by test_etl_book / test_pretrain_book

@@ -168,3 +168,21 @@ class TestBloomArtifact:
 
         with _pytest.raises(ValueError):
             K.bloom_union(b"\x00" * 8, b"\x00" * 16)
+
+    def test_caller_supplied_block_expression(self, spark):
+        from pyspark.sql import functions as F
+
+        from empujar_spark.operators.dedup import blocked_fuzzy_pairs
+
+        df = spark.createDataFrame(
+            [("cat one",), ("car one",), ("dog one",)], "p_name string"
+        )
+        # block written over the CALLER's column name, per the docstring
+        got = {
+            (r.name_a, r.name_b)
+            for r in blocked_fuzzy_pairs(
+                df, "p_name", max_dist=2,
+                block=F.substring(F.col("p_name"), 1, 2),
+            ).collect()
+        }
+        assert got == {("car one", "cat one")}

@@ -134,3 +134,19 @@ def test_array_normalize_value():
     a_s = lt.ColumnType(lt.ARRAY, element="string")
     assert lt.normalize_value([1, "x"], a_s) == ["1", "x"]
     assert lt.normalize_value(None, a_d) is None
+
+
+def test_nested_list_inference_keeps_inner_element_type():
+    from empujar_spark.types import (
+        ColumnType, infer_value_type, normalize_value, promote,
+    )
+
+    t = infer_value_type([[1.0, 2.0], [3.0]])
+    assert (t.kind, t.element) == ("array", "array<double>")
+    # values pass through untouched (no repr-stringification)
+    assert normalize_value([[1.0, 2.0]], t) == [[1.0, 2.0]]
+    # int inner elements promote within the nested grammar
+    t2 = infer_value_type([[1, 2]])
+    assert t2.element == "array<bigint>"
+    # reconcile against the same DataFrame-derived type is a no-op
+    assert promote(t, ColumnType("array", element="array<double>")) == t

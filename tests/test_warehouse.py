@@ -1063,3 +1063,17 @@ class TestApplyCdc:
         n = warehouse.delete_keys("t", dels, key="id")
         assert n == 20
         assert warehouse.read("t").filter(F.col("id") % 2 == 0).count() == 0
+
+
+def test_apply_cdc_rejects_null_or_unknown_ops(warehouse, spark):
+    import pytest as _pytest
+
+    warehouse.insert_data(
+        "t", spark.createDataFrame([(1, "a")], "id long, v string")
+    )
+    for bad_op in [None, "X"]:
+        batch = spark.createDataFrame(
+            [(2, "b", bad_op)], "id long, v string, op string"
+        )
+        with _pytest.raises(ValueError, match="NULL or values outside"):
+            warehouse.apply_cdc("t", batch, key="id")
