@@ -7402,6 +7402,119 @@ def ohlc_hourly(spark, sf_dir):
     )
 
 
+@q(
+    "importance_sample",
+    """
+    WITH scored AS (
+      SELECT doc_id, n_chars,
+             round(n_chars / CAST((SELECT max(n_chars) FROM documents)
+                             AS DOUBLE), 6) AS keep_p,
+             CAST(('0x' || substr(md5(concat('imp1|',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                 / 4294967296.0 AS u
+      FROM documents)
+    SELECT doc_id, n_chars, keep_p
+    FROM scored WHERE u < keep_p
+    """,
+)
+def importance_sample(spark, sf_dir):
+    """Deterministic IMPORTANCE SAMPLING: each doc kept with probability
+    proportional to its quality proxy (length here), the doc-level
+    companion to temperature_mixture's source-level resampling — how a
+    curation pass upweights high-quality text without hard thresholds.
+    The Bernoulli draw is md5(seed|id)/2^32 against the keep
+    probability: a pure filter, reproducible on any engine/partitioning
+    (same coin ANY run), no RNG state. The max normalizer is a one-row
+    broadcast scalar."""
+    docs = load(spark, sf_dir, "documents")
+    mx = docs.agg(F.max("n_chars").alias("mx"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("imp1|"), F.col("doc_id").cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    keep_p = F.round(F.col("n_chars") / F.col("mx").cast("double"), 6)
+    return (
+        docs.crossJoin(F.broadcast(mx))
+        .withColumn("keep_p", keep_p)
+        .withColumn("__u", u)
+        .filter(F.col("__u") < F.col("keep_p"))
+        .select("doc_id", "n_chars", "keep_p")
+    )
+
+
+@q(
+    "table_diff",
+    """
+    WITH a AS (SELECT event_id, event_type, value FROM events
+               WHERE event_id % 11 <> 0),
+    b AS (SELECT event_id,
+                 CASE WHEN event_id % 13 = 0 THEN 'reclassified'
+                      ELSE event_type END AS event_type,
+                 value
+          FROM events WHERE event_id % 7 <> 0)
+    SELECT CASE WHEN a.event_id IS NULL THEN 'added'
+                WHEN b.event_id IS NULL THEN 'removed'
+                WHEN a.event_type <> b.event_type OR a.value <> b.value
+                     THEN 'changed'
+                ELSE 'unchanged' END AS diff_kind,
+           CAST(count(*) AS BIGINT) AS n
+    FROM a FULL JOIN b USING (event_id)
+    GROUP BY 1
+    """,
+)
+def table_diff(spark, sf_dir):
+    """Table RECONCILIATION (the migration-validation diff): two
+    snapshot variants of events full-outer-joined on the key, each row
+    classified added / removed / changed / unchanged, aggregated to the
+    audit counts a cutover sign-off reads. One key shuffle; at 100 TB
+    the compare columns would be collapsed to a row-hash before the
+    join so only (key, hash) moves — here the two compare columns stand
+    in for that hash. Simulated drift: B drops event_id % 7, A drops
+    % 11, B reclassifies % 13."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    # presence markers, not data-column nullness: a genuinely-NULL data
+    # column must not read as 'row absent'
+    a = ev.filter(F.col("event_id") % 11 != 0).select(
+        "event_id",
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_value"),
+        F.lit(1).alias("a_present"),
+    )
+    b = (
+        ev.filter(F.col("event_id") % 7 != 0)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 13 == 0, "reclassified")
+            .otherwise(F.col("event_type"))
+            .alias("b_type"),
+            F.col("value").alias("b_value"),
+            F.lit(1).alias("b_present"),
+        )
+    )
+    j = a.join(b, "event_id", "full_outer")
+    kind = (
+        F.when(F.col("a_present").isNull(), "added")
+        .when(F.col("b_present").isNull(), "removed")
+        .when(
+            (F.col("a_type") != F.col("b_type"))
+            | (F.col("a_value") != F.col("b_value")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return j.groupBy(kind.alias("diff_kind")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

@@ -162,6 +162,7 @@ _CROSS_JOIN_ALLOWED = {
     "curriculum_stages",  # one-row quartile-boundary broadcast, the
                           # histogram_price scalar pattern (chosen OVER a
                           # global-window ntile, which would single-task)
+    "importance_sample",  # one-row max-normalizer broadcast, same pattern
 }
 
 # Entries whose fn() actually executes work at call time (streaming drains,
