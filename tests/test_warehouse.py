@@ -1077,3 +1077,26 @@ def test_apply_cdc_rejects_null_or_unknown_ops(warehouse, spark):
         )
         with _pytest.raises(ValueError, match="NULL or values outside"):
             warehouse.apply_cdc("t", batch, key="id")
+
+
+def test_nested_array_rows_roundtrip(warehouse, spark):
+    # row-based insert of nested vectors (e.g. per-row codebooks) must
+    # store array<array<double>>, not Python-repr strings — regression
+    # for the infer_value_type nested-element fix
+    rows = [
+        {"id": 1, "mat": [[1.0, 2.0], [3.0, 4.0]]},
+        {"id": 2, "mat": [[5.0]]},
+    ]
+    warehouse.insert_data("m", rows, merge_key="id")
+    out = warehouse.read("m")
+    assert dict(out.dtypes)["mat"] == "array<array<double>>"
+    got = {r.id: r.mat for r in out.collect()}
+    assert got == {1: [[1.0, 2.0], [3.0, 4.0]], 2: [[5.0]]}
+    # reconcile against a DataFrame-created nested column: no retype
+    df = spark.createDataFrame(
+        [(3, [[6.0, 7.0]])], "id long, mat array<array<double>>"
+    )
+    warehouse.insert_data("m", df, merge_key="id")
+    out2 = warehouse.read("m")
+    assert dict(out2.dtypes)["mat"] == "array<array<double>>"
+    assert out2.count() == 3
