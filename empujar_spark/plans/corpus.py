@@ -7515,6 +7515,52 @@ def table_diff(spark, sf_dir):
     )
 
 
+@q(
+    "score_standardize",
+    """
+    WITH s AS (
+      SELECT source,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY n_chars), 6)
+                 AS med,
+             round(percentile_cont(0.75) WITHIN GROUP (ORDER BY n_chars)
+                   - percentile_cont(0.25) WITHIN GROUP (ORDER BY n_chars), 6)
+                 AS iqr
+      FROM documents GROUP BY source)
+    SELECT d.doc_id, d.source,
+           round((d.n_chars - s.med) / CASE WHEN s.iqr = 0 THEN 1.0
+                                            ELSE s.iqr END, 6)
+               AS robust_score
+    FROM documents d JOIN s USING (source)
+    """,
+)
+def score_standardize(spark, sf_dir):
+    """Per-source ROBUST standardization ((x − median) / IQR): the score
+    calibration that makes one quality threshold meaningful across
+    crawls whose raw distributions differ — mean/std would let a single
+    outlier crawl shift its own scale (that is why it's median/IQR).
+    One per-source percentile aggregate (|sources| rows) broadcast back
+    onto the scan — no window over the data, no second shuffle.
+    Zero-IQR sources (degenerate constant-length crawls) divide by 1,
+    matching the oracle."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("med"),
+        F.round(
+            F.percentile("n_chars", F.lit(0.75))
+            - F.percentile("n_chars", F.lit(0.25)),
+            6,
+        ).alias("iqr"),
+    )
+    denom = F.when(F.col("iqr") == 0, F.lit(1.0)).otherwise(F.col("iqr"))
+    return docs.join(F.broadcast(s), "source").select(
+        "doc_id",
+        "source",
+        F.round((F.col("n_chars") - F.col("med")) / denom, 6).alias(
+            "robust_score"
+        ),
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
