@@ -7561,6 +7561,79 @@ def score_standardize(spark, sf_dir):
     )
 
 
+@q(
+    "cdc_extract",
+    """
+    WITH a AS (SELECT event_id, event_type, value FROM events
+               WHERE event_id % 11 <> 0),
+    b AS (SELECT event_id,
+                 CASE WHEN event_id % 13 = 0 THEN 'reclassified'
+                      ELSE event_type END AS event_type,
+                 value
+          FROM events WHERE event_id % 7 <> 0)
+    SELECT b.event_id, b.event_type, b.value, 'I' AS op
+    FROM b LEFT JOIN a USING (event_id) WHERE a.event_id IS NULL
+    UNION ALL
+    SELECT a.event_id, NULL, NULL, 'D'
+    FROM a LEFT JOIN b USING (event_id) WHERE b.event_id IS NULL
+    UNION ALL
+    SELECT b.event_id, b.event_type, b.value, 'U'
+    FROM a JOIN b USING (event_id)
+    WHERE a.event_type <> b.event_type OR a.value <> b.value
+    """,
+)
+def cdc_extract(spark, sf_dir):
+    """Change-feed EXTRACTION — the inverse of apply_cdc: diff an old
+    snapshot (A) against a new one (B) into the minimal I/U/D batch
+    that replays A into B. This is how a snapshot-only source (the
+    reference's full-table getAll world, mysql.js:232-256) becomes an
+    incremental feed when it has no watermark column. ONE full-outer
+    join on the key classifies every row; rows equal in all compared
+    columns emit nothing. Feeding the output to apply_cdc(A) must
+    reproduce B — pinned by test. The oracle spells the same three
+    classes as separate joins; results are identical sets."""
+    ev = load(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    a = ev.filter(F.col("event_id") % 11 != 0).select(
+        "event_id",
+        F.col("event_type").alias("a_type"),
+        F.col("value").alias("a_value"),
+        F.lit(1).alias("a_present"),
+    )
+    b = (
+        ev.filter(F.col("event_id") % 7 != 0)
+        .select(
+            "event_id",
+            F.when(F.col("event_id") % 13 == 0, "reclassified")
+            .otherwise(F.col("event_type"))
+            .alias("b_type"),
+            F.col("value").alias("b_value"),
+            F.lit(1).alias("b_present"),
+        )
+    )
+    j = a.join(b, "event_id", "full_outer")
+    op = (
+        F.when(F.col("a_present").isNull(), "I")
+        .when(F.col("b_present").isNull(), "D")
+        .when(
+            (F.col("a_type") != F.col("b_type"))
+            | (F.col("a_value") != F.col("b_value")),
+            "U",
+        )
+    )
+    return (
+        j.withColumn("op", op)
+        .filter(F.col("op").isNotNull())
+        .select(
+            "event_id",
+            F.when(F.col("op") != "D", F.col("b_type")).alias("event_type"),
+            F.when(F.col("op") != "D", F.col("b_value")).alias("value"),
+            "op",
+        )
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

@@ -1100,3 +1100,28 @@ def test_nested_array_rows_roundtrip(warehouse, spark):
     out2 = warehouse.read("m")
     assert dict(out2.dtypes)["mat"] == "array<array<double>>"
     assert out2.count() == 3
+
+
+def test_cdc_extract_apply_roundtrip(warehouse, spark):
+    from pyspark.sql import functions as F
+
+    from empujar_spark.plans.corpus import CORPUS, load
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet").select(
+        "event_id", "event_type", "value"
+    )
+    a = ev.filter(F.col("event_id") % 11 != 0)
+    b = ev.filter(F.col("event_id") % 7 != 0).withColumn(
+        "event_type",
+        F.when(F.col("event_id") % 13 == 0, "reclassified").otherwise(
+            F.col("event_type")
+        ),
+    )
+    warehouse.insert_data("t", a, merge_key="event_id")
+    feed = CORPUS["cdc_extract"].fn(spark, sf)
+    warehouse.apply_cdc("t", feed, key="event_id")
+    got = {tuple(r) for r in warehouse.read("t").select(
+        "event_id", "event_type", "value").collect()}
+    want = {tuple(r) for r in b.collect()}
+    assert got == want  # replaying the extracted feed reproduces B
