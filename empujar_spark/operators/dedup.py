@@ -1032,3 +1032,66 @@ def semantic_dedup(
     return connected_components(pairs, ids).select(
         F.col("doc_id").alias(id_col), "cluster_id", "is_kept"
     )
+
+
+def embedding_incremental_pairs(
+    index: dict,
+    batch: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    nprobe: int | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs of an incoming BATCH against the ingested
+    HISTORY — the embedding analogue of ``minhash_incremental_pairs`` /
+    the incremental containment path: at steady state ``index`` is the
+    STORED ivf_build_index output (centroids + per-vector assignments,
+    read back from the Warehouse), so each load embeds and probes only
+    the new batch; history is never re-hashed, re-assigned, or re-normed.
+
+    ``nprobe=None`` probes every list — the candidate set is complete
+    (each history vector sits in exactly one assignment list), so the
+    result is EXACT and the brute batch×history SQL is the oracle;
+    production runs nprobe < n_centroids for the sub-linear regime with
+    the same recall story as embedding_dup_pairs.
+
+    Output: (new_id, hist_id, cosine ≥ threshold).
+    """
+    import numpy as np
+
+    from empujar_spark.operators.similarity import (
+        _dot, _nearest_centroids_udf, _norm,
+    )
+
+    crows = index["centroids"].orderBy("cid").collect()
+    C = np.array([r["centroid"] for r in crows], dtype=np.float64)
+    n_cent = len(C)
+    exact = nprobe is None or nprobe >= n_cent
+    probe_cids = (
+        F.sequence(F.lit(0), F.lit(n_cent - 1))
+        if exact
+        else _nearest_centroids_udf(C, nprobe)(F.col("nv"))
+    )
+    probes = (
+        batch.filter(F.col(vec_col).isNotNull())
+        .select(
+            F.col(id_col).alias("new_id"),
+            F.col(vec_col).alias("nv"),
+            _norm(F.col(vec_col)).alias("nn"),
+        )
+        .filter(F.col("nn") > 0)
+        .select("new_id", "nv", "nn", F.explode(probe_cids).alias("cid"))
+    )
+    hist = index["assignments"]  # (neighbor_id, c_vec, c_norm, cid)
+    cos = F.round(
+        _dot(F.col("nv"), F.col("c_vec")) / (F.col("nn") * F.col("c_norm")),
+        6,
+    )
+    # assignment side leads the join (same measured build/stream choice
+    # as embedding_dup_pairs); the threshold rides inside the join
+    cand = hist.join(
+        probes, (hist.cid == probes.cid) & (cos >= threshold)
+    )
+    return cand.select(
+        "new_id", F.col("neighbor_id").alias("hist_id"), cos.alias("cosine")
+    )

@@ -7634,6 +7634,77 @@ def cdc_extract(spark, sf_dir):
     )
 
 
+_EMB_HIST_IDX: dict = _session_cache()
+
+
+def _emb_history_index(spark, sf_dir) -> dict:
+    """Stored IVF index over the HISTORY split only (vec_id % 7 != 0) —
+    the steady-state artifact incremental embedding dedup probes;
+    mirror of _ivf_stored_index with the ingest split applied."""
+    from empujar_spark.catalog import Warehouse
+
+    key = (_session_key(spark), sf_dir)
+    if key not in _EMB_HIST_IDX:
+        wh = Warehouse(
+            spark,
+            _tmp_warehouse_dir(prefix="emb-hist-idx-"),
+            primary_key="cid",
+            partition_cols={"ivf_assignments": ["cid"]},
+        )
+        hist = load(spark, sf_dir, "embeddings").filter(
+            F.col("vec_id") % 7 != 0
+        )
+        idx = S.ivf_build_index(hist, n_centroids=16)
+        wh.insert_data("ivf_centroids", idx["centroids"], merge_key="cid")
+        wh.insert_data(
+            "ivf_assignments", idx["assignments"], merge_key="neighbor_id"
+        )
+        _EMB_HIST_IDX[key] = wh
+    wh = _EMB_HIST_IDX[key]
+    return {
+        "centroids": wh.read("ivf_centroids"),
+        "assignments": wh.read("ivf_assignments"),
+    }
+
+
+@q(
+    "embedding_incremental_pairs",
+    """
+    WITH h AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings WHERE vec_id % 7 <> 0),
+    b AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+             sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                   CAST(embedding AS DOUBLE[]))) AS n
+      FROM embeddings WHERE vec_id % 7 = 0)
+    SELECT b.vec_id AS new_id, h.vec_id AS hist_id,
+           round(list_dot_product(b.v, h.v) / (b.n * h.n), 6) AS cosine
+    FROM b JOIN h
+      ON round(list_dot_product(b.v, h.v) / (b.n * h.n), 6) >= 0.3
+    """,
+)
+def embedding_incremental_pairs(spark, sf_dir):
+    """INCREMENTAL embedding dedup at ingest (operators/dedup.py): the
+    new batch (vec_id % 7 == 0) probes the STORED history IVF index
+    (centroids + cid-partitioned assignments, built once per session
+    like the serving entries) — history is never re-embedded,
+    re-assigned, or re-normed; only the batch is hashed per load. The
+    embedding analogue of minhash_incremental_pairs and
+    containment_incremental_pairs, completing the incremental-ingest
+    story across all three dedup modalities. All lists probed here ⇒
+    candidate set complete ⇒ exact against the brute batch×history
+    oracle; production sets nprobe < n_centroids."""
+    batch = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 7 == 0
+    )
+    return D.embedding_incremental_pairs(
+        _emb_history_index(spark, sf_dir), batch, threshold=0.3
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

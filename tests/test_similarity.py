@@ -400,3 +400,48 @@ def test_pq_index_survives_warehouse_roundtrip(emb, spark, tmp_path):
     direct = sorted(map(tuple, S.pq_search_indexed(idx, queries, k=5).collect()))
     replay = sorted(map(tuple, S.pq_search_indexed(stored, queries, k=5).collect()))
     assert replay == direct and len(direct) > 0
+
+
+def test_embedding_incremental_pairs_probes_stored_index(spark):
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+    from empujar_spark.operators import similarity as S
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    hist = emb.filter(F.col("vec_id") % 7 != 0)
+    batch = emb.filter(F.col("vec_id") % 7 == 0)
+    built = S.ivf_build_index(hist, n_centroids=8)
+    # persist + read back: the serving path consumes STORED tables, which
+    # also severs the build lineage (its assignment UDF must not re-run
+    # at query time)
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="emb-inc-idx-")
+    built["centroids"].write.parquet(f"{d}/centroids")
+    built["assignments"].write.parquet(f"{d}/assignments")
+    idx = {
+        "centroids": spark.read.parquet(f"{d}/centroids"),
+        "assignments": spark.read.parquet(f"{d}/assignments"),
+    }
+    got = D.embedding_incremental_pairs(idx, batch, threshold=0.3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # exact mode: neither side runs a Python kernel at query time — the
+    # history assignments are the stored artifact, the batch probes via
+    # a plain sequence explode
+    assert "EvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+    # exactness: equals brute batch x history pairs
+    want = {
+        (r.id_a, r.id_b, r.cosine)
+        for r in D.embedding_dup_pairs(emb, threshold=0.3, method="exact",
+                                       force=True).collect()
+        if (r.id_a % 7 == 0) != (r.id_b % 7 == 0)
+    }
+    canon = {
+        (min(r.new_id, r.hist_id), max(r.new_id, r.hist_id), r.cosine)
+        for r in got.collect()
+    }
+    assert canon == {(min(a, b), max(a, b), c) for a, b, c in want}
+    assert len(canon) > 0
