@@ -550,14 +550,26 @@ class Warehouse:
         # Reserve the next version dir under the lock (concurrent pages
         # writing the same table each get a distinct version; last
         # committer wins the pointer, matching the old last-swap-wins).
+        # ``os.makedirs`` without exist_ok is itself an atomic claim, so
+        # a writer in ANOTHER process that raced us to the same N raises
+        # FileExistsError — we retry with the next free number instead of
+        # failing the write (cross-process writers stay last-winner-wins,
+        # as the schema-cache contract above advertises).
         os.makedirs(self._table_dir(table), exist_ok=True)
         with self._lock:
-            versions = self._list_versions(table)
-            cur = self._current_version(table)
-            new_v = max(versions + [cur or 0]) + 1
-            new_dir = self._version_dir(table, new_v)
-            os.makedirs(new_dir)
+            new_v = max(
+                self._list_versions(table) + [self._current_version(table) or 0]
+            )
+            while True:
+                new_v += 1
+                new_dir = self._version_dir(table, new_v)
+                try:
+                    os.makedirs(new_dir)
+                    break
+                except FileExistsError:
+                    continue
             self._inflight_versions.add((table, new_v))
+        committed = False
         try:
             writer = df.write.mode("overwrite")
             part_cols = meta.get("partition_cols") or []
@@ -570,6 +582,7 @@ class Warehouse:
             # removes it); a crash after the flip is a completed write.
             with self._lock:
                 self._set_current_version(table, new_v)
+                committed = True
                 prunable = [
                     v
                     for v in self._list_versions(table)
@@ -580,6 +593,13 @@ class Warehouse:
         finally:
             with self._lock:
                 self._inflight_versions.discard((table, new_v))
+                if not committed:
+                    # Failed write: tear the reserved dir down so the
+                    # empty/partial version never shows up in
+                    # table_versions(), never breaks read_version() with a
+                    # raw schema-inference error, and never consumes a
+                    # keep_old_versions retention slot.
+                    shutil.rmtree(new_dir, ignore_errors=True)
 
     def _reconcile_schema(
         self, table: str, incoming: dict[str, ColumnType]

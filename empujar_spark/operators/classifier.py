@@ -71,13 +71,29 @@ def classify_text(
 ) -> DataFrame:
     """Score text with a fitted classifier: adds ``out_col`` (predicted
     label string) and ``<out_col>_conf`` (winning-class probability,
-    rounded to 4dp). Map-only; drops the intermediate ML columns."""
+    rounded to 4dp). Map-only; drops the intermediate ML columns.
+
+    Serving frames normally carry NO label column (that is the point of
+    scoring), so stages whose input column is absent from ``df`` — the
+    ``StringIndexer`` over the training label — are skipped: the
+    classifier itself reads only the hashed features, and ``__label``
+    is train-time-only. ``handleInvalid='keep'`` on the indexer covers
+    unseen label VALUES when the column IS present, not a missing
+    column."""
+    from pyspark.ml import PipelineModel
     from pyspark.ml.functions import vector_to_array
 
     labels = next(
         s.labels for s in model.stages if hasattr(s, "labels")
     )
-    scored = model.transform(df)
+    present = set(df.columns)
+    stages = [
+        s for s in model.stages
+        if not hasattr(s, "getInputCol")       # LogisticRegressionModel
+        or s.getInputCol() in present          # tokenizer (text_col)
+        or s.getInputCol().startswith("__")    # hashingTF (pipeline-internal)
+    ]
+    scored = PipelineModel(stages=stages).transform(df)
     label_arr = F.array(*[F.lit(x) for x in labels])
     return (
         scored.withColumn(

@@ -83,19 +83,31 @@ def _positions(h1: np.ndarray, h2: np.ndarray, k: int, m: int) -> np.ndarray:
     return ((h1u[:, None] + i * h2u[:, None]) % np.uint64(m)).astype(np.int64)
 
 
-def build_bloom(
-    df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
-) -> tuple[bytes, int, int]:
-    """Distributed Bloom build: each partition fills a local (m/8)-byte
-    bitmap over its rows (one Arrow pass, ``np.bitwise_or.at``), emits it
-    as ONE binary row, and the driver ORs the per-partition bitmaps.
-    Collected data is bounded by n_partitions × m/8 bytes — independent of
-    row count, which is the entire point at 100 TB.
+# Below this partition count the tree stage costs more (an extra shuffle
+# of a handful of rows) than the driver OR it saves.
+_TREE_MERGE_MIN_PARTS = 8
 
-    Returns (bitmap bytes, m, k)."""
-    m, k = bloom_params(expected_items, fpp)
+
+def _or_merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """OR every bitmap row in this partition into one row (executor-side
+    fan-in stage of the hierarchical bloom merge)."""
+    acc: np.ndarray | None = None
+    for pdf in batches:
+        for buf in pdf["bits"]:
+            arr = np.frombuffer(buf, dtype=np.uint8)
+            acc = arr.copy() if acc is None else acc | arr
+    if acc is not None:
+        yield pd.DataFrame({"bits": [acc.tobytes()]})
+
+
+def _bloom_bitmap_rows(hashed: DataFrame, m: int, k: int) -> DataFrame:
+    """The DataFrame of bitmap rows the driver collects: one per input
+    partition, then — when the input has ≥ ``_TREE_MERGE_MIN_PARTS``
+    partitions — a second executor-side OR stage over ~√P coalesced
+    groups, so the driver ingests O(√P · m/8) bytes instead of
+    O(P · m/8). At 100 TB with tens of thousands of scan partitions
+    that is the difference between MBs and GBs arriving at the driver."""
     nbytes = m // 8
-    hashed = df.select(*_hash_cols(col))
 
     def fill(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bits = np.zeros(nbytes, dtype=np.uint8)
@@ -113,8 +125,31 @@ def build_bloom(
         if seen:
             yield pd.DataFrame({"bits": [bits.tobytes()]})
 
-    parts = hashed.mapInPandas(fill, "bits binary").collect()
-    merged = np.zeros(nbytes, dtype=np.uint8)
+    per_part = hashed.mapInPandas(fill, "bits binary")
+    n_parts = hashed.rdd.getNumPartitions()
+    if n_parts < _TREE_MERGE_MIN_PARTS:
+        return per_part
+    fan_in = max(1, math.isqrt(n_parts))
+    # repartition shuffles ≤ n_parts rows of m/8 bytes — executor-sized
+    return per_part.repartition(fan_in).mapInPandas(_or_merge, "bits binary")
+
+
+def build_bloom(
+    df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
+) -> tuple[bytes, int, int]:
+    """Distributed Bloom build: each partition fills a local (m/8)-byte
+    bitmap over its rows (one Arrow pass, ``np.bitwise_or.at``), emits it
+    as ONE binary row; a hierarchical OR stage coalesces those into ~√P
+    rows executor-side (``_bloom_bitmap_rows``), and the driver ORs the
+    remainder. Driver intake is O(√P × m/8) bytes — independent of row
+    count AND sub-linear in partition count, which is the entire point
+    at 100 TB.
+
+    Returns (bitmap bytes, m, k)."""
+    m, k = bloom_params(expected_items, fpp)
+    hashed = df.select(*_hash_cols(col))
+    parts = _bloom_bitmap_rows(hashed, m, k).collect()
+    merged = np.zeros(m // 8, dtype=np.uint8)
     for row in parts:
         merged |= np.frombuffer(row["bits"], dtype=np.uint8)
     return merged.tobytes(), m, k
@@ -181,13 +216,13 @@ def bloom_ingest_dedup(
         if expected_items is None:
             expected_items = history.select(key).count()
         bloom_bits, m, k = build_bloom(history, key, expected_items, fpp)
-    # Cache + broadcast lifetime: both branches below read `flagged`, so
-    # the probe runs once; the cached blocks and the bitmap broadcast are
-    # released by Spark's ContextCleaner once the caller drops the result
-    # DataFrame (same GC-lag-bounded retention the components loop
-    # documents) — a per-batch ingest loop therefore does NOT accumulate
-    # one cache+broadcast per batch beyond the cleaner's lag.
-    flagged = with_bloom_flag(batch, key, bloom_bits, m, k).cache()
+    # Both branches below read `flagged`, so materialize the probe ONCE
+    # via localCheckpoint — its blocks are RDD-owned and reclaimed by the
+    # ContextCleaner when the caller drops the result (same pattern as the
+    # connected-components loop). A SQL .cache() here would pin the plan
+    # in the session CacheManager until an explicit unpersist, so a
+    # per-batch ingest loop would accumulate one cached relation per batch.
+    flagged = with_bloom_flag(batch, key, bloom_bits, m, k).localCheckpoint(eager=True)
     definite_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
     maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
     confirmed_fresh = maybe.join(

@@ -6431,7 +6431,8 @@ def bloom_ingest_dedup(spark, sf_dir):
     "heavy_hitters_users",
     """
     SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY user_id
     ORDER BY cnt DESC, user_id LIMIT 10
     """,
 )

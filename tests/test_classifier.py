@@ -70,3 +70,21 @@ def test_streaming_scores_equal_batch_scores(spark):
     )
     want = {tuple(r) for r in batch.collect()}
     assert got == want and len(got) > 0
+
+
+def test_scores_unlabeled_frame(spark):
+    """Serving frames carry no label column (the normal scoring case);
+    classify_text must skip the train-time StringIndexer stage and
+    produce the same predictions it gives a labeled frame."""
+    base = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("doc_id") % 20 == 0
+    )
+    model = CL.train_text_classifier(
+        base.withColumn("teacher", TEACHER()), label_col="teacher"
+    )
+    unlabeled = CL.classify_text(model, base.select("doc_id", "text"))
+    labeled = CL.classify_text(model, base.withColumn("teacher", TEACHER()))
+    got_u = {(r.doc_id, r.pred, r.pred_conf) for r in unlabeled.collect()}
+    got_l = {(r.doc_id, r.pred, r.pred_conf) for r in labeled.collect()}
+    assert got_u == got_l and len(got_u) > 0
+    assert all(p in ("keep", "drop") for _, p, _ in got_u)

@@ -186,3 +186,48 @@ class TestBloomArtifact:
             ).collect()
         }
         assert got == {("car one", "cat one")}
+
+
+class TestBloomTreeMerge:
+    def test_driver_rows_shrink_to_tree_fanin(self, spark):
+        """The hierarchical OR stage must bound what the driver collects
+        at ~sqrt(P) bitmap rows, and the merged bitmap must be
+        bit-identical to a single-partition reference build."""
+        import math
+
+        import numpy as np
+
+        df = _keys_df(spark, [f"k{i}" for i in range(4_000)]).repartition(64)
+        m, k = K.bloom_params(4_000, 0.01)
+        hashed = df.select(*K._hash_cols("key"))
+        rows = K._bloom_bitmap_rows(hashed, m, k)
+        assert rows.count() <= math.isqrt(64)
+
+        merged = np.zeros(m // 8, dtype=np.uint8)
+        for r in rows.collect():
+            merged |= np.frombuffer(r["bits"], dtype=np.uint8)
+        ref_bits, mm, kk = K.build_bloom(
+            df.coalesce(1), "key", expected_items=4_000
+        )
+        assert (mm, kk) == (m, k)
+        assert merged.tobytes() == ref_bits
+
+    def test_few_partitions_skip_tree_stage(self, spark):
+        """Below the threshold the extra shuffle is pure overhead — the
+        per-partition rows go straight to the driver."""
+        df = _keys_df(spark, [f"k{i}" for i in range(100)]).repartition(2)
+        m, k = K.bloom_params(100, 0.01)
+        rows = K._bloom_bitmap_rows(df.select(*K._hash_cols("key")), m, k)
+        assert rows.count() <= 2
+
+    def test_ingest_dedup_registers_no_sql_cache(self, spark):
+        """bloom_ingest_dedup must not pin a relation in the session
+        CacheManager (a per-batch ingest loop would leak one cached plan
+        per batch); localCheckpoint blocks are RDD-owned and
+        cleaner-managed instead."""
+        spark.catalog.clearCache()
+        hist = _keys_df(spark, [f"h{i}" for i in range(200)])
+        batch = _keys_df(spark, [f"h{i}" for i in range(50)] + ["x1", "x2"])
+        got = K.bloom_ingest_dedup(hist, batch, "key").collect()
+        assert sorted(r.key for r in got) == ["x1", "x2"]
+        assert spark._jsparkSession.sharedState().cacheManager().isEmpty()

@@ -1125,3 +1125,57 @@ def test_cdc_extract_apply_roundtrip(warehouse, spark):
         "event_id", "event_type", "value").collect()}
     want = {tuple(r) for r in b.collect()}
     assert got == want  # replaying the extracted feed reproduces B
+
+
+def test_failed_write_cleans_reserved_version(spark, tmp_path):
+    """A write whose parquet action throws must tear down the reserved
+    data-v{N} dir: no orphan in table_versions(), no retention slot
+    consumed, reads and subsequent writes unaffected."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data("t", [{"id": 1, "v": "a"}])
+    v1 = wh.table_versions("t")[-1]
+
+    meta = wh._load_meta("t")
+    bad = spark.createDataFrame([(2,)], "id long").withColumn(
+        "v", F.raise_error(F.lit("boom")).cast("string")
+    )
+    with _pytest.raises(Exception):
+        wh._write("t", bad, meta)
+
+    assert wh.table_versions("t") == [v1]
+    assert wh._list_versions("t") == [v1]  # no orphan dir on disk
+    assert [r.id for r in wh.read("t").collect()] == [1]
+    wh.insert_data("t", [{"id": 2, "v": "b"}])
+    assert {r.id for r in wh.read("t").collect()} == {1, 2}
+
+
+def test_version_reservation_retries_on_foreign_claim(spark, tmp_path, monkeypatch):
+    """makedirs is the atomic cross-process claim: if another process won
+    the computed version number, the writer must retry with the next free
+    N instead of failing the write (last-committer-wins preserved)."""
+    import os as _os
+
+    import empujar_spark.catalog as cat
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data("t", [{"id": 1, "v": "a"}])
+
+    real_makedirs = _os.makedirs
+    collided = []
+
+    def claimed_once(path, *a, **kw):
+        if "data-v" in str(path) and not kw.get("exist_ok") and not collided:
+            collided.append(path)
+            raise FileExistsError(path)  # the other process beat us to N
+        return real_makedirs(path, *a, **kw)
+
+    monkeypatch.setattr(cat.os, "makedirs", claimed_once)
+    wh.insert_data("t", [{"id": 2, "v": "b"}])
+    assert collided, "the simulated foreign claim was never hit"
+    assert {r.id for r in wh.read("t").collect()} == {1, 2}
