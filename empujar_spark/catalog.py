@@ -717,6 +717,28 @@ class Warehouse:
         self._save_meta(table, meta)
         return n
 
+    def replace_table(self, table: str, data) -> int:
+        """Overwrite a table's contents (TRUNCATE + INSERT semantics)
+        via a versioned commit: in-flight readers keep their resolved
+        ``data-v{N}``; the replaced state stays readable through
+        ``read_version`` until pruned. Schema reconciles exactly like
+        insert_data (add column / widen / retype), so a replace never
+        silently narrows a column the old data needed. This is the
+        rebuild primitive the index registry uses — a rebuilt index
+        must atomically supersede, never merge into, its predecessor."""
+        existing_types = (
+            self.column_types(table) if self.table_exists(table) else None
+        )
+        df, incoming = self._normalize_input(data, existing_types)
+        if not df.columns:
+            return 0
+        if not self.table_exists(table):
+            self._create_table(table, df, incoming)
+            return self.table_size(table)
+        meta = self._reconcile_schema(table, incoming)
+        self._write(table, self._conform(df, meta), meta)
+        return self.table_size(table)
+
     @staticmethod
     def _dedup_batch(
         df: DataFrame,

@@ -1,0 +1,204 @@
+"""Warehouse index registry: named indexes, provenance, staleness.
+
+Five stored-index shapes grew up ad hoc — BM25 (postings/dfreq/doclen/
+stats, operators/text.py), IVF (centroids/assignments), PQ (codes/
+codebooks), the bloom ingest bitmap, and the minhash band history. Each
+invented its own table layout and its own session cache, and none
+recorded WHAT it was built from, so "is this index stale?" had no
+answer. The registry unifies them:
+
+- an index is registered under a **name** with a **kind** and its
+  component DataFrames; components commit as Warehouse tables
+  (``__idx_{name}__{component}``) through the versioned-commit path, so
+  a rebuild atomically supersedes the old index under concurrent
+  readers (``replace_table``);
+- the manifest (``_indexes.json``, atomic write-aside + rename like the
+  ``_current`` pointers) records **provenance**: for a warehouse source
+  table, the ``data-v{N}`` version it was built from; for an external
+  parquet path, a listing fingerprint (name/size/mtime digest);
+- **staleness** is then a pure metadata check, the index-registry
+  analogue of ``quality.expect_fresh``: the source advanced past the
+  recorded build point ⇒ ``stale=True``. A stale index still SERVES —
+  an ANN or BM25 index one ingest behind is the normal steady state at
+  100 TB — the flag is what lets a pipeline gate on freshness or
+  schedule the rebuild, instead of discovering drift from bad recalls.
+
+Vacuum interaction: provenance stores the source's version NUMBER, not
+a path into its history, so pruning/vacuuming old source versions never
+invalidates the check — the current version number survives vacuum.
+
+Reference behavioral parity: provenance-tracked derived tables extend
+the reference's MAX-watermark incremental contract (lib/book.js
+getMax pattern — "what have I already processed?") from rows to whole
+index artifacts; cited as extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+    from empujar_spark.catalog import Warehouse
+
+KINDS = ("bm25", "ivf", "pq", "bloom", "minhash_bands", "custom")
+
+
+def _path_fingerprint(path: str) -> str:
+    """Cheap listing digest for an external source: file names, sizes,
+    mtimes — no data read. A rewritten/appended source changes it."""
+    entries = []
+    if os.path.isdir(path):
+        for name in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, name))
+            entries.append((name, st.st_size, st.st_mtime_ns))
+    else:
+        st = os.stat(path)
+        entries.append((os.path.basename(path), st.st_size, st.st_mtime_ns))
+    return hashlib.md5(json.dumps(entries).encode()).hexdigest()
+
+
+class IndexRegistry:
+    """Named stored indexes over a :class:`Warehouse`."""
+
+    def __init__(self, wh: "Warehouse") -> None:
+        self.wh = wh
+        self._manifest_path = os.path.join(wh.path, "_indexes.json")
+
+    # ------------------------------------------------------------ manifest
+    def _load(self) -> dict:
+        try:
+            with open(self._manifest_path) as fh:
+                return json.load(fh)
+        except (OSError, ValueError):
+            return {}
+
+    def _save(self, manifest: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def _component_table(self, name: str, component: str) -> str:
+        return f"__idx_{name}__{component}"
+
+    # ------------------------------------------------------------- lifecycle
+    def register(
+        self,
+        name: str,
+        kind: str,
+        components: dict[str, "DataFrame"],
+        source_table: str | None = None,
+        source_path: str | None = None,
+        params: dict | None = None,
+        partition_cols: dict[str, list[str]] | None = None,
+    ) -> dict:
+        """Commit ``components`` as warehouse tables and record the
+        manifest entry. Re-registering a name REPLACES the old index
+        (versioned commits: readers of the old component tables are
+        isolated). Exactly one of ``source_table`` (a table in this
+        warehouse — provenance is its current data version) or
+        ``source_path`` (external parquet — provenance is a listing
+        fingerprint) must be given. ``partition_cols`` maps component →
+        hive-partition columns (e.g. IVF assignments on ``cid`` so a
+        probe prunes to its nprobe inverted lists)."""
+        if kind not in KINDS:
+            raise ValueError(f"unknown index kind {kind!r}; one of {KINDS}")
+        if (source_table is None) == (source_path is None):
+            raise ValueError("exactly one of source_table/source_path required")
+        if source_table is not None:
+            versions = self.wh.table_versions(source_table)  # raises if missing
+            built = {"table": source_table, "version": versions[-1]}
+        else:
+            built = {"path": source_path,
+                     "fingerprint": _path_fingerprint(source_path)}
+        with self.wh._lock:
+            for comp, df in components.items():
+                tbl = self._component_table(name, comp)
+                if partition_cols and comp in partition_cols:
+                    self.wh.partition_cols[tbl] = partition_cols[comp]
+                self.wh.replace_table(tbl, df)
+            manifest = self._load()
+            manifest[name] = {
+                "kind": kind,
+                "components": sorted(components),
+                "built_from": built,
+                "params": params or {},
+            }
+            self._save(manifest)
+        return manifest[name]
+
+    def read(self, name: str) -> dict[str, "DataFrame"]:
+        """Component DataFrames, keyed like they were registered — the
+        shape the serving operators (bm25_search_indexed,
+        ivf_search_indexed, pq_search, ...) take directly."""
+        entry = self.describe(name)
+        return {
+            comp: self.wh.read(self._component_table(name, comp))
+            for comp in entry["components"]
+        }
+
+    def describe(self, name: str) -> dict:
+        manifest = self._load()
+        if name not in manifest:
+            raise KeyError(
+                f"no index {name!r} (registered: {sorted(manifest)})"
+            )
+        return manifest[name]
+
+    def list_indexes(self) -> list[str]:
+        return sorted(self._load())
+
+    def drop(self, name: str) -> None:
+        entry = self.describe(name)
+        with self.wh._lock:
+            for comp in entry["components"]:
+                self.wh.drop_table(self._component_table(name, comp))
+            manifest = self._load()
+            manifest.pop(name, None)
+            self._save(manifest)
+
+    # ------------------------------------------------------------- staleness
+    def staleness(self, name: str) -> dict:
+        """The expect_fresh analogue for index artifacts: compare the
+        recorded build provenance to the source's CURRENT state.
+
+        Returns ``{stale, reason, built_from, current}`` — ``stale`` is
+        True when the source advanced (newer data version / changed
+        fingerprint) or disappeared. Never raises on a moved source:
+        a gate must be able to REPORT a missing source, not crash."""
+        entry = self.describe(name)
+        built = entry["built_from"]
+        if "table" in built:
+            try:
+                cur = self.wh.table_versions(built["table"])[-1]
+            except Exception:
+                return {"stale": True, "reason": "source table missing",
+                        "built_from": built, "current": None}
+            stale = cur != built["version"]
+            return {
+                "stale": stale,
+                "reason": f"source at v{cur}, built from v{built['version']}"
+                if stale else "fresh",
+                "built_from": built,
+                "current": {"table": built["table"], "version": cur},
+            }
+        try:
+            cur_fp = _path_fingerprint(built["path"])
+        except OSError:
+            return {"stale": True, "reason": "source path missing",
+                    "built_from": built, "current": None}
+        stale = cur_fp != built["fingerprint"]
+        return {
+            "stale": stale,
+            "reason": "source files changed" if stale else "fresh",
+            "built_from": built,
+            "current": {"path": built["path"], "fingerprint": cur_fp},
+        }
+
+    def is_stale(self, name: str) -> bool:
+        return self.staleness(name)["stale"]

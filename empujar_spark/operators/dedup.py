@@ -343,13 +343,31 @@ def minhash_lsh_pairs(
     k: int = 3,
     num_hashes: int = 8,
     band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding: docs sharing any band of
     the MinHash signature. Sub-quadratic: the join key is the band bucket.
     Output: (id_a, id_b, n_bands_shared). False negatives possible —
-    verify candidates with ``ngram_jaccard_pairs`` semantics downstream."""
+    verify candidates with ``ngram_jaccard_pairs`` semantics downstream.
+
+    ``max_bucket``: drop band buckets holding more than this many docs
+    before the self-join. Candidate cost is Σ(bucket²); one hot bucket —
+    a giant near-identical cluster or a degenerate stop-pattern band —
+    dominates everything at scale (measured in scripts/stress_skew.py).
+    A dropped bucket's pairs usually survive via the cluster's OTHER
+    bands; semantics change (more false negatives), so the oracle-gated
+    corpus entry keeps the default None and production ingest opts in."""
     sig = minhash_signatures(df, text_col, k, num_hashes)
     banded = _band_table(sig, num_hashes, band_size)
+    if max_bucket is not None:
+        # windowless cap: count per bucket once, semi-join survivors
+        small = (
+            banded.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") <= max_bucket)
+            .select("band", "bucket")
+        )
+        banded = banded.join(small, ["band", "bucket"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (

@@ -239,6 +239,19 @@ def heavy_hitters(
     k: int = 10,
     capacity: int = 4096,
 ) -> DataFrame:
+    """Exact top-k keys by count via certified candidate generation —
+    see :func:`heavy_hitters_certified` for the mechanism; this wrapper
+    returns the result DataFrame only."""
+    out, _ = heavy_hitters_certified(df, key, k, capacity)
+    return out
+
+
+def heavy_hitters_certified(
+    df: DataFrame,
+    key: str,
+    k: int = 10,
+    capacity: int = 4096,
+) -> tuple[DataFrame, dict]:
     """Exact top-k keys by count, via certified candidate generation.
 
     Stage 1 (one scan): each partition counts its rows per key with
@@ -257,7 +270,15 @@ def heavy_hitters(
     one bound per partition (no full-key shuffle); stage 2 shuffles only
     rows whose key is a candidate. The full-groupBy fallback is the plain
     exact plan, taken only when the data genuinely has no heavy tail at
-    this capacity."""
+    this capacity.
+
+    Returns ``(result_df, stats)`` where stats records the certificate:
+    ``slack`` (Σ per-partition miss bounds — the max possible count of a
+    non-candidate key), ``kth_count`` (the k-th candidate's exact count),
+    ``certified`` (kth_count > slack), and ``fallback`` (full groupBy
+    taken). On uniform data slack degenerates to 0 (capacity exceeds
+    per-partition distinct); the skew stress harness exercises the
+    non-trivial case where slack > 0 and the certificate still holds."""
     df = df.filter(F.col(key).isNotNull())  # null has no defined rank; oracle twin matches
     key_type = dict(df.dtypes)[key]
     out_schema = f"`{key}` {key_type}, part_cnt bigint, bound bigint"
@@ -293,10 +314,20 @@ def heavy_hitters(
     )
     rows = exact.collect()
     summary.unpersist()  # both uses (slack agg, candidate set) are done
-    certified = len(rows) == k and rows[-1]["cnt"] > slack
+    kth = int(rows[-1]["cnt"]) if rows else 0
+    certified = len(rows) == k and kth > slack
+    stats = {
+        "slack": int(slack),
+        "kth_count": kth,
+        "certified": bool(certified),
+        "fallback": not (certified or slack == 0),
+    }
     if certified or slack == 0:
-        return df.sparkSession.createDataFrame(rows, exact.schema).orderBy(
-            F.col("cnt").desc(), F.col(key).asc()
+        return (
+            df.sparkSession.createDataFrame(rows, exact.schema).orderBy(
+                F.col("cnt").desc(), F.col(key).asc()
+            ),
+            stats,
         )
     # certificate failed: no heavy tail at this capacity — exact fallback
     return (
@@ -304,7 +335,7 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col(key).asc())
         .limit(k)
-    )
+    ), stats
 
 
 # ----------------------------------------------- bloom as a build artifact

@@ -37,6 +37,25 @@ def salted_agg(df: DataFrame, key: str, agg_col: str, salt: int = 16) -> DataFra
     return partial.groupBy(key).agg(F.sum("__partial").alias("total"))
 
 
+def salted_distinct_count(
+    df: DataFrame, key: str, val: str, salt: int = 16
+) -> DataFrame:
+    """Two-phase COUNT(DISTINCT val) per key, exact: partition the VALUE
+    space by hash — distinct sets in different value-buckets are disjoint,
+    so per-bucket distinct counts SUM to the true distinct count (unlike
+    data-random salting, which double-counts values straddling salts).
+    Plain ``countDistinct`` plans a partial on (key, val) — which never
+    collapses a hot key's distinct values — then funnels ALL of the hot
+    key's survivors into one final reducer; here that final merge is
+    ``salt``-way parallel and the merge input is pre-counted partials."""
+    partial = (
+        df.withColumn("__vb", F.pmod(F.xxhash64(F.col(val)), F.lit(salt)))
+        .groupBy(key, "__vb")
+        .agg(F.count_distinct(F.col(val)).alias("__partial"))
+    )
+    return partial.groupBy(key).agg(F.sum("__partial").alias("n_distinct"))
+
+
 def salted_join(
     fact: DataFrame, dim: DataFrame, key: str, salt: int = 8
 ) -> DataFrame:

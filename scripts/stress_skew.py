@@ -1,0 +1,237 @@
+"""Skewed-key stress harness: Zipfian data, salted vs unsalted curves.
+
+100× data is never uniform — this harness measures the repo's skew
+machinery on data where skew is REAL, which the per-round uniform
+testdata cannot exercise:
+
+- **aggregation**: plain ``groupBy().sum()`` vs ``skew.salted_agg`` and
+  plain ``count_distinct`` vs ``skew.salted_distinct_count`` across a
+  skew sweep. Expectation stated up front: simple sum/count partials
+  collapse a hot key map-side (one partial row per task), so salting
+  should NOT win there — the honest result is "salting is overhead for
+  algebraic aggregates; it pays for distinct-style aggregates whose
+  partials cannot collapse".
+- **join**: a Zipf-keyed fact against a non-broadcastable dimension —
+  unsalted with AQE skew-split on, unsalted with it off (the raw
+  sort-merge funnel), and ``skew.salted_join``. The crossover the
+  VERDICT asked for lives here: at s=0 salting is pure replication
+  overhead; as s grows the unsalted hot partition serializes.
+- **heavy hitters**: the truncation certificate on data where it is
+  non-trivial — per-partition distinct keys ≫ capacity, so the bound is
+  > 0 and the certificate must still pass (checked, not just timed).
+- **minhash banding**: a growing near-identical cluster makes one band
+  bucket hot; candidate cost is Σ(bucket²). Uncapped vs
+  ``max_bucket``-capped curves show the quadratic-vs-flat split.
+
+Usage:  python scripts/stress_skew.py [--out STRESS_SKEW.json]
+                                      [--sweep 0,1.05,1.2,1.5]
+Writes one JSON object; values are wall-clock seconds (min of --runs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from empujar_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def zipf_df(
+    spark: SparkSession,
+    n_rows: int,
+    n_keys: int,
+    s: float,
+    seed: int = 0,
+    n_parts: int = 32,
+) -> DataFrame:
+    """Rows with ``key`` ~ a truncated power law P(rank r) ∝ r^-s (the
+    Zipf shape, s > 1), generated entirely JVM-side via the inverse CDF
+    of the continuous analogue: X = ceil(u^(-1/(s-1))). The tail past
+    ``n_keys`` folds onto key ``n_keys`` (a second, milder hot key —
+    harmless for a skew harness and it keeps the key domain bounded).
+    ``s == 0`` gives the uniform control. ``val`` is the unique row id,
+    so per-key distinct counts are the key's row count (worst case for
+    distinct aggregation). No Python in the generate path."""
+    df = spark.range(n_rows).repartition(n_parts)
+    if s <= 0:
+        key = (F.floor(F.rand(seed) * n_keys) + 1).cast("long")
+    else:
+        key = F.least(
+            F.ceil(F.pow(F.rand(seed) + F.lit(1e-12), F.lit(-1.0 / (s - 1.0)))),
+            F.lit(n_keys),
+        ).cast("long")
+    return df.select(
+        key.alias("key"),
+        F.col("id").alias("val"),
+        (F.col("id") % 97).cast("double").alias("amount"),
+    )
+
+
+def noop(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def timed(fn, runs: int) -> float:
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.monotonic()
+        fn()
+        best = min(best, time.monotonic() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "STRESS_SKEW.json"))
+    ap.add_argument("--sweep", default="0,1.05,1.2,1.5",
+                    help="zipf exponents; 0 = uniform control")
+    ap.add_argument("--rows", type=int, default=20_000_000)
+    ap.add_argument("--join-rows", type=int, default=10_000_000)
+    ap.add_argument("--keys", type=int, default=100_000)
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--only", default="",
+                    help="comma list of sections (agg,join,heavy_hitters,"
+                    "minhash); results MERGE into an existing --out capture")
+    ap.add_argument("--hot-clusters", default="200,800,3200",
+                    help="minhash hot-cluster sizes")
+    args = ap.parse_args()
+    sweep = [float(x) for x in args.sweep.split(",")]
+    only = {x for x in args.only.split(",") if x}
+
+    def wanted(section: str) -> bool:
+        return not only or section in only
+
+    spark = get_spark("stress-skew")
+    from empujar_spark.operators import dedup as D
+    from empujar_spark.operators import sketch as K
+    from empujar_spark.operators import skew as SK
+
+    noop(zipf_df(spark, 100_000, 1_000, 1.2))  # warmup
+
+    out: dict = {"rows": args.rows, "join_rows": args.join_rows,
+                 "keys": args.keys, "runs": args.runs, "sweep": sweep}
+    if only and os.path.isfile(args.out):
+        with open(args.out) as fh:
+            out = {**json.load(fh), **out}
+
+    # ---- hot-key share per s (documents the generator, cheap) ----
+    shares = {}
+    for s in sweep:
+        df = zipf_df(spark, 1_000_000, args.keys, s)
+        top = (df.groupBy("key").count()
+               .orderBy(F.col("count").desc()).limit(1).collect()[0])
+        shares[str(s)] = round(top["count"] / 1_000_000, 4)
+    out.setdefault("hot_key_share", {}).update(shares)
+
+    # ---------------- aggregation sweep ----------------
+    agg = out.get("agg", {}) if wanted("agg") else {}
+    for key in ("sum_plain", "sum_salted", "distinct_plain", "distinct_salted"):
+        agg.setdefault(key, {})
+    for s in sweep if wanted("agg") else []:
+        df = zipf_df(spark, args.rows, args.keys, s)
+        agg["sum_plain"][str(s)] = timed(lambda: noop(
+            df.groupBy("key").agg(F.sum("amount").alias("total"))), args.runs)
+        agg["sum_salted"][str(s)] = timed(lambda: noop(
+            SK.salted_agg(df, "key", "amount")), args.runs)
+        agg["distinct_plain"][str(s)] = timed(lambda: noop(
+            df.groupBy("key").agg(
+                F.count_distinct("val").alias("n_distinct"))), args.runs)
+        agg["distinct_salted"][str(s)] = timed(lambda: noop(
+            SK.salted_distinct_count(df, "key", "val")), args.runs)
+        print(f"agg s={s}: " + " ".join(
+            f"{k}={v[str(s)]}s" for k, v in agg.items()), file=sys.stderr)
+    if wanted("agg"):
+        out["agg"] = agg
+
+    # ---------------- join sweep ----------------
+    # dim too big to broadcast at 100 TB — model that by disabling the
+    # local broadcast threshold for these measurements only.
+    dim = spark.range(1, args.keys + 1).select(
+        F.col("id").alias("key"),
+        F.sha1(F.col("id").cast("string")).alias("dim_payload"),
+    )
+    join = out.get("join", {}) if wanted("join") else {}
+    for key in ("unsalted_aqe_skewsplit", "unsalted_no_skewsplit", "salted"):
+        join.setdefault(key, {})
+    bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    skew0 = spark.conf.get("spark.sql.adaptive.skewJoin.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        for s in sweep if wanted("join") else []:
+            fact = zipf_df(spark, args.join_rows, args.keys, s)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+            join["unsalted_aqe_skewsplit"][str(s)] = timed(
+                lambda: noop(fact.join(dim, "key")), args.runs)
+            spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+            join["unsalted_no_skewsplit"][str(s)] = timed(
+                lambda: noop(fact.join(dim, "key")), args.runs)
+            join["salted"][str(s)] = timed(
+                lambda: noop(SK.salted_join(fact, dim, "key")), args.runs)
+            print(f"join s={s}: " + " ".join(
+                f"{k}={v[str(s)]}s" for k, v in join.items()), file=sys.stderr)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew0)
+    if wanted("join"):
+        out["join"] = join
+
+    # ---------------- heavy-hitters certificate, non-trivial bound ----
+    hh = out.get("heavy_hitters", {}) if wanted("heavy_hitters") else {}
+    for s in [x for x in sweep if x > 0] if wanted("heavy_hitters") else []:
+        df = zipf_df(spark, 5_000_000, 200_000, s)
+        t0 = time.monotonic()
+        got, stats = K.heavy_hitters_certified(df, "key", k=10, capacity=4096)
+        got_rows = [tuple(r) for r in got.collect()]
+        secs = round(time.monotonic() - t0, 2)
+        want = [tuple(r) for r in
+                df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+                .orderBy(F.col("cnt").desc(), F.col("key").asc())
+                .limit(10).collect()]
+        hh[str(s)] = {**stats, "secs": secs, "matches_exact": got_rows == want}
+        print(f"heavy_hitters s={s}: {hh[str(s)]}", file=sys.stderr)
+    if wanted("heavy_hitters"):
+        out["heavy_hitters"] = hh
+
+    # ---------------- minhash banding under a hot bucket ----------------
+    docs0 = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base_id = docs0.agg(F.max("doc_id")).collect()[0][0] + 1
+    seed_text = docs0.orderBy("doc_id").select("text").head()[0]
+    mb = out.get("minhash_hot_band", {}) if wanted("minhash") else {}
+    for key in ("uncapped", "capped_50"):
+        mb.setdefault(key, {})
+    clusters = [int(x) for x in args.hot_clusters.split(",")]
+    for c in clusters if wanted("minhash") else []:
+        # c IDENTICAL docs: one hot band bucket of size c on top of the
+        # sf corpus background — candidate volume grows as c² per band
+        hot = spark.range(c).select(
+            (F.col("id") + base_id).alias("doc_id"),
+            F.lit(seed_text).alias("text"),
+        )
+        docs = docs0.select("doc_id", "text").unionByName(hot)
+        mb["uncapped"][str(c)] = timed(lambda: noop(
+            D.minhash_lsh_pairs(docs)), args.runs)
+        mb["capped_50"][str(c)] = timed(lambda: noop(
+            D.minhash_lsh_pairs(docs, max_bucket=50)), args.runs)
+        print(f"minhash hot_cluster={c}: uncapped={mb['uncapped'][str(c)]}s "
+              f"capped={mb['capped_50'][str(c)]}s", file=sys.stderr)
+    if wanted("minhash"):
+        out["minhash_hot_band"] = mb
+
+    with open(args.out, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -231,3 +231,52 @@ class TestBloomTreeMerge:
         got = K.bloom_ingest_dedup(hist, batch, "key").collect()
         assert sorted(r.key for r in got) == ["x1", "x2"]
         assert spark._jsparkSession.sharedState().cacheManager().isEmpty()
+
+
+class TestHeavyHittersCertificate:
+    def test_nonzero_slack_certified_on_skewed_keys(self, spark):
+        """The case the uniform corpus can't produce: per-partition
+        distinct keys exceed capacity (bound > 0) AND a genuinely heavy
+        head — the certificate must pass with non-zero slack and the
+        answer must equal the exact plan."""
+        rows = [(0,)] * 1_000 + [(j,) for j in range(1, 501) for _ in range(2)]
+        df = spark.createDataFrame(rows, "key int").repartition(8)
+        got, stats = K.heavy_hitters_certified(df, "key", k=1, capacity=50)
+        assert stats["slack"] > 0, "bound degenerated — test data too small"
+        assert stats["certified"] and not stats["fallback"]
+        assert [tuple(r) for r in got.collect()] == [(0, 1_000)]
+
+    def test_failed_certificate_falls_back_exact(self, spark):
+        """No heavy tail at this capacity: certificate must fail and the
+        fallback must still return the exact answer."""
+        rows = [(j,) for j in range(200) for _ in range(3)]
+        df = spark.createDataFrame(rows, "key int").repartition(8)
+        got, stats = K.heavy_hitters_certified(df, "key", k=10, capacity=4)
+        assert stats["fallback"] and not stats["certified"]
+        want = [
+            tuple(r)
+            for r in df.groupBy("key").agg(F.count(F.lit(1)).alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("key").asc()).limit(10)
+            .collect()
+        ]
+        assert [tuple(r) for r in got.collect()] == want
+
+
+class TestMinhashBucketCap:
+    def test_cap_drops_only_hot_bucket_pairs(self, spark):
+        from empujar_spark.operators.dedup import minhash_lsh_pairs
+
+        base = [(i, f"alpha beta gamma delta {i} epsilon zeta") for i in range(30)]
+        hot = [(100 + i, "same same same same same same") for i in range(20)]
+        df = spark.createDataFrame(base + hot, "doc_id long, text string")
+        uncapped = {(r.id_a, r.id_b) for r in minhash_lsh_pairs(df).collect()}
+        capped = {(r.id_a, r.id_b)
+                  for r in minhash_lsh_pairs(df, max_bucket=10).collect()}
+        assert capped <= uncapped
+        hot_pairs = {(a, b) for a, b in uncapped if a >= 100 and b >= 100}
+        assert len(hot_pairs) == 20 * 19 // 2  # identical docs all pair up
+        assert not (capped & hot_pairs)  # the hot bucket was dropped
+        # a generous cap is a no-op
+        assert {(r.id_a, r.id_b)
+                for r in minhash_lsh_pairs(df, max_bucket=10_000).collect()
+                } == uncapped

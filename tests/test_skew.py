@@ -36,3 +36,48 @@ def test_salted_join_matches_plain(spark):
     got = salted_join(o, c, "k").count()
     exp = o.join(c, "k").count()
     assert got == exp
+
+
+def test_salted_distinct_count_matches_plain(spark):
+    from empujar_spark.operators.skew import salted_distinct_count
+
+    li = load(spark, SF, "lineitem")
+    got = {
+        r["l_returnflag"]: r["n_distinct"]
+        for r in salted_distinct_count(
+            li, "l_returnflag", "l_partkey"
+        ).collect()
+    }
+    exp = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count_distinct("l_partkey").alias("n"))
+        .collect()
+    }
+    assert got == exp and len(got) > 1
+
+
+def test_salted_distinct_count_null_vals(spark):
+    from empujar_spark.operators.skew import salted_distinct_count
+
+    rows = [("a", 1), ("a", 1), ("a", 2), ("b", None), ("b", 3)]
+    df = spark.createDataFrame(rows, "key string, val int")
+    got = {r.key: r.n_distinct for r in
+           salted_distinct_count(df, "key", "val").collect()}
+    assert got == {"a": 2, "b": 1}  # NULL val not counted, like COUNT(DISTINCT)
+
+
+def test_zipf_generator_is_skewed_and_bounded(spark):
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/scripts")
+    from stress_skew import zipf_df
+
+    df = zipf_df(spark, 50_000, 1_000, 1.2)
+    counts = {r.key: r["count"] for r in df.groupBy("key").count().collect()}
+    assert min(counts) >= 1 and max(counts.keys()) <= 1_000
+    hot = max(counts.values()) / 50_000
+    assert hot > 0.05, f"hot-key share {hot} — generator not skewed"
+    uni = zipf_df(spark, 50_000, 1_000, 0)
+    ucounts = [r["count"] for r in uni.groupBy("key").count().collect()]
+    assert max(ucounts) / 50_000 < 0.01  # uniform control really is flat
