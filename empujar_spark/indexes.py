@@ -162,6 +162,26 @@ class IndexRegistry:
             manifest.pop(name, None)
             self._save(manifest)
 
+    def refresh_provenance(self, name: str) -> dict:
+        """Re-stamp ``built_from`` at the source's CURRENT state — for
+        incrementally MAINTAINED indexes (bloom_union folds, band-history
+        merges) where a batch is folded into the component tables and no
+        full rebuild ever happens. The maintainer calls this after the
+        fold; register() stays the full-rebuild path."""
+        entry = self.describe(name)
+        built = entry["built_from"]
+        if "table" in built:
+            built = {"table": built["table"],
+                     "version": self.wh.table_versions(built["table"])[-1]}
+        else:
+            built = {"path": built["path"],
+                     "fingerprint": _path_fingerprint(built["path"])}
+        with self.wh._lock:
+            manifest = self._load()
+            manifest[name]["built_from"] = built
+            self._save(manifest)
+        return manifest[name]
+
     # ------------------------------------------------------------- staleness
     def staleness(self, name: str) -> dict:
         """The expect_fresh analogue for index artifacts: compare the

@@ -49,6 +49,12 @@ TEXT = "text"
 # simpleString ("float", "double", "bigint", "string", nested
 # "array<float>").
 ARRAY = "array"
+# Engine extension: opaque byte payloads (bloom-filter bitmaps,
+# image/audio/video content columns). The reference has no binary
+# column concept (it JSON/UTF-8-stringifies everything non-scalar);
+# a vector/multimodal warehouse must round-trip bytes EXACTLY — a
+# bitmap or JPEG forced through a string column is corrupt on read.
+BINARY = "binary"
 
 ZERO_DATES = {"0000-00-00", "0000-00-00 00:00:00"}  # redshift.js:98-104
 
@@ -76,7 +82,8 @@ class ColumnType:
         if self.kind == ARRAY:
             return f"array<{self.element}>"
         return {BOOLEAN: "tinyint(1)", LONG: "bigint(20)", DOUBLE: "float",
-                TIMESTAMP: "datetime", TEXT: "text"}[self.kind]
+                TIMESTAMP: "datetime", TEXT: "text",
+                BINARY: "blob"}[self.kind]
 
 
 _SPARK_TYPES: dict[str, T.DataType] = {
@@ -87,6 +94,7 @@ _SPARK_TYPES: dict[str, T.DataType] = {
     TIMESTAMP: T.TimestampType(),
     VARCHAR: T.StringType(),
     TEXT: T.StringType(),
+    BINARY: T.BinaryType(),
 }
 
 # Element types resolved WITHOUT a SparkSession (DataType.fromDDL needs
@@ -136,7 +144,7 @@ def infer_value_type(value, varchar_length: int = VARCHAR_DEFAULT_LENGTH) -> Col
             return ColumnType(VARCHAR, varchar_length)
         return ColumnType(TEXT)
     if isinstance(value, (bytes, bytearray)):
-        return ColumnType(TEXT)
+        return ColumnType(BINARY)
     if isinstance(value, (list, tuple)):
         # typed array column (engine extension — see ARRAY above); the
         # element type is the promotion over the items' scalar kinds.
@@ -174,7 +182,10 @@ def promote(a: ColumnType, b: ColumnType) -> ColumnType:
         return ColumnType(DOUBLE)
     if pair == {VARCHAR, TEXT}:
         return ColumnType(TEXT)
-    # any other mixed pair degrades to text (total-lattice choice)
+    # any other mixed pair degrades to text (total-lattice choice).
+    # That includes BINARY ∨ string-ish: a column that mixes raw bytes
+    # with text has lost byte fidelity already; the stringly sink is
+    # the lattice-total choice, same as every other incompatible mix.
     return ColumnType(TEXT)
 
 
@@ -276,6 +287,8 @@ def from_spark_type(dt: T.DataType, char_length: int = VARCHAR_DEFAULT_LENGTH) -
         return ColumnType(TIMESTAMP)
     if isinstance(dt, T.StringType):
         return ColumnType(VARCHAR, char_length)
+    if isinstance(dt, T.BinaryType):
+        return ColumnType(BINARY)
     if isinstance(dt, T.ArrayType):
         return ColumnType(ARRAY, element=dt.elementType.simpleString())
     return ColumnType(TEXT)

@@ -45,9 +45,11 @@ class TestRoundTrips:
         )
         stored = reg.read("bm25_docs")
         assert set(stored) == {"postings", "dfreq", "doclen", "stats"}
-        q = "the quick data"
-        want = {tuple(r) for r in X.bm25_search_indexed(idx, q, k=5).collect()}
-        got = {tuple(r) for r in X.bm25_search_indexed(stored, q, k=5).collect()}
+        q = {"q1": ["the", "quick", "data"]}
+        want = {tuple(r) for r in
+                X.bm25_search_indexed(idx, q, top_n=5).collect()}
+        got = {tuple(r) for r in
+               X.bm25_search_indexed(stored, q, top_n=5).collect()}
         assert got == want and len(got) > 0
 
     def test_ivf_round_trip_with_partitioned_assignments(self, spark, reg):
@@ -80,9 +82,14 @@ class TestRoundTrips:
                      source_path=f"{SF}/embeddings.parquet")
         stored = reg.read("pq_emb")
         assert stored["codes"].count() == idx["codes"].count()
-        assert {tuple(r) for r in stored["codebooks"].collect()} == {
-            tuple(r) for r in idx["codebooks"].collect()
-        }
+
+        def rows(df):  # codebook centroids are array columns — unhashable
+            return sorted(
+                tuple(tuple(x) if isinstance(x, list) else x for x in r)
+                for r in df.collect()
+            )
+
+        assert rows(stored["codebooks"]) == rows(idx["codebooks"])
 
     def test_bloom_round_trip(self, spark, reg):
         from empujar_spark.operators import sketch as K

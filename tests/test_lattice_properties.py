@@ -17,7 +17,8 @@ from empujar_spark.types import (
 )
 
 kinds = st.sampled_from(
-    ["unknown", "boolean", "long", "double", "timestamp", "varchar", "text"]
+    ["unknown", "boolean", "long", "double", "timestamp", "varchar", "text",
+     "binary"]
 )
 elements = st.sampled_from(
     ["tinyint", "smallint", "int", "bigint", "float", "double", "string",

@@ -445,3 +445,26 @@ def test_embedding_incremental_pairs_probes_stored_index(spark):
     }
     assert canon == {(min(a, b), max(a, b), c) for a, b, c in want}
     assert len(canon) > 0
+
+
+def test_semantic_dedup_ann_cluster_overlap_pinned(spark):
+    """VERDICT r9 item 4: the production ANN regime of semantic_dedup
+    (nprobe=8 of 32) must keep cluster-assignment overlap >= 0.9 vs the
+    exact full-probe run at sf0.01 — a missed candidate pair can split a
+    cluster, and this pins how often it does. Deterministic quantizer,
+    so the figure cannot drift without a code change."""
+    from empujar_spark.operators import dedup as D
+
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    C = S.ivf_train(emb01, 32)
+    exact = {r.vec_id: r.cluster_id for r in D.semantic_dedup(
+        emb01, threshold=0.3, n_centroids=32, centroids=C).collect()}
+    ann = {r.vec_id: r.cluster_id for r in D.semantic_dedup(
+        emb01, threshold=0.3, n_centroids=32, nprobe=8,
+        centroids=C).collect()}
+    assert set(ann) == set(exact)  # every vector is assigned either way
+    overlap = sum(ann[v] == exact[v] for v in exact) / len(exact)
+    assert overlap >= 0.9, f"cluster overlap {overlap:.3f} regressed"
+    # clusters only ever SPLIT under fewer probes (pairs are a subset),
+    # so disagreement must show as ann cluster ids >= exact ids
+    assert all(ann[v] >= exact[v] for v in exact)
