@@ -611,16 +611,36 @@ def near_dup_clusters(
     return connected_components(pairs, df.select("doc_id"))
 
 
+#: rounds the last connected_components call took — read by tests and
+#: the stress harness to verify the O(log diameter) claim; a scalar
+#: diagnostic, not part of the result contract.
+last_cc_rounds: int = 0
+
+
 def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
-    """Connected components over (id_a, id_b) pairs via iterative
-    min-label propagation, labeling every id in ``ids`` (single column
-    ``doc_id``; isolated ids become singleton clusters without ever
-    entering the loop).
+    """Connected components over (id_a, id_b) pairs via min-label
+    propagation WITH POINTER JUMPING, labeling every id in ``ids``
+    (single column ``doc_id``; isolated ids become singleton clusters
+    without ever entering the loop).
+
+    Each round does (1) neighbor-min: every vertex takes the min label
+    over itself and its neighbors — one edge join + one aggregate; then
+    (2) shortcut: L(v) ← L(L(v)) — one label self-join. Labels are
+    initialized to self and only decrease, so L(w) ≤ w always and the
+    jump never overshoots a component boundary (L(v) is reachable from
+    v by construction, and labels only move along reachable minima).
+    The shortcut halves the label-forest depth each round, so
+    convergence is O(log diameter) rounds instead of the plain loop's
+    O(diameter) — on a 256-path: 9 rounds vs 255 (pinned in tests).
+    Four corpus families ride this loop (text near-dup, semantic,
+    entity, co-purchase), and at 100 TB round count is the binding
+    term: each round is a full edge shuffle, so halving rounds halves
+    the dominant cost (the r9 ×16 stress curve measured exactly this).
 
     Output: (doc_id, cluster_id, is_kept) — cluster_id = component min,
-    is_kept = 1 for the representative. Each round is one join + one
-    aggregate; the frontier is localCheckpointed so lineage stays O(1)
-    per round (memory: iterative-loop-lineage)."""
+    is_kept = 1 for the representative. The frontier is
+    localCheckpointed so lineage stays O(1) per round (memory:
+    iterative-loop-lineage)."""
     # Symmetrize via struct-explode, NOT a self-union: a union would
     # evaluate the whole pair pipeline twice.
     edges = (
@@ -648,19 +668,39 @@ def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
+    global last_cc_rounds
+    last_cc_rounds = 0
     while True:
+        last_cc_rounds += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.doc_id)
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.min("cluster_id").alias("__nmin"))
         )
-        updated = labels.select(
+        prop = labels.select(
             "doc_id", F.col("cluster_id").alias("__prev")
         ).join(neighbor_min, "doc_id").select(
             "doc_id",
             "__prev",
-            F.least(F.col("__prev"), F.col("__nmin")).alias("cluster_id"),
-        ).localCheckpoint(eager=True)
+            F.least(F.col("__prev"), F.col("__nmin")).alias("__mid"),
+        )
+        # pointer jump: L(v) <- min(L(v), L(L(v))). The left join keys on
+        # the CURRENT label value; labels of big components concentrate
+        # on few keys, which AQE's skew split spreads at runtime.
+        parent = prop.select(
+            F.col("doc_id").alias("__pid"), F.col("__mid").alias("__plab")
+        )
+        updated = (
+            prop.join(parent, prop["__mid"] == parent["__pid"], "left")
+            .select(
+                "doc_id",
+                "__prev",
+                F.least(
+                    F.col("__mid"), F.coalesce(F.col("__plab"), F.col("__mid"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = (
             updated.filter(F.col("cluster_id") < F.col("__prev")).limit(1).count()
         )

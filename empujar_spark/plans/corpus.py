@@ -7688,6 +7688,33 @@ def semantic_dedup_ann(spark, sf_dir):
     )
 
 
+
+@q(
+    "skew_salted_distinct",
+    """
+    SELECT l_suppkey,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_suppkey
+    """,
+)
+def skew_salted_distinct(spark, sf_dir):
+    """Two-phase salted COUNT(DISTINCT) (operators/skew.py
+    salted_distinct_count): the value space is hash-partitioned, so
+    per-bucket distinct counts are over DISJOINT sets and SUM exactly —
+    unlike data-random salting, which double-counts straddlers. This is
+    the aggregate where salting actually matters at scale: a plain
+    count_distinct's partial on (key, val) never collapses a hot key's
+    distinct values, so its final merge funnels them into one reducer,
+    while sum/count partials collapse map-side (measured head-to-head in
+    STRESS_SKEW.json). Result identical to the plain plan — exact
+    oracle."""
+    from empujar_spark.operators import skew as K
+
+    return K.salted_distinct_count(
+        load(spark, sf_dir, "lineitem"), "l_suppkey", "l_orderkey"
+    )
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================

@@ -270,3 +270,62 @@ def test_semantic_dedup_equals_unionfind_over_brute_pairs(spark):
         want.add((i, roots[i], int(roots[i] == i)))
     assert got == want
     assert len({c for _, c, _ in got}) < len(rows)  # clustering happened
+
+
+def test_connected_components_pointer_jump_round_count(spark):
+    """A 256-node path is the worst case for plain min-label propagation
+    (255 rounds — the label walks one hop per round); pointer jumping
+    must converge in O(log n) rounds AND still produce the exact
+    single-component answer."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    n = 256
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    out = {r.doc_id: (r.cluster_id, r.is_kept)
+           for r in D.connected_components(pairs, ids).collect()}
+    assert len(out) == n
+    assert all(c == 0 for c, _ in out.values())
+    assert out[0] == (0, 1) and sum(k for _, k in out.values()) == 1
+    assert D.last_cc_rounds <= 2 * int(math.log2(n)) + 4, (
+        f"{D.last_cc_rounds} rounds on a {n}-path — pointer jump regressed"
+    )
+
+
+def test_connected_components_random_graph_matches_union_find(spark):
+    """Exactness under the jump on an adversarial mix of shapes: random
+    edges + long paths + singletons, verified against a driver-side
+    union-find."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    rng = random.Random(11)
+    n = 400
+    edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(150)]
+    edges += [(i, i + 1) for i in range(300, 340)]  # a 40-path
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {v: min(u for u in range(n) if find(u) == find(v)) for v in range(n)}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    got = {r.doc_id: r.cluster_id
+           for r in D.connected_components(pairs, ids).collect()}
+    assert got == want
