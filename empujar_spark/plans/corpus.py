@@ -7715,6 +7715,62 @@ def skew_salted_distinct(spark, sf_dir):
     )
 
 
+
+def _index_registries(spark, sf_dir) -> dict:
+    """IndexRegistry objects built in THIS session for this sf_dir,
+    keyed by index name (the _IDX_REG cache stores the registry, and
+    its key embeds the name + cache key)."""
+    sess = _session_key(spark)
+    return {
+        k[1]: reg
+        for k, reg in _IDX_REG.items()
+        if k[0] == sess and sf_dir in k
+    }
+
+
+@q(
+    "index_staleness_audit",
+    """
+    SELECT name, kind, CAST(stale AS INT) AS stale FROM (VALUES
+      ('bloom_fingerprints', 'bloom', 0),
+      ('bm25_documents', 'bm25', 0),
+      ('ivf_embedding_history', 'ivf', 0),
+      ('ivf_embeddings_16', 'ivf', 0),
+      ('neardup_shingles', 'minhash_bands', 0),
+      ('pq_embeddings_8', 'pq', 0)) AS t(name, kind, stale)
+    ORDER BY name
+    """,
+)
+def index_staleness_audit(spark, sf_dir):
+    """Operational audit over the index registry
+    (empujar_spark/indexes.py): every stored serving index — BM25, two
+    IVF shapes, PQ, bloom, shingle history — reports its kind and
+    staleness vs the recorded source provenance, the expect_fresh
+    analogue for index artifacts. The testdata sources never move, so
+    every row is fresh (stale=0) and the audit is hash-exact against a
+    VALUES oracle; the flip behavior (source version advances -> stale,
+    index keeps serving, rebuild clears) is pytest-pinned in
+    tests/test_indexes.py. At 100 TB this is the table a pipeline gates
+    rebuild scheduling on, exactly like the quality-check audit gates
+    loads."""
+    # idempotent builds: make sure all six serving indexes exist
+    _bm25_stored_index(spark, sf_dir)
+    _ivf_stored_index(spark, sf_dir, 16)
+    _pq_stored_index(spark, sf_dir, 8)
+    _bloom_artifact(spark, sf_dir)
+    _neardup_stored_history(spark, sf_dir)
+    _emb_history_index(spark, sf_dir)
+    regs = _index_registries(spark, sf_dir)
+    names = ["bloom_fingerprints", "bm25_documents", "ivf_embedding_history",
+             "ivf_embeddings_16", "neardup_shingles", "pq_embeddings_8"]
+    rows = []
+    for name in names:
+        reg = regs[name]
+        entry = reg.describe(name)
+        rows.append((name, entry["kind"], int(reg.is_stale(name))))
+    return spark.createDataFrame(rows, "name string, kind string, stale int")
+
+
 # =====================================================================
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
