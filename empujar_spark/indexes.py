@@ -96,6 +96,8 @@ class IndexRegistry:
         source_path: str | None = None,
         params: dict | None = None,
         partition_cols: dict[str, list[str]] | None = None,
+        cluster_by: dict[str, list[str]] | None = None,
+        cluster_files: int = 32,
     ) -> dict:
         """Commit ``components`` as warehouse tables and record the
         manifest entry. Re-registering a name REPLACES the old index
@@ -105,7 +107,12 @@ class IndexRegistry:
         ``source_path`` (external parquet — provenance is a listing
         fingerprint) must be given. ``partition_cols`` maps component →
         hive-partition columns (e.g. IVF assignments on ``cid`` so a
-        probe prunes to its nprobe inverted lists)."""
+        probe prunes to its nprobe inverted lists). ``cluster_by`` maps
+        component → range-cluster columns: rows are range-partitioned
+        and sorted so each parquet file covers a narrow key slice —
+        pushed equality/IN predicates (BM25's query-term filter) then
+        skip whole files via footer min/max; size ``cluster_files`` so
+        files land near the parquet sweet spot at your scale."""
         if kind not in KINDS:
             raise ValueError(f"unknown index kind {kind!r}; one of {KINDS}")
         if (source_table is None) == (source_path is None):
@@ -121,6 +128,13 @@ class IndexRegistry:
                 tbl = self._component_table(name, comp)
                 if partition_cols and comp in partition_cols:
                     self.wh.partition_cols[tbl] = partition_cols[comp]
+                if cluster_by and comp in cluster_by:
+                    from pyspark.sql import functions as F
+
+                    keys = cluster_by[comp]
+                    df = df.repartitionByRange(
+                        cluster_files, *[F.col(k) for k in keys]
+                    ).sortWithinPartitions(*keys)
                 self.wh.replace_table(tbl, df)
             manifest = self._load()
             manifest[name] = {

@@ -803,9 +803,22 @@ def bm25_search_indexed(
         [(q, t) for q, ts in queries.items() for t in sorted(set(ts))],
         "query_id string, term string",
     )
-    wanted = F.broadcast(qterms.select("term").distinct())
-    tf = index["postings"].join(wanted, "term", "left_semi")
-    dfreq = index["dfreq"].join(wanted, "term", "left_semi")
+    terms = sorted({t for ts in queries.values() for t in ts})
+    if len(terms) <= 1024:
+        # The query's term set is driver-known, so filter with a LITERAL
+        # In(...) — it reaches the parquet scan as a pushed filter, and
+        # on term-clustered postings storage (the registry's cluster_by
+        # layout) footer min/max stats skip every file/row-group outside
+        # the queried lists. A broadcast semi-join filters the same rows
+        # but never pushes past the scan, so it reads the whole postings
+        # table at 100 TB. Guard: a degenerate thousand-term batch would
+        # bloat the plan literal — fall back to the semi-join there.
+        tf = index["postings"].filter(F.col("term").isin(terms))
+        dfreq = index["dfreq"].filter(F.col("term").isin(terms))
+    else:
+        wanted = F.broadcast(qterms.select("term").distinct())
+        tf = index["postings"].join(wanted, "term", "left_semi")
+        dfreq = index["dfreq"].join(wanted, "term", "left_semi")
     return _bm25_score(
         tf, dfreq, qterms, index["doclen"], index["stats"], k1, b, top_n
     )

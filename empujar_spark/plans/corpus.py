@@ -2061,7 +2061,7 @@ _IDX_REG: dict = _session_cache()
 
 def _registered_index(
     spark, cache_key, *, name, kind, build, source_path,
-    primary_key="id", partition_cols=None, params=None,
+    primary_key="id", partition_cols=None, params=None, cluster_by=None,
 ):
     """Build ONCE per (session, cache_key) and serve through the
     IndexRegistry (empujar_spark/indexes.py): components commit as
@@ -2081,7 +2081,8 @@ def _registered_index(
         )
         reg = IndexRegistry(wh)
         reg.register(name, kind, build(), source_path=source_path,
-                     partition_cols=partition_cols, params=params)
+                     partition_cols=partition_cols, params=params,
+                     cluster_by=cluster_by)
         _IDX_REG[key] = reg
     return _IDX_REG[key].read(name)
 
@@ -2098,6 +2099,11 @@ def _bm25_stored_index(spark, sf_dir) -> dict:
         spark, (sf_dir,), name="bm25_documents", kind="bm25",
         build=lambda: X.bm25_build_index(load(spark, sf_dir, "documents")),
         source_path=f"{sf_dir}/documents.parquet", primary_key="doc_id",
+        # term-clustered postings: each parquet file covers a narrow term
+        # range, so the serving path's pushed In(term,...) filter skips
+        # every file outside the queried posting lists (plan-asserted in
+        # tests/test_indexes.py)
+        cluster_by={"postings": ["term"]},
     )
 
 

@@ -201,3 +201,45 @@ class TestLifecycle:
         with pytest.raises(ValueError, match="exactly one"):
             reg.register("x", "custom", {"t": t},
                          source_table="a", source_path="b")
+
+
+class TestClusteredComponents:
+    def test_bm25_term_filter_reaches_clustered_scan(self, spark, reg):
+        """The serving contract at 100 TB: postings registered with
+        cluster_by=['term'] + the literal In(term,...) filter in
+        bm25_search_indexed means the parquet scan PRUNES — the pushed
+        filter must appear in the physical plan, and results must stay
+        bit-identical to the unclustered index."""
+        from empujar_spark.operators import text as X
+
+        docs = _docs(spark, 80)
+        idx = X.bm25_build_index(docs)
+        reg.register(
+            "bm25_clustered", "bm25", idx,
+            source_path=f"{SF}/documents.parquet",
+            cluster_by={"postings": ["term"]}, cluster_files=8,
+        )
+        stored = reg.read("bm25_clustered")
+        q = {"q1": ["the", "data", "quick"]}
+        plan = stored["postings"].filter(
+            F.col("term").isin(["the", "data", "quick"])
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "PushedFilters: [In(term" in plan, plan[:800]
+        want = {tuple(r) for r in
+                X.bm25_search_indexed(idx, q, top_n=5).collect()}
+        got = {tuple(r) for r in
+               X.bm25_search_indexed(stored, q, top_n=5).collect()}
+        assert got == want and len(got) > 0
+
+    def test_search_falls_back_to_semi_join_on_huge_term_sets(self, spark, reg):
+        from empujar_spark.operators import text as X
+
+        docs = _docs(spark, 40)
+        idx = X.bm25_build_index(docs)
+        # >1024 terms: the literal-In plan would bloat; results must
+        # still match the small-query path for the terms that exist
+        big = {"q1": [f"zz{i}" for i in range(1100)] + ["the"]}
+        small = {"q1": ["the"]}
+        got = {tuple(r) for r in X.bm25_search_indexed(idx, big, top_n=5).collect()}
+        want = {tuple(r) for r in X.bm25_search_indexed(idx, small, top_n=5).collect()}
+        assert got == want and len(got) > 0
