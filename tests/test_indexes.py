@@ -243,3 +243,25 @@ class TestClusteredComponents:
         got = {tuple(r) for r in X.bm25_search_indexed(idx, big, top_n=5).collect()}
         want = {tuple(r) for r in X.bm25_search_indexed(idx, small, top_n=5).collect()}
         assert got == want and len(got) > 0
+
+
+def test_ivf_stored_probe_prunes_partitions_dynamically(spark, reg):
+    """The cid-hive-partitioned assignments scan must carry a dynamic
+    partition-pruning expression: the probe's broadcast join on cid lets
+    Spark skip every inverted-list directory outside the probed lists at
+    runtime — the physical property the registry's partition_cols layout
+    exists for. If a read-path change (e.g. _conform casts) ever breaks
+    DPP injection, serving degrades to full-index scans silently; this
+    pins the plan."""
+    from empujar_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    idx = S.ivf_build_index(emb, n_centroids=8)
+    reg.register("ivf_dpp", "ivf", idx,
+                 source_path=f"{SF}/embeddings.parquet",
+                 partition_cols={"assignments": ["cid"]})
+    stored = reg.read("ivf_dpp")
+    res = S.ivf_search_indexed(stored, emb.filter(F.col("vec_id") < 5),
+                               k=3, nprobe=4)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:800]
