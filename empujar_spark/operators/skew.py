@@ -44,10 +44,14 @@ def salted_distinct_count(
     space by hash — distinct sets in different value-buckets are disjoint,
     so per-bucket distinct counts SUM to the true distinct count (unlike
     data-random salting, which double-counts values straddling salts).
-    Plain ``countDistinct`` plans a partial on (key, val) — which never
-    collapses a hot key's distinct values — then funnels ALL of the hot
-    key's survivors into one final reducer; here that final merge is
-    ``salt``-way parallel and the merge input is pre-counted partials."""
+    Plain single ``count_distinct`` exchanges on KEY alone (plan-verified:
+    partial dedup on (key, val) per task, then every surviving distinct
+    value of a key routes to one reducer); a hot key therefore serializes
+    its whole distinct set on one core. Here that work is ``salt``-way
+    parallel and the final merge input is pre-counted partials. Crossover
+    note (STRESS_SKEW.json): at 20M rows the one-reducer funnel is still
+    cheaper than this operator's extra shuffle — reach for it when the
+    hot key's distinct set, not the batch, is the scale problem."""
     partial = (
         df.withColumn("__vb", F.pmod(F.xxhash64(F.col(val)), F.lit(salt)))
         .groupBy(key, "__vb")

@@ -7707,13 +7707,15 @@ def skew_salted_distinct(spark, sf_dir):
     """Two-phase salted COUNT(DISTINCT) (operators/skew.py
     salted_distinct_count): the value space is hash-partitioned, so
     per-bucket distinct counts are over DISJOINT sets and SUM exactly —
-    unlike data-random salting, which double-counts straddlers. This is
-    the aggregate where salting actually matters at scale: a plain
-    count_distinct's partial on (key, val) never collapses a hot key's
-    distinct values, so its final merge funnels them into one reducer,
-    while sum/count partials collapse map-side (measured head-to-head in
-    STRESS_SKEW.json). Result identical to the plain plan — exact
-    oracle."""
+    unlike data-random salting, which double-counts straddlers. Plan
+    facts (verified on the live plan): sum/count partials collapse a hot
+    key map-side, but a single count_distinct exchanges on KEY alone —
+    every distinct value of the hot key lands on one reducer. At the
+    20M-row harness scale that funnel still beats salting's extra
+    shuffle (STRESS_SKEW.json, the honest crossover note); at 100 TB a
+    10B-row hot key makes the one-reducer dedup the job, which is what
+    this operator exists to break up. Result identical to the plain
+    plan — exact oracle."""
     from empujar_spark.operators import skew as K
 
     return K.salted_distinct_count(
