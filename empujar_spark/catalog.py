@@ -335,13 +335,24 @@ class Warehouse:
         """Committed data versions still on disk, ascending (current
         last). The versioned-commit layout retains ``keep_old_versions``
         predecessors, so recent history is queryable until pruned or
-        vacuumed."""
+        vacuumed. A version dir without Spark's ``_SUCCESS`` marker is a
+        write that died before its commit (the in-process failure path
+        rmtrees these, but a killed PROCESS can't) — never listed as
+        queryable history; vacuum removes it. The current version is
+        always listed: the pointer only ever flips to a completed
+        write."""
         if not self.table_exists(table):
             raise TableNotFound(table)
         cur = self._current_version(table)
         if cur is None:
             return [0] if os.path.isdir(self._version_dir(table, 0)) else []
-        return [v for v in self._list_versions(table) if v <= cur]
+
+        def committed(v: int) -> bool:
+            return v == cur or os.path.isfile(
+                os.path.join(self._version_dir(table, v), "_SUCCESS")
+            )
+
+        return [v for v in self._list_versions(table) if v <= cur and committed(v)]
 
     def read_version(self, table: str, version: int) -> DataFrame:
         """Time travel: read a retained committed version of the table —
@@ -356,7 +367,11 @@ class Warehouse:
         if version == (cur if cur is not None else 0):
             return self.read(table)
         d = self._version_dir(table, version)
-        if version > (cur if cur is not None else 0) or not os.path.isdir(d):
+        if (
+            version > (cur if cur is not None else 0)
+            or not os.path.isdir(d)
+            or version not in self.table_versions(table)  # orphan claim dirs
+        ):
             raise ValueError(
                 f"version {version} of {table!r} is not on disk "
                 f"(committed versions: {self.table_versions(table)}; "

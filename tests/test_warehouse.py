@@ -1179,3 +1179,31 @@ def test_version_reservation_retries_on_foreign_claim(spark, tmp_path, monkeypat
     wh.insert_data("t", [{"id": 2, "v": "b"}])
     assert collided, "the simulated foreign claim was never hit"
     assert {r.id for r in wh.read("t").collect()} == {1, 2}
+
+
+def test_orphan_version_dir_hidden_from_history(spark, tmp_path):
+    """A version dir left by a KILLED process (no _SUCCESS marker — the
+    in-process failure path can't rmtree across a kill -9) must not
+    appear in table_versions(), must not be readable as history, and
+    must not break later writes; vacuum clears it."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path), primary_key="id")
+    wh.insert_data("t", [{"id": 1, "v": "a"}])
+    wh.insert_data("t", [{"id": 2, "v": "b"}])
+    good = wh.table_versions("t")
+
+    # simulate the dead writer's leftover: an empty claimed dir below cur
+    orphan = wh._version_dir("t", max(good) + 5)
+    _os.makedirs(orphan)
+    wh.insert_data("t", [{"id": 3, "v": "c"}])  # pointer moves past it
+    assert max(good) + 5 not in wh.table_versions("t")
+    with _pytest.raises(ValueError):
+        wh.read_version("t", max(good) + 5)
+    assert {r.id for r in wh.read("t").collect()} == {1, 2, 3}
+    wh.vacuum()
+    assert not _os.path.isdir(orphan)
