@@ -223,8 +223,18 @@ def main() -> None:
             D.minhash_lsh_pairs(docs)), args.runs)
         mb["capped_50"][str(c)] = timed(lambda: noop(
             D.minhash_lsh_pairs(docs, max_bucket=50)), args.runs)
+        # no silent caps: record what the cap SACRIFICES (candidate pairs
+        # dropped with the hot buckets) next to what it saves
+        mb.setdefault("pairs_uncapped", {})[str(c)] = (
+            D.minhash_lsh_pairs(docs).count()
+        )
+        mb.setdefault("pairs_capped_50", {})[str(c)] = (
+            D.minhash_lsh_pairs(docs, max_bucket=50).count()
+        )
         print(f"minhash hot_cluster={c}: uncapped={mb['uncapped'][str(c)]}s "
-              f"capped={mb['capped_50'][str(c)]}s", file=sys.stderr)
+              f"capped={mb['capped_50'][str(c)]}s pairs "
+              f"{mb['pairs_uncapped'][str(c)]}→{mb['pairs_capped_50'][str(c)]}",
+              file=sys.stderr)
     if wanted("minhash"):
         out["minhash_hot_band"] = mb
 
