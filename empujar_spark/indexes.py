@@ -83,8 +83,8 @@ class IndexRegistry:
             json.dump(manifest, fh, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)
 
-    def _component_table(self, name: str, component: str) -> str:
-        return f"__idx_{name}__{component}"
+    def _component_table(self, name: str, component: str, gen: int) -> str:
+        return f"__idx_{name}__g{gen}__{component}"
 
     # ------------------------------------------------------------- lifecycle
     def register(
@@ -112,7 +112,17 @@ class IndexRegistry:
         and sorted so each parquet file covers a narrow key slice —
         pushed equality/IN predicates (BM25's query-term filter) then
         skip whole files via footer min/max; size ``cluster_files`` so
-        files land near the parquet sweet spot at your scale."""
+        files land near the parquet sweet spot at your scale.
+
+        ATOMICITY: component tables are GENERATION-suffixed
+        (``__idx_{name}__g{N}__{comp}``) and the manifest is the
+        multi-table pointer — all of generation N+1 is written BEFORE
+        the single atomic manifest flip, so a rebuild that dies midway
+        leaves the old generation fully live and consistent (a mixed
+        new-postings/old-dfreq index can never be served). The
+        predecessor generation is retained one flip as reader grace,
+        then dropped — the same keep-then-prune contract as the
+        warehouse's versioned data commits."""
         if kind not in KINDS:
             raise ValueError(f"unknown index kind {kind!r}; one of {KINDS}")
         if (source_table is None) == (source_path is None):
@@ -124,8 +134,11 @@ class IndexRegistry:
             built = {"path": source_path,
                      "fingerprint": _path_fingerprint(source_path)}
         with self.wh._lock:
+            manifest = self._load()
+            prev = manifest.get(name)
+            gen = (prev.get("generation", 1) + 1) if prev else 1
             for comp, df in components.items():
-                tbl = self._component_table(name, comp)
+                tbl = self._component_table(name, comp, gen)
                 if partition_cols and comp in partition_cols:
                     self.wh.partition_cols[tbl] = partition_cols[comp]
                 if cluster_by and comp in cluster_by:
@@ -136,23 +149,42 @@ class IndexRegistry:
                         cluster_files, *[F.col(k) for k in keys]
                     ).sortWithinPartitions(*keys)
                 self.wh.replace_table(tbl, df)
-            manifest = self._load()
+            manifest = self._load()  # re-read: the writes may be slow
             manifest[name] = {
                 "kind": kind,
                 "components": sorted(components),
                 "built_from": built,
                 "params": params or {},
+                "generation": gen,
             }
-            self._save(manifest)
+            self._save(manifest)  # THE commit point — atomic rename
+            # prune generations older than the immediate predecessor
+            # (kept one flip as in-flight reader grace)
+            if prev:
+                self._drop_generations(
+                    name, prev["components"],
+                    below=prev.get("generation", 1),
+                )
         return manifest[name]
+
+    def _drop_generations(
+        self, name: str, components: list[str], below: int
+    ) -> None:
+        """Remove component tables of every generation < ``below``."""
+        for g in range(max(1, below - 8), below):
+            for comp in components:
+                tbl = self._component_table(name, comp, g)
+                if self.wh.table_exists(tbl):
+                    self.wh.drop_table(tbl)
 
     def read(self, name: str) -> dict[str, "DataFrame"]:
         """Component DataFrames, keyed like they were registered — the
         shape the serving operators (bm25_search_indexed,
         ivf_search_indexed, pq_search, ...) take directly."""
         entry = self.describe(name)
+        gen = entry.get("generation", 1)
         return {
-            comp: self.wh.read(self._component_table(name, comp))
+            comp: self.wh.read(self._component_table(name, comp, gen))
             for comp in entry["components"]
         }
 
@@ -170,8 +202,8 @@ class IndexRegistry:
     def drop(self, name: str) -> None:
         entry = self.describe(name)
         with self.wh._lock:
-            for comp in entry["components"]:
-                self.wh.drop_table(self._component_table(name, comp))
+            gen = entry.get("generation", 1)
+            self._drop_generations(name, entry["components"], below=gen + 1)
             manifest = self._load()
             manifest.pop(name, None)
             self._save(manifest)

@@ -70,7 +70,7 @@ class TestRoundTrips:
                 S.ivf_search_indexed(stored, queries, k=3, nprobe=8).collect()}
         assert got == want and len(got) > 0
         # hive layout really is partitioned on cid
-        meta = reg.wh._load_meta("__idx_ivf_emb__assignments")
+        meta = reg.wh._load_meta("__idx_ivf_emb__g1__assignments")
         assert meta["partition_cols"] == ["cid"]
 
     def test_pq_round_trip(self, spark, reg):
@@ -188,7 +188,7 @@ class TestLifecycle:
         assert "gone" in reg.list_indexes()
         reg.drop("gone")
         assert "gone" not in reg.list_indexes()
-        assert not reg.wh.table_exists("__idx_gone__t")
+        assert not reg.wh.table_exists("__idx_gone__g1__t")
         with pytest.raises(KeyError):
             reg.read("gone")
 
@@ -265,3 +265,52 @@ def test_ivf_stored_probe_prunes_partitions_dynamically(spark, reg):
                                k=3, nprobe=4)
     plan = res._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruningexpression" in plan.lower(), plan[:800]
+
+
+class TestGenerationAtomicity:
+    def test_failed_rebuild_leaves_old_generation_fully_live(self, spark, reg):
+        """register() must be ATOMIC across components: a rebuild whose
+        second component write dies mid-flight leaves the manifest — and
+        therefore read() — pointing at the old generation for EVERY
+        component (a mixed new-postings/old-dfreq index must be
+        impossible)."""
+        a1 = spark.createDataFrame([(1, "a1")], "doc_id long, v string")
+        b1 = spark.createDataFrame([(1, "b1")], "doc_id long, v string")
+        reg.register("atomic", "custom", {"a": a1, "b": b1},
+                     source_path=f"{SF}/documents.parquet")
+
+        a2 = spark.createDataFrame([(2, "a2")], "doc_id long, v string")
+        boom = spark.createDataFrame([(2,)], "doc_id long").withColumn(
+            "v", F.raise_error(F.lit("boom")).cast("string")
+        )
+        with pytest.raises(Exception):
+            reg.register("atomic", "custom", {"a": a2, "b": boom},
+                         source_path=f"{SF}/documents.parquet")
+
+        got = {c: [(r.doc_id, r.v) for r in df.collect()]
+               for c, df in reg.read("atomic").items()}
+        assert got == {"a": [(1, "a1")], "b": [(1, "b1")]}
+        assert reg.describe("atomic").get("generation", 1) == 1
+
+        # a subsequent successful rebuild supersedes cleanly and prunes
+        b2 = spark.createDataFrame([(2, "b2")], "doc_id long, v string")
+        reg.register("atomic", "custom", {"a": a2, "b": b2},
+                     source_path=f"{SF}/documents.parquet")
+        got = {c: [(r.doc_id, r.v) for r in df.collect()]
+               for c, df in reg.read("atomic").items()}
+        assert got == {"a": [(2, "a2")], "b": [(2, "b2")]}
+
+    def test_predecessor_generation_retained_one_flip(self, spark, reg):
+        """The immediately superseded generation stays on disk one flip
+        (in-flight reader grace, like keep_old_versions); the one before
+        it is pruned."""
+        for i in (1, 2, 3):
+            reg.register(
+                "gens", "custom",
+                {"t": spark.createDataFrame([(i,)], "doc_id long")},
+                source_path=f"{SF}/documents.parquet",
+            )
+        assert reg.describe("gens")["generation"] == 3
+        assert reg.wh.table_exists("__idx_gens__g2__t")   # grace copy
+        assert not reg.wh.table_exists("__idx_gens__g1__t")  # pruned
+        assert [r.doc_id for r in reg.read("gens")["t"].collect()] == [3]
