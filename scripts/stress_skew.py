@@ -61,6 +61,11 @@ def zipf_df(
     ``s == 0`` gives the uniform control. ``val`` is the unique row id,
     so per-key distinct counts are the key's row count (worst case for
     distinct aggregation). No Python in the generate path."""
+    if 0 < s <= 1:
+        # the inverse-CDF exponent -1/(s-1) flips sign here: u^(positive)
+        # stays in (0,1) and ceil() sends EVERY row to key 1 — a silently
+        # degenerate dataset, not a mild skew. True Zipf needs s > 1.
+        raise ValueError(f"zipf_df needs s > 1 (or 0 for uniform); got {s}")
     df = spark.range(n_rows).repartition(n_parts)
     if s <= 0:
         key = (F.floor(F.rand(seed) * n_keys) + 1).cast("long")

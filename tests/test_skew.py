@@ -81,3 +81,15 @@ def test_zipf_generator_is_skewed_and_bounded(spark):
     uni = zipf_df(spark, 50_000, 1_000, 0)
     ucounts = [r["count"] for r in uni.groupBy("key").count().collect()]
     assert max(ucounts) / 50_000 < 0.01  # uniform control really is flat
+
+
+def test_zipf_generator_rejects_degenerate_exponent(spark):
+    import sys as _sys
+
+    import pytest as _pytest
+
+    _sys.path.insert(0, "/root/repo/scripts")
+    from stress_skew import zipf_df
+
+    with _pytest.raises(ValueError, match="s > 1"):
+        zipf_df(spark, 100, 10, 0.9)
