@@ -268,3 +268,27 @@ class IndexRegistry:
 
     def is_stale(self, name: str) -> bool:
         return self.staleness(name)["stale"]
+
+    def ensure_fresh(
+        self,
+        name: str,
+        kind: str,
+        build,
+        **register_kwargs,
+    ) -> bool:
+        """Rebuild ``name`` iff it is missing or stale — the scheduling
+        primitive the staleness flag exists for: a load's index-refresh
+        page calls this once per index and pays the build only when the
+        source actually moved (the MAX-watermark idea applied to whole
+        artifacts). ``build`` is a zero-arg callable returning the
+        component dict, invoked only when a rebuild is needed;
+        ``register_kwargs`` are passed to :meth:`register` (source,
+        partition/cluster layout, params). Returns True iff a rebuild
+        ran."""
+        try:
+            if not self.is_stale(name):
+                return False
+        except KeyError:
+            pass  # never registered — build it
+        self.register(name, kind, build(), **register_kwargs)
+        return True

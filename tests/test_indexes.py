@@ -314,3 +314,28 @@ class TestGenerationAtomicity:
         assert reg.wh.table_exists("__idx_gens__g2__t")   # grace copy
         assert not reg.wh.table_exists("__idx_gens__g1__t")  # pruned
         assert [r.doc_id for r in reg.read("gens")["t"].collect()] == [3]
+
+
+class TestEnsureFresh:
+    def test_builds_only_when_missing_or_stale(self, spark, reg):
+        wh = reg.wh
+        wh.insert_data("documents", _docs(spark, 30))
+        calls = []
+
+        def build():
+            calls.append(1)
+            return {"t": wh.read("documents").select("doc_id")}
+
+        # missing -> build
+        assert reg.ensure_fresh("ef", "custom", build,
+                                source_table="documents") is True
+        # fresh -> no build
+        assert reg.ensure_fresh("ef", "custom", build,
+                                source_table="documents") is False
+        assert len(calls) == 1
+        # source moves -> stale -> rebuild, flag cleared
+        wh.insert_data("documents", _docs(spark, 50))
+        assert reg.ensure_fresh("ef", "custom", build,
+                                source_table="documents") is True
+        assert len(calls) == 2 and not reg.is_stale("ef")
+        assert reg.read("ef")["t"].count() == 50
