@@ -208,6 +208,19 @@ class IndexRegistry:
             manifest.pop(name, None)
             self._save(manifest)
 
+    def component_table(self, name: str, component: str) -> str:
+        """The CURRENT generation's warehouse table for a component —
+        what an incremental maintainer writes into (insert_data a band
+        batch, fold a bloom) before calling refresh_provenance. Raises
+        if the component isn't part of the index."""
+        entry = self.describe(name)
+        if component not in entry["components"]:
+            raise KeyError(
+                f"index {name!r} has no component {component!r} "
+                f"(components: {entry['components']})"
+            )
+        return self._component_table(name, component, entry.get("generation", 1))
+
     def refresh_provenance(self, name: str) -> dict:
         """Re-stamp ``built_from`` at the source's CURRENT state — for
         incrementally MAINTAINED indexes (bloom_union folds, band-history

@@ -339,3 +339,33 @@ class TestEnsureFresh:
                                 source_table="documents") is True
         assert len(calls) == 2 and not reg.is_stale("ef")
         assert reg.read("ef")["t"].count() == 50
+
+
+def test_incremental_maintenance_refresh_provenance(spark, reg):
+    """The incremental-maintenance path: fold a batch INTO the current
+    generation's component table (no rebuild), then refresh_provenance
+    clears the stale flag — the bloom_union / band-history contract."""
+    wh = reg.wh
+    wh.insert_data("documents", _docs(spark, 30))
+    reg.register(
+        "inc", "minhash_bands",
+        {"bands": wh.read("documents").select("doc_id")},
+        source_table="documents",
+    )
+    # source advances -> stale
+    wh.insert_data("documents", _docs(spark, 50))
+    assert reg.is_stale("inc")
+
+    # maintainer folds just the delta into the CURRENT generation table
+    tbl = reg.component_table("inc", "bands")
+    delta = wh.read("documents").select("doc_id").filter(
+        F.col("doc_id") >= 30
+    )
+    wh.insert_data(tbl, delta, merge_key="doc_id")
+    entry = reg.refresh_provenance("inc")
+    assert not reg.is_stale("inc")
+    assert entry["built_from"]["version"] == wh.table_versions("documents")[-1]
+    assert reg.read("inc")["bands"].count() == 50
+
+    with pytest.raises(KeyError, match="no component"):
+        reg.component_table("inc", "nope")
