@@ -134,6 +134,18 @@ def _bloom_bitmap_rows(hashed: DataFrame, m: int, k: int) -> DataFrame:
     return per_part.repartition(fan_in).mapInPandas(_or_merge, "bits binary")
 
 
+def build_bloom_with_params(df: DataFrame, col: str, m: int, k: int) -> bytes:
+    """Bloom bitmap over ``df[col]`` with PINNED (m, k) — the fold path:
+    an incremental batch must build with the STORED artifact's exact
+    parameters or ``bloom_union`` would OR incompatible bit layouts."""
+    hashed = df.select(*_hash_cols(col))
+    parts = _bloom_bitmap_rows(hashed, m, k).collect()
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for row in parts:
+        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
+    return merged.tobytes()
+
+
 def build_bloom(
     df: DataFrame, col: str, expected_items: int, fpp: float = 0.01
 ) -> tuple[bytes, int, int]:
@@ -147,12 +159,7 @@ def build_bloom(
 
     Returns (bitmap bytes, m, k)."""
     m, k = bloom_params(expected_items, fpp)
-    hashed = df.select(*_hash_cols(col))
-    parts = _bloom_bitmap_rows(hashed, m, k).collect()
-    merged = np.zeros(m // 8, dtype=np.uint8)
-    for row in parts:
-        merged |= np.frombuffer(row["bits"], dtype=np.uint8)
-    return merged.tobytes(), m, k
+    return build_bloom_with_params(df, col, m, k), m, k
 
 
 def with_bloom_flag(
@@ -352,6 +359,30 @@ def bloom_from_df(df: DataFrame) -> tuple[bytes, int, int]:
     """Load a stored bloom artifact (inverse of ``bloom_to_df``)."""
     row = df.select("m", "k", "bits").head()
     return bytes(row["bits"]), int(row["m"]), int(row["k"])
+
+
+def bloom_fold_into_registry(
+    reg, name: str, batch: DataFrame, col: str, component: str = "bitmap"
+) -> tuple[bytes, int, int]:
+    """Fold a batch's keys into a REGISTERED bloom artifact
+    (empujar_spark/indexes.py): build the batch's own small bitmap with
+    the stored (m, k), OR it in (``bloom_union`` is exact — OR of
+    bitmaps ≡ bloom of the union of build sets), commit the folded
+    component through the versioned write path, and re-stamp
+    provenance. History is never rescanned — this is the steady-state
+    ingest maintenance the artifact exists for; a periodic full
+    ``register()`` rebuild resets fpp drift once the key count outgrows
+    the original sizing. Returns the folded (bits, m, k)."""
+    stored = bloom_from_df(reg.read(name)[component])
+    bits, m, k = stored
+    batch_bits = build_bloom_with_params(batch, col, m, k)
+    folded = bloom_union(bits, batch_bits)
+    spark = batch.sparkSession
+    reg.wh.replace_table(
+        reg.component_table(name, component), bloom_to_df(spark, folded, m, k)
+    )
+    reg.refresh_provenance(name)
+    return folded, m, k
 
 
 def bloom_union(a: bytes, b: bytes) -> bytes:

@@ -280,3 +280,44 @@ class TestMinhashBucketCap:
         assert {(r.id_a, r.id_b)
                 for r in minhash_lsh_pairs(df, max_bucket=10_000).collect()
                 } == uncapped
+
+
+class TestBloomRegistryFold:
+    def test_fold_equals_from_scratch_and_clears_stale(self, spark, tmp_path):
+        """Steady-state maintenance: fold a batch into the REGISTERED
+        artifact — the folded bitmap must be bit-identical to a
+        from-scratch build over history ∪ batch (bloom_union exactness,
+        now through the registry path), serving must stay the exact
+        anti-join, and provenance must come back fresh without a
+        rebuild."""
+        from empujar_spark.catalog import Warehouse
+        from empujar_spark.indexes import IndexRegistry
+
+        wh = Warehouse(spark, str(tmp_path), primary_key="key")
+        reg = IndexRegistry(wh)
+        hist = _keys_df(spark, [f"h{i}" for i in range(900)])
+        batch = _keys_df(spark, [f"b{i}" for i in range(300)])
+        both = _keys_df(spark, [f"h{i}" for i in range(900)]
+                        + [f"b{i}" for i in range(300)])
+
+        wh.insert_data("keys", hist)
+        m, k = K.bloom_params(1_200, 0.01)  # size for the union up front
+        bits0 = K.build_bloom_with_params(hist, "key", m, k)
+        reg.register("bl", "bloom",
+                     {"bitmap": K.bloom_to_df(spark, bits0, m, k)},
+                     source_table="keys")
+
+        wh.insert_data("keys", batch)  # source advances
+        assert reg.is_stale("bl")
+        folded, m2, k2 = K.bloom_fold_into_registry(reg, "bl", batch, "key")
+        assert (m2, k2) == (m, k) and not reg.is_stale("bl")
+
+        want = K.build_bloom_with_params(both, "key", m, k)
+        assert folded == want  # OR ≡ bloom of the union, bit-exact
+        stored = K.bloom_from_df(reg.read("bl")["bitmap"])
+        assert stored == (want, m, k)
+
+        # served artifact still yields the exact anti-join result
+        probe = _keys_df(spark, ["h5", "b7", "fresh1", "fresh2"])
+        got = K.bloom_ingest_dedup(both, probe, "key", bloom=stored)
+        assert sorted(r.key for r in got.collect()) == ["fresh1", "fresh2"]
