@@ -511,7 +511,8 @@ class Warehouse:
         self._create_table(table, df, incoming)
 
     def _create_table(
-        self, table: str, df: DataFrame, incoming: dict[str, ColumnType]
+        self, table: str, df: DataFrame, incoming: dict[str, ColumnType],
+        preserve_layout: bool = False,
     ) -> None:
         pk = self.primary_key if self.primary_key in incoming else None
         if pk:
@@ -531,12 +532,13 @@ class Warehouse:
             ],
         }
         self._save_meta(table, meta)
-        self._write(table, df, meta)
+        self._write(table, df, meta, preserve_layout=preserve_layout)
         self.show_tables()
 
     def _write(
         self, table: str, df: DataFrame, meta: dict,
         n_partitions: int | None = None,
+        preserve_layout: bool = False,
     ) -> None:
         """Versioned-commit atomic table write: the file set lands in a
         fresh immutable ``data-v{N}`` dir and becomes visible via an
@@ -550,18 +552,26 @@ class Warehouse:
         ``n_partitions`` overrides the instance default for THIS write
         only (compaction passes its computed file count here instead of
         mutating shared state under concurrent writers), and applies even
-        without a primary key — a pk-less table round-robins."""
+        without a primary key — a pk-less table round-robins.
+        ``preserve_layout`` skips BOTH the pk repartition and the
+        sortkey re-sort: the caller already laid the rows out (the index
+        registry's ``cluster_by`` range-clustering, whose file-skipping
+        contract a pk re-shuffle would silently destroy when the
+        warehouse was built with ``target_partitions`` set)."""
         pk = meta.get("primary_key")
         cols = [c["name"] for c in meta["columns"]]
         df = df.select(*cols)
-        n_parts = self.target_partitions if n_partitions is None else n_partitions
-        if n_parts:
-            df = df.repartition(n_parts, pk) if pk else df.repartition(n_parts)
-        sort_col = next(
-            (c for c in _SORTKEY_CANDIDATES if c in cols), None
-        )
-        if sort_col:
-            df = df.sortWithinPartitions(sort_col)
+        if not preserve_layout:
+            n_parts = (
+                self.target_partitions if n_partitions is None else n_partitions
+            )
+            if n_parts:
+                df = df.repartition(n_parts, pk) if pk else df.repartition(n_parts)
+            sort_col = next(
+                (c for c in _SORTKEY_CANDIDATES if c in cols), None
+            )
+            if sort_col:
+                df = df.sortWithinPartitions(sort_col)
         # Reserve the next version dir under the lock (concurrent pages
         # writing the same table each get a distinct version; last
         # committer wins the pointer, matching the old last-swap-wins).
@@ -732,7 +742,9 @@ class Warehouse:
         self._save_meta(table, meta)
         return n
 
-    def replace_table(self, table: str, data) -> int:
+    def replace_table(
+        self, table: str, data, preserve_layout: bool = False
+    ) -> int:
         """Overwrite a table's contents (TRUNCATE + INSERT semantics)
         via a versioned commit: in-flight readers keep their resolved
         ``data-v{N}``; the replaced state stays readable through
@@ -740,7 +752,11 @@ class Warehouse:
         insert_data (add column / widen / retype), so a replace never
         silently narrows a column the old data needed. This is the
         rebuild primitive the index registry uses — a rebuilt index
-        must atomically supersede, never merge into, its predecessor."""
+        must atomically supersede, never merge into, its predecessor.
+        ``preserve_layout=True`` commits the caller's partitioning and
+        sort order verbatim (no pk repartition, no sortkey re-sort) —
+        required for range-clustered index components whose parquet
+        footer min/max file-skipping depends on that layout."""
         existing_types = (
             self.column_types(table) if self.table_exists(table) else None
         )
@@ -748,10 +764,12 @@ class Warehouse:
         if not df.columns:
             return 0
         if not self.table_exists(table):
-            self._create_table(table, df, incoming)
+            self._create_table(table, df, incoming, preserve_layout=preserve_layout)
             return self.table_size(table)
         meta = self._reconcile_schema(table, incoming)
-        self._write(table, self._conform(df, meta), meta)
+        self._write(
+            table, self._conform(df, meta), meta, preserve_layout=preserve_layout
+        )
         return self.table_size(table)
 
     @staticmethod

@@ -362,7 +362,8 @@ def bloom_from_df(df: DataFrame) -> tuple[bytes, int, int]:
 
 
 def bloom_fold_into_registry(
-    reg, name: str, batch: DataFrame, col: str, component: str = "bitmap"
+    reg, name: str, batch: DataFrame, col: str, component: str = "bitmap",
+    pinned: dict | None = None,
 ) -> tuple[bytes, int, int]:
     """Fold a batch's keys into a REGISTERED bloom artifact
     (empujar_spark/indexes.py): build the batch's own small bitmap with
@@ -372,7 +373,12 @@ def bloom_fold_into_registry(
     provenance. History is never rescanned — this is the steady-state
     ingest maintenance the artifact exists for; a periodic full
     ``register()`` rebuild resets fpp drift once the key count outgrows
-    the original sizing. Returns the folded (bits, m, k)."""
+    the original sizing. Returns the folded (bits, m, k).
+
+    ``pinned`` is a ``built_from``-shaped provenance pin captured before
+    the fold read its input (``IndexRegistry.ensure_fresh_fold`` passes
+    it) — forwarded to ``refresh_provenance`` so a source commit landing
+    mid-fold is never stamped as covered."""
     stored = bloom_from_df(reg.read(name)[component])
     bits, m, k = stored
     batch_bits = build_bloom_with_params(batch, col, m, k)
@@ -381,7 +387,7 @@ def bloom_fold_into_registry(
     reg.wh.replace_table(
         reg.component_table(name, component), bloom_to_df(spark, folded, m, k)
     )
-    reg.refresh_provenance(name)
+    reg.refresh_provenance(name, pinned=pinned)
     return folded, m, k
 
 

