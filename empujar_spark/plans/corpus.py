@@ -7675,6 +7675,27 @@ def embedding_incremental_pairs(spark, sf_dir):
     )
 
 
+@q("embedding_incremental_pairs_ann", None)
+def embedding_incremental_pairs_ann(spark, sf_dir):
+    """The PRODUCTION serving regime of embedding_incremental_pairs:
+    nprobe=8 of 16 lists, so each batch row probes half the inverted
+    lists instead of exploding into all of them — the sub-linear
+    per-ingest plan a 100 TB steady state actually runs (the exact
+    full-probe twin above is O(batch x history) candidates and stays
+    the oracle-checked baseline; every other ANN family already had
+    this bench twin). Approximate by construction — a neighbor assigned
+    to an unprobed list is missed — so rows-only here; recall is pinned
+    vs the exact twin at sf0.01 in tests/test_similarity.py (measured
+    0.81 at nprobe=8, asserted >= 0.75, and the ANN pair set must be a
+    strict SUBSET of the exact one: fewer probes can only lose
+    candidates, never invent them)."""
+    batch = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 7 == 0
+    )
+    return D.embedding_incremental_pairs(
+        _emb_history_index(spark, sf_dir), batch, threshold=0.3, nprobe=8
+    )
+
 
 @q("semantic_dedup_ann", None)
 def semantic_dedup_ann(spark, sf_dir):
