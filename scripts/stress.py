@@ -156,6 +156,14 @@ def main() -> None:
                 docs0.filter(F.col("doc_id") % 7 == 0)
             )
 
+        sem_centroids = None
+        if not only or {"semdedup_exact", "semdedup_ann"} & only:
+            # Untimed shared train (the amortized build, same rule as
+            # ivf_serve) so the exact-vs-ANN timing difference is the
+            # PAIR STAGE, not two separate k-means runs. √n centroid
+            # rule as everywhere: c = 32·√f.
+            sem_centroids = S.ivf_train(emb, int(32 * (f ** 0.5)))
+
         one = F.lit(1).cast("decimal(18,6)")
         return {
             # scan + map-side partials + tiny shuffle (TPC-H Q1 shape)
@@ -189,6 +197,20 @@ def main() -> None:
             "embedding_ann": lambda: noop(D.embedding_dup_pairs(
                 emb, threshold=0.3, method="ivf",
                 n_centroids=int(32 * (f ** 0.5)), nprobe=8)),
+            # SemDeDup exact-vs-ANN separation (VERDICT r10 #4): the
+            # exact twin full-probes (complete pair set, candidate
+            # volume O(n²/√n·…) under the √n centroid rule), the ANN
+            # twin probes nprobe=8 of c=32·√f lists, so its pair-stage
+            # cost falls behind the exact twin's by a further √f as the
+            # corpus grows — the production-regime claim, measured as a
+            # curve instead of asserted in a docstring. Shared untimed
+            # centroids; the components loop is common to both.
+            "semdedup_exact": lambda: noop(D.semantic_dedup(
+                emb, threshold=0.3, n_centroids=int(32 * (f ** 0.5)),
+                centroids=sem_centroids)),
+            "semdedup_ann": lambda: noop(D.semantic_dedup(
+                emb, threshold=0.3, n_centroids=int(32 * (f ** 0.5)),
+                nprobe=8, centroids=sem_centroids)),
             # repetition signals: per-row folds
             "repetition": lambda: noop(C.repetition_signals(docs)),
             # BPE first iteration: corpus scan collapses to the distinct-

@@ -53,27 +53,37 @@ def zipf_df(
     seed: int = 0,
     n_parts: int = 32,
 ) -> DataFrame:
-    """Rows with ``key`` ~ a truncated power law P(rank r) ∝ r^-s (the
-    Zipf shape, s > 1), generated entirely JVM-side via the inverse CDF
-    of the continuous analogue: X = ceil(u^(-1/(s-1))). The tail past
-    ``n_keys`` folds onto key ``n_keys`` (a second, milder hot key —
-    harmless for a skew harness and it keeps the key domain bounded).
+    """Rows with ``key`` ~ a BOUNDED power law on 1..n_keys (the Zipf
+    shape, s > 1), generated entirely JVM-side via the exact inverse CDF
+    of the continuous bounded analogue: X on [1, n_keys+1) with density
+    ∝ x^-s, key = floor(X) — key k carries mass ∝ ∫ₖ^{k+1} x^-s dx,
+    strictly decreasing in k. Exact bounded sampling, so NO truncation
+    fold: the earlier unbounded inverse CDF clamped its tail onto key
+    ``n_keys``, which at s=1.05 silently made the clamp key the hottest
+    (56% of all rows) and hot-key share NON-monotone in s — this form
+    keeps key 1 the unique mode and hot-key share monotone increasing
+    in s, so salted-vs-unsalted crossover curves read cleanly.
     ``s == 0`` gives the uniform control. ``val`` is the unique row id,
     so per-key distinct counts are the key's row count (worst case for
     distinct aggregation). No Python in the generate path."""
     if 0 < s <= 1:
-        # the inverse-CDF exponent -1/(s-1) flips sign here: u^(positive)
-        # stays in (0,1) and ceil() sends EVERY row to key 1 — a silently
-        # degenerate dataset, not a mild skew. True Zipf needs s > 1.
+        # s = 1 is the inverse-CDF singularity (1/(1-s) blows up) and
+        # 0 < s < 1 is a sub-Zipf skew the sweeps don't model; keep the
+        # domain honest instead of silently producing near-uniform data.
         raise ValueError(f"zipf_df needs s > 1 (or 0 for uniform); got {s}")
     df = spark.range(n_rows).repartition(n_parts)
     if s <= 0:
         key = (F.floor(F.rand(seed) * n_keys) + 1).cast("long")
     else:
-        key = F.least(
-            F.ceil(F.pow(F.rand(seed) + F.lit(1e-12), F.lit(-1.0 / (s - 1.0)))),
-            F.lit(n_keys),
-        ).cast("long")
+        # bounded-Pareto inverse CDF on [1, L+1): H = (L+1)^(1-s),
+        # X = (1 - u·(1 - H))^(1/(1-s)); u<1 keeps X < L+1, the least()
+        # only guards the floating-point boundary
+        H = float((n_keys + 1) ** (1.0 - s))
+        x = F.pow(
+            F.lit(1.0) - F.rand(seed) * F.lit(1.0 - H),
+            F.lit(1.0 / (1.0 - s)),
+        )
+        key = F.least(F.floor(x), F.lit(n_keys)).cast("long")
     return df.select(
         key.alias("key"),
         F.col("id").alias("val"),

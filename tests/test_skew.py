@@ -93,3 +93,24 @@ def test_zipf_generator_rejects_degenerate_exponent(spark):
 
     with _pytest.raises(ValueError, match="s > 1"):
         zipf_df(spark, 100, 10, 0.9)
+
+
+def test_zipf_hot_key_share_monotone_in_s(spark):
+    """VERDICT r10: the old unbounded inverse CDF folded its tail onto
+    key n_keys, making the CLAMP key the hottest at s=1.05 (56% of rows)
+    and hot-key share non-monotone in s. The bounded-Pareto form samples
+    1..n_keys exactly: key 1 is the unique mode and the hot share rises
+    with s, so the published skew curves are self-describing again."""
+    import sys as _sys
+
+    _sys.path.insert(0, "/root/repo/scripts")
+    from stress_skew import zipf_df
+
+    shares = []
+    for s in (1.05, 1.2, 1.5):
+        df = zipf_df(spark, 200_000, 100_000, s)
+        top = (df.groupBy("key").count()
+               .orderBy(F.col("count").desc()).limit(1).collect()[0])
+        assert top["key"] == 1, f"s={s}: mode is {top['key']}, not key 1"
+        shares.append(top["count"] / 200_000)
+    assert shares == sorted(shares), f"hot share non-monotone: {shares}"
