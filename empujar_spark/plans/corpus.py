@@ -6723,6 +6723,86 @@ def bloom_ingest_dedup_indexed(spark, sf_dir):
 
 
 @q(
+    "bloom_fold_lifecycle",
+    """
+    SELECT phase, CAST(value AS BIGINT) AS value FROM (VALUES
+      ('batch_missed_by_bitmap', 0),
+      ('fold_ran', 1),
+      ('fold_skipped_when_fresh', 0),
+      ('fresh_after_fold', 1),
+      ('registered_fresh', 1),
+      ('stale_after_batch', 1)) AS t(phase, value)
+    ORDER BY phase
+    """,
+)
+def bloom_fold_lifecycle(spark, sf_dir):
+    """The fold-maintained index lifecycle as one declarative primitive
+    (IndexRegistry.ensure_fresh_fold, empujar_spark/indexes.py): the
+    bloom admission bitmap is registered over the ingested history via
+    ensure_fresh, a new batch lands (source version advances -> stale),
+    and ensure_fresh_fold runs bloom_fold_into_registry iff stale —
+    folding ONLY the batch's keys into the stored bitmap (bloom_union is
+    exact; history never rescanned) and re-stamping provenance pinned at
+    the PRE-fold source state, so a commit racing the fold can never be
+    stamped as covered. Every audited fact is deterministic: the
+    lifecycle flags by construction, and batch_missed_by_bitmap = 0
+    because bloom filters have no false negatives (fixed xxhash64
+    seeds). A second ensure_fresh_fold on the now-fresh index is a
+    no-op — the MAX-watermark idea (lib/book.js getMax) applied to
+    incremental index maintenance. Hash-exact against a VALUES oracle,
+    same audit style as index_staleness_audit; the crash/race corners
+    are pytest-pinned in tests/test_indexes.py."""
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.indexes import IndexRegistry
+
+    wh = Warehouse(spark, _tmp_warehouse_dir("bloom-fold-"),
+                   primary_key="doc_id")
+    reg = IndexRegistry(wh)
+    fp = X.fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+    wh.insert_data("fingerprints", fp.filter(F.col("doc_id") % 7 != 0),
+                   merge_key="doc_id")
+    m, k = SK.bloom_params(2 * wh.table_size("fingerprints"), fpp=0.01)
+    reg.ensure_fresh(
+        "bloom_fp", "bloom",
+        lambda: {"bitmap": SK.bloom_to_df(
+            spark,
+            SK.build_bloom_with_params(
+                wh.read("fingerprints"), "fingerprint", m, k
+            ), m, k,
+        )},
+        source_table="fingerprints",
+    )
+    registered_fresh = int(not reg.is_stale("bloom_fp"))
+    batch = fp.filter(F.col("doc_id") % 7 == 0)
+    wh.insert_data("fingerprints", batch, merge_key="doc_id")
+    stale_after_batch = int(reg.is_stale("bloom_fp"))
+
+    def fold(pinned):
+        SK.bloom_fold_into_registry(reg, "bloom_fp", batch, "fingerprint",
+                                    pinned=pinned)
+
+    fold_ran = int(reg.ensure_fresh_fold("bloom_fp", fold))
+    fresh_after_fold = int(not reg.is_stale("bloom_fp"))
+    fold_skipped = int(reg.ensure_fresh_fold("bloom_fp", fold))
+    bloom_art = SK.bloom_from_df(reg.read("bloom_fp")["bitmap"])
+    missed = (
+        SK.with_bloom_flag(batch, "fingerprint", *bloom_art)
+        .filter(~F.col("__maybe_seen")).count()
+    )
+    rows = sorted([
+        ("batch_missed_by_bitmap", missed),
+        ("fold_ran", fold_ran),
+        ("fold_skipped_when_fresh", fold_skipped),
+        ("fresh_after_fold", fresh_after_fold),
+        ("registered_fresh", registered_fresh),
+        ("stale_after_batch", stale_after_batch),
+    ])
+    return spark.createDataFrame(rows, "phase string, value long")
+
+
+@q(
     "scd2_pit_join",
     """
     WITH upd AS (
