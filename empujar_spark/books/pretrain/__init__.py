@@ -7,10 +7,13 @@ Chapters (discovered by ``Book.load_chapters``, the same
 glob-and-call-every-export contract as books/etl):
 
 1. chapters/ingest/documents.py   (priority 100): incremental
-   content-dedup ingest — new documents anti-joined against the
-   warehouse's historical fingerprint set (the reference's watermark
-   incremental-extract identity, extract.js:15-28, applied to content),
-   plus the embeddings table upsert.
+   content-dedup ingest behind a registry-maintained bloom admission
+   bitmap — the batch checks broadcast bits and only the maybe-seen
+   sliver pays the exact confirm anti-join against the warehouse's
+   historical fingerprint set (the reference's watermark
+   incremental-extract identity, extract.js:15-28, applied to content);
+   after the insert the batch's keys fold into the stored bitmap via
+   ``IndexRegistry.ensure_fresh_fold``. Plus the embeddings upsert.
 2. chapters/curate/score_filter.py (priority 200): single-scan quality +
    language-ID + repetition signals → filter chain → documents_curated
    (one scan, zero joins — the curated_corpus plan shape).

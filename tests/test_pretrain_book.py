@@ -129,3 +129,27 @@ def test_quality_gate_fails_fast_on_violation(spark, tmp_path):
     book.chapter_filter = [500]
     with pytest.raises(Exception, match="seqs.doc_id->clean"):
         book.run()
+
+
+def test_ingest_maintains_bloom_admission_index(pre_wh, spark):
+    """Round 11: the ingest chapter registers a bloom admission bitmap
+    over the documents table and maintains it through ensure_fresh_fold
+    on every subsequent run — fold iff the source moved, never a
+    history rescan. Invariants: the index exists and is fresh after the
+    book (and after the rerun test's second pass), it is still
+    generation 1 (reruns FOLDED, never re-registered), and every
+    ingested fingerprint is admitted by the bitmap (no false
+    negatives — the property the prefilter's exactness rests on)."""
+    from empujar_spark.indexes import IndexRegistry
+    from empujar_spark.operators import sketch as K
+
+    reg = IndexRegistry(pre_wh)
+    assert "ingest_admission" in reg.list_indexes()
+    assert not reg.is_stale("ingest_admission")
+    assert reg.describe("ingest_admission")["generation"] == 1
+    art = K.bloom_from_df(reg.read("ingest_admission")["bitmap"])
+    missed = (
+        K.with_bloom_flag(pre_wh.read("documents"), "fingerprint", *art)
+        .filter(~F.col("__maybe_seen")).count()
+    )
+    assert missed == 0
