@@ -215,6 +215,14 @@ class IndexRegistry:
         re-raising (nothing flipped, nothing leaked)."""
         if kind not in KINDS:
             raise ValueError(f"unknown index kind {kind!r}; one of {KINDS}")
+        if re.search(r"__g\d+(__|$)", name):
+            # '__g{N}__' is the generation delimiter in component table
+            # names; a name embedding it would make another index's
+            # enumeration-based pruning (see _generation_tables) match
+            # THIS index's tables
+            raise ValueError(
+                f"index name {name!r} may not contain a '__g<number>' segment"
+            )
         if (source_table is None) == (source_path is None):
             raise ValueError("exactly one of source_table/source_path required")
         built = self._current_built_from(

@@ -641,3 +641,18 @@ class TestEnsureFreshFold:
 
         assert reg.ensure_fresh_fold("blf2", fold) is True
         assert reg.is_stale("blf2")  # mid-fold commit NOT stamped as covered
+
+
+def test_register_rejects_generation_delimiter_in_name(spark, reg):
+    """'__g{N}__' delimits generations inside component table names, so
+    an index named around it would make ANOTHER index's enumeration
+    pruning match this one's tables — rejected up front."""
+    df = spark.createDataFrame([(1,)], "doc_id long")
+    for bad in ("x__g3", "x__g3__y"):
+        with pytest.raises(ValueError, match="__g<number>"):
+            reg.register(bad, "custom", {"t": df},
+                         source_path=f"{SF}/documents.parquet")
+    # plain underscores stay legal (existing corpus names use them)
+    reg.register("x_g3_ok", "custom", {"t": df},
+                 source_path=f"{SF}/documents.parquet")
+    assert "x_g3_ok" in reg.list_indexes()
