@@ -617,7 +617,9 @@ def near_dup_clusters(
 last_cc_rounds: int = 0
 
 
-def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, ids: DataFrame, small_graph_edges: int = 100_000
+) -> DataFrame:
     """Connected components over (id_a, id_b) pairs via min-label
     propagation WITH POINTER JUMPING, labeling every id in ``ids``
     (single column ``doc_id``; isolated ids become singleton clusters
@@ -640,7 +642,21 @@ def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
     Output: (doc_id, cluster_id, is_kept) — cluster_id = component min,
     is_kept = 1 for the representative. The frontier is
     localCheckpointed so lineage stays O(1) per round (memory:
-    iterative-loop-lineage)."""
+    iterative-loop-lineage).
+
+    SMALL-GRAPH FAST PATH: when the dup subgraph has at most
+    ``small_graph_edges`` pairs (the count is free — the symmetrized
+    edge set is already materialized), components are solved by
+    driver-side union-find on the collected edges and the labels ship
+    back as one Arrow batch. At local bench scale the subgraph is a few
+    thousand edges and the distributed loop is pure per-round JOB
+    OVERHEAD (~0.5s × O(log d) rounds for micro-graphs); at 100 TB the
+    dup sliver of a corpus routinely still fits this bound, and when it
+    doesn't the iterative loop is the scale path — the same
+    threshold-gated shape as a broadcast-join cutoff. The collect is
+    bounded by the threshold (default 100k pairs ≈ a few MB); pass
+    ``small_graph_edges=0`` to force the loop (the stress harness and
+    the round-count tests do, since their subject IS the loop)."""
     # Symmetrize via struct-explode, NOT a self-union: a union would
     # evaluate the whole pair pipeline twice.
     edges = (
@@ -659,6 +675,11 @@ def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
         .select("e.src", "e.dst")
         .localCheckpoint(eager=True)
     )
+    global last_cc_rounds
+    last_cc_rounds = 0
+    if edges.count() <= 2 * small_graph_edges:  # symmetrized: 2 rows/pair
+        clustered = _components_driver(edges)
+        return _label_all(ids, clustered)
     # Only vertices that HAVE an edge need iterating — at scale the dup
     # subgraph is a sliver of the corpus; isolated docs are appended as
     # their own singleton cluster at the end, never shuffled per round.
@@ -668,8 +689,6 @@ def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("cluster_id"))
         .localCheckpoint(eager=True)
     )
-    global last_cc_rounds
-    last_cc_rounds = 0
     while True:
         last_cc_rounds += 1
         neighbor_min = (
@@ -714,7 +733,48 @@ def connected_components(pairs: DataFrame, ids: DataFrame) -> DataFrame:
         labels = updated.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    clustered = labels
+    return _label_all(ids, labels)
+
+
+def _components_driver(edges: DataFrame) -> DataFrame:
+    """Union-find over a COLLECTED edge set (bounded by the caller's
+    ``small_graph_edges`` threshold) — union-by-min keeps every set's
+    root at its component minimum, so labels are identical to the
+    distributed min-label loop's. Returns (doc_id, cluster_id) for
+    every vertex that has an edge; O(E α(V)) driver time, one Arrow
+    batch back out."""
+    rows = edges.collect()
+    src_t = edges.schema["src"].dataType.simpleString()
+    if not rows:
+        return edges.sparkSession.createDataFrame(
+            [], f"doc_id {src_t}, cluster_id {src_t}"
+        )
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        a, b = find(r[0]), find(r[1])
+        if a != b:
+            parent[max(a, b)] = min(a, b)  # root stays the component min
+    verts = {r[0] for r in rows}
+    import pandas as pd
+
+    vs = sorted(verts)
+    return edges.sparkSession.createDataFrame(
+        pd.DataFrame({"doc_id": vs, "cluster_id": [find(v) for v in vs]})
+    )
+
+
+def _label_all(ids: DataFrame, clustered: DataFrame) -> DataFrame:
+    """Attach labels to EVERY id: isolated ids (no edge) become their own
+    singleton cluster; is_kept = 1 for each cluster's representative."""
     return (
         ids.select("doc_id")
         .distinct()

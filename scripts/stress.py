@@ -267,6 +267,10 @@ def main() -> None:
                         F.col("item_b").alias("id_b"),
                     ),
                     li.select(F.col("l_partkey").alias("doc_id")).distinct(),
+                    # the LOOP's scaling is this op's subject — disable
+                    # the small-graph driver fast path so every factor
+                    # measures the per-round edge shuffle
+                    small_graph_edges=0,
                 )
             ),
             # Certified heavy hitters over ×f events (key space fixed,

@@ -289,7 +289,8 @@ def test_connected_components_pointer_jump_round_count(spark):
     )
     ids = spark.range(n).select(F.col("id").alias("doc_id"))
     out = {r.doc_id: (r.cluster_id, r.is_kept)
-           for r in D.connected_components(pairs, ids).collect()}
+           for r in D.connected_components(
+               pairs, ids, small_graph_edges=0).collect()}
     assert len(out) == n
     assert all(c == 0 for c, _ in out.values())
     assert out[0] == (0, 1) and sum(k for _, k in out.values()) == 1
@@ -326,6 +327,14 @@ def test_connected_components_random_graph_matches_union_find(spark):
 
     pairs = spark.createDataFrame(edges, "id_a long, id_b long")
     ids = spark.range(n).select(F.col("id").alias("doc_id"))
+    # force the DISTRIBUTED loop — its exactness is this test's subject
     got = {r.doc_id: r.cluster_id
-           for r in D.connected_components(pairs, ids).collect()}
+           for r in D.connected_components(
+               pairs, ids, small_graph_edges=0).collect()}
     assert got == want
+    # the small-graph driver fast path (the default at this edge count)
+    # must label identically — same union-by-min semantics
+    fast = {r.doc_id: r.cluster_id
+            for r in D.connected_components(pairs, ids).collect()}
+    assert fast == want
+    assert D.last_cc_rounds == 0  # the loop never ran
