@@ -333,6 +333,25 @@ class IndexRegistry:
             )
         return self._component_table(name, component, entry.get("generation", 1))
 
+    def fold_component(
+        self, name: str, component: str, batch, merge_key=None
+    ) -> int:
+        """Append/merge ``batch`` into the CURRENT generation's
+        ``component`` table — the WRITE half of incremental index
+        maintenance (a band-history merge, a posting append), shared by
+        every fold-maintained kind the way ``bloom_fold_into_registry``
+        wraps the bitmap-specific OR. Pair it with
+        :meth:`ensure_fresh_fold`, which owns the staleness check and
+        the pinned provenance re-stamp::
+
+            reg.ensure_fresh_fold(
+                "bands", lambda pinned: reg.fold_component(
+                    "bands", "bands", new_band_rows, merge_key="doc_id"))
+
+        Returns the rows written (``Warehouse.insert_data``'s count)."""
+        tbl = self.component_table(name, component)
+        return self.wh.insert_data(tbl, batch, merge_key=merge_key)
+
     def refresh_provenance(self, name: str, pinned: dict | None = None) -> dict:
         """Re-stamp ``built_from`` — for incrementally MAINTAINED indexes
         (bloom_union folds, band-history merges) where a batch is folded

@@ -656,3 +656,36 @@ def test_register_rejects_generation_delimiter_in_name(spark, reg):
     reg.register("x_g3_ok", "custom", {"t": df},
                  source_path=f"{SF}/documents.parquet")
     assert "x_g3_ok" in reg.list_indexes()
+
+
+def test_fold_component_with_ensure_fresh_fold_band_history(spark, reg):
+    """fold_component is the generic write half of incremental
+    maintenance — the band-history analogue of the bloom fold: merge the
+    batch's rows into the current generation's component table, with
+    ensure_fresh_fold owning the staleness gate and the pinned
+    re-stamp."""
+    wh = reg.wh
+    wh.insert_data("documents", _docs(spark, 30))
+    reg.register(
+        "bandsf", "minhash_bands",
+        {"bands": wh.read("documents").select("doc_id")},
+        source_table="documents",
+    )
+    # fresh -> the fold never runs
+    assert reg.ensure_fresh_fold(
+        "bandsf", lambda pinned: reg.fold_component(
+            "bandsf", "bands",
+            wh.read("documents").select("doc_id"), merge_key="doc_id")
+    ) is False
+    # source advances -> fold merges just the delta, flag clears
+    wh.insert_data("documents", _docs(spark, 50))
+    ran = reg.ensure_fresh_fold(
+        "bandsf", lambda pinned: reg.fold_component(
+            "bandsf", "bands",
+            wh.read("documents").select("doc_id").filter(
+                F.col("doc_id") >= 30),
+            merge_key="doc_id")
+    )
+    assert ran is True and not reg.is_stale("bandsf")
+    assert reg.read("bandsf")["bands"].count() == 50
+    assert reg.describe("bandsf")["generation"] == 1  # folded, not rebuilt
