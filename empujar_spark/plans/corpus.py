@@ -6357,6 +6357,72 @@ def streaming_neardup_ingest(spark, sf_dir):
     return SO.neardup_ingest_stream(stream, hist_stored, threshold=0.5)
 
 
+@q(
+    "streaming_bloom_admission",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint
+                FROM documents),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0)
+    SELECT DISTINCT fingerprint FROM fp
+    WHERE doc_id % 5 = 0
+      AND fingerprint NOT IN (SELECT fingerprint FROM hist)
+    """,
+)
+def streaming_bloom_admission(spark, sf_dir):
+    """STREAMING bloom-gated ingest dedup WITH per-batch index
+    maintenance (streaming/stream_ops bloom_admission_stream): each
+    micro-batch of incoming documents checks the registry's stored
+    admission bitmap (broadcast bits), sends only the maybe-seen sliver
+    to the exact confirm anti-join, inserts its admissions into the
+    history table, and FOLDS exactly those keys into the bitmap via
+    ensure_fresh_fold — batch N+1's gate already covers batch N's
+    admissions, and history is never rescanned to maintain the filter.
+    The admitted-key set is micro-batch-boundary-invariant (first batch
+    carrying a key admits it; the fold + insert reject every later
+    copy; bloom false positives only route rows to the exact confirm),
+    so the batch anti-join SQL is the EXACT oracle — the streaming form
+    of bloom_ingest_dedup and the pretrain ingest chapter's steady
+    state, completing the registry-fold story across batch, book, and
+    stream."""
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.indexes import IndexRegistry
+    from empujar_spark.streaming import stream_ops as SO
+
+    wh = Warehouse(spark, _tmp_warehouse_dir("bloom-adm-"),
+                   primary_key="doc_id")
+    reg = IndexRegistry(wh)
+    fp = X.fingerprint(load(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+    wh.insert_data("admission_history",
+                   fp.filter(F.col("doc_id") % 5 != 0), merge_key="doc_id")
+    m, k = SK.bloom_params(
+        2 * wh.table_size("admission_history"), fpp=0.01
+    )
+    reg.register(
+        "stream_admission", "bloom",
+        {"bitmap": SK.bloom_to_df(
+            spark,
+            SK.build_bloom_with_params(
+                wh.read("admission_history"), "fingerprint", m, k
+            ), m, k,
+        )},
+        source_table="admission_history",
+        params={"m": m, "k": k, "fpp": 0.01},
+    )
+    stream = (
+        SO.read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            X.fingerprint_col(F.col("text")).alias("fingerprint"),
+        )
+    )
+    return SO.bloom_admission_stream(
+        stream, reg, "stream_admission", "admission_history"
+    )
+
+
 def _neardup_stored_history(spark, sf_dir):
     """history_shingle_table of the stored 80%, registry-served ONCE per
     session (the ingest-time build every production admission gate

@@ -612,3 +612,88 @@ def purchase_followers_left_join(
     ).select(
         "event_id", "user_id", "ts", "event_type", "purchase_id", "purchase_value"
     )
+
+
+def bloom_admission_stream(
+    docs: DataFrame,
+    reg,
+    index_name: str,
+    history_table: str,
+    key_col: str = "fingerprint",
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """STREAMING ingest dedup behind the registry-maintained bloom
+    admission bitmap — the streaming form of the pretrain ingest
+    chapter and ``bloom_ingest_dedup``, with the index FOLD inside the
+    loop: every micro-batch (1) checks its keys against the CURRENT
+    stored bitmap (broadcast bits, no history scan), (2) sends only the
+    maybe-seen sliver to the exact confirm anti-join against the
+    history table, (3) inserts the admitted keys into history, and
+    (4) folds exactly those keys into the bitmap via
+    ``ensure_fresh_fold`` — so batch N+1's gate already covers batch
+    N's admissions. History is never rescanned to maintain the filter.
+
+    BOUNDARY INVARIANCE: the output is the set of ADMITTED KEYS (one
+    row per first-seen key). A key duplicated across micro-batches is
+    admitted by the first batch that carries it and rejected by every
+    later one (the fold put it in the bitmap, the insert put it in the
+    table — and bloom false positives only ever route rows to the exact
+    confirm join), so the accumulated set equals the batch twin —
+    stream keys minus initial history — however the source files split.
+    That batch anti-join SQL is the EXACT oracle. Per-batch driver
+    traffic is the admitted-key sliver (audit-bounded, same contract as
+    neardup_ingest_stream's flagged pairs)."""
+    import threading
+
+    from empujar_spark.operators import sketch as K
+
+    wh = reg.wh
+    spark = docs.sparkSession
+    admitted_keys: list = []
+    batch_ids: list = []
+
+    def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        art = K.bloom_from_df(reg.read(index_name)["bitmap"])
+        flagged = K.with_bloom_flag(batch_df, key_col, *art).localCheckpoint(
+            eager=True
+        )
+        sure_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
+        maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+        confirmed = maybe.join(
+            wh.read(history_table).select(key_col).distinct(),
+            key_col, "left_anti",
+        )
+        admitted = (
+            sure_fresh.unionByName(confirmed)
+            .groupBy(key_col)
+            .agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id", key_col)
+            .localCheckpoint(eager=True)  # consumed 3x: insert, fold, audit
+        )
+        rows = admitted.select(key_col).collect()
+        if not rows:
+            return
+        wh.insert_data(history_table, admitted, merge_key=key_col)
+        reg.ensure_fresh_fold(
+            index_name,
+            lambda pinned: K.bloom_fold_into_registry(
+                reg, index_name, admitted, key_col, pinned=pinned
+            ),
+        )
+        admitted_keys.extend(r[key_col] for r in rows)
+
+    q = docs.writeStream.foreachBatch(admit_batch).start()
+    watchdog = threading.Timer(timeout_s, q.stop)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        watchdog.cancel()
+        q.stop()
+    out = spark.createDataFrame(
+        [(k,) for k in admitted_keys], f"{key_col} string"
+    )
+    out._bloom_batches = batch_ids  # test hook: real multi-batch
+    return out

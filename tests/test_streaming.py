@@ -354,3 +354,75 @@ def test_left_outer_join_emits_unmatched_after_flush(spark):
     # the outer semantics are actually exercised: some followers unmatched
     assert any(r[4] is None for r in got)
     assert any(r[4] is not None for r in got)
+
+
+def test_bloom_admission_stream_cross_batch_rejection(spark, tmp_path):
+    """Round 11: the streaming bloom admission gate folds each batch's
+    admitted keys into the registry bitmap, so a key duplicated ACROSS
+    micro-batches is admitted exactly once — the first carrying batch
+    wins; later copies hit the (now folded) bitmap and are rejected by
+    the confirm join against the (now inserted) history. The index is
+    maintained by fold only: still generation 1, fresh, and covering
+    every admitted key afterwards."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.indexes import IndexRegistry
+    from empujar_spark.operators import sketch as K
+    from empujar_spark.streaming import stream_ops as SO
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), primary_key="doc_id")
+    reg = IndexRegistry(wh)
+    # initial history: keys h0..h9
+    hist = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), F.col("id")).alias("fingerprint"),
+    )
+    wh.insert_data("admission_history", hist, merge_key="doc_id")
+    m, k = K.bloom_params(1000, fpp=0.01)
+    reg.register(
+        "adm", "bloom",
+        {"bitmap": K.bloom_to_df(
+            spark,
+            K.build_bloom_with_params(
+                wh.read("admission_history"), "fingerprint", m, k
+            ), m, k,
+        )},
+        source_table="admission_history",
+    )
+    # two landing files -> two micro-batches. Batch files carry:
+    #   f1: fresh keys n0,n1 + history dup h3
+    #   f2: n1 AGAIN (cross-batch dup) + fresh n2
+    d = tmp_path / "landing"
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(100, "n0"), (101, "n1"), (102, "h3")],
+        "doc_id long, fingerprint string",
+    ).coalesce(1).write.parquet(str(d / "f1"))
+    spark.createDataFrame(
+        [(200, "n1"), (201, "n2")],
+        "doc_id long, fingerprint string",
+    ).coalesce(1).write.parquet(str(d / "f2"))
+    stream = (
+        spark.readStream.schema("doc_id long, fingerprint string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    out = SO.bloom_admission_stream(
+        stream, reg, "adm", "admission_history"
+    )
+    assert len(out._bloom_batches) >= 2
+    got = sorted(r.fingerprint for r in out.collect())
+    assert got == ["n0", "n1", "n2"]  # n1 once, h3 rejected
+    # maintained by FOLD: gen 1, fresh, and the bitmap admits all keys
+    assert reg.describe("adm")["generation"] == 1
+    assert not reg.is_stale("adm")
+    art = K.bloom_from_df(reg.read("adm")["bitmap"])
+    missed = (
+        K.with_bloom_flag(
+            wh.read("admission_history"), "fingerprint", *art
+        ).filter(~F.col("__maybe_seen")).count()
+    )
+    assert missed == 0
