@@ -203,6 +203,13 @@ def main() -> None:
 
     # ---------------- heavy-hitters certificate, non-trivial bound ----
     hh = out.get("heavy_hitters", {}) if wanted("heavy_hitters") else {}
+    if wanted("heavy_hitters"):
+        # warm the Arrow python workers the summarize kernel runs on —
+        # without this the first sweep point carries worker spin-up
+        # (observed 8s vs 2.8s for later points) and the curve misreads
+        K.heavy_hitters_certified(
+            zipf_df(spark, 100_000, 10_000, 1.2), "key", k=5, capacity=512
+        )[0].collect()
     for s in [x for x in sweep if x > 0] if wanted("heavy_hitters") else []:
         df = zipf_df(spark, 5_000_000, 200_000, s)
         t0 = time.monotonic()
