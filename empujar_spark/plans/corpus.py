@@ -6369,21 +6369,26 @@ def streaming_neardup_ingest(spark, sf_dir):
     """,
 )
 def streaming_bloom_admission(spark, sf_dir):
-    """STREAMING bloom-gated ingest dedup WITH per-batch index
-    maintenance (streaming/stream_ops bloom_admission_stream): each
-    micro-batch of incoming documents checks the registry's stored
-    admission bitmap (broadcast bits), sends only the maybe-seen sliver
-    to the exact confirm anti-join, inserts its admissions into the
-    history table, and FOLDS exactly those keys into the bitmap via
-    ensure_fresh_fold — batch N+1's gate already covers batch N's
-    admissions, and history is never rescanned to maintain the filter.
-    The admitted-key set is micro-batch-boundary-invariant (first batch
-    carrying a key admits it; the fold + insert reject every later
-    copy; bloom false positives only route rows to the exact confirm),
-    so the batch anti-join SQL is the EXACT oracle — the streaming form
-    of bloom_ingest_dedup and the pretrain ingest chapter's steady
-    state, completing the registry-fold story across batch, book, and
-    stream."""
+    """STREAMING bloom-gated ingest dedup WITH index maintenance in the
+    loop (streaming/stream_ops bloom_admission_stream): each
+    micro-batch of incoming documents checks the current admission
+    bitmap (broadcast bits), sends only the maybe-seen sliver to the
+    exact confirm anti-join, APPENDS its admissions to the history
+    table (fresh by proof — no upsert rescan), and ORs the admitted
+    sliver's bits into the bitmap in memory — batch N+1's gate already
+    covers batch N's admissions; the folded artifact commits to the
+    registry ONCE after the drain, provenance pinned (per-micro-batch
+    artifact commits are durability theater; a crash window is exactly
+    what the staleness flag reports). The admitted-key set is
+    micro-batch-boundary-invariant (first batch carrying a key admits
+    it; the fold + append reject every later copy; bloom false
+    positives only route rows to the exact confirm), so the batch
+    anti-join SQL is the EXACT oracle — the streaming form of
+    bloom_ingest_dedup and the pretrain ingest chapter's steady state.
+    Bench note: local cost is per-batch ACTION overhead (flag, confirm,
+    append — ~6 jobs x 4 batches on tiny batches plus the setup build);
+    at real scale the same job count amortizes over millions of rows
+    per batch."""
     from empujar_spark.catalog import Warehouse
     from empujar_spark.indexes import IndexRegistry
     from empujar_spark.streaming import stream_ops as SO
@@ -6394,8 +6399,10 @@ def streaming_bloom_admission(spark, sf_dir):
     fp = X.fingerprint(load(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
     )
-    wh.insert_data("admission_history",
-                   fp.filter(F.col("doc_id") % 5 != 0), merge_key="doc_id")
+    # plain append: fingerprint rows are unique by doc_id, so the
+    # merge-key upsert machinery (read-back + anti-join + rewrite)
+    # would be pure setup overhead
+    wh.insert_data("admission_history", fp.filter(F.col("doc_id") % 5 != 0))
     m, k = SK.bloom_params(
         2 * wh.table_size("admission_history"), fpp=0.01
     )
@@ -6827,8 +6834,7 @@ def bloom_fold_lifecycle(spark, sf_dir):
     fp = X.fingerprint(load(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
     )
-    wh.insert_data("fingerprints", fp.filter(F.col("doc_id") % 7 != 0),
-                   merge_key="doc_id")
+    wh.insert_data("fingerprints", fp.filter(F.col("doc_id") % 7 != 0))
     m, k = SK.bloom_params(2 * wh.table_size("fingerprints"), fpp=0.01)
     reg.ensure_fresh(
         "bloom_fp", "bloom",
@@ -6842,7 +6848,7 @@ def bloom_fold_lifecycle(spark, sf_dir):
     )
     registered_fresh = int(not reg.is_stale("bloom_fp"))
     batch = fp.filter(F.col("doc_id") % 7 == 0)
-    wh.insert_data("fingerprints", batch, merge_key="doc_id")
+    wh.insert_data("fingerprints", batch)  # append: new doc_ids
     stale_after_batch = int(reg.is_stale("bloom_fp"))
 
     def fold(pinned):

@@ -625,39 +625,47 @@ def bloom_admission_stream(
     """STREAMING ingest dedup behind the registry-maintained bloom
     admission bitmap — the streaming form of the pretrain ingest
     chapter and ``bloom_ingest_dedup``, with the index FOLD inside the
-    loop: every micro-batch (1) checks its keys against the CURRENT
-    stored bitmap (broadcast bits, no history scan), (2) sends only the
+    loop: every micro-batch (1) checks its keys against the current
+    bitmap (broadcast bits, no history scan), (2) sends only the
     maybe-seen sliver to the exact confirm anti-join against the
-    history table, (3) inserts the admitted keys into history, and
-    (4) folds exactly those keys into the bitmap via
-    ``ensure_fresh_fold`` — so batch N+1's gate already covers batch
-    N's admissions. History is never rescanned to maintain the filter.
+    history table, (3) APPENDS the admitted keys to history (they are
+    fresh by construction — an upsert would re-read and rewrite the
+    whole table per batch, the exact rescan the bitmap exists to
+    avoid), and (4) ORs the admitted sliver's bits into the bitmap
+    IN MEMORY (``bloom_union`` is exact) — so batch N+1's gate already
+    covers batch N's admissions without a store round-trip per batch.
+    The folded artifact commits to the registry ONCE after the drain,
+    provenance pinned at the post-drain source state: per-micro-batch
+    artifact commits are durability theater — if the job dies between
+    commits the staleness flag reports the bitmap behind its source and
+    the ingest falls back/rebuilds, which is the recovery path anyway.
 
     BOUNDARY INVARIANCE: the output is the set of ADMITTED KEYS (one
     row per first-seen key). A key duplicated across micro-batches is
     admitted by the first batch that carries it and rejected by every
-    later one (the fold put it in the bitmap, the insert put it in the
-    table — and bloom false positives only ever route rows to the exact
-    confirm join), so the accumulated set equals the batch twin —
-    stream keys minus initial history — however the source files split.
-    That batch anti-join SQL is the EXACT oracle. Per-batch driver
-    traffic is the admitted-key sliver (audit-bounded, same contract as
-    neardup_ingest_stream's flagged pairs)."""
+    later one (the in-memory fold put it in the bitmap, the append put
+    it in the table — and bloom false positives only ever route rows to
+    the exact confirm join), so the accumulated set equals the batch
+    twin — stream keys minus initial history — however the source files
+    split. That batch anti-join SQL is the EXACT oracle. Per-batch
+    driver traffic is the admitted-key sliver plus one bitmap OR
+    (audit-bounded, same contract as neardup_ingest_stream)."""
     import threading
 
     from empujar_spark.operators import sketch as K
 
     wh = reg.wh
     spark = docs.sparkSession
+    bits, m, k = K.bloom_from_df(reg.read(index_name)["bitmap"])
+    state = {"bits": bits}
     admitted_keys: list = []
     batch_ids: list = []
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
-        art = K.bloom_from_df(reg.read(index_name)["bitmap"])
-        flagged = K.with_bloom_flag(batch_df, key_col, *art).localCheckpoint(
-            eager=True
-        )
+        flagged = K.with_bloom_flag(
+            batch_df, key_col, state["bits"], m, k
+        ).localCheckpoint(eager=True)
         sure_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
         maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
         confirmed = maybe.join(
@@ -674,12 +682,10 @@ def bloom_admission_stream(
         rows = admitted.select(key_col).collect()
         if not rows:
             return
-        wh.insert_data(history_table, admitted, merge_key=key_col)
-        reg.ensure_fresh_fold(
-            index_name,
-            lambda pinned: K.bloom_fold_into_registry(
-                reg, index_name, admitted, key_col, pinned=pinned
-            ),
+        wh.insert_data(history_table, admitted)  # append: fresh by proof
+        state["bits"] = K.bloom_union(
+            state["bits"],
+            K.build_bloom_with_params(admitted, key_col, m, k),
         )
         admitted_keys.extend(r[key_col] for r in rows)
 
@@ -692,6 +698,15 @@ def bloom_admission_stream(
     finally:
         watchdog.cancel()
         q.stop()
+    if admitted_keys:
+        # single durable commit of the folded artifact, pinned at the
+        # post-drain source state (every append above is covered)
+        pinned = reg.staleness(index_name)["current"]
+        wh.replace_table(
+            reg.component_table(index_name, "bitmap"),
+            K.bloom_to_df(spark, state["bits"], m, k),
+        )
+        reg.refresh_provenance(index_name, pinned=pinned)
     out = spark.createDataFrame(
         [(k,) for k in admitted_keys], f"{key_col} string"
     )
