@@ -156,6 +156,34 @@ def main() -> None:
                 docs0.filter(F.col("doc_id") % 7 == 0)
             )
 
+        hist_shingles = None
+        probe_batch = None
+        if not only or "neardup_probe" in only:
+            # Untimed build of the ×f stored shingle history (the
+            # amortized ingest cost, same rule as ivf_serve/bloom_probe);
+            # timed claim = per-micro-batch admission probe for a FIXED
+            # batch against a history that grew ×f — the
+            # streaming_neardup_ingest serving path. The batch side is
+            # tiny so it broadcasts (AQE), meaning the history is
+            # SCANNED once per batch but never shuffled or sorted: the
+            # curve should grow with the history scan (sub-linear while
+            # the box has idle cores), never with a history shuffle.
+            import tempfile
+
+            from empujar_spark.catalog import Warehouse
+            from empujar_spark.operators.dedup import history_shingle_table
+
+            wh_sh = Warehouse(
+                spark, tempfile.mkdtemp(prefix="stress-shingles-"),
+                primary_key="doc_id",
+            )
+            wh_sh.replace_table(
+                "hist_shingles",
+                history_shingle_table(docs.filter(F.col("doc_id") % 5 != 0)),
+            )
+            hist_shingles = wh_sh.read("hist_shingles")
+            probe_batch = docs0.filter(F.col("doc_id") % 47 == 0)
+
         sem_centroids = None
         if not only or {"semdedup_exact", "semdedup_ann"} & only:
             # Untimed shared train (the amortized build, same rule as
@@ -251,6 +279,16 @@ def main() -> None:
             # ×f history every ingest)
             "bloom_probe": lambda: noop(
                 K.with_bloom_flag(fp_batch, "fingerprint", *bloom_art)
+            ),
+            # Streaming near-dup admission serving: one micro-batch's
+            # containment probe against the prebuilt ×f shingle history
+            # (see build above) — the per-batch cost claim of
+            # streaming_neardup_ingest measured as a curve
+            "neardup_probe": lambda: noop(
+                D.containment_incremental_pairs(
+                    probe_batch, history_shingles=hist_shingles,
+                    threshold=0.5,
+                )
             ),
             # Iterative min-label connected components over the ×f
             # co-purchase pair graph (the loop semantic_dedup /
