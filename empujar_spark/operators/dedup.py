@@ -964,42 +964,34 @@ def embedding_dup_pairs(
         F.col("nrm").alias("na"),
         F.explode(probe_cids).alias("cid"),
     )
-    cos = F.round(
-        _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 6
-    )
+    # Per-list BLAS re-score (cogroup on cid) — replaces the former
+    # equi-join with the cosine fold in its condition: each vector ships
+    # once per list instead of once per candidate, and a list×probe
+    # block scores as one float64 matmul (see cogrouped_cosine_pairs).
+    from empujar_spark.operators.similarity import cogrouped_cosine_pairs
+
     if exact_recall:
-        # Complete candidates: keep the single canonical direction. The
-        # whole predicate rides INSIDE the join, conjuncts ordered
-        # cheap-first: the id_a < id_b test short-circuits half the pair
-        # space before any cosine fold runs (a post-join .filter gets
-        # pushed into the join with the expensive conjunct FIRST — ~2.5×
-        # slower, measured). The compact assignment side leads the join so
-        # the optimizer's build/stream choice starts from it (2.3× faster
-        # than probes-first here, measured).
-        cand = assigned.join(
-            probes,
-            (assigned.cid == probes.cid)
-            & (probes.id_a < assigned.id_b)
-            & (cos >= threshold),
+        # Complete candidates: the id_a < id_b mask inside the kernel
+        # keeps the single canonical direction of each pair.
+        return cogrouped_cosine_pairs(
+            assigned, probes, threshold, require="lt"
         )
-        return cand.select("id_a", "id_b", cos.alias("cosine"))
-    # Approximate: a pair can surface in either probe direction (or both) —
-    # canonicalize and dedup BEFORE the (cheap) re-score filter.
-    cand = (
-        assigned.join(
-            probes,
-            (assigned.cid == probes.cid) & (probes.id_a != assigned.id_b),
-        )
-        .select(
+    # Approximate: a pair can surface in either probe direction (or both,
+    # via different lists) — canonicalize and dedup after the re-score;
+    # both directions carry the identical rounded cosine, so the
+    # surviving set is direction-independent.
+    scored = cogrouped_cosine_pairs(assigned, probes, threshold, require="neq")
+    return (
+        scored.select(
             F.least("id_a", "id_b").alias("pid_a"),
             F.greatest("id_a", "id_b").alias("pid_b"),
-            cos.alias("cosine"),
+            "cosine",
         )
         .dropDuplicates(["pid_a", "pid_b"])
+        .select(
+            F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"), "cosine"
+        )
     )
-    return cand.select(
-        F.col("pid_a").alias("id_a"), F.col("pid_b").alias("id_b"), "cosine"
-    ).filter(F.col("cosine") >= threshold)
 
 
 def segment_dedup(
@@ -1178,7 +1170,7 @@ def embedding_incremental_pairs(
     import numpy as np
 
     from empujar_spark.operators.similarity import (
-        _dot, _nearest_centroids_udf, _norm,
+        _nearest_centroids_udf, _norm,
     )
 
     crows = index["centroids"].orderBy("cid").collect()
@@ -1201,15 +1193,28 @@ def embedding_incremental_pairs(
         .select("new_id", "nv", "nn", F.explode(probe_cids).alias("cid"))
     )
     hist = index["assignments"]  # (neighbor_id, c_vec, c_norm, cid)
-    cos = F.round(
-        _dot(F.col("nv"), F.col("c_vec")) / (F.col("nn") * F.col("c_norm")),
-        6,
+    # Per-list BLAS re-score, same kernel as embedding_dup_pairs: each
+    # history/batch vector ships once per probed list and the list×batch
+    # block scores as one float64 matmul (see cogrouped_cosine_pairs).
+    from empujar_spark.operators.similarity import cogrouped_cosine_pairs
+
+    scored = cogrouped_cosine_pairs(
+        hist.select(
+            "cid",
+            F.col("neighbor_id").alias("id_b"),
+            F.col("c_vec").alias("vb"),
+            F.col("c_norm").alias("nb"),
+        ),
+        probes.select(
+            "cid",
+            F.col("new_id").alias("id_a"),
+            F.col("nv").alias("va"),
+            F.col("nn").alias("na"),
+        ),
+        threshold,
     )
-    # assignment side leads the join (same measured build/stream choice
-    # as embedding_dup_pairs); the threshold rides inside the join
-    cand = hist.join(
-        probes, (hist.cid == probes.cid) & (cos >= threshold)
-    )
-    return cand.select(
-        "new_id", F.col("neighbor_id").alias("hist_id"), cos.alias("cosine")
+    return scored.select(
+        F.col("id_a").alias("new_id"),
+        F.col("id_b").alias("hist_id"),
+        "cosine",
     )

