@@ -391,6 +391,25 @@ def bloom_fold_into_registry(
     return folded, m, k
 
 
+def fold_hashes_into_bloom(bloom: bytes, h1, h2, m: int, k: int) -> bytes:
+    """Driver-side fold of ALREADY-COLLECTED key hashes into a bitmap —
+    the zero-job twin of ``build_bloom_with_params`` + ``bloom_union``
+    for slivers the caller holds anyway (a streaming admission gate
+    collects each batch's admitted keys as its output; launching a Spark
+    job to re-hash a few hundred driver-resident rows costs more than
+    the fold itself). ``h1``/``h2`` are the JVM ``xxhash64`` pair from
+    ``_hash_cols`` — collect them alongside the keys; the probe
+    positions come from the same ``_positions`` kernel the executor fill
+    uses, so the result is bit-identical to a distributed build over the
+    same keys."""
+    bits = np.frombuffer(bloom, dtype=np.uint8).copy()
+    h1 = np.asarray(h1, dtype=np.int64)
+    if len(h1):
+        pos = _positions(h1, np.asarray(h2, dtype=np.int64), k, m).ravel()
+        np.bitwise_or.at(bits, pos >> 3, (1 << (pos & 7)).astype(np.uint8))
+    return bits.tobytes()
+
+
 def bloom_union(a: bytes, b: bytes) -> bytes:
     """OR two bitmaps built with the SAME (m, k): the result is exactly
     the bloom of the union of their build sets — bit-identical to a

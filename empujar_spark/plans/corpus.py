@@ -6373,20 +6373,21 @@ def streaming_bloom_admission(spark, sf_dir):
     loop (streaming/stream_ops bloom_admission_stream): each
     micro-batch of incoming documents checks the current admission
     bitmap (broadcast bits), sends only the maybe-seen sliver to the
-    exact confirm anti-join, APPENDS its admissions to the history
-    table (fresh by proof — no upsert rescan), and ORs the admitted
-    sliver's bits into the bitmap in memory — batch N+1's gate already
-    covers batch N's admissions; the folded artifact commits to the
-    registry ONCE after the drain, provenance pinned (per-micro-batch
-    artifact commits are durability theater; a crash window is exactly
-    what the staleness flag reports). The admitted-key set is
-    micro-batch-boundary-invariant (first batch carrying a key admits
-    it; the fold + append reject every later copy; bloom false
-    positives only route rows to the exact confirm), so the batch
-    anti-join SQL is the EXACT oracle — the streaming form of
-    bloom_ingest_dedup and the pretrain ingest chapter's steady state.
-    Bench note: local cost is per-batch ACTION overhead (flag, confirm,
-    append — ~6 jobs x 4 batches on tiny batches plus the setup build);
+    exact confirm anti-join (history ∪ the drain's admitted-so-far
+    set), and folds the admitted sliver's bits into the bitmap
+    DRIVER-SIDE over the hashes that rode the collect — batch N+1's
+    gate already covers batch N's admissions with ONE Spark collect per
+    batch, no write or build job in the loop; history appends once and
+    the folded artifact commits to the registry once after the drain,
+    provenance pinned (per-micro-batch durable commits are durability
+    theater; a crash window is exactly what the staleness flag
+    reports). The admitted-key set is micro-batch-boundary-invariant
+    (first batch carrying a key admits it; the fold rejects every later
+    copy; bloom false positives only route rows to the exact confirm),
+    so the batch anti-join SQL is the EXACT oracle — the streaming form
+    of bloom_ingest_dedup and the pretrain ingest chapter's steady
+    state. Bench note: local cost is per-batch ACTION overhead (probe +
+    collect x 4 batches on tiny batches, plus the timed setup build);
     at real scale the same job count amortizes over millions of rows
     per batch."""
     from empujar_spark.catalog import Warehouse
@@ -6401,11 +6402,12 @@ def streaming_bloom_admission(spark, sf_dir):
     )
     # plain append: fingerprint rows are unique by doc_id, so the
     # merge-key upsert machinery (read-back + anti-join + rewrite)
-    # would be pure setup overhead
-    wh.insert_data("admission_history", fp.filter(F.col("doc_id") % 5 != 0))
-    m, k = SK.bloom_params(
-        2 * wh.table_size("admission_history"), fpp=0.01
+    # would be pure setup overhead; size the bloom from the insert's
+    # own row count instead of paying a second COUNT scan
+    n_hist = wh.insert_data(
+        "admission_history", fp.filter(F.col("doc_id") % 5 != 0)
     )
+    m, k = SK.bloom_params(2 * n_hist, fpp=0.01)
     reg.register(
         "stream_admission", "bloom",
         {"bitmap": SK.bloom_to_df(

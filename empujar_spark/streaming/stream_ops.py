@@ -628,28 +628,35 @@ def bloom_admission_stream(
     loop: every micro-batch (1) checks its keys against the current
     bitmap (broadcast bits, no history scan), (2) sends only the
     maybe-seen sliver to the exact confirm anti-join against the
-    history table, (3) APPENDS the admitted keys to history (they are
-    fresh by construction — an upsert would re-read and rewrite the
-    whole table per batch, the exact rescan the bitmap exists to
-    avoid), and (4) ORs the admitted sliver's bits into the bitmap
-    IN MEMORY (``bloom_union`` is exact) — so batch N+1's gate already
-    covers batch N's admissions without a store round-trip per batch.
-    The folded artifact commits to the registry ONCE after the drain,
-    provenance pinned at the post-drain source state: per-micro-batch
-    artifact commits are durability theater — if the job dies between
-    commits the staleness flag reports the bitmap behind its source and
-    the ingest falls back/rebuilds, which is the recovery path anyway.
+    history table plus the drain's admitted-so-far set, and (3) folds
+    the admitted sliver's bits into the bitmap IN MEMORY — driver-side
+    over the xxhash64 pair that rode the collect
+    (``fold_hashes_into_bloom``, bit-identical to a distributed build)
+    — so batch N+1's gate already covers batch N's admissions without
+    launching a build job or a store round-trip per batch. History
+    APPENDS once after the drain (admitted keys are fresh by proof, so
+    it is a pure append, never an upsert rescan) and the folded
+    artifact commits to the registry in the same epilogue, provenance
+    pinned at the post-append source state: per-micro-batch durable
+    commits are durability theater — if the job dies mid-drain the
+    staleness flag reports the bitmap behind its source and the ingest
+    falls back/rebuilds, which is the recovery path anyway.
 
     BOUNDARY INVARIANCE: the output is the set of ADMITTED KEYS (one
     row per first-seen key). A key duplicated across micro-batches is
     admitted by the first batch that carries it and rejected by every
-    later one (the in-memory fold put it in the bitmap, the append put
-    it in the table — and bloom false positives only ever route rows to
-    the exact confirm join), so the accumulated set equals the batch
+    later one (the in-memory fold put it in the bitmap; the confirm
+    anti-join's right side carries the drain's own admissions alongside
+    the stored history — and bloom false positives only ever route rows
+    to the exact confirm join), so the accumulated set equals the batch
     twin — stream keys minus initial history — however the source files
     split. That batch anti-join SQL is the EXACT oracle. Per-batch
-    driver traffic is the admitted-key sliver plus one bitmap OR
-    (audit-bounded, same contract as neardup_ingest_stream)."""
+    driver traffic is the admitted-key sliver plus two 8-byte hashes
+    per key; the sliver IS the operator's output, so it is
+    driver-bounded by contract (an ingest too large to hold its own
+    admissions would write per-batch and keep only the bitmap in
+    memory). Per-batch Spark work is the broadcast probe plus ONE
+    collect — no write job, no aggregation job in the loop."""
     import threading
 
     from empujar_spark.operators import sketch as K
@@ -658,8 +665,13 @@ def bloom_admission_stream(
     spark = docs.sparkSession
     bits, m, k = K.bloom_from_df(reg.read(index_name)["bitmap"])
     state = {"bits": bits}
-    admitted_keys: list = []
+    admitted_rows: list = []
     batch_ids: list = []
+    # the stored history never moves during the drain (its single
+    # append happens in the epilogue), so resolve the version and build
+    # the key-set plan ONCE, not per micro-batch
+    hist_keys = wh.read(history_table).select(key_col).distinct()
+    key_schema = hist_keys.schema
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
@@ -668,26 +680,30 @@ def bloom_admission_stream(
         ).localCheckpoint(eager=True)
         sure_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
         maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-        confirmed = maybe.join(
-            wh.read(history_table).select(key_col).distinct(),
-            key_col, "left_anti",
-        )
-        admitted = (
+        seen = hist_keys
+        if admitted_rows:
+            seen = seen.unionByName(spark.createDataFrame(
+                [(r[key_col],) for r in admitted_rows], key_schema
+            ))
+        confirmed = maybe.join(seen, key_col, "left_anti")
+        rows = (
             sure_fresh.unionByName(confirmed)
             .groupBy(key_col)
             .agg(F.min("doc_id").alias("doc_id"))
-            .select("doc_id", key_col)
-            .localCheckpoint(eager=True)  # consumed 3x: insert, fold, audit
+            .select(
+                "doc_id", key_col,
+                F.xxhash64(key_col).alias("__h1"),
+                F.xxhash64(key_col, F.lit("empujar-bloom-2")).alias("__h2"),
+            )
+            .collect()
         )
-        rows = admitted.select(key_col).collect()
         if not rows:
             return
-        wh.insert_data(history_table, admitted)  # append: fresh by proof
-        state["bits"] = K.bloom_union(
+        state["bits"] = K.fold_hashes_into_bloom(
             state["bits"],
-            K.build_bloom_with_params(admitted, key_col, m, k),
+            [r["__h1"] for r in rows], [r["__h2"] for r in rows], m, k,
         )
-        admitted_keys.extend(r[key_col] for r in rows)
+        admitted_rows.extend(rows)
 
     q = docs.writeStream.foreachBatch(admit_batch).start()
     watchdog = threading.Timer(timeout_s, q.stop)
@@ -698,9 +714,15 @@ def bloom_admission_stream(
     finally:
         watchdog.cancel()
         q.stop()
-    if admitted_keys:
-        # single durable commit of the folded artifact, pinned at the
-        # post-drain source state (every append above is covered)
+    if admitted_rows:
+        # epilogue: ONE history append of the drain's admissions (fresh
+        # by proof — pure append), then the folded artifact's single
+        # durable commit, provenance pinned at the post-append state so
+        # the bitmap is stamped covering exactly what it contains
+        wh.insert_data(history_table, spark.createDataFrame(
+            [(r["doc_id"], r[key_col]) for r in admitted_rows],
+            f"doc_id long, {key_col} string",
+        ))
         pinned = reg.staleness(index_name)["current"]
         wh.replace_table(
             reg.component_table(index_name, "bitmap"),
@@ -708,7 +730,7 @@ def bloom_admission_stream(
         )
         reg.refresh_provenance(index_name, pinned=pinned)
     out = spark.createDataFrame(
-        [(k,) for k in admitted_keys], f"{key_col} string"
+        [(r[key_col],) for r in admitted_rows], f"{key_col} string"
     )
     out._bloom_batches = batch_ids  # test hook: real multi-batch
     return out

@@ -321,3 +321,32 @@ class TestBloomRegistryFold:
         probe = _keys_df(spark, ["h5", "b7", "fresh1", "fresh2"])
         got = K.bloom_ingest_dedup(both, probe, "key", bloom=stored)
         assert sorted(r.key for r in got.collect()) == ["fresh1", "fresh2"]
+
+
+class TestDriverSideFold:
+    def test_fold_hashes_bit_identical_to_distributed_build(self, spark):
+        """fold_hashes_into_bloom over collected xxhash64 pairs must be
+        bit-identical to build_bloom_with_params over the same keys —
+        the invariant that lets the streaming admission gate fold each
+        batch's admitted sliver driver-side (zero extra Spark jobs)
+        while later batches keep probing with the JVM-built bitmap."""
+        from pyspark.sql import functions as F
+
+        from empujar_spark.operators import sketch as K
+
+        base = _keys_df(spark, [f"h{i}" for i in range(500)])
+        sliver = _keys_df(spark, [f"s{i}" for i in range(120)])
+        both = _keys_df(spark, [f"h{i}" for i in range(500)]
+                        + [f"s{i}" for i in range(120)])
+        m, k = K.bloom_params(1_000, 0.01)
+        bits = K.build_bloom_with_params(base, "key", m, k)
+        rows = sliver.select(
+            F.xxhash64("key").alias("__h1"),
+            F.xxhash64("key", F.lit("empujar-bloom-2")).alias("__h2"),
+        ).collect()
+        folded = K.fold_hashes_into_bloom(
+            bits, [r["__h1"] for r in rows], [r["__h2"] for r in rows], m, k
+        )
+        assert folded == K.build_bloom_with_params(both, "key", m, k)
+        # empty sliver is the identity
+        assert K.fold_hashes_into_bloom(bits, [], [], m, k) == bits
