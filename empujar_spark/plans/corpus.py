@@ -6836,8 +6836,8 @@ def bloom_fold_lifecycle(spark, sf_dir):
     fp = X.fingerprint(load(spark, sf_dir, "documents")).select(
         "doc_id", "fingerprint"
     )
-    wh.insert_data("fingerprints", fp.filter(F.col("doc_id") % 7 != 0))
-    m, k = SK.bloom_params(2 * wh.table_size("fingerprints"), fpp=0.01)
+    n_hist = wh.insert_data("fingerprints", fp.filter(F.col("doc_id") % 7 != 0))
+    m, k = SK.bloom_params(2 * n_hist, fpp=0.01)
     reg.ensure_fresh(
         "bloom_fp", "bloom",
         lambda: {"bitmap": SK.bloom_to_df(

@@ -184,6 +184,34 @@ def main() -> None:
             hist_shingles = wh_sh.read("hist_shingles")
             probe_batch = docs0.filter(F.col("doc_id") % 47 == 0)
 
+        bm25_idx = None
+        if not only or "bm25_serve" in only:
+            # Untimed build of the BM25 inverted index over the ×f corpus
+            # through the registry (term-clustered postings — the same
+            # layout the corpus serving entry uses), amortized ingest
+            # cost like ivf_serve. Timed claim = a FIXED 3-query serve:
+            # the pushed In(term,...) filter reads only the queried
+            # posting lists, so cost tracks those lists' length (they
+            # grow ×f with the corpus — each term's df scales with the
+            # replicas) and NEVER the full-vocabulary tf shuffle the
+            # from-scratch path pays per query set.
+            import tempfile
+
+            from empujar_spark.catalog import Warehouse
+            from empujar_spark.indexes import IndexRegistry
+
+            wh_bm = Warehouse(
+                spark, tempfile.mkdtemp(prefix="stress-bm25-"),
+                primary_key="doc_id",
+            )
+            reg_bm = IndexRegistry(wh_bm)
+            reg_bm.register(
+                "bm25_stress", "bm25", X.bm25_build_index(docs),
+                source_path=f"{SF_DIR}/documents.parquet",
+                cluster_by={"postings": ["term"]},
+            )
+            bm25_idx = reg_bm.read("bm25_stress")
+
         sem_centroids = None
         if not only or {"semdedup_exact", "semdedup_ann"} & only:
             # Untimed shared train (the amortized build, same rule as
@@ -311,6 +339,18 @@ def main() -> None:
                     small_graph_edges=0,
                 )
             ),
+            # BM25 STORED-index serving: fixed 3-query set against the
+            # prebuilt term-clustered postings of the ×f corpus — the
+            # per-query serving claim (reads only the queried terms'
+            # posting lists via the pushed In filter; those lists grow
+            # ×f, the vocabulary-wide shuffle never runs)
+            "bm25_serve": lambda: noop(
+                X.bm25_search_indexed(bm25_idx, {
+                    "q_scan": ["table", "scan"],
+                    "q_streaming": ["spark", "stream"],
+                    "q_vector": ["vector", "join"],
+                })
+            ),
             # Certified heavy hitters over ×f events (key space fixed,
             # counts grow ×f): one scan + a bounded candidate shuffle
             # (n_partitions × capacity rows) + the candidate recount —
@@ -323,6 +363,16 @@ def main() -> None:
     # warmup (JVM + python workers)
     noop(li0.groupBy("l_returnflag").count())
     noop(D_warm(docs0))
+    if not only or "bm25_serve" in only:
+        # warm the serve-shape plan (query-term In-filter + scoring
+        # tail) on the base corpus so the ×1 point measures the probe,
+        # not first-query codegen/session spin-up (observed 2.6s cold
+        # vs ~1.0s for later points at a LARGER factor)
+        from empujar_spark.operators import text as X_warm
+
+        noop(X_warm.bm25_search_indexed(
+            X_warm.bm25_build_index(docs0), {"w": ["table"]}
+        ))
 
     secs: dict[str, dict[str, float]] = {}
     if only and os.path.isfile(args.out):
