@@ -238,6 +238,76 @@ def bloom_ingest_dedup(
     return definite_fresh.unionByName(confirmed_fresh)
 
 
+def bloom_pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str | None = None,
+    how: str = "inner",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    bloom: tuple[bytes, int, int] | None = None,
+) -> DataFrame:
+    """Equi-join with a RUNTIME SEMI-JOIN REDUCTION: the dim side's join
+    keys build a broadcast bloom, fact rows that cannot match are
+    dropped BEFORE the join's exchange, and the surviving sliver joins
+    exactly (false positives only ever reach — and are eliminated by —
+    the real join, so the result is row-identical to ``fact JOIN dim``).
+    The semi-join twin of :func:`bloom_ingest_dedup`'s anti-join, and
+    the hand-rolled form of engine runtime filters (Spark's
+    ``runtime.bloomFilter`` injection, Trino's dynamic filtering) —
+    expressed explicitly so the prune exists regardless of optimizer
+    thresholds and can take a STORED artifact.
+
+    When to reach for it at 100 TB: a SELECTIVE dim that is too big (or
+    too late-filtered) to broadcast-join forces a shuffle of the ENTIRE
+    fact side — every probe-side row pays the exchange even though only
+    the dim-matching sliver survives. The bitmap rides an executor
+    broadcast (m/8 bytes however many rows the dim has) and the
+    pandas_udf probe runs at the scan, so the fact exchange carries
+    |matching| + fpp·|fact| rows instead of |fact|. With ``how="inner"``
+    semantics are exact; left/outer joins must keep non-matching rows,
+    so only ``inner``/``left_semi`` are accepted.
+
+    Pass ``bloom=(bits, m, k)`` (a registry artifact via
+    ``bloom_from_df``) to skip the build scan — the steady-state shape
+    when the dim is an ingest-maintained table whose admission bitmap
+    already exists. The artifact must COVER the dim's current keys
+    (``bloom_union`` folds at every append): missing keys would break
+    the no-false-negative argument and silently drop matches.
+
+    Reference behavioral parity: the reference joins fact extracts to
+    dimension tables loaded whole (books/etl/chapters/transform/
+    customers.js) — correct at its MySQL scale; this is the same join
+    contract with the probe-side scan cost made survivable at Spark
+    scale."""
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"bloom_pruned_join keeps only matching fact rows; "
+            f"how={how!r} would need the pruned rows back (use a plain join)"
+        )
+    dkey = dim_key or key
+    if bloom is not None:
+        bits, m, k = bloom
+    else:
+        keys = dim.select(dkey)
+        if expected_items is None:
+            expected_items = keys.count()
+        bits, m, k = build_bloom(keys, dkey, expected_items, fpp)
+    pruned = (
+        with_bloom_flag(fact, key, bits, m, k)
+        .filter(F.col("__maybe_seen"))
+        .drop("__maybe_seen")
+    )
+    if how == "left_semi":
+        return pruned.join(
+            dim.select(F.col(dkey).alias(key)).distinct(), key, "left_semi"
+        )
+    if dim_key is None:
+        return pruned.join(dim, key, "inner")
+    return pruned.join(dim, pruned[key] == dim[dkey], "inner")
+
+
 # ------------------------------------------------------- heavy hitters
 
 def heavy_hitters(

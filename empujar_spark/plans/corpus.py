@@ -6798,6 +6798,67 @@ def bloom_ingest_dedup_indexed(spark, sf_dir):
 
 
 @q(
+    "runtime_filtered_join",
+    """
+    SELECT o.o_custkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(round(sum(CAST(l.l_extendedprice AS DECIMAL(18,6)) *
+                 (CAST(1 AS DECIMAL(18,6)) - CAST(l.l_discount AS DECIMAL(18,6)))), 4)
+                AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+      AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-04-01'
+    GROUP BY o.o_custkey
+    """,
+)
+def runtime_filtered_join(spark, sf_dir):
+    """Fact-dim join behind an EXPLICIT runtime semi-join reduction
+    (operators/sketch.py bloom_pruned_join): the selectively-filtered
+    orders side (one quarter, one priority) builds a broadcast bloom
+    over its join keys, and lineitem rows that cannot match are dropped
+    at the SCAN — before the join exchange — with false positives
+    eliminated by the real join, so the plain-join SQL is the exact
+    oracle. This is the semi-join twin of bloom_ingest_dedup's
+    anti-join, and the explicit form of engine runtime filters (Spark's
+    runtime.bloomFilter injection only triggers past a 10 GB
+    application-side scan; this operator IS the plan, at any scale and
+    from a stored artifact if the dim is ingest-maintained).
+
+    100 TB claim: with a dim too big to broadcast-JOIN, the fact
+    exchange carries |matching| + fpp·|fact| rows instead of |fact| —
+    here <1% of lineitem survives the probe. At gate scale the dim
+    would broadcast anyway; the operator constructs the prune
+    explicitly so the measured plan is the one that matters when it
+    doesn't."""
+    one = F.lit(1).cast("decimal(18,6)")
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount",
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_custkey")
+    )
+    return (
+        SK.bloom_pruned_join(li, o, "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(
+                F.sum(dec("l_extendedprice") * (one - dec("l_discount"))), 4
+            ).cast("double").alias("revenue"),
+        )
+    )
+
+
+@q(
     "bloom_fold_lifecycle",
     """
     SELECT phase, CAST(value AS BIGINT) AS value FROM (VALUES

@@ -657,3 +657,25 @@ def test_q2_pushes_part_class_and_region_before_agg(spark):
     assert "EqualTo(p_type,PROMO)" in full
     assert "EqualTo(r_name,EUROPE)" in full
     assert "CartesianProduct" not in full
+
+
+def test_runtime_filtered_join_probes_below_the_exchange(spark):
+    """bloom_pruned_join's whole point: the bitmap probe filter sits on
+    the FACT side below the join, so the exchange (or the join itself)
+    only carries the surviving sliver. The probe is the pandas_udf
+    might_contain — assert it appears under the fact scan side, before
+    any join node in the plan tree (string order: the physical plan
+    prints top-down, so the probe's eval node must appear AFTER the
+    join header line, i.e. inside its child subtree, and the fact scan
+    must appear after the probe)."""
+    plan = plan_of(spark, "runtime_filtered_join")
+    assert "might_contain" in plan, plan
+    join_pos = min(
+        p for p in (
+            plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+            plan.find("ShuffledHashJoin"),
+        ) if p >= 0
+    )
+    probe_pos = plan.find("might_contain")
+    scan_pos = plan.rfind("lineitem")
+    assert join_pos < probe_pos < scan_pos, plan

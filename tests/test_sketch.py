@@ -350,3 +350,56 @@ class TestDriverSideFold:
         assert folded == K.build_bloom_with_params(both, "key", m, k)
         # empty sliver is the identity
         assert K.fold_hashes_into_bloom(bits, [], [], m, k) == bits
+
+
+class TestBloomPrunedJoin:
+    def test_row_identical_to_plain_join(self, spark):
+        """The bloom prune drops only rows the join would drop anyway
+        (no false negatives), and false positives die in the real join
+        — result must be row-identical to the plain inner join."""
+        from pyspark.sql import functions as F
+
+        from empujar_spark.operators import sketch as K
+
+        fact = spark.range(5_000).select(
+            (F.col("id") % 500).alias("key"), F.col("id").alias("val")
+        )
+        dim = spark.range(40).select(
+            (F.col("id") * 13).alias("key"),
+            F.concat(F.lit("d"), F.col("id")).alias("attr"),
+        )
+        got = K.bloom_pruned_join(fact, dim, "key")
+        want = fact.join(dim, "key", "inner")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_left_semi_and_stored_artifact(self, spark):
+        from pyspark.sql import functions as F
+
+        from empujar_spark.operators import sketch as K
+
+        fact = spark.range(2_000).select(
+            (F.col("id") % 100).alias("key"), F.col("id").alias("val")
+        )
+        dim = spark.range(7).select((F.col("id") * 11).alias("k2"))
+        art = K.build_bloom(dim, "k2", expected_items=7)
+        got = K.bloom_pruned_join(
+            fact, dim, "key", dim_key="k2", how="left_semi", bloom=art
+        )
+        want = fact.join(
+            dim.select(F.col("k2").alias("key")), "key", "left_semi"
+        )
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+
+    def test_outer_joins_rejected(self, spark):
+        import pytest
+
+        from empujar_spark.operators import sketch as K
+
+        fact = spark.range(10).withColumnRenamed("id", "key")
+        dim = spark.range(3).withColumnRenamed("id", "key")
+        with pytest.raises(ValueError, match="matching fact rows"):
+            K.bloom_pruned_join(fact, dim, "key", how="left")
