@@ -276,6 +276,16 @@ def bloom_pruned_join(
     (``bloom_union`` folds at every append): missing keys would break
     the no-false-negative argument and silently drop matches.
 
+    PICKING THE PROBE (measured, STRESS_SKEW join_prune): when the
+    dim's DISTINCT KEY SET alone fits a broadcast, prefer the plain
+    JVM prune — ``fact.join(F.broadcast(dim.select(k).distinct()), k,
+    "left_semi")`` before the real join — it stays in whole-stage
+    codegen and never loses. This operator's bitmap is for the regime
+    past that: a key set too large to broadcast still compresses to m
+    bits (1M keys ≈ 1.2 MB at 1% fpp), at the price of an Arrow probe
+    that costs ~30M rows/s per 32 local threads — overhead that only
+    pays once the exchange it avoids is network/disk, not memory.
+
     Reference behavioral parity: the reference joins fact extracts to
     dimension tables loaded whole (books/etl/chapters/transform/
     customers.js) — correct at its MySQL scale; this is the same join
