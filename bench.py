@@ -128,6 +128,7 @@ def main() -> None:
     # the measured *_indexed entries time the stored-table probe reads
     # — the steady-state serving cost — not the ingest-time build.
     from empujar_spark.plans.corpus import (
+        _admission_pristine,
         _bloom_artifact,
         _bm25_stored_index,
         _emb_history_index,
@@ -149,6 +150,7 @@ def main() -> None:
     # incremental entry times the serve path only.
     _emb_history_index(spark, SF_DIR)
     _bloom_artifact(spark, SF_DIR)
+    _admission_pristine(spark, SF_DIR)
     # Steady-state timing: min of 2 runs per query. A single cold pass
     # conflates each query's cost with whole-stage-codegen compilation,
     # GC pressure from the preceding 70 queries, and background box load
