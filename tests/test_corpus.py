@@ -116,3 +116,33 @@ def test_events_loader_schema_guard(spark, tmp_path):
     assert dict(load(spark, "/root/testdata/sf0.001", "events").dtypes)[
         "ts"
     ] == "timestamp"
+
+
+def test_admission_entry_reruns_are_isolated(spark):
+    """The streaming_bloom_admission entry clones a session-built
+    pristine warehouse per run (the stream appends to history and
+    re-commits the bitmap, so a shared warehouse would drift): two
+    consecutive invocations must return the identical admitted-key set,
+    and the pristine directory must be byte-stable across them — the
+    invariant the clone exists to guarantee."""
+    import os
+
+    from empujar_spark.plans.corpus import _admission_pristine
+
+    fn = CORPUS["streaming_bloom_admission"].fn
+    first = sorted(r[0] for r in fn(spark, SF_DIR).collect())
+    pristine = _admission_pristine(spark, SF_DIR)
+
+    def snapshot(d):
+        out = []
+        for root, _dirs, files in os.walk(d):
+            for f in sorted(files):
+                p = os.path.join(root, f)
+                out.append((os.path.relpath(p, d), os.path.getsize(p),
+                            os.path.getmtime(p)))
+        return sorted(out)
+
+    before = snapshot(pristine)
+    second = sorted(r[0] for r in fn(spark, SF_DIR).collect())
+    assert first == second and first  # same admissions, and some exist
+    assert snapshot(pristine) == before  # pristine never mutated
