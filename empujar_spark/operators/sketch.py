@@ -318,6 +318,75 @@ def bloom_pruned_join(
     return pruned.join(dim, pruned[key] == dim[dkey], "inner")
 
 
+# Above this many dim keys the broadcast key set stops being the cheap
+# option (~32 MB of longs at 4M; string keys hit it sooner) and the
+# fixed-size bitmap takes over. The STRESS_SKEW join_prune A/B is the
+# measured basis: the JVM semi probe is free, so prefer it whenever the
+# key set itself broadcasts.
+_SEMI_PRUNE_MAX_KEYS = 4_000_000
+
+
+def pruned_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    dim_key: str | None = None,
+    how: str = "inner",
+    strategy: str = "auto",
+    expected_items: int | None = None,
+    fpp: float = 0.01,
+    bloom: tuple[bytes, int, int] | None = None,
+) -> DataFrame:
+    """Runtime-filtered equi-join with the probe picked by the measured
+    rule (STRESS_SKEW join_prune; :func:`bloom_pruned_join` docstring):
+
+    - ``"semi"`` — broadcast the dim's DISTINCT KEY SET and left-semi
+      the fact before the real join. Whole-stage-codegen JVM probe,
+      effectively free; the choice whenever the key set broadcasts.
+    - ``"bloom"`` — :func:`bloom_pruned_join`'s Arrow bitmap probe:
+      m bits however many keys, for the regime where even the key set
+      cannot broadcast (the bitmap also serves from a stored registry
+      artifact via ``bloom``).
+    - ``"auto"`` — semi when the dim key count is known (``expected_items``)
+      or counted to be ≤ ``_SEMI_PRUNE_MAX_KEYS`` and no stored ``bloom``
+      was handed in; bloom otherwise. Passing ``expected_items`` skips
+      the count scan — at 100 TB the caller usually knows the dim's
+      scale class.
+
+    All strategies are row-identical to the plain join (semi keeps
+    exactly the matching keys; bloom's false positives die in the real
+    join)."""
+    if strategy not in ("auto", "semi", "bloom"):
+        raise ValueError(f"unknown prune strategy {strategy!r}")
+    if strategy == "auto":
+        if bloom is not None:
+            strategy = "bloom"
+        else:
+            n = expected_items
+            if n is None:
+                n = dim.select(dim_key or key).distinct().count()
+                expected_items = n
+            strategy = "semi" if n <= _SEMI_PRUNE_MAX_KEYS else "bloom"
+    if strategy == "bloom":
+        return bloom_pruned_join(
+            fact, dim, key, dim_key=dim_key, how=how,
+            expected_items=expected_items, fpp=fpp, bloom=bloom,
+        )
+    if how not in ("inner", "left_semi"):
+        raise ValueError(
+            f"pruned_join keeps only matching fact rows; how={how!r} "
+            f"would need the pruned rows back (use a plain join)"
+        )
+    dkey = dim_key or key
+    keys = F.broadcast(dim.select(F.col(dkey).alias(key)).distinct())
+    pruned = fact.join(keys, key, "left_semi")
+    if how == "left_semi":
+        return pruned
+    if dim_key is None:
+        return pruned.join(dim, key, "inner")
+    return pruned.join(dim, pruned[key] == dim[dkey], "inner")
+
+
 # ------------------------------------------------------- heavy hitters
 
 def heavy_hitters(

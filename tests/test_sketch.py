@@ -403,3 +403,60 @@ class TestBloomPrunedJoin:
         dim = spark.range(3).withColumnRenamed("id", "key")
         with pytest.raises(ValueError, match="matching fact rows"):
             K.bloom_pruned_join(fact, dim, "key", how="left")
+
+
+class TestPrunedJoinDispatch:
+    def test_semi_strategy_row_identical(self, spark):
+        from pyspark.sql import functions as F
+
+        from empujar_spark.operators import sketch as K
+
+        fact = spark.range(3_000).select(
+            (F.col("id") % 400).alias("key"), F.col("id").alias("val")
+        )
+        dim = spark.range(30).select(
+            (F.col("id") * 7).alias("key"),
+            F.concat(F.lit("d"), F.col("id")).alias("attr"),
+        )
+        got = K.pruned_join(fact, dim, "key", strategy="semi")
+        want = fact.join(dim, "key", "inner")
+        assert sorted(map(tuple, got.collect())) == sorted(
+            map(tuple, want.collect())
+        )
+        # the semi probe is a broadcast join below the real join
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+
+    def test_auto_picks_semi_for_small_key_sets_and_bloom_past_cap(
+        self, spark, monkeypatch
+    ):
+        from pyspark.sql import functions as F
+
+        from empujar_spark.operators import sketch as K
+
+        fact = spark.range(2_000).select(
+            (F.col("id") % 100).alias("key"), F.col("id").alias("val")
+        )
+        dim = spark.range(20).select((F.col("id") * 5).alias("key"))
+        want = sorted(map(tuple, fact.join(dim, "key").collect()))
+
+        # small key set -> semi (no might_contain udf in the plan)
+        got = K.pruned_join(fact, dim, "key", expected_items=20)
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" not in plan
+        assert sorted(map(tuple, got.collect())) == want
+
+        # past the cap -> bloom (the Arrow probe appears)
+        monkeypatch.setattr(K, "_SEMI_PRUNE_MAX_KEYS", 5)
+        got2 = K.pruned_join(fact, dim, "key", expected_items=20)
+        plan2 = got2._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan2
+        assert sorted(map(tuple, got2.collect())) == want
+
+        # a stored artifact forces the bloom leg regardless of size
+        art = K.build_bloom(dim, "key", expected_items=20)
+        got3 = K.pruned_join(fact, dim, "key", bloom=art)
+        assert "might_contain" in (
+            got3._jdf.queryExecution().executedPlan().toString()
+        )
+        assert sorted(map(tuple, got3.collect())) == want
