@@ -92,6 +92,14 @@ def main() -> None:
         "a 3-run median)",
     )
     args = ap.parse_args()
+    # Single-JVM local mode: executors share the driver heap, and a full
+    # capture accumulates session-lifetime state (13 streaming entries'
+    # memory-sink tables, checkpoint blocks, broadcast remnants) × runs.
+    # At the 8g default the tail of a 192-entry × 3-run session GC-
+    # thrashes and random entries read 3-16× slow (observed: quantiles
+    # 0.37s -> 5.99s median with all three samples elevated). The box
+    # has 128 GiB; give the capture headroom unless the caller pinned it.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
     spark = get_spark("bench")
     # Untimed warmup: the first Spark action pays one-off JVM/codegen/
     # parquet-footer costs (~5s), and the first Python-kernel action pays
