@@ -672,6 +672,12 @@ def bloom_admission_stream(
     # the key-set plan ONCE, not per micro-batch
     hist_keys = wh.read(history_table).select(key_col).distinct()
     key_schema = hist_keys.schema
+    # epilogue-append rows must carry the STREAM's own types — a
+    # hardcoded `{key} string` would push a miscast batch through
+    # insert_data's type reconciliation against the history table
+    append_schema = T.StructType([
+        docs.schema["doc_id"], docs.schema[key_col]
+    ])
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
@@ -721,7 +727,7 @@ def bloom_admission_stream(
         # the bitmap is stamped covering exactly what it contains
         wh.insert_data(history_table, spark.createDataFrame(
             [(r["doc_id"], r[key_col]) for r in admitted_rows],
-            f"doc_id long, {key_col} string",
+            append_schema,
         ))
         pinned = reg.staleness(index_name)["current"]
         wh.replace_table(
@@ -730,7 +736,8 @@ def bloom_admission_stream(
         )
         reg.refresh_provenance(index_name, pinned=pinned)
     out = spark.createDataFrame(
-        [(r[key_col],) for r in admitted_rows], f"{key_col} string"
+        [(r[key_col],) for r in admitted_rows],
+        T.StructType([docs.schema[key_col]]),
     )
     out._bloom_batches = batch_ids  # test hook: real multi-batch
     return out
