@@ -171,12 +171,18 @@ def main() -> None:
     # contended pass overstates it ~3×.
     import statistics
 
-    def timed_samples(run_once) -> list[float]:
-        ts = []
-        for _ in range(args.runs):
+    def timed_samples(run_once, setup=None) -> list[float]:
+        def one_pass() -> float:
+            # setup runs OUTSIDE the timer (ADVICE r11): per-run state an
+            # entry consumes but whose preparation is neither ingest-time
+            # nor steady-state cost (the admission entries' warehouse clone)
+            if setup is not None:
+                setup()
             t0 = time.monotonic()
             run_once()
-            ts.append(time.monotonic() - t0)
+            return time.monotonic() - t0
+
+        ts = [one_pass() for _ in range(args.runs)]
         # Adaptive re-run: a spread larger than the median means at
         # least one pass hit background load or GC pressure from the
         # preceding ~140 queries (observed: approx_stats 1.8s steady
@@ -188,10 +194,7 @@ def main() -> None:
         if args.runs >= 3 and ts and (max(ts) - min(ts)) > max(
             0.5, statistics.median(ts)
         ):
-            for _ in range(2):
-                t0 = time.monotonic()
-                run_once()
-                ts.append(time.monotonic() - t0)
+            ts.extend(one_pass() for _ in range(2))
         return sorted(round(x, 3) for x in ts)
 
     # The two *_summary corpus entries re-run the full books purely so the
@@ -200,6 +203,16 @@ def main() -> None:
     # standalone below under their historical etl_pipeline /
     # pretrain_pipeline keys.
     skip = {"etl_pipeline_summary", "pretrain_pipeline_summary"}
+    # Per-entry untimed setup (ADVICE r11): the admission entries drain
+    # against a throwaway warehouse clone; preparing it is setup I/O the
+    # docstring's "what's timed" claim excludes, so pool a clone before
+    # each timed pass instead of cloning inside it.
+    from empujar_spark.plans.corpus import prepare_admission_clone
+
+    setup_hooks = {
+        "streaming_bloom_admission": prepare_admission_clone,
+        "streaming_bloom_admission_spill": prepare_admission_clone,
+    }
     samples: dict[str, list[float]] = {}
     # Walk REGISTRATION_ORDER, not CORPUS: the gate census re-sorts
     # CORPUS by evidence staleness at every import, so its order
@@ -207,12 +220,19 @@ def main() -> None:
     # (JIT warm-up, GC phase, shuffle-dir state from the preceding
     # ~140 queries). The registration order only changes when an entry
     # is added, so round-over-round diffs compare like with like.
+    def entry_setup(name):
+        hook = setup_hooks.get(name)
+        if hook is None:
+            return None
+        return lambda: hook(spark, SF_DIR)
+
     for name in REGISTRATION_ORDER:
         if name in skip:
             continue
         query = CORPUS[name]
         samples[name] = timed_samples(
-            lambda query=query: materialize(query.fn(spark, SF_DIR))
+            lambda query=query: materialize(query.fn(spark, SF_DIR)),
+            setup=entry_setup(name),
         )
     for pname, pipeline in (
         ("etl_pipeline", etl_pipeline),
@@ -248,6 +268,53 @@ def main() -> None:
         return min(v), "min_fallback"
 
     rep = {n: representative(v) for n, v in samples.items()}
+    # Mover re-verification (VERDICT r11 item 6): the committed round-
+    # close captures have repeatedly carried 1.3-2× phantom regressions
+    # the driver's own independent run refuted (etl_pipeline 2.91s in
+    # the r11 capture vs 1.62s driver-run) — single-JVM GC phase, not
+    # code. Before believing a capture, diff it against the previous
+    # round's committed figure and give every >1.5× mover two more
+    # passes at the (now quiet) session tail; the representative is
+    # recomputed over ALL samples, so a real regression reproduces and
+    # stays, while a contended-pass phantom washes out.
+    reverified: list[str] = []
+    if args.runs >= 3:
+        import glob as _glob
+
+        prev_files = sorted(_glob.glob(os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"
+        )))
+        prev_q: dict[str, float] = {}
+        if prev_files:
+            try:
+                with open(prev_files[-1]) as fh:
+                    prev_q = json.load(fh).get("queries", {}) or {}
+            except (OSError, ValueError):
+                prev_q = {}
+        runners = {n: entry_setup(n) for n in samples}
+        for n, (val, _stat) in list(rep.items()):
+            base = prev_q.get(n, 0.0)
+            # sub-half-second entries swing on scheduler noise alone;
+            # only re-verify movers whose delta is worth a diagnosis
+            if base < 0.5 or val <= 1.5 * base:
+                continue
+            if n in ("etl_pipeline", "pretrain_pipeline"):
+                run_once = (lambda p=dict(
+                    etl_pipeline=etl_pipeline,
+                    pretrain_pipeline=pretrain_pipeline)[n]: p(spark))
+            else:
+                run_once = (lambda q=CORPUS[n]: materialize(
+                    q.fn(spark, SF_DIR)))
+            setup = runners.get(n)
+            for _ in range(2):
+                if setup is not None:
+                    setup()
+                t0 = time.monotonic()
+                run_once()
+                samples[n].append(round(time.monotonic() - t0, 3))
+            samples[n].sort()
+            rep[n] = representative(samples[n])
+            reverified.append(n)
     timings = {n: round(val, 3) for n, (val, _stat) in rep.items()}
     total = round(sum(timings.values()), 3)
     payload = {
@@ -279,6 +346,11 @@ def main() -> None:
     local["stat"] = {
         n: stat for n, (_val, stat) in rep.items() if stat != "median"
     }
+    # Movers (>1.5× the previous committed round) that earned two extra
+    # verification passes — a figure that SURVIVED re-verification is a
+    # reproduced regression, not capture noise.
+    if reverified:
+        local["reverified"] = sorted(reverified)
     out_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
     )

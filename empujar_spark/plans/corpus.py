@@ -6406,6 +6406,40 @@ def _admission_pristine(spark, sf_dir) -> str:
     return _ADM_PRISTINE[key]
 
 
+_ADM_CLONES: list[str] = []
+
+
+def prepare_admission_clone(spark, sf_dir) -> None:
+    """Bench-side SETUP HOOK (ADVICE r11): the admission stream mutates
+    its warehouse, so every run drains against a throwaway copytree of
+    the pristine warehouse — but that clone is setup I/O, not the
+    steady-state probe/collect/epilogue cost the entry's docstring
+    claims to time. bench.py calls this OUTSIDE the timer before each
+    timed pass; the entry pops the prepared clone. The correctness
+    path (driver gate, pytest) never calls it and clones inline."""
+    import shutil
+
+    dst = _tmp_warehouse_dir("bloom-adm-")
+    shutil.copytree(
+        _admission_pristine(spark, sf_dir), dst, dirs_exist_ok=True
+    )
+    _ADM_CLONES.append(dst)
+
+
+def _admission_clone(spark, sf_dir) -> str:
+    """A throwaway admission warehouse: a bench-prepared clone if one
+    is pooled (see prepare_admission_clone), else cloned inline."""
+    if _ADM_CLONES:
+        return _ADM_CLONES.pop()
+    import shutil
+
+    dst = _tmp_warehouse_dir("bloom-adm-")
+    shutil.copytree(
+        _admission_pristine(spark, sf_dir), dst, dirs_exist_ok=True
+    )
+    return dst
+
+
 @q(
     "streaming_bloom_admission",
     f"""
@@ -6445,18 +6479,17 @@ def streaming_bloom_admission(spark, sf_dir):
     NUMBERS in the ``_current`` pointers, every path derived from
     wh.path). What's timed is the steady state: per-batch probe +
     collect, plus the once-per-drain append and pinned artifact
-    commit."""
-    import shutil
-
+    commit. In a bench run the clone itself is prepared by the
+    prepare_admission_clone setup hook OUTSIDE the timer — clone I/O
+    is neither ingest-time nor steady-state serving cost (ADVICE r11);
+    the correctness path clones inline."""
     from empujar_spark.catalog import Warehouse
     from empujar_spark.indexes import IndexRegistry
     from empujar_spark.streaming import stream_ops as SO
 
-    dst = _tmp_warehouse_dir("bloom-adm-")
-    shutil.copytree(
-        _admission_pristine(spark, sf_dir), dst, dirs_exist_ok=True
+    wh = Warehouse(
+        spark, _admission_clone(spark, sf_dir), primary_key="doc_id"
     )
-    wh = Warehouse(spark, dst, primary_key="doc_id")
     reg = IndexRegistry(wh)
     stream = (
         SO.read_documents_stream(spark, sf_dir)
@@ -6468,6 +6501,54 @@ def streaming_bloom_admission(spark, sf_dir):
     )
     return SO.bloom_admission_stream(
         stream, reg, "stream_admission", "admission_history"
+    )
+
+
+@q(
+    "streaming_bloom_admission_spill",
+    f"""
+    WITH fp AS (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint
+                FROM documents),
+    hist AS (SELECT DISTINCT fingerprint FROM fp WHERE doc_id % 5 <> 0)
+    SELECT DISTINCT fingerprint FROM fp
+    WHERE doc_id % 5 = 0
+      AND fingerprint NOT IN (SELECT fingerprint FROM hist)
+    """,
+)
+def streaming_bloom_admission_spill(spark, sf_dir):
+    """The admission stream's DEGRADED (backfill) regime — VERDICT r11
+    item 1 made code: ``max_resident_keys=64`` forces every micro-batch
+    over the driver-residency bound, so the loop spills its admitted
+    sliver to a parquet append and carries only the bitmap between
+    batches; the confirm anti-join reads the spill back alongside the
+    stored history, the epilogue writes spill ∪ tail to history as ONE
+    distributed insert (the admitted set never rides the driver again),
+    and the returned DataFrame scans the spill instead of being
+    driver-built. Same EXACT batch anti-join oracle as
+    streaming_bloom_admission — the spill is a memory-placement change,
+    not a semantics change, and this entry hash-gates that claim.
+    tests/test_streaming.py additionally pins the residency bound
+    (``_bloom_max_resident <= threshold``) and a cross-spill-boundary
+    duplicate."""
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.indexes import IndexRegistry
+    from empujar_spark.streaming import stream_ops as SO
+
+    wh = Warehouse(
+        spark, _admission_clone(spark, sf_dir), primary_key="doc_id"
+    )
+    reg = IndexRegistry(wh)
+    stream = (
+        SO.read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select(
+            "doc_id",
+            X.fingerprint_col(F.col("text")).alias("fingerprint"),
+        )
+    )
+    return SO.bloom_admission_stream(
+        stream, reg, "stream_admission", "admission_history",
+        max_resident_keys=64,
     )
 
 

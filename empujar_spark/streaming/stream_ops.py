@@ -621,6 +621,7 @@ def bloom_admission_stream(
     history_table: str,
     key_col: str = "fingerprint",
     timeout_s: float = 240.0,
+    max_resident_keys: int | None = None,
 ) -> DataFrame:
     """STREAMING ingest dedup behind the registry-maintained bloom
     admission bitmap — the streaming form of the pretrain ingest
@@ -633,30 +634,51 @@ def bloom_admission_stream(
     over the xxhash64 pair that rode the collect
     (``fold_hashes_into_bloom``, bit-identical to a distributed build)
     — so batch N+1's gate already covers batch N's admissions without
-    launching a build job or a store round-trip per batch. History
-    APPENDS once after the drain (admitted keys are fresh by proof, so
-    it is a pure append, never an upsert rescan) and the folded
-    artifact commits to the registry in the same epilogue, provenance
-    pinned at the post-append source state: per-micro-batch durable
-    commits are durability theater — if the job dies mid-drain the
-    staleness flag reports the bitmap behind its source and the ingest
-    falls back/rebuilds, which is the recovery path anyway.
+    launching a build job or a store round-trip per batch. History is
+    written once after the drain — admitted keys are fresh by proof, so
+    the write skips the upsert machinery entirely
+    (``merge_on_duplicates=False``: no read-back anti-join; the
+    versioned copy-on-write store still lays down a new version
+    containing history + the batch, which is what any durable append
+    costs here) — and the folded artifact commits to the registry in
+    the same epilogue via ``IndexRegistry.ensure_fresh_fold``,
+    provenance pinned at the post-append source state. Per-micro-batch
+    durable commits are durability theater — if the job dies mid-drain
+    the staleness flag reports the bitmap behind its source and the
+    ingest falls back/rebuilds, which is the recovery path anyway.
+
+    DRIVER MEMORY BOUND (``max_resident_keys``): the default regime
+    keeps the drain's admitted (doc_id, key) sliver on the driver —
+    it IS the operator's output, so for a steady-state ingest (mostly
+    dups, small fresh sliver) that set is output-sized. A
+    backfill-shaped drain (mostly-fresh keys — the first run of any
+    new corpus) would accumulate the entire stream's key set, so past
+    ``max_resident_keys`` resident keys the loop SPILLS: the resident
+    sliver is appended to a local parquet spill (a true file append —
+    one small write job per spill, only in the degraded regime) and
+    dropped from driver memory; only the fixed-size bitmap stays
+    resident, and the confirm anti-join's seen side reads the spill
+    back alongside the stored history. The epilogue then writes
+    spill ∪ resident-tail to history as ONE distributed insert — the
+    admitted set never rides the driver again — and the returned
+    DataFrame scans the spill instead of being driver-built. Output
+    and maintenance are bit-identical across regimes (pytest-pinned).
 
     BOUNDARY INVARIANCE: the output is the set of ADMITTED KEYS (one
     row per first-seen key). A key duplicated across micro-batches is
     admitted by the first batch that carries it and rejected by every
     later one (the in-memory fold put it in the bitmap; the confirm
-    anti-join's right side carries the drain's own admissions alongside
-    the stored history — and bloom false positives only ever route rows
-    to the exact confirm join), so the accumulated set equals the batch
-    twin — stream keys minus initial history — however the source files
-    split. That batch anti-join SQL is the EXACT oracle. Per-batch
-    driver traffic is the admitted-key sliver plus two 8-byte hashes
-    per key; the sliver IS the operator's output, so it is
-    driver-bounded by contract (an ingest too large to hold its own
-    admissions would write per-batch and keep only the bitmap in
-    memory). Per-batch Spark work is the broadcast probe plus ONE
-    collect — no write job, no aggregation job in the loop."""
+    anti-join's right side carries the drain's own admissions —
+    resident and spilled — alongside the stored history, and bloom
+    false positives only ever route rows to the exact confirm join),
+    so the accumulated set equals the batch twin — stream keys minus
+    initial history — however the source files split. That batch
+    anti-join SQL is the EXACT oracle. Per-batch driver traffic is the
+    batch's admitted sliver plus two 8-byte hashes per key, released
+    after the fold when spilling. Per-batch Spark work is the
+    broadcast probe plus ONE collect — no write or aggregation job in
+    the loop outside the spill regime."""
+    import tempfile
     import threading
 
     from empujar_spark.operators import sketch as K
@@ -664,8 +686,8 @@ def bloom_admission_stream(
     wh = reg.wh
     spark = docs.sparkSession
     bits, m, k = K.bloom_from_df(reg.read(index_name)["bitmap"])
-    state = {"bits": bits}
-    admitted_rows: list = []
+    state = {"bits": bits, "spill_dir": None, "spills": 0, "max_resident": 0}
+    resident: list = []  # (doc_id, key) tuples admitted but not yet spilled
     batch_ids: list = []
     # the stored history never moves during the drain (its single
     # append happens in the epilogue), so resolve the version and build
@@ -679,6 +701,14 @@ def bloom_admission_stream(
         docs.schema["doc_id"], docs.schema[key_col]
     ])
 
+    def resident_df() -> DataFrame:
+        return spark.createDataFrame(resident, append_schema)
+
+    def spill_df() -> DataFrame:
+        # re-plan per call: a parquet plan resolves its file list once,
+        # and every spill adds files
+        return spark.read.schema(append_schema).parquet(state["spill_dir"])
+
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
         flagged = K.with_bloom_flag(
@@ -687,10 +717,10 @@ def bloom_admission_stream(
         sure_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
         maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
         seen = hist_keys
-        if admitted_rows:
-            seen = seen.unionByName(spark.createDataFrame(
-                [(r[key_col],) for r in admitted_rows], key_schema
-            ))
+        if resident:
+            seen = seen.unionByName(resident_df().select(key_col))
+        if state["spill_dir"] is not None:
+            seen = seen.unionByName(spill_df().select(key_col))
         confirmed = maybe.join(seen, key_col, "left_anti")
         rows = (
             sure_fresh.unionByName(confirmed)
@@ -709,7 +739,19 @@ def bloom_admission_stream(
             state["bits"],
             [r["__h1"] for r in rows], [r["__h2"] for r in rows], m, k,
         )
-        admitted_rows.extend(rows)
+        resident.extend((r["doc_id"], r[key_col]) for r in rows)
+        if max_resident_keys is not None and len(resident) > max_resident_keys:
+            # degraded (backfill) regime: push the resident sliver to a
+            # local parquet append and keep only the bitmap in memory
+            if state["spill_dir"] is None:
+                state["spill_dir"] = tempfile.mkdtemp(prefix="bloom-adm-spill-")
+            resident_df().write.mode("append").parquet(state["spill_dir"])
+            state["spills"] += 1
+            resident.clear()
+        # the bound the spill enforces: keys CARRIED across a batch
+        # boundary (the transient within-batch peak is batch-sized by
+        # construction — that collect is the operator's per-batch cost)
+        state["max_resident"] = max(state["max_resident"], len(resident))
 
     q = docs.writeStream.foreachBatch(admit_batch).start()
     watchdog = threading.Timer(timeout_s, q.stop)
@@ -720,24 +762,34 @@ def bloom_admission_stream(
     finally:
         watchdog.cancel()
         q.stop()
-    if admitted_rows:
-        # epilogue: ONE history append of the drain's admissions (fresh
-        # by proof — pure append), then the folded artifact's single
-        # durable commit, provenance pinned at the post-append state so
-        # the bitmap is stamped covering exactly what it contains
-        wh.insert_data(history_table, spark.createDataFrame(
-            [(r["doc_id"], r[key_col]) for r in admitted_rows],
-            append_schema,
-        ))
-        pinned = reg.staleness(index_name)["current"]
-        wh.replace_table(
-            reg.component_table(index_name, "bitmap"),
-            K.bloom_to_df(spark, state["bits"], m, k),
+    spilled = state["spill_dir"] is not None
+    if resident or spilled:
+        # epilogue: ONE history write of the drain's admissions (fresh
+        # by proof — merge_on_duplicates=False skips the upsert's
+        # read-back anti-join; the spill never rides the driver), then
+        # the folded artifact's single durable commit through the
+        # registry's fold primitive — staleness check → fold → re-stamp
+        # pinned at the post-append state, so the bitmap is stamped
+        # covering exactly what it contains
+        admitted = resident_df()
+        if spilled:
+            admitted = spill_df().unionByName(admitted)
+        wh.insert_data(history_table, admitted, merge_on_duplicates=False)
+        reg.ensure_fresh_fold(
+            index_name,
+            lambda pinned: wh.replace_table(
+                reg.component_table(index_name, "bitmap"),
+                K.bloom_to_df(spark, state["bits"], m, k),
+            ),
         )
-        reg.refresh_provenance(index_name, pinned=pinned)
-    out = spark.createDataFrame(
-        [(r[key_col],) for r in admitted_rows],
-        T.StructType([docs.schema[key_col]]),
-    )
-    out._bloom_batches = batch_ids  # test hook: real multi-batch
+    if spilled:
+        out = spill_df().unionByName(resident_df()).select(key_col)
+    else:
+        out = spark.createDataFrame(
+            [(key,) for _doc, key in resident],
+            T.StructType([docs.schema[key_col]]),
+        )
+    out._bloom_batches = batch_ids  # test hooks: real multi-batch,
+    out._bloom_spills = state["spills"]  # spill count,
+    out._bloom_max_resident = state["max_resident"]  # peak driver keys
     return out

@@ -426,3 +426,91 @@ def test_bloom_admission_stream_cross_batch_rejection(spark, tmp_path):
         ).filter(~F.col("__maybe_seen")).count()
     )
     assert missed == 0
+
+
+def test_bloom_admission_stream_spill_mode(spark, tmp_path):
+    """Round 12 (VERDICT r11 #1): a backfill-shaped drain — mostly
+    fresh keys, far more of them than ``max_resident_keys`` — must not
+    accumulate the admitted set on the driver. Past the threshold the
+    loop spills the resident sliver to a parquet append and keeps only
+    the bitmap in memory; the confirm join reads the spill back, the
+    epilogue writes spill ∪ tail to history as ONE distributed insert,
+    and the returned DataFrame scans the spill. Output is still
+    EXACTLY the batch anti-join oracle (stream keys minus initial
+    history), including a cross-batch dup whose first copy was already
+    spilled when the second copy arrived, and the fold-maintained
+    index ends fresh at generation 1 covering every admitted key."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from empujar_spark.catalog import Warehouse
+    from empujar_spark.indexes import IndexRegistry
+    from empujar_spark.operators import sketch as K
+    from empujar_spark.streaming import stream_ops as SO
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), primary_key="doc_id")
+    reg = IndexRegistry(wh)
+    hist = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("h"), F.col("id")).alias("fingerprint"),
+    )
+    wh.insert_data("admission_history", hist, merge_key="doc_id")
+    m, k = K.bloom_params(1000, fpp=0.01)
+    reg.register(
+        "adm", "bloom",
+        {"bitmap": K.bloom_to_df(
+            spark,
+            K.build_bloom_with_params(
+                wh.read("admission_history"), "fingerprint", m, k
+            ), m, k,
+        )},
+        source_table="admission_history",
+    )
+    # 4 landing files × 30 mostly-fresh keys ≫ max_resident_keys=20.
+    # File 0 carries history dup h3; file 3 re-carries file 0's n0
+    # (a cross-SPILL-boundary dup: n0 was spilled long before file 3).
+    d = tmp_path / "landing"
+    os.makedirs(d)
+    fresh = [f"n{i}" for i in range(118)]
+    files = [fresh[0:30] + ["h3"], fresh[30:60],
+             fresh[60:90], fresh[90:118] + ["n0", "h7"]]
+    doc = 100
+    for i, keys in enumerate(files):
+        rows = [(doc + j, kk) for j, kk in enumerate(keys)]
+        doc += 1000
+        spark.createDataFrame(
+            rows, "doc_id long, fingerprint string"
+        ).coalesce(1).write.parquet(str(d / f"f{i}"))
+    stream = (
+        spark.readStream.schema("doc_id long, fingerprint string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{d}/*")
+    )
+    out = SO.bloom_admission_stream(
+        stream, reg, "adm", "admission_history", max_resident_keys=20
+    )
+    assert len(out._bloom_batches) >= 4
+    assert out._bloom_spills >= 2, "the spill regime never engaged"
+    assert out._bloom_max_resident <= 20, (
+        f"carried-over resident keys {out._bloom_max_resident} exceed "
+        "the max_resident_keys bound the spill exists to enforce"
+    )
+    got = sorted(r.fingerprint for r in out.collect())
+    assert got == sorted(fresh)  # each fresh key once; h3/h7 rejected
+    # history ended as initial ∪ admitted, exactly once each
+    hist_after = sorted(
+        r.fingerprint for r in wh.read("admission_history").collect()
+    )
+    assert hist_after == sorted([f"h{i}" for i in range(10)] + fresh)
+    # maintained by FOLD through ensure_fresh_fold: gen 1, fresh,
+    # bitmap covers every key now in history
+    assert reg.describe("adm")["generation"] == 1
+    assert not reg.is_stale("adm")
+    art = K.bloom_from_df(reg.read("adm")["bitmap"])
+    missed = (
+        K.with_bloom_flag(
+            wh.read("admission_history"), "fingerprint", *art
+        ).filter(~F.col("__maybe_seen")).count()
+    )
+    assert missed == 0
