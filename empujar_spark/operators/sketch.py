@@ -347,11 +347,17 @@ def pruned_join(
       m bits however many keys, for the regime where even the key set
       cannot broadcast (the bitmap also serves from a stored registry
       artifact via ``bloom``).
-    - ``"auto"`` — semi when the dim key count is known (``expected_items``)
-      or counted to be ≤ ``_SEMI_PRUNE_MAX_KEYS`` and no stored ``bloom``
-      was handed in; bloom otherwise. Passing ``expected_items`` skips
-      the count scan — at 100 TB the caller usually knows the dim's
-      scale class.
+    - ``"auto"`` — semi when the dim key count is known or estimated to
+      be ≤ ``_SEMI_PRUNE_MAX_KEYS`` and no stored ``bloom`` was handed
+      in; bloom otherwise. The size signal, in order: (1) an explicit
+      ``expected_items``; (2) a ``Warehouse.read`` frame's write-time
+      ``_empujar_n_rows`` footer count — metadata already on disk, so a
+      warehouse dim pays NO extra job (an upper bound on the key count:
+      exact for a pk-keyed dim, an overestimate for a dim with repeated
+      keys, which can only flip the choice toward bloom — never an
+      undersized filter, since bloom sizing from an overestimate just
+      lowers fpp); (3) a ``distinct().count()`` job, the bare-DataFrame
+      fallback only.
 
     All strategies are row-identical to the plain join (semi keeps
     exactly the matching keys; bloom's false positives die in the real
@@ -364,8 +370,10 @@ def pruned_join(
         else:
             n = expected_items
             if n is None:
+                n = getattr(dim, "_empujar_n_rows", None)
+            if n is None:
                 n = dim.select(dim_key or key).distinct().count()
-                expected_items = n
+            expected_items = n
             strategy = "semi" if n <= _SEMI_PRUNE_MAX_KEYS else "bloom"
     if strategy == "bloom":
         return bloom_pruned_join(

@@ -460,3 +460,55 @@ class TestPrunedJoinDispatch:
             got3._jdf.queryExecution().executedPlan().toString()
         )
         assert sorted(map(tuple, got3.collect())) == want
+
+    def test_auto_uses_warehouse_meta_without_a_count_job(
+        self, spark, monkeypatch, tmp_path
+    ):
+        """VERDICT r11 #5: for a warehouse-read dim, auto mode takes its
+        size signal from the write-time footer count riding the frame
+        (``_empujar_n_rows``) instead of paying a distinct().count()
+        job — count() is poisoned during dispatch to prove no job runs."""
+        from pyspark.sql import DataFrame, functions as F
+
+        from empujar_spark.catalog import Warehouse
+        from empujar_spark.operators import sketch as K
+
+        wh = Warehouse(spark, str(tmp_path / "wh"), primary_key="key")
+        dim_src = spark.range(20).select(
+            (F.col("id") * 5).alias("key"),
+            F.concat(F.lit("d"), F.col("id")).alias("attr"),
+        )
+        wh.insert_data("dim", dim_src, merge_key="key")
+        dim = wh.read("dim")
+        assert getattr(dim, "_empujar_n_rows", None) == 20
+        fact = spark.range(2_000).select(
+            (F.col("id") % 100).alias("key"), F.col("id").alias("val")
+        )
+        want = sorted(map(tuple, fact.join(dim, "key").collect()))
+
+        def boom(self):
+            raise AssertionError(
+                "auto dispatch paid a count job despite warehouse meta"
+            )
+
+        monkeypatch.setattr(DataFrame, "count", boom)
+        got = K.pruned_join(fact, dim, "key")  # auto, no expected_items
+        plan = got._jdf.queryExecution().executedPlan().toString()
+        monkeypatch.undo()
+        assert "might_contain" not in plan  # 20 keys -> semi
+        assert sorted(map(tuple, got.collect())) == want
+
+        # past the cap the same metadata flips the choice to bloom,
+        # still without a count job
+        monkeypatch.setattr(K, "_SEMI_PRUNE_MAX_KEYS", 5)
+        monkeypatch.setattr(DataFrame, "count", boom)
+        got2 = K.pruned_join(fact, dim, "key")
+        plan2 = got2._jdf.queryExecution().executedPlan().toString()
+        monkeypatch.undo()
+        assert "might_contain" in plan2
+        assert sorted(map(tuple, got2.collect())) == want
+
+        # a transformed dim drops the hint — exactly when the estimate
+        # stops describing the frame — and the fallback count returns
+        filtered = dim.filter(F.col("key") < 50)
+        assert getattr(filtered, "_empujar_n_rows", None) is None

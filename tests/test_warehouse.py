@@ -1207,3 +1207,41 @@ def test_orphan_version_dir_hidden_from_history(spark, tmp_path):
     assert {r.id for r in wh.read("t").collect()} == {1, 2, 3}
     wh.vacuum()
     assert not _os.path.isdir(orphan)
+
+
+def test_replace_table_persists_promoted_schema(spark, tmp_path):
+    """Round 12 bug fix: replace_table reconciled the schema (promote
+    long->double, add column) and wrote the data conformed to it, but
+    never SAVED the reconciled meta — so read() try_cast back to the
+    stale narrow types, silently truncating promoted values (5.5 read
+    as 5) and dropping the added column."""
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), primary_key="id")
+    wh.insert_data("t", spark.createDataFrame([(1, 5)], "id long, v long"))
+    wh.replace_table(
+        "t",
+        spark.createDataFrame([(1, 5.5, "x")], "id long, v double, extra string"),
+    )
+    types = wh.column_types("t")
+    assert types["v"].kind == "double", types
+    assert "extra" in types
+    rows = wh.read("t").collect()
+    assert rows[0]["v"] == 5.5
+    assert rows[0]["extra"] == "x"
+
+
+def test_write_records_footer_row_count_estimate(spark, tmp_path):
+    """Every committed write records a footer-only row count in the
+    table meta; read() rides it on the frame as the planner hint
+    pruned_join's auto mode consumes (VERDICT r11 #5)."""
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), primary_key="id")
+    wh.insert_data("t", spark.range(37).selectExpr("id", "id * 2 AS v"))
+    assert wh._load_meta("t").get("n_rows") == 37
+    assert wh.read("t")._empujar_n_rows == 37
+    # stays current across an upsert
+    wh.insert_data("t", spark.range(37, 50).selectExpr("id", "id * 2 AS v"))
+    assert wh._load_meta("t").get("n_rows") == 50
+    assert wh.read("t")._empujar_n_rows == 50
