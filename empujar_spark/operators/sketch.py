@@ -319,10 +319,15 @@ def bloom_pruned_join(
 
 
 # Above this many dim keys the broadcast key set stops being the cheap
-# option (~32 MB of longs at 4M; string keys hit it sooner) and the
-# fixed-size bitmap takes over. The STRESS_SKEW join_prune A/B is the
-# measured basis: the JVM semi probe is free, so prefer it whenever the
-# key set itself broadcasts.
+# option and the bitmap takes over. MEASURED (STRESS_SKEW
+# join_prune_keys, r12: a dim-KEY-COUNT octave sweep at fixed 10%
+# selectivity, 10M-row wide fact, broadcast threshold off): the JVM
+# semi probe wins at 1M keys (3.6s vs bloom 6.5s vs raw 10.6s) and
+# still at 4M (4.1s vs 8.3s vs 6.1s); at 16M the key-set broadcast
+# collapses (15.8s — build + ship + hashed-relation memory for ~128MB
+# of longs) while the bloom probe holds flat (8.8s ≈ raw 9.0s). The
+# crossover sits between the 4M and 16M octaves; 4M is the last
+# measured-good point, so the dispatcher flips there.
 _SEMI_PRUNE_MAX_KEYS = 4_000_000
 
 

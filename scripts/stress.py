@@ -213,7 +213,8 @@ def main() -> None:
             bm25_idx = reg_bm.read("bm25_stress")
 
         sem_centroids = None
-        if not only or {"semdedup_exact", "semdedup_ann"} & only:
+        if not only or {"semdedup_exact", "semdedup_ann",
+                        "semdedup_pairs_exact", "semdedup_pairs_ann"} & only:
             # Untimed shared train (the amortized build, same rule as
             # ivf_serve) so the exact-vs-ANN timing difference is the
             # PAIR STAGE, not two separate k-means runs. √n centroid
@@ -269,6 +270,24 @@ def main() -> None:
             "semdedup_ann": lambda: noop(D.semantic_dedup(
                 emb, threshold=0.3, n_centroids=int(32 * (f ** 0.5)),
                 nprobe=8, centroids=sem_centroids)),
+            # PAIR-STAGE-ONLY exact-vs-ANN (VERDICT r11 #2): the two
+            # semdedup entries above share the connected-components
+            # loop, which dominates both at local scale — their growth
+            # ratios came out identical (4.77 vs 4.76 at ×8) and masked
+            # the pair stage's exponents. These twins time ONLY the
+            # pair generation: exact full-probes every list (candidate
+            # volume n² → f² growth), ANN probes nprobe=8 of c=32·√f
+            # lists (n²·nprobe/c → f^1.5 growth) — under the √n rule
+            # the two curves must SEPARATE by √f, measurable at ×16/×32
+            # octaves where the pair work dwarfs fixed overheads.
+            "semdedup_pairs_exact": lambda: noop(D.embedding_dup_pairs(
+                emb, threshold=0.3, method="ivf",
+                n_centroids=int(32 * (f ** 0.5)),
+                centroids=sem_centroids)),
+            "semdedup_pairs_ann": lambda: noop(D.embedding_dup_pairs(
+                emb, threshold=0.3, method="ivf",
+                n_centroids=int(32 * (f ** 0.5)), nprobe=8,
+                centroids=sem_centroids)),
             # repetition signals: per-row folds
             "repetition": lambda: noop(C.repetition_signals(docs)),
             # BPE first iteration: corpus scan collapses to the distinct-

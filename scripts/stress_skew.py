@@ -121,8 +121,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--only", default="",
                     help="comma list of sections (agg,join,join_prune,"
-                    "heavy_hitters,minhash); results MERGE into an "
-                    "existing --out capture")
+                    "join_prune_keys,heavy_hitters,minhash); results "
+                    "MERGE into an existing --out capture")
     ap.add_argument("--hot-clusters", default="200,800,3200",
                     help="minhash hot-cluster sizes")
     args = ap.parse_args()
@@ -139,6 +139,13 @@ def main() -> None:
 
     noop(zipf_df(spark, 100_000, 1_000, 1.2))  # warmup
 
+    # Per-SECTION capture config (ADVICE r11): a merged --only re-capture
+    # previously overwrote the top-level runs/sweep while other sections
+    # kept data captured under the old config — the file stopped
+    # describing itself. Every section now records the config it was
+    # captured under; the top-level fields describe the LAST capture only.
+    cap = {"runs": args.runs, "sweep": sweep, "rows": args.rows,
+           "join_rows": args.join_rows, "keys": args.keys}
     out: dict = {"rows": args.rows, "join_rows": args.join_rows,
                  "keys": args.keys, "runs": args.runs, "sweep": sweep}
     if only and os.path.isfile(args.out):
@@ -172,6 +179,7 @@ def main() -> None:
         print(f"agg s={s}: " + " ".join(
             f"{k}={v[str(s)]}s" for k, v in agg.items()), file=sys.stderr)
     if wanted("agg"):
+        agg["_capture"] = cap
         out["agg"] = agg
 
     # ---------------- join sweep ----------------
@@ -204,6 +212,7 @@ def main() -> None:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skew0)
     if wanted("join"):
+        join["_capture"] = cap
         out["join"] = join
 
     # ---------------- pruned join: selectivity sweep ----------------
@@ -268,7 +277,62 @@ def main() -> None:
                       f"bloom={jp['bloom'][str(phi)]}s", file=sys.stderr)
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+        jp["_capture"] = cap
         out["join_prune"] = jp
+
+    # ------------- pruned join: dim-KEY-COUNT octave sweep -------------
+    # VERDICT r11 #4: the phi sweep above varies SELECTIVITY at one
+    # key-set size, but pruned_join's semi↔bloom dispatcher crosses over
+    # on KEY COUNT — the broadcast key set grows 8B+overhead per key
+    # while the bitmap stays ~1.2 bits-MB per million keys. This sweep
+    # holds selectivity fixed (fact keys uniform over [1, 10·N]; dim =
+    # keys [1..N], so 10% of fact rows match at every octave) and
+    # octaves N through 1M/4M/16M, measuring the same three plans. The
+    # _SEMI_PRUNE_MAX_KEYS constant in operators/sketch.py cites this
+    # curve instead of a bytes-of-longs extrapolation.
+    jpk = out.get("join_prune_keys", {}) if wanted("join_prune_keys") else {}
+    for leg in ("raw", "semi", "bloom"):
+        jpk.setdefault(leg, {})
+    if wanted("join_prune_keys"):
+        import tempfile
+
+        bcast0 = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            for n_dim in (1_000_000, 4_000_000, 16_000_000):
+                fact_dir = tempfile.mkdtemp(prefix="stress-prune-keys-")
+                (zipf_df(spark, args.join_rows, 10 * n_dim, 0)
+                 .withColumn("payload", F.concat(
+                     F.sha1(F.col("val").cast("string")),
+                     F.sha1((F.col("val") + 1).cast("string"))))
+                 .write.mode("overwrite").parquet(fact_dir))
+                fact_u = spark.read.parquet(fact_dir)
+                noop(fact_u)  # untimed: fill the page cache
+                dimk = spark.range(1, n_dim + 1).select(
+                    F.col("id").alias("key"),
+                    F.sha1(F.col("id").cast("string")).alias("dim_payload"),
+                )
+                jpk["raw"][str(n_dim)] = timed(
+                    lambda: noop(fact_u.join(dimk, "key")), args.runs)
+                jpk["semi"][str(n_dim)] = timed(
+                    lambda: noop(
+                        fact_u.join(
+                            F.broadcast(dimk.select("key").distinct()),
+                            "key", "left_semi",
+                        ).join(dimk, "key")),
+                    args.runs)
+                jpk["bloom"][str(n_dim)] = timed(
+                    lambda: noop(K.bloom_pruned_join(
+                        fact_u, dimk, "key", expected_items=n_dim)),
+                    args.runs)
+                print(f"join_prune_keys n_dim={n_dim}: "
+                      f"raw={jpk['raw'][str(n_dim)]}s "
+                      f"semi={jpk['semi'][str(n_dim)]}s "
+                      f"bloom={jpk['bloom'][str(n_dim)]}s", file=sys.stderr)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bcast0)
+        jpk["_capture"] = cap
+        out["join_prune_keys"] = jpk
 
     # ---------------- heavy-hitters certificate, non-trivial bound ----
     hh = out.get("heavy_hitters", {}) if wanted("heavy_hitters") else {}
@@ -292,6 +356,7 @@ def main() -> None:
         hh[str(s)] = {**stats, "secs": secs, "matches_exact": got_rows == want}
         print(f"heavy_hitters s={s}: {hh[str(s)]}", file=sys.stderr)
     if wanted("heavy_hitters"):
+        hh["_capture"] = cap
         out["heavy_hitters"] = hh
 
     # ---------------- minhash banding under a hot bucket ----------------
@@ -327,6 +392,7 @@ def main() -> None:
               f"{mb['pairs_uncapped'][str(c)]}→{mb['pairs_capped_50'][str(c)]}",
               file=sys.stderr)
     if wanted("minhash"):
+        mb["_capture"] = {**cap, "hot_clusters": clusters}
         out["minhash_hot_band"] = mb
 
     with open(args.out, "w") as fh:

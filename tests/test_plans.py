@@ -670,12 +670,14 @@ def test_runtime_filtered_join_probes_below_the_exchange(spark):
     must appear after the probe)."""
     plan = plan_of(spark, "runtime_filtered_join")
     assert "might_contain" in plan, plan
-    join_pos = min(
+    join_positions = [
         p for p in (
             plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
             plan.find("ShuffledHashJoin"),
         ) if p >= 0
-    )
+    ]
+    assert join_positions, f"no join node in the plan:\n{plan}"
+    join_pos = min(join_positions)
     probe_pos = plan.find("might_contain")
     scan_pos = plan.rfind("lineitem")
     assert join_pos < probe_pos < scan_pos, plan
