@@ -1126,7 +1126,14 @@ def semantic_dedup(
     ``nprobe = n_centroids`` the pair set (hence the clustering) is
     provably complete and the whole result stays oracle-exact; at
     production scale run ``nprobe < n_centroids`` and c ∝ √n exactly as
-    documented on embedding_dup_pairs. Components and retention reuse
+    documented on embedding_dup_pairs. That regime's saving is MEASURED
+    on the pair stage in isolation (scripts/stress.py
+    semdedup_pairs_exact/_ann — the shared components loop dominates
+    whole-operator timings at local scale and masks the exponents):
+    full-probe grew 16.1x over a x32 octave span while the nprobe=8 leg
+    grew 1.52x — under the √n rule the probed fraction nprobe/c shrinks
+    with the corpus, so the ANN pair stage stays near-flat where the
+    exact one goes quadratic. Components and retention reuse
     ``connected_components`` — the same loop the text near-dup path runs,
     because once pairs exist the modality is irrelevant.
 
