@@ -423,3 +423,91 @@ def shard_assignments(
         .withColumn("pos", F.row_number().over(w))
         .select(id_col, "shard", "pos")
     )
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    the log-likelihood ratio of its hashed unigram features under the
+    TARGET distribution (docs matching ``target_pred``) vs the RAW corpus
+    distribution — the importance weight a curation pass resamples on to
+    tilt a web-scale crawl toward a high-quality / in-domain target set
+    without training a classifier. Add-one smoothing on both sides keeps
+    unseen buckets finite.
+
+    Output: (id_col, n_tokens, lr_score) — lr_score > 0 means the doc
+    looks more like the target than like the raw corpus; rank or
+    threshold on it to select. Deterministic: features are md5-hashed
+    token buckets, per-bucket weights are quantized to 1e-6 BEFORE the
+    per-doc sum and the sum re-snaps to the same 1e-6 grid (a sum of
+    grid multiples is a grid multiple up to ~1e-11 accumulation wobble;
+    a COARSER final round would instead park every 50-ending sum on a
+    half-way tie where engines disagree), so the score is reproducible
+    on any engine / partitioning (exact SQL twin in the corpus).
+
+    Plan shape for 100 TB: two passes over the token stream — (1) one
+    explode + groupBy(bucket) that partial-aggregates down to
+    ``n_buckets`` rows (map-side combine does almost all the work; both
+    the raw and target counts ride the SAME aggregation via a
+    conditional sum, so the stats pass is one shuffle of 256 rows), and
+    (2) the scoring pass, where the 256-row weight table broadcast-joins
+    onto the token stream and a groupBy(doc) sums — no shuffle wider
+    than the corpus itself, no driver-side state beyond the weight
+    table. That is the canonical DSIR layout: the n-gram statistics fit
+    in one machine by construction (fixed bucket count), only the
+    corpus stays distributed.
+    """
+    df = _spread(df)
+    norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
+    toks = df.select(
+        F.col(id_col),
+        target_pred.alias("__tgt"),
+        F.explode(F.split(norm, " ")).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    bucketed = toks.select(
+        id_col,
+        "__tgt",
+        (
+            F.conv(F.substring(F.md5(F.col("__tok")), 1, 8), 16, 10)
+            .cast("bigint")
+            % n_buckets
+        ).alias("__b"),
+    )
+    stats = bucketed.groupBy("__b").agg(
+        F.count(F.lit(1)).alias("__n_raw"),
+        F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("__n_tgt"),
+    )
+    totals = stats.agg(
+        F.sum("__n_raw").cast("bigint").alias("__R"),
+        F.sum("__n_tgt").cast("bigint").alias("__T"),
+    )
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "__b",
+        F.round(
+            F.log(
+                (F.col("__n_tgt") + F.lit(1.0))
+                / (F.col("__T") + F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("__n_raw") + F.lit(1.0))
+                / (F.col("__R") + F.lit(float(n_buckets)))
+            ),
+            6,
+        ).alias("__w"),
+    )
+    return (
+        bucketed.join(F.broadcast(weights), "__b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.round(F.sum("__w"), 6).alias("lr_score"),
+        )
+    )

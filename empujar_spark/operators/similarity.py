@@ -360,6 +360,122 @@ def _nearest_centroids_udf(centroids, nprobe: int):
     return nearest
 
 
+def _argmin_euclidean(vec: Column, centroids) -> Column:
+    """Id of the centroid nearest to ``vec`` in EUCLIDEAN distance via the
+    expansion argmin_c ‖x−c‖² = argmax_c (x·c − ‖c‖²/2) — ‖x‖² is constant
+    across centroids, so it never needs computing. Ties break to the
+    smaller centroid id. Same single-literal-matrix / indexed-transform
+    construction as _nearest_centroids (one parsed SQL expression, O(1)
+    expression count in n_centroids); both dot products are ordered
+    left-folds over double, bit-matching DuckDB's list_dot_product on the
+    same quantized values — which is what lets Lloyd iterations stay
+    hash-exact against a pure-SQL oracle."""
+    c_mat = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+    dot = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    ranked = F.sort_array(
+        F.transform(
+            c_mat,
+            lambda c, j: F.struct(
+                (-(dot(vec, c) - dot(c, c) / F.lit(2.0))).alias("nd"),
+                j.alias("j"),
+            ),
+        )
+    )
+    return F.element_at(ranked, 1)["j"]
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Assign every row to its Euclidean-nearest centroid — the E-step of
+    Lloyd and the serving-time cluster lookup. Pure map: broadcast-sized
+    centroid literal, no shuffle, whole-stage codegen."""
+    return df.withColumn(out_col, _argmin_euclidean(F.col(vec_col), centroids))
+
+
+def kmeans_lloyd(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    quant: int = 6,
+) -> tuple[list[list[float]], dict[int, int]]:
+    """Distributed Lloyd k-means over the FULL corpus — the clustering
+    pass a training-data pipeline runs for semantic sharding, curriculum
+    buckets, or SemDeDup-style grouping when a sampled quantizer
+    (ivf_train) isn't enough and every vector must vote.
+
+    Deterministic end to end: init = the ``k`` vectors with smallest
+    md5(id) (a distributed top-k, same rule as ivf_train); each round
+    assigns via _argmin_euclidean (ties to the smaller centroid id) and
+    recenters with per-dimension means QUANTIZED to 10^-quant. The
+    quantization is what makes the iteration reproducible across engines
+    and partitionings: a mean's accumulation-order wobble (~1e-13) is
+    crushed to the 1e-6 grid before it can flip any later assignment, so
+    the whole trajectory — not just one step — is hash-exact against the
+    corpus oracle's unrolled SQL. Empty clusters keep their previous
+    centroid (count 0), the standard Lloyd convention.
+
+    Plan shape for 100 TB: per round, ONE narrow assignment map (codegen,
+    no shuffle) + ONE posexplode/groupBy(cluster, dim) aggregation whose
+    map-side combine reduces everything to k×dim rows — the only thing
+    that ever reaches the driver. No iteration-growing lineage: each
+    round's plan is built fresh from the scan, the loop carries only the
+    k×dim Python list (same pattern as MLlib's Lloyd, expressed on
+    DataFrames).
+
+    Returns (centroids after ``iters`` rounds, {cluster: n} counts of the
+    final E-step — the assignment the returned centroids were computed
+    from).
+    """
+    md5_key = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("bigint")
+    seed_rows = (
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(md5_key.asc(), F.col(id_col).asc())
+        .limit(k)
+        .collect()
+    )
+    C = [[round(float(x), quant) for x in r["v"]] for r in seed_rows]
+    counts: dict[int, int] = {j: 0 for j in range(len(C))}
+    for _ in range(iters):
+        assigned = corpus.select(
+            _argmin_euclidean(F.col(vec_col), C).alias("cluster"),
+            F.col(vec_col).alias("v"),
+        )
+        stats = (
+            assigned.select("cluster", F.posexplode("v").alias("dim0", "x"))
+            .groupBy("cluster", "dim0")
+            .agg(
+                F.round(F.avg(F.col("x").cast("double")), quant).alias("m"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()
+        )
+        counts = {j: 0 for j in range(len(C))}
+        for r in stats:
+            C[r["cluster"]][r["dim0"]] = float(r["m"])
+            counts[r["cluster"]] = int(r["n"])
+    return C, counts
+
+
 def cogrouped_cosine_pairs(
     hist: DataFrame,
     probes: DataFrame,

@@ -216,6 +216,46 @@ def tfidf_top_terms(
     )
 
 
+def _kgram_hashes(
+    df: DataFrame, text_col: str, k: int, positions: bool = False
+) -> DataFrame:
+    """(doc_id, fp[, pos]) — md5-derived 48-bit hash of every character
+    k-gram of the whitespace-normalized text, the shared front end of the
+    two fingerprint selectors below. ``pos`` is the 1-based gram start.
+
+    The normalized text is materialized in its own projection: a lambda
+    body gets no common-subexpression elimination, so inlining the
+    regexp_replace chain would re-normalize the document once per gram.
+    Spark's sequence(1, stop) runs DESCENDING when stop < 1 (text shorter
+    than k) — emit no grams instead."""
+    normed = _spread(df).select(
+        "doc_id",
+        F.regexp_replace(
+            F.trim(F.lower(F.col(text_col))), r"\s+", " "
+        ).alias("__norm"),
+    )
+    norm = F.col("__norm")
+    grams = F.when(
+        F.length(norm) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
+            lambda i: F.substring(norm, i, F.lit(k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    fp = (
+        F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("fp")
+    )
+    if positions:
+        return normed.select(
+            "doc_id", F.posexplode(grams).alias("pos0", "g")
+        ).select("doc_id", (F.col("pos0") + 1).alias("pos"), fp)
+    return normed.select("doc_id", F.explode(grams).alias("g")).select(
+        "doc_id", fp
+    )
+
+
 def modp_fingerprints(
     df: DataFrame, text_col: str = "text", k: int = 8, p: int = 8
 ) -> DataFrame:
@@ -235,35 +275,44 @@ def modp_fingerprints(
     content sample) — Spark evaluates each k-gram hash independently
     inside codegen, which vectorizes better than a stateful scan anyway.
     """
-    # Materialize the normalized text in its own projection: a lambda body
-    # gets no common-subexpression elimination, so inlining the
-    # regexp_replace chain would re-normalize the document once per gram.
-    normed = _spread(df).select(
-        "doc_id",
-        F.regexp_replace(
-            F.trim(F.lower(F.col(text_col))), r"\s+", " "
-        ).alias("__norm"),
-    )
-    norm = F.col("__norm")
-    # guard: Spark's sequence(1, stop) runs DESCENDING when stop < 1
-    # (text shorter than k) — emit no grams instead
-    grams = F.when(
-        F.length(norm) >= k,
-        F.transform(
-            F.sequence(F.lit(1), F.length(norm) - F.lit(k - 1)),
-            lambda i: F.substring(norm, i, F.lit(k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    hashed = (
-        normed.select("doc_id", F.explode(grams).alias("g"))
-        .select(
-            "doc_id",
-            F.conv(F.substring(F.md5(F.col("g")), 1, 12), 16, 10)
-            .cast("bigint")
-            .alias("fp"),
-        )
-    )
+    hashed = _kgram_hashes(df, text_col, k)
     return hashed.filter(F.col("fp") % p == 0).distinct()
+
+
+def winnowing_fingerprints(
+    df: DataFrame, text_col: str = "text", k: int = 8, w: int = 4
+) -> DataFrame:
+    """Windowed winnowing (Schleimer et al. 2003 §4): slide a window of
+    ``w`` consecutive k-gram hashes over each document and select the
+    window MINIMUM — unlike 0-mod-p (a fixed-rate sample with unbounded
+    gaps), winnowing GUARANTEES at least one fingerprint per w+k-1
+    characters, the density bound that makes match coverage provable.
+    Emitting the min VALUE per full window and deduplicating yields the
+    same fingerprint set as the positional algorithm (any selected
+    position's hash is some window's min; every window min is selected).
+
+    Output: (doc_id, fp) — one row per distinct selected fingerprint;
+    docs shorter than k+w-1 normalized chars select nothing (no full
+    window). Cost: one explode + a per-doc window min + distinct. The
+    window partitions by doc_id and documents are bounded (a 100 TB
+    corpus is many documents, not one giant string), so no partition
+    skew; the sort inside the window is per-doc and spill-safe. Hashes
+    are md5-derived → engine-independent, exact SQL twin in the corpus.
+    """
+    from pyspark.sql import Window
+
+    hashed = _kgram_hashes(df, text_col, k, positions=True)
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(w - 1), 0)
+    )
+    return (
+        hashed.withColumn("fp_min", F.min("fp").over(win))
+        .filter(F.col("pos") >= w)
+        .select("doc_id", F.col("fp_min").alias("fp"))
+        .distinct()
+    )
 
 
 def benchmark_contamination(

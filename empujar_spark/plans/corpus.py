@@ -8147,6 +8147,162 @@ def index_staleness_audit(spark, sf_dir):
 # Driver-gate registration order — round-8 rotation
 # =====================================================================
 # Driver-gate order — COMPUTED census (round 8)
+@q(
+    "winnowing_fingerprints",
+    r"""
+    WITH n AS (SELECT doc_id,
+                      regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS nt
+               FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(generate_series(1, length(nt) - 7)) AS pos,
+             unnest(list_transform(generate_series(1, length(nt) - 7),
+                                   i -> substr(nt, i, 8))) AS gram
+      FROM n WHERE length(nt) >= 8),
+    h AS (SELECT doc_id, pos,
+                 CAST(('0x' || substr(md5(gram), 1, 12)) AS BIGINT) AS fp
+          FROM g),
+    w AS (SELECT doc_id, pos,
+                 min(fp) OVER (PARTITION BY doc_id ORDER BY pos
+                               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fpm
+          FROM h),
+    sel AS (SELECT DISTINCT doc_id, fpm AS fp FROM w WHERE pos >= 4)
+    SELECT doc_id, count(*) AS n_fp, min(fp) AS min_fp
+    FROM sel GROUP BY doc_id
+    """,
+)
+def winnowing_fingerprints(spark, sf_dir):
+    """WINDOWED winnowing (operators/text.py winnowing_fingerprints,
+    Schleimer et al. 2003 §4): min k-gram hash per sliding window of
+    w=4 — the guaranteed-density complement to modp_fingerprints'
+    fixed-rate 0-mod-p sample (modp can leave unboundedly long
+    unfingerprinted gaps; winnowing proves one fingerprint per w+k-1
+    chars, the bound plagiarism/contamination detection relies on).
+    Entry reports per-doc fingerprint count + min, like modp."""
+    docs = load(spark, sf_dir, "documents")
+    fps = X.winnowing_fingerprints(docs, k=8, w=4)
+    return fps.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_fp"), F.min("fp").alias("min_fp")
+    )
+
+
+@q(
+    "dsir_selection",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS token
+      FROM documents),
+    b AS (SELECT doc_id, tgt,
+                 CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT) % 256 AS bkt
+          FROM tok WHERE token <> ''),
+    stats AS (SELECT bkt,
+                     CAST(count(*) AS BIGINT) AS n_raw,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS n_tgt
+              FROM b GROUP BY bkt),
+    tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS r_tot,
+                   CAST(sum(n_tgt) AS BIGINT) AS t_tot
+            FROM stats),
+    wts AS (SELECT bkt,
+                   round(ln((n_tgt + 1.0) / (t_tot + 256.0))
+                       - ln((n_raw + 1.0) / (r_tot + 256.0)), 6) AS w
+            FROM stats, tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(w), 6) AS lr_score
+    FROM b JOIN wts USING (bkt)
+    GROUP BY doc_id
+    """,
+)
+def dsir_selection(spark, sf_dir):
+    """DSIR importance scoring (operators/curation.py dsir_importance,
+    Xie et al. 2023): per-doc log-likelihood ratio of hashed unigram
+    features under the target distribution (lang='en' docs here) vs the
+    raw corpus — the classifier-free data-selection weight a curation
+    pass resamples on. Per-bucket weights quantize to 1e-6 before the
+    per-doc sum, which re-snaps to the same grid, so the score is
+    engine-exact; the stats pass
+    partial-aggregates to 256 rows and the scoring pass broadcast-joins
+    them back, nothing driver-side beyond the weight table."""
+    docs = load(spark, sf_dir, "documents")
+    return C.dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=256
+    ).select("doc_id", "n_tokens", "lr_score")
+
+
+@q(
+    "kmeans_clusters",
+    """
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
+      FROM (SELECT vec_id, v,
+                   CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                        AS BIGINT) AS h
+            FROM e)
+      ORDER BY h, vec_id LIMIT 8),
+    c0 AS (SELECT cid, list_transform(v, x -> round(x, 6)) AS c FROM seeds),
+    a1 AS (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c0.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.v, c0.c)
+                               - list_dot_product(c0.c, c0.c) / 2.0 DESC,
+                               c0.cid ASC) AS rn
+             FROM e CROSS JOIN c0) t
+           WHERE rn = 1),
+    m1 AS (SELECT cid, dim, round(avg(x), 6) AS cv
+           FROM (SELECT cid, unnest(v) AS x,
+                        unnest(generate_series(1, len(v))) AS dim
+                 FROM a1) d
+           GROUP BY cid, dim),
+    c1 AS (SELECT c0.cid, COALESCE(m.cl, c0.c) AS c
+           FROM c0 LEFT JOIN (SELECT cid, list(cv ORDER BY dim) AS cl
+                              FROM m1 GROUP BY cid) m
+           ON c0.cid = m.cid),
+    a2 AS (SELECT vec_id, v, cid FROM (
+             SELECT e.vec_id, e.v, c1.cid,
+                    row_number() OVER (PARTITION BY e.vec_id
+                      ORDER BY list_dot_product(e.v, c1.c)
+                               - list_dot_product(c1.c, c1.c) / 2.0 DESC,
+                               c1.cid ASC) AS rn
+             FROM e CROSS JOIN c1) t
+           WHERE rn = 1),
+    m2 AS (SELECT cid, dim, round(avg(x), 6) AS cv,
+                  CAST(count(*) AS BIGINT) AS n
+           FROM (SELECT cid, unnest(v) AS x,
+                        unnest(generate_series(1, len(v))) AS dim
+                 FROM a2) d
+           GROUP BY cid, dim),
+    dims AS (SELECT cid, unnest(generate_series(1, len(c))) AS dim,
+                    unnest(c) AS cv_prev
+             FROM c1)
+    SELECT dims.cid AS cluster, dims.dim AS dim,
+           COALESCE(m2.cv, dims.cv_prev) AS c_val,
+           COALESCE(m2.n, 0) AS n
+    FROM dims LEFT JOIN m2 ON dims.cid = m2.cid AND dims.dim = m2.dim
+    """,
+)
+def kmeans_clusters(spark, sf_dir):
+    """Distributed Lloyd k-means (operators/similarity.py kmeans_lloyd):
+    k=8, 2 rounds over the full embeddings table, init = the 8 vectors
+    with smallest md5(id). Every round is one codegen'd assignment map +
+    one posexplode/groupBy that map-side combines to k×dim rows; the
+    1e-6 centroid quantization makes the whole trajectory hash-exact
+    against the oracle's unrolled SQL (accumulation-order wobble is
+    crushed to the grid before it can flip any assignment). Output:
+    final centroid per (cluster, dim) + the final E-step's member count
+    (empty clusters keep their previous centroid, n=0)."""
+    emb = load(spark, sf_dir, "embeddings")
+    Cm, counts = S.kmeans_lloyd(emb, k=8, iters=2)
+    rows = [
+        (cid, dim + 1, float(val), counts.get(cid, 0))
+        for cid, c in enumerate(Cm)
+        for dim, val in enumerate(c)
+    ]
+    return spark.createDataFrame(
+        rows, "cluster bigint, dim bigint, c_val double, n bigint"
+    )
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

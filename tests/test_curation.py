@@ -277,3 +277,37 @@ def test_shard_assignments_deterministic_and_balanced(spark):
     # a different seed re-deals the order
     c = shard_assignments(df, n_shards=8, seed="s2")
     assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_dsir_importance_separates_target_vocabulary(spark):
+    """Docs written in the target subset's vocabulary must outscore docs
+    in the off-target vocabulary, and the score is a pure function of
+    the data (rerun-identical)."""
+    tgt_words = "alpha beta gamma delta epsilon"
+    raw_words = "zeta eta theta iota kappa"
+    rows = [(i, tgt_words, True) for i in range(10)]
+    rows += [(i + 10, raw_words, False) for i in range(10)]
+    # two held-out docs, one per vocabulary, NOT in the target subset
+    rows += [(100, tgt_words, False), (101, raw_words, False)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    out = C.dsir_importance(df, F.col("is_tgt"), id_col="doc_id")
+    scores = {r["doc_id"]: r["lr_score"] for r in out.collect()}
+    assert scores[100] > scores[101], scores
+    assert scores[100] > 0 > scores[101]
+    ntok = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert ntok[100] == 5
+    again = {
+        r["doc_id"]: r["lr_score"]
+        for r in C.dsir_importance(df, F.col("is_tgt")).collect()
+    }
+    assert again == scores
+
+
+def test_dsir_importance_blank_and_null_text_drop_out(spark):
+    df = spark.createDataFrame(
+        [(1, "some words here", True), (2, "", False), (3, None, False)],
+        ["doc_id", "text", "is_tgt"],
+    )
+    out = C.dsir_importance(df, F.col("is_tgt"))
+    ids = {r["doc_id"] for r in out.collect()}
+    assert ids == {1}

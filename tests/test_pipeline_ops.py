@@ -422,3 +422,91 @@ def test_bm25_index_survives_warehouse_roundtrip(spark, tmp_path):
     replayed = X.bm25_search_indexed(stored, queries).collect()
     key = lambda t: (t[0], t[3])
     assert sorted(map(tuple, fresh), key=key) == sorted(map(tuple, replayed), key=key)
+
+
+def _py_winnow(text: str, k: int, w: int) -> set[int]:
+    """Reference winnowing (value-set form): md5-48bit hash of every
+    normalized char k-gram, min per window of w, distinct."""
+    import hashlib
+    import re
+
+    nt = re.sub(r"\s+", " ", text.strip().lower())
+    if len(nt) < k:
+        return set()
+    hs = [
+        int(hashlib.md5(nt[i:i + k].encode()).hexdigest()[:12], 16)
+        for i in range(len(nt) - k + 1)
+    ]
+    return {min(hs[i - w + 1:i + 1]) for i in range(w - 1, len(hs))}
+
+
+def test_winnowing_matches_python_reference(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "a b c d e f g h i j k l m n o p q r s t"),
+        (3, "aaaaaaaaaaaaaaaaaaaa"),  # constant grams → one fingerprint
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {
+        i: {r["fp"] for r in rows}
+        for i, rows in (
+            (i, X.winnowing_fingerprints(df, k=8, w=4)
+                .filter(F.col("doc_id") == i).collect())
+            for i, _ in texts
+        )
+    }
+    for i, t in texts:
+        assert got[i] == _py_winnow(t, 8, 4), f"doc {i}"
+
+
+def test_winnowing_density_vs_modp_gap(spark):
+    """The property winnowing buys over 0-mod-p: EVERY stretch of w+k-1
+    chars yields a fingerprint, so a long doc can never go unsampled —
+    whereas 0-mod-p's fixed-rate sample can leave a doc with zero
+    fingerprints when no gram hash happens to be ≡0 (mod p)."""
+    import hashlib
+    import re
+
+    # find a text whose 8-gram hashes are all ≢0 mod 64 (common at p=64)
+    base = "zq xv jk wp fh tb"
+    for salt in range(200):
+        t = f"{base} {salt:04d} mn rs"
+        nt = re.sub(r"\s+", " ", t.strip().lower())
+        hs = [
+            int(hashlib.md5(nt[i:i + 8].encode()).hexdigest()[:12], 16)
+            for i in range(len(nt) - 7)
+        ]
+        if len(hs) >= 4 and all(h % 64 for h in hs):
+            break
+    else:
+        pytest.skip("no modp-empty text found")
+    df = spark.createDataFrame([(1, t)], ["doc_id", "text"])
+    assert X.modp_fingerprints(df, k=8, p=64).count() == 0
+    assert X.winnowing_fingerprints(df, k=8, w=4).count() >= 1
+
+
+def test_winnowing_shared_passage_shares_fingerprints(spark):
+    passage = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame(
+        [
+            (1, "PREFIX padding text " + passage),
+            (2, passage + " totally different suffix content here"),
+            (3, "unrelated words that share no eight gram at all xyz"),
+        ],
+        ["doc_id", "text"],
+    )
+    fps = X.winnowing_fingerprints(df, k=8, w=4)
+    by_doc = {
+        i: {r["fp"] for r in fps.filter(F.col("doc_id") == i).collect()}
+        for i in (1, 2, 3)
+    }
+    assert by_doc[1] & by_doc[2], "shared passage must share fingerprints"
+    assert not (by_doc[1] & by_doc[2] & by_doc[3])
+
+
+def test_winnowing_no_full_window_empty(spark):
+    # 9 normalized chars → 2 grams at k=8 < w=4 windows → nothing
+    df = spark.createDataFrame(
+        [(1, "short"), (2, "nine ch x")], ["doc_id", "text"]
+    )
+    assert X.winnowing_fingerprints(df, k=8, w=4).count() == 0

@@ -163,6 +163,10 @@ _CROSS_JOIN_ALLOWED = {
                           # histogram_price scalar pattern (chosen OVER a
                           # global-window ntile, which would single-task)
     "importance_sample",  # one-row max-normalizer broadcast, same pattern
+    "dsir_selection",  # one-row (R,T) totals scalar crossed onto the
+                       # 256-row bucket-stats table — constant-size build
+                       # at any corpus scale; the corpus-sized join is
+                       # the broadcast hash join on bucket id
 }
 
 # Entries whose fn() actually executes work at call time (streaming drains,
@@ -187,6 +191,11 @@ _PLAN_AUDIT_SKIP = {
     "compact_roundtrip",
     "version_travel",
     "heavy_hitters_users",  # certified path returns collected top-k rows
+    "kmeans_clusters",  # Lloyd loop runs at call time; the returned
+                        # frame is the k×dim centroid table (driver-sized
+                        # by construction) — the iteration's real plans
+                        # are audited in test_kmeans_iteration_plan_shape
+
     # the pipeline-summary gates run their whole book at call time and
     # return a collected ≤40-row summary — the books' own plans are
     # audited by test_etl_book / test_pretrain_book
@@ -681,3 +690,47 @@ def test_runtime_filtered_join_probes_below_the_exchange(spark):
     probe_pos = plan.find("might_contain")
     scan_pos = plan.rfind("lineitem")
     assert join_pos < probe_pos < scan_pos, plan
+
+
+def test_dsir_weight_join_broadcasts(spark):
+    """dsir_selection's scoring pass: the 256-row weight table must reach
+    the token stream as a BroadcastHashJoin (never a shuffle of the
+    corpus on bucket id), and the one-row totals join is the documented
+    scalar BNL — nothing else may nested-loop."""
+    plan = plan_of(spark, "dsir_selection")
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 1, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_kmeans_iteration_plan_shape(spark):
+    """One Lloyd round = a codegen'd assignment map + ONE hash aggregate
+    pair (partial map-side, final after a k×dim-keyed exchange) — no
+    join anywhere, no second shuffle. Audited on the operator directly
+    because the corpus entry returns only the collected centroid table."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import similarity as S
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    C = [[0.0] * 64, [1.0] * 64]
+    assigned = S.kmeans_assign(emb, C).select(
+        "cluster", F.posexplode("embedding").alias("dim0", "x")
+    )
+    stats = assigned.groupBy("cluster", "dim0").agg(
+        F.avg(F.col("x").cast("double")).alias("m")
+    )
+    plan = stats._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+    assert "HashAggregate" in plan
+
+
+def test_winnowing_single_scan_single_doc_shuffle(spark):
+    """winnowing_fingerprints: one parquet scan, the per-doc window min
+    and the distinct both hash on doc_id-rooted keys — the plan may
+    repartition for the window and the distinct but never joins."""
+    plan = plan_of(spark, "winnowing_fingerprints")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Join" not in plan, plan

@@ -495,3 +495,78 @@ def test_embedding_incremental_pairs_ann_recall_pinned(spark):
     recall = len(ann) / len(exact)
     assert recall >= 0.75, f"incremental ANN recall {recall:.3f} regressed"
     assert len(exact) > 100  # the pin is over a non-trivial pair set
+
+
+def _py_lloyd(vecs: dict[int, list[float]], k: int, iters: int):
+    """Reference quantized Lloyd: same init rule (k smallest md5(id)),
+    same Euclidean argmin with ties to the smaller centroid id, same
+    1e-6 centroid quantization, empty clusters keep their centroid."""
+    import hashlib
+
+    def h(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16)
+
+    order = sorted(vecs, key=lambda i: (h(i), i))
+    C = [[round(float(x), 6) for x in vecs[i]] for i in order[:k]]
+    counts = {j: 0 for j in range(len(C))}
+    for _ in range(iters):
+        groups: dict[int, list[list[float]]] = {}
+        for i in sorted(vecs):
+            v = vecs[i]
+            best = max(
+                range(len(C)),
+                key=lambda j: (
+                    sum(a * b for a, b in zip(v, C[j]))
+                    - sum(b * b for b in C[j]) / 2.0,
+                    -j,
+                ),
+            )
+            groups.setdefault(best, []).append(v)
+        counts = {j: 0 for j in range(len(C))}
+        for j, mem in groups.items():
+            C[j] = [
+                round(sum(m[d] for m in mem) / len(mem), 6)
+                for d in range(len(mem[0]))
+            ]
+            counts[j] = len(mem)
+    return C, counts
+
+
+def test_kmeans_lloyd_matches_python_reference(spark):
+    import random
+
+    rng = random.Random(7)
+    vecs = {
+        i: [round(rng.uniform(-1, 1), 3) for _ in range(6)] for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], ["vec_id", "embedding"]
+    )
+    got_C, got_n = S.kmeans_lloyd(df, k=4, iters=3, quant=6)
+    exp_C, exp_n = _py_lloyd(vecs, k=4, iters=3)
+    assert got_n == exp_n
+    for gc, ec in zip(got_C, exp_C):
+        assert gc == pytest.approx(ec, abs=2e-6)
+
+
+def test_kmeans_assign_ties_to_smaller_centroid_id(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], ["vec_id", "embedding"]
+    )
+    # identical centroids → every score ties → cluster 0 always wins
+    out = S.kmeans_assign(df, [[0.5, 0.5], [0.5, 0.5]])
+    assert {r["cluster"] for r in out.collect()} == {0}
+
+
+def test_kmeans_empty_cluster_keeps_centroid_and_counts_zero(spark):
+    """All points identical → every assignment ties → everything lands in
+    cluster 0 (smaller-id tie-break); clusters 1 and 2 are provably empty
+    and must keep their seed position with n=0, not NaN out or crash (the
+    standard Lloyd convention)."""
+    df = spark.createDataFrame(
+        [(i, [2.5, -1.5]) for i in range(12)], ["vec_id", "embedding"]
+    )
+    C, counts = S.kmeans_lloyd(df, k=3, iters=2, quant=6)
+    assert counts == {0: 12, 1: 0, 2: 0}
+    for j in (0, 1, 2):
+        assert C[j] == [2.5, -1.5]
