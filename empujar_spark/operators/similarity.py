@@ -395,15 +395,49 @@ def _argmin_euclidean(vec: Column, centroids) -> Column:
     return F.element_at(ranked, 1)["j"]
 
 
+def _argmin_euclidean_udf(centroids):
+    """Arrow-batched twin of _argmin_euclidean: one numpy matmul per batch
+    with the −‖c‖²/2 correction, stable argmax so ties go to the smaller
+    centroid id. The production assignment path for LARGE k — the literal
+    centroid matrix plus fold tree costs ~0.7s of Catalyst analysis per
+    plan side at 32×64 and grows with k×dim (same plan-size pressure as
+    _nearest_centroids_udf); the UDF is one plan node at any k. A BLAS
+    sum order can differ from the JVM fold in the last ulp, which only
+    matters on an exact inter-centroid tie — parity with the expression
+    path on real data is pinned in tests."""
+    C = np.asarray(centroids, dtype=np.float64)
+    corr = -0.5 * (C * C).sum(axis=1)
+
+    @F.pandas_udf(T.IntegerType())
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        V = np.vstack(vecs.to_numpy()).astype(np.float64)
+        scores = V @ C.T + corr
+        # reversed argmax ties to the FIRST maximal index (numpy argmax
+        # already does) — matches the expression path's smaller-id rule
+        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+
+    return nearest
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids,
     vec_col: str = "embedding",
     out_col: str = "cluster",
+    arrow: bool = False,
 ) -> DataFrame:
     """Assign every row to its Euclidean-nearest centroid — the E-step of
-    Lloyd and the serving-time cluster lookup. Pure map: broadcast-sized
-    centroid literal, no shuffle, whole-stage codegen."""
+    Lloyd and the serving-time cluster lookup. Pure map, no shuffle:
+    ``arrow=False`` uses the codegen'd literal-matrix expression (ordered
+    folds, bit-exact vs the SQL oracle — the correctness-gated default);
+    ``arrow=True`` the one-node Arrow matmul kernel (the production path
+    when k×dim makes the literal plan expensive to analyze)."""
+    if arrow:
+        return df.withColumn(
+            out_col, _argmin_euclidean_udf(centroids)(F.col(vec_col))
+        )
     return df.withColumn(out_col, _argmin_euclidean(F.col(vec_col), centroids))
 
 
@@ -414,6 +448,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 6,
+    arrow: bool = False,
 ) -> tuple[list[list[float]], dict[int, int]]:
     """Distributed Lloyd k-means over the FULL corpus — the clustering
     pass a training-data pipeline runs for semantic sharding, curriculum
@@ -441,7 +476,8 @@ def kmeans_lloyd(
 
     Returns (centroids after ``iters`` rounds, {cluster: n} counts of the
     final E-step — the assignment the returned centroids were computed
-    from).
+    from). ``arrow=True`` swaps the assignment map for the one-node Arrow
+    matmul kernel (the large-k production path; see kmeans_assign).
     """
     md5_key = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
@@ -456,9 +492,13 @@ def kmeans_lloyd(
     C = [[round(float(x), quant) for x in r["v"]] for r in seed_rows]
     counts: dict[int, int] = {j: 0 for j in range(len(C))}
     for _ in range(iters):
+        assign_col = (
+            _argmin_euclidean_udf(C)(F.col(vec_col))
+            if arrow
+            else _argmin_euclidean(F.col(vec_col), C)
+        )
         assigned = corpus.select(
-            _argmin_euclidean(F.col(vec_col), C).alias("cluster"),
-            F.col(vec_col).alias("v"),
+            assign_col.alias("cluster"), F.col(vec_col).alias("v")
         )
         stats = (
             assigned.select("cluster", F.posexplode("v").alias("dim0", "x"))

@@ -221,6 +221,12 @@ def main() -> None:
             # rule as everywhere: c = 32·√f.
             sem_centroids = S.ivf_train(emb, int(32 * (f ** 0.5)))
 
+        km_centroids = None
+        if not only or "kmeans_round" in only:
+            # untimed fixed centroid set from the BASE corpus so every
+            # factor times the same k=16 round shape
+            km_centroids, _ = S.kmeans_lloyd(emb0, k=16, iters=1, arrow=True)
+
         one = F.lit(1).cast("decimal(18,6)")
         return {
             # scan + map-side partials + tiny shuffle (TPC-H Q1 shape)
@@ -290,6 +296,27 @@ def main() -> None:
                 centroids=sem_centroids)),
             # repetition signals: per-row folds
             "repetition": lambda: noop(C.repetition_signals(docs)),
+            # one Lloyd round over ×f vectors, FIXED k=16 centroids
+            # (built untimed from the base corpus, same shared-build
+            # rule as sem_centroids): a codegen'd assignment map + one
+            # posexplode/groupBy combining to k×dim rows — should track
+            # the scan ~linearly at any k, which is the claim that makes
+            # full-corpus kmeans viable at 100 TB
+            "kmeans_round": lambda: noop(
+                S.kmeans_assign(emb, km_centroids, arrow=True)
+                .select("cluster", F.posexplode("embedding").alias("d", "x"))
+                .groupBy("cluster", "d")
+                .agg(F.avg(F.col("x").cast("double")).alias("m"))
+            ),
+            # DSIR scoring: stats pass (explode → 256-row agg) + scoring
+            # pass (broadcast weight join → per-doc sum); two scans of
+            # the token stream, both linear
+            "dsir_score": lambda: noop(
+                C.dsir_importance(docs, F.col("lang") == "en")
+            ),
+            # winnowing: explode + per-doc window min + distinct —
+            # per-doc work, no joins, linear
+            "winnow": lambda: noop(X.winnowing_fingerprints(docs)),
             # BPE first iteration: corpus scan collapses to the distinct-
             # word table, then pair explode + map-side agg — cost should
             # track the scan, with the pair shuffle saturating at

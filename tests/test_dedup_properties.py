@@ -338,3 +338,40 @@ def test_connected_components_random_graph_matches_union_find(spark):
             for r in D.connected_components(pairs, ids).collect()}
     assert fast == want
     assert D.last_cc_rounds == 0  # the loop never ran
+
+
+@settings(max_examples=6, deadline=None)
+@given(docs=st.lists(
+    st.text(alphabet="ab c", min_size=0, max_size=40), min_size=1, max_size=8
+))
+def test_winnowing_equals_python_reference_any_text(spark, docs):
+    """For ANY text (including runs of spaces, short strings, repeated
+    grams): the operator's fingerprint set per doc equals the reference
+    value-set winnowing computed in plain Python."""
+    import hashlib
+    import re
+
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators.text import winnowing_fingerprints
+
+    k, w = 4, 3
+
+    def py_winnow(text):
+        nt = re.sub(r"\s+", " ", text.strip().lower())
+        if len(nt) < k:
+            return set()
+        hs = [
+            int(hashlib.md5(nt[i:i + k].encode()).hexdigest()[:12], 16)
+            for i in range(len(nt) - k + 1)
+        ]
+        return {min(hs[i - w + 1:i + 1]) for i in range(w - 1, len(hs))}
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], ["doc_id", "text"]
+    )
+    got: dict = {i: set() for i in range(len(docs))}
+    for r in winnowing_fingerprints(df, k=k, w=w).collect():
+        got[r.doc_id].add(r.fp)
+    for i, t in enumerate(docs):
+        assert got[i] == py_winnow(t), f"doc {i}: {t!r}"

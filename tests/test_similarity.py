@@ -570,3 +570,21 @@ def test_kmeans_empty_cluster_keeps_centroid_and_counts_zero(spark):
     assert counts == {0: 12, 1: 0, 2: 0}
     for j in (0, 1, 2):
         assert C[j] == [2.5, -1.5]
+
+
+def test_kmeans_arrow_twin_parity(emb, spark):
+    """The Arrow matmul assignment must agree with the codegen'd
+    expression path on the real embeddings (same rule as the IVF probe
+    twins: a BLAS-order ulp can only flip an exact inter-centroid tie,
+    which real data doesn't produce), and the arrow Lloyd trajectory
+    must match the exact one end-to-end."""
+    C = [[0.1 * ((i + j) % 7) - 0.3 for j in range(64)] for i in range(5)]
+    a = {r["vec_id"]: r["cluster"]
+         for r in S.kmeans_assign(emb, C).collect()}
+    b = {r["vec_id"]: r["cluster"]
+         for r in S.kmeans_assign(emb, C, arrow=True).collect()}
+    assert a == b
+    C1, n1 = S.kmeans_lloyd(emb, k=4, iters=2)
+    C2, n2 = S.kmeans_lloyd(emb, k=4, iters=2, arrow=True)
+    assert n1 == n2
+    assert C1 == C2
