@@ -414,8 +414,8 @@ def _argmin_euclidean_udf(centroids):
             return pd.Series([], dtype="int32")
         V = np.vstack(vecs.to_numpy()).astype(np.float64)
         scores = V @ C.T + corr
-        # reversed argmax ties to the FIRST maximal index (numpy argmax
-        # already does) — matches the expression path's smaller-id rule
+        # np.argmax returns the FIRST maximal index — the expression
+        # path's smaller-centroid-id tie rule
         return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
 
     return nearest
@@ -491,13 +491,16 @@ def kmeans_lloyd(
     )
     C = [[round(float(x), quant) for x in r["v"]] for r in seed_rows]
     counts: dict[int, int] = {j: 0 for j in range(len(C))}
+    # NULL vectors can't vote (same filter as the seed scan — without it
+    # a NULL row assigns a NULL cluster and the recenter loop KeyErrors)
+    voters = corpus.filter(F.col(vec_col).isNotNull())
     for _ in range(iters):
         assign_col = (
             _argmin_euclidean_udf(C)(F.col(vec_col))
             if arrow
             else _argmin_euclidean(F.col(vec_col), C)
         )
-        assigned = corpus.select(
+        assigned = voters.select(
             assign_col.alias("cluster"), F.col(vec_col).alias("v")
         )
         stats = (

@@ -588,3 +588,12 @@ def test_kmeans_arrow_twin_parity(emb, spark):
     C2, n2 = S.kmeans_lloyd(emb, k=4, iters=2, arrow=True)
     assert n1 == n2
     assert C1 == C2
+
+
+def test_kmeans_null_vectors_cannot_vote(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [4.0, 4.0]), (3, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    C, counts = S.kmeans_lloyd(df, k=2, iters=2)
+    assert sum(counts.values()) == 2
