@@ -491,10 +491,20 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
             F.col("__toks"), lambda t: _md5_bucket(t, 0, 1 << bits)
         ).alias("__hs"),
     )
-    hs = F.col("__hs")
+    return hashed.select(
+        "doc_id", _simhash_fold(F.col("__hs"), bits).alias("simhash")
+    )
+
+
+def _simhash_fold(hs: Column, bits: int) -> Column:
+    """Fingerprint of an array of ``bits``-bit hashes: bit b is set when
+    more array elements have bit b set than not — the SimHash majority
+    vote as ONE array fold (per-row map, zero shuffle). Shared by the
+    text tokenizer front end (simhash) and the binary byte-shingle front
+    end (multimodal.binary_simhash_pairs)."""
     masks = F.array(*[F.lit(1 << b).cast("bigint") for b in range(bits)])
     zero = F.lit(0).cast("bigint")
-    # single fold: per token, bump the per-bit set-count vector
+    # single fold: per hash, bump the per-bit set-count vector
     counts = F.aggregate(
         hs,
         F.array_repeat(zero, bits),
@@ -507,14 +517,13 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 32) -> DataFrame:
     )
     # majority vote per bit: set-count ×2 > token-count  ⇔  Σ(±1) > 0
     nt = F.size(hs).cast("bigint")
-    fp = F.aggregate(
+    return F.aggregate(
         F.zip_with(
             counts, masks, lambda c, m: F.when(c * 2 > nt, m).otherwise(zero)
         ),
         zero,
         lambda acc, x: acc + x,
     )
-    return hashed.select("doc_id", fp.alias("simhash"))
 
 
 def simhash_dup_pairs(
@@ -542,6 +551,15 @@ def simhash_dup_pairs(
     # whole hash/fold lineage, ×bands through the explode. The signature
     # relation is tiny ((id, int64) per doc) — at any scale you persist it.
     sig = simhash(df, text_col, bits).localCheckpoint(eager=True)
+    return _hamming_lsh_pairs(sig, bits, bands, max_hamming)
+
+
+def _hamming_lsh_pairs(
+    sig: DataFrame, bits: int, bands: int, max_hamming: int
+) -> DataFrame:
+    """The band-explode + equi-join + exact-Hamming re-check stage of
+    simhash_dup_pairs, over any (doc_id, simhash) relation — shared with
+    the binary-payload front end. The caller materializes ``sig``."""
     width = bits // bands
     mask = (1 << width) - 1
     bv = F.explode(

@@ -352,3 +352,76 @@ def extract_audio_features(
             )
 
     return src.mapInPandas(kernel, AUDIO_FEATURES_SCHEMA)
+
+
+def binary_simhash_pairs(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "doc_id",
+    k_bytes: int = 8,
+    bits: int = 32,
+    bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """Near-duplicate BINARY payloads — the media-file twin of the text
+    SimHash pipeline: two images re-saved with different metadata, or two
+    audio files differing in a header field, share most of their byte
+    k-grams, so their byte-shingle SimHash fingerprints sit within a
+    small Hamming distance. No codec needed: the operator reads raw
+    bytes, which is exactly what makes it the FIRST dedup pass over an
+    opaque media column at 100 TB (decode-based near-dup only runs on
+    what survives this).
+
+    Shingling happens in the HEX domain: window i covers bytes
+    i..i+k_bytes-1 as hex chars 2i-1..2i+2·k_bytes-2 (byte-aligned steps
+    only). Spark's hex() is byte-exact and the SQL twin mirrors it —
+    DuckDB 1.0 cannot slice BLOBs, and a hex prefix-slice is the one
+    byte-window spelling both engines evaluate identically.
+
+    Plan shape: hex + shingle + distinct + md5 + fold is a per-row map
+    (zero shuffle, the text simhash rule); signatures localCheckpoint
+    (tiny: (id, int64) per payload) and go through the shared
+    Hamming-LSH band join (_hamming_lsh_pairs) — candidates from band
+    equality, never a cross join.
+
+    Output: (id_a, id_b, hamming, n_bands_shared), ids ordered a < b.
+    """
+    from empujar_spark.operators.dedup import (
+        _hamming_lsh_pairs,
+        _md5_bucket,
+        _simhash_fold,
+    )
+
+    span = 2 * k_bytes
+    # Payloads below one window drop out HERE, on the cheap length
+    # predicate — filtering later on size(__hs) would be pushed below the
+    # projection and re-evaluate the whole gram+md5 array once more just
+    # to test emptiness (measured 7.3s → 1.1s warm at sf0.1)
+    hexed = (
+        _spread(df)
+        .select(
+            F.col(id_col).alias("doc_id"),
+            F.hex(F.col(content_col)).alias("__hx"),
+        )
+        .filter(F.length(F.col("__hx")) >= span)
+    )
+    hx = F.col("__hx")
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                (F.length(hx) / 2).cast("int") - F.lit(k_bytes - 1),
+            ),
+            lambda i: F.substring(hx, i * 2 - 1, F.lit(span)),
+        )
+    )
+    hashed = hexed.select(
+        "doc_id",
+        F.transform(grams, lambda g: _md5_bucket(g, 0, 1 << bits)).alias(
+            "__hs"
+        ),
+    )
+    sig = hashed.select(
+        "doc_id", _simhash_fold(F.col("__hs"), bits).alias("simhash")
+    ).localCheckpoint(eager=True)
+    return _hamming_lsh_pairs(sig, bits, bands, max_hamming)

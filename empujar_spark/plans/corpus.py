@@ -8148,6 +8148,59 @@ def index_staleness_audit(spark, sf_dir):
 # =====================================================================
 # Driver-gate order — COMPUTED census (round 8)
 @q(
+    "binary_near_dup_pairs",
+    """
+    WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
+    toks AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, CAST(length(hx) / 2 AS INT) - 7),
+               i -> substr(hx, 2 * i - 1, 16))) AS token
+      FROM hx WHERE length(hx) >= 16),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5('0|' || token), 1, 8)) AS BIGINT)
+                     % 4294967296 AS hv
+          FROM toks),
+    votes AS (
+      SELECT doc_id, bits.b,
+             sum(CASE WHEN (hv >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS b) bits
+      GROUP BY 1, 2),
+    sig AS (
+      SELECT doc_id,
+             CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+      FROM votes GROUP BY doc_id),
+    banded AS (
+      SELECT doc_id, simhash, bb.b AS band,
+             (simhash >> (bb.b * 8)) & 255 AS val
+      FROM sig CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS b) bb)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(min(bit_count(xor(a.simhash, b.simhash))) AS BIGINT)
+               AS hamming,
+           CAST(count(*) AS BIGINT) AS n_bands_shared
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    GROUP BY 1, 2
+    """,
+)
+def binary_near_dup_pairs(spark, sf_dir):
+    """Codec-free near-dup pairs over OPAQUE BINARY payloads
+    (operators/multimodal.py binary_simhash_pairs): byte-8-gram SimHash
+    + the shared Hamming-LSH band join — the first dedup pass a media
+    column gets at 100 TB, before anything is decoded (testdata shim:
+    utf-8 text bytes stand in for encoded media, same rule as
+    multimodal_meta). Shingles slice the hex spelling at byte-aligned
+    offsets because that is the one byte-window spelling Spark and
+    DuckDB 1.0 (no BLOB substring) evaluate identically. max_hamming=1
+    as in the text entry — these synthetic payloads share most byte
+    vocabulary, so the 32-bit space saturates above that."""
+    d = M.text_as_binary(load(spark, sf_dir, "documents"))
+    return M.binary_simhash_pairs(d, bits=32, bands=4, max_hamming=1)
+
+
+@q(
     "winnowing_fingerprints",
     r"""
     WITH n AS (SELECT doc_id,

@@ -123,3 +123,39 @@ def test_textual_payload_with_container_magic_takes_fallback():
     import struct
     gif = b"GIF89a" + struct.pack("<HH", 12, 34) + b"\x00" * 8
     assert M.decode_image(gif) == {"width": 12, "height": 34, "n_bytes": len(gif)}
+
+
+def test_binary_simhash_pairs_finds_byte_near_dups(spark):
+    """Two payloads differing by a short suffix (re-encode/metadata-style
+    delta) pair up; an unrelated payload doesn't; a payload below one
+    byte window is excluded rather than hashing to a degenerate
+    signature."""
+    from empujar_spark.operators.multimodal import binary_simhash_pairs
+
+    base = bytes(range(48)) * 3
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + b"\x99\x98"),
+            (3, bytes([7] * 5) + bytes(range(200, 248)) * 2),
+            (4, b"tiny"),
+        ],
+        "doc_id bigint, content binary",
+    )
+    pairs = {(r.id_a, r.id_b) for r in binary_simhash_pairs(df).collect()}
+    assert (1, 2) in pairs
+    assert all(4 not in p and 3 not in p for p in pairs)
+
+
+def test_binary_simhash_identical_payloads_hamming_zero(spark):
+    from empujar_spark.operators.multimodal import binary_simhash_pairs
+
+    blob = bytes(range(64)) * 2
+    df = spark.createDataFrame(
+        [(1, blob), (2, blob)], "doc_id bigint, content binary"
+    )
+    rows = binary_simhash_pairs(df).collect()
+    assert len(rows) == 1
+    assert rows[0].hamming == 0
+    # every band agrees on identical signatures
+    assert rows[0].n_bands_shared == 4
