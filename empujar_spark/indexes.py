@@ -47,7 +47,7 @@ if TYPE_CHECKING:
 
     from empujar_spark.catalog import Warehouse
 
-KINDS = ("bm25", "ivf", "pq", "bloom", "minhash_bands", "custom")
+KINDS = ("bm25", "ivf", "pq", "bloom", "minhash_bands", "kmeans", "custom")
 
 
 def _path_fingerprint(path: str) -> str:

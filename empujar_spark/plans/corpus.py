@@ -8148,6 +8148,88 @@ def index_staleness_audit(spark, sf_dir):
 # =====================================================================
 # Driver-gate order — COMPUTED census (round 8)
 @q(
+    "dedup_quality",
+    f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    truth AS (
+      SELECT id_a, id_b FROM shared
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE round(n_shared / CAST(sa.n_sh + sb.n_sh - n_shared AS DOUBLE), 6)
+            >= 0.3),
+    sig AS (
+      SELECT doc_id,
+             {", ".join(f"min({_mh_hash(i)}) AS mh_{i}" for i in range(8))}
+      FROM sh GROUP BY doc_id),
+    banded AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, CAST(mh_{2 * b} AS VARCHAR) || ':' ||"
+        f" CAST(mh_{2 * b + 1} AS VARCHAR) AS bucket FROM sig"
+        for b in range(4)
+      )}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT
+      CAST((SELECT count(*) FROM truth) AS BIGINT) AS n_truth,
+      CAST((SELECT count(*) FROM cand) AS BIGINT) AS n_cand,
+      CAST((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b))
+           AS BIGINT) AS n_hit,
+      round((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b))
+            / CAST(NULLIF((SELECT count(*) FROM cand), 0) AS DOUBLE), 6)
+          AS prec,
+      round((SELECT count(*) FROM truth JOIN cand USING (id_a, id_b))
+            / CAST(NULLIF((SELECT count(*) FROM truth), 0) AS DOUBLE), 6)
+          AS rec
+    """,
+)
+def dedup_quality(spark, sf_dir):
+    """Dedup-config EVALUATION: precision/recall of the MinHash-LSH
+    candidate generator (8 hashes × 4 bands of 2 — the 100 TB path)
+    against exact 3-gram Jaccard ≥ 0.3 truth — the measurement a
+    pipeline runs before trusting a banding config, and the corpus'
+    recipe for tuning one: recall too low → more bands / shorter rows;
+    precision too low → the exact re-check costs more. Both pair sets
+    come from the SAME bucketed generators the dedup entries gate, so
+    the metric is oracle-exact; at 100 TB you run it on a sampled
+    stratum, the plan is identical. One-row output; the three scalar
+    aggregates cross as constant-size broadcasts (the documented scalar
+    BNL class)."""
+    docs = load(spark, sf_dir, "documents")
+    truth = D.ngram_jaccard_pairs(docs, k=3, threshold=0.3).select(
+        "id_a", "id_b"
+    )
+    cand = D.minhash_lsh_pairs(docs, num_hashes=8, band_size=2).select(
+        "id_a", "id_b"
+    )
+    t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
+    h = truth.join(cand, ["id_a", "id_b"]).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hit")
+    )
+    nz = lambda n, d: F.when(  # noqa: E731
+        F.col(d) > 0, F.round(F.col(n) / F.col(d), 6)
+    ).otherwise(F.lit(None).cast("double"))
+    return (
+        t.crossJoin(c)
+        .crossJoin(h)
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_hit",
+            nz("n_hit", "n_cand").alias("prec"),
+            nz("n_hit", "n_truth").alias("rec"),
+        )
+    )
+
+
+@q(
     "binary_near_dup_pairs",
     """
     WITH hx AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents),
@@ -8282,10 +8364,14 @@ def dsir_selection(spark, sf_dir):
     ).select("doc_id", "n_tokens", "lr_score")
 
 
-@q(
-    "kmeans_clusters",
-    """
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# Unrolled 2-iteration quantized Lloyd (k=8, seeds = smallest md5(id)),
+# shared by kmeans_clusters (the training trajectory gate) and
+# kmeans_serve (assignment against the STORED centroids): CTEs through
+# m2/dims reproduce exactly what operators/similarity.py kmeans_lloyd
+# computes, quantized to 1e-6 each recenter so both engines walk the
+# identical trajectory.
+_KMEANS_LLOYD_CTES = """
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     seeds AS (
       SELECT row_number() OVER (ORDER BY h, vec_id) - 1 AS cid, v
       FROM (SELECT vec_id, v,
@@ -8328,6 +8414,13 @@ def dsir_selection(spark, sf_dir):
     dims AS (SELECT cid, unnest(generate_series(1, len(c))) AS dim,
                     unnest(c) AS cv_prev
              FROM c1)
+"""
+
+
+@q(
+    "kmeans_clusters",
+    f"""
+    WITH {_KMEANS_LLOYD_CTES}
     SELECT dims.cid AS cluster, dims.dim AS dim,
            COALESCE(m2.cv, dims.cv_prev) AS c_val,
            COALESCE(m2.n, 0) AS n
@@ -8353,6 +8446,78 @@ def kmeans_clusters(spark, sf_dir):
     ]
     return spark.createDataFrame(
         rows, "cluster bigint, dim bigint, c_val double, n bigint"
+    )
+
+
+def _kmeans_stored_centroids(spark, sf_dir) -> dict:
+    """Registry-served k-means model (k=8, iters=2 — the kmeans_clusters
+    config): the centroid table commits as a versioned component with
+    source provenance, so staleness is checkable and re-training is
+    ensure_fresh-able like every other stored index."""
+    def build():
+        Cm, counts = S.kmeans_lloyd(
+            load(spark, sf_dir, "embeddings"), k=8, iters=2
+        )
+        rows = [
+            (cid, dim + 1, float(val), counts.get(cid, 0))
+            for cid, c in enumerate(Cm)
+            for dim, val in enumerate(c)
+        ]
+        return {
+            "centroids": spark.createDataFrame(
+                rows, "cluster bigint, dim bigint, c_val double, n bigint"
+            )
+        }
+
+    return _registered_index(
+        spark, (sf_dir,), name="kmeans_embeddings_8", kind="kmeans",
+        build=build, source_path=f"{sf_dir}/embeddings.parquet",
+        primary_key="cluster", params={"k": 8, "iters": 2},
+    )
+
+
+@q(
+    "kmeans_serve",
+    f"""
+    WITH {_KMEANS_LLOYD_CTES},
+    c2 AS (SELECT dims.cid,
+                  list(COALESCE(m2.cv, dims.cv_prev) ORDER BY dims.dim) AS c
+           FROM dims LEFT JOIN m2
+             ON dims.cid = m2.cid AND dims.dim = m2.dim
+           GROUP BY dims.cid),
+    probe AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0)
+    SELECT vec_id, cid AS cluster FROM (
+      SELECT p.vec_id, c2.cid,
+             row_number() OVER (PARTITION BY p.vec_id
+               ORDER BY list_dot_product(p.v, c2.c)
+                        - list_dot_product(c2.c, c2.c) / 2.0 DESC,
+                        c2.cid ASC) AS rn
+      FROM probe p CROSS JOIN c2) t
+    WHERE rn = 1
+    """,
+)
+def kmeans_serve(spark, sf_dir):
+    """Serving-time cluster assignment against the STORED k-means model
+    (the index-registry lifecycle extended to clustering): centroids are
+    read back from the versioned component table — NOT retrained — and a
+    probe batch (vec_id % 5 = 0, the incremental-arrivals shape) assigns
+    via the same Euclidean argmin the trainer used. The oracle re-derives
+    the identical centroids from the shared unrolled-Lloyd SQL, so a
+    drift anywhere in the store/read-back path breaks the hash. Plan:
+    the k×dim centroid table collects driver-side (model-sized by
+    construction) and the assignment is one codegen'd map over the probe
+    — no join, no shuffle."""
+    stored = _kmeans_stored_centroids(spark, sf_dir)["centroids"]
+    rows = stored.orderBy("cluster", "dim").collect()
+    k = 1 + max(r["cluster"] for r in rows)
+    C: list[list[float]] = [[] for _ in range(k)]
+    for r in rows:
+        C[r["cluster"]].append(float(r["c_val"]))
+    probe = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    return S.kmeans_assign(probe, C).select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster")
     )
 
 

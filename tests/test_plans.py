@@ -167,6 +167,10 @@ _CROSS_JOIN_ALLOWED = {
                        # 256-row bucket-stats table — constant-size build
                        # at any corpus scale; the corpus-sized join is
                        # the broadcast hash join on bucket id
+    "dedup_quality",  # three ONE-ROW scalar aggregates (n_truth, n_cand,
+                      # n_hit) crossed into the metric row — the pair
+                      # generators themselves are the gated bucketed
+                      # equi-join plans
 }
 
 # Entries whose fn() actually executes work at call time (streaming drains,

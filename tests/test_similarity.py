@@ -597,3 +597,29 @@ def test_kmeans_null_vectors_cannot_vote(spark):
     )
     C, counts = S.kmeans_lloyd(df, k=2, iters=2)
     assert sum(counts.values()) == 2
+
+
+def test_kmeans_serve_stored_model_round_trip(spark):
+    """The registry-stored centroid table read back must reproduce the
+    fresh trainer's centroids exactly (quantized doubles survive the
+    parquet round-trip bit-for-bit), and serving assignment against the
+    stored model must equal assignment against the fresh one."""
+    from empujar_spark.plans.corpus import _kmeans_stored_centroids, load
+
+    sf = SF_DIR
+    stored = _kmeans_stored_centroids(spark, sf)["centroids"]
+    rows = stored.orderBy("cluster", "dim").collect()
+    k = 1 + max(r["cluster"] for r in rows)
+    C_stored = [[] for _ in range(k)]
+    for r in rows:
+        C_stored[r["cluster"]].append(float(r["c_val"]))
+    emb = load(spark, sf, "embeddings")
+    C_fresh, counts = S.kmeans_lloyd(emb, k=8, iters=2)
+    assert C_stored == C_fresh
+    assert {r["cluster"]: r["n"] for r in rows if r["dim"] == 1} == counts
+    probe = emb.filter((emb.vec_id % 5) == 0)
+    a = {r.vec_id: r.cluster
+         for r in S.kmeans_assign(probe, C_stored).collect()}
+    b = {r.vec_id: r.cluster
+         for r in S.kmeans_assign(probe, C_fresh).collect()}
+    assert a == b and len(a) > 0
