@@ -360,6 +360,31 @@ def _nearest_centroids_udf(centroids, nprobe: int):
     return nearest
 
 
+def _centroid_matrix(centroids) -> Column:
+    """The k×dim centroid list as ONE parsed array-of-arrays literal
+    (repr round-trips doubles bit-identically through the SQL parser;
+    per-element F.lit() would cost a py4j round-trip each)."""
+    return F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
+            for c in centroids
+        )
+        + ")"
+    )
+
+
+def _ordered_dot(a, b) -> Column:
+    """Ordered left-fold dot product over double — bit-matches DuckDB's
+    list_dot_product on identical values (the cross-engine exactness rule
+    every cosine/assignment oracle in the corpus relies on)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
 def _argmin_euclidean(vec: Column, centroids) -> Column:
     """Id of the centroid nearest to ``vec`` in EUCLIDEAN distance via the
     expansion argmin_c ‖x−c‖² = argmax_c (x·c − ‖c‖²/2) — ‖x‖² is constant
@@ -370,19 +395,8 @@ def _argmin_euclidean(vec: Column, centroids) -> Column:
     left-folds over double, bit-matching DuckDB's list_dot_product on the
     same quantized values — which is what lets Lloyd iterations stay
     hash-exact against a pure-SQL oracle."""
-    c_mat = F.expr(
-        "array("
-        + ",".join(
-            "array(" + ",".join(f"{float(v)!r}D" for v in c) + ")"
-            for c in centroids
-        )
-        + ")"
-    )
-    dot = lambda a, b: F.aggregate(  # noqa: E731
-        F.zip_with(a, b, lambda x, y: x.cast("double") * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    c_mat = _centroid_matrix(centroids)
+    dot = _ordered_dot
     ranked = F.sort_array(
         F.transform(
             c_mat,
@@ -439,6 +453,30 @@ def kmeans_assign(
             out_col, _argmin_euclidean_udf(centroids)(F.col(vec_col))
         )
     return df.withColumn(out_col, _argmin_euclidean(F.col(vec_col), centroids))
+
+
+def kmeans_distortion(
+    df: DataFrame,
+    centroids,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assignment + squared Euclidean distance to the assigned centroid —
+    the drift monitor for a stored k-means model: arrivals that land far
+    from every centroid (per-cluster mean dist² creeping above the
+    training distortion) are the data-drift signal that triggers a
+    retrain, the same role the registry's source-fingerprint staleness
+    plays for content changes. Pure map like kmeans_assign; dist² spells
+    x·x − 2·x·c + c·c in exactly that association so the value is
+    bit-identical to the SQL oracle's left-assoc expression."""
+    assigned = kmeans_assign(df, centroids)
+    c = F.element_at(_centroid_matrix(centroids), F.col("cluster") + 1)
+    v = F.col(vec_col)
+    dist2 = (
+        _ordered_dot(v, v)
+        - F.lit(2.0) * _ordered_dot(v, c)
+        + _ordered_dot(c, c)
+    )
+    return assigned.withColumn("dist2", dist2)
 
 
 def kmeans_lloyd(

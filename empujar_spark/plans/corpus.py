@@ -8476,24 +8476,45 @@ def _kmeans_stored_centroids(spark, sf_dir) -> dict:
     )
 
 
-@q(
-    "kmeans_serve",
-    f"""
-    WITH {_KMEANS_LLOYD_CTES},
+# Final centroids re-listed + the probe batch + its argmin assignment —
+# the serving-side CTEs shared by kmeans_serve and kmeans_drift.
+_KMEANS_SERVE_CTES = f"""
+    {_KMEANS_LLOYD_CTES},
     c2 AS (SELECT dims.cid,
                   list(COALESCE(m2.cv, dims.cv_prev) ORDER BY dims.dim) AS c
            FROM dims LEFT JOIN m2
              ON dims.cid = m2.cid AND dims.dim = m2.dim
            GROUP BY dims.cid),
-    probe AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0)
-    SELECT vec_id, cid AS cluster FROM (
-      SELECT p.vec_id, c2.cid,
-             row_number() OVER (PARTITION BY p.vec_id
-               ORDER BY list_dot_product(p.v, c2.c)
-                        - list_dot_product(c2.c, c2.c) / 2.0 DESC,
-                        c2.cid ASC) AS rn
-      FROM probe p CROSS JOIN c2) t
-    WHERE rn = 1
+    probe AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 0),
+    assigned AS (
+      SELECT vec_id, v, cid, c FROM (
+        SELECT p.vec_id, p.v, c2.cid, c2.c,
+               row_number() OVER (PARTITION BY p.vec_id
+                 ORDER BY list_dot_product(p.v, c2.c)
+                          - list_dot_product(c2.c, c2.c) / 2.0 DESC,
+                          c2.cid ASC) AS rn
+        FROM probe p CROSS JOIN c2) t
+      WHERE rn = 1)
+"""
+
+
+def _stored_kmeans_matrix(spark, sf_dir) -> list[list[float]]:
+    """The registry-stored centroid table, re-listed as the k×dim matrix
+    the assignment expressions take (model-sized driver collect)."""
+    stored = _kmeans_stored_centroids(spark, sf_dir)["centroids"]
+    rows = stored.orderBy("cluster", "dim").collect()
+    k = 1 + max(r["cluster"] for r in rows)
+    C: list[list[float]] = [[] for _ in range(k)]
+    for r in rows:
+        C[r["cluster"]].append(float(r["c_val"]))
+    return C
+
+
+@q(
+    "kmeans_serve",
+    f"""
+    WITH {_KMEANS_SERVE_CTES}
+    SELECT vec_id, cid AS cluster FROM assigned
     """,
 )
 def kmeans_serve(spark, sf_dir):
@@ -8507,17 +8528,52 @@ def kmeans_serve(spark, sf_dir):
     the k×dim centroid table collects driver-side (model-sized by
     construction) and the assignment is one codegen'd map over the probe
     — no join, no shuffle."""
-    stored = _kmeans_stored_centroids(spark, sf_dir)["centroids"]
-    rows = stored.orderBy("cluster", "dim").collect()
-    k = 1 + max(r["cluster"] for r in rows)
-    C: list[list[float]] = [[] for _ in range(k)]
-    for r in rows:
-        C[r["cluster"]].append(float(r["c_val"]))
+    C = _stored_kmeans_matrix(spark, sf_dir)
     probe = load(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 5 == 0
     )
     return S.kmeans_assign(probe, C).select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
+@q(
+    "kmeans_drift",
+    f"""
+    WITH {_KMEANS_SERVE_CTES}
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+           round(avg(list_dot_product(v, v)
+                     - 2 * list_dot_product(v, c)
+                     + list_dot_product(c, c)), 6) AS mean_dist2
+    FROM assigned GROUP BY cid
+    """,
+)
+def kmeans_drift(spark, sf_dir):
+    """Data-drift monitor for the stored k-means model (operators/
+    similarity.py kmeans_distortion): per-cluster member count and mean
+    squared distance of an arrival batch to its assigned centroid — the
+    signal that triggers a retrain when arrivals stop looking like the
+    training distribution, complementing the registry's source-
+    fingerprint staleness (which only sees CONTENT changes, not
+    distribution shift). dist² spells x·x − 2·x·c + c·c in that exact
+    association both sides, so the mean is engine-exact after the 1e-6
+    round. Same plan as kmeans_serve plus one k-row aggregation."""
+    C = _stored_kmeans_matrix(spark, sf_dir)
+    probe = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    return (
+        S.kmeans_distortion(probe, C)
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.round(F.avg("dist2"), 6).alias("mean_dist2"),
+        )
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n",
+            "mean_dist2",
+        )
     )
 
 

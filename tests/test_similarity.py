@@ -623,3 +623,20 @@ def test_kmeans_serve_stored_model_round_trip(spark):
     b = {r.vec_id: r.cluster
          for r in S.kmeans_assign(probe, C_fresh).collect()}
     assert a == b and len(a) > 0
+
+
+def test_kmeans_distortion_matches_numpy(spark):
+    import numpy as np
+
+    C = [[0.0, 0.0], [3.0, 4.0]]
+    pts = {1: [0.5, 0.0], 2: [3.0, 3.0], 3: [10.0, 10.0]}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in pts.items()], ["vec_id", "embedding"]
+    )
+    out = {r.vec_id: (r.cluster, r.dist2)
+           for r in S.kmeans_distortion(df, C).collect()}
+    for i, v in pts.items():
+        d = [float(np.sum((np.array(v) - np.array(c)) ** 2)) for c in C]
+        j = int(np.argmin(d))
+        assert out[i][0] == j
+        assert out[i][1] == pytest.approx(d[j], rel=1e-12)
