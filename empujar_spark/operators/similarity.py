@@ -108,6 +108,106 @@ def cosine_topk(
     )
 
 
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "exact",
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    centroids=None,
+    force: bool = False,
+) -> DataFrame:
+    """Hard-negative mining for contrastive / embedding-model training:
+    per query, the ``k`` most-similar CROSS-LABEL neighbors — the
+    near-misses a trainer wants as negatives precisely because they are
+    hard to distinguish from positives. Rows with a NULL label can't be
+    negatives for anyone (label inequality is unknowable) and drop out,
+    matching the SQL twin's ``<>`` NULL semantics.
+
+    ``method='exact'`` is the brute-force oracle baseline (guarded at
+    10⁵ corpus rows); ``method='ivf'`` probes ``nprobe`` inverted lists
+    per query — the 100 TB path, same plan as ivf_topk with the label
+    riding the assignment projection, candidates from a centroid-id
+    equi-join only. Approximate results are a subset of exact with
+    identical cosines (pinned in tests).
+
+    Output: (query_id, q_label, neighbor_id, n_label, cosine, rnk) —
+    cosine rounded to 6, rank by (cosine desc, neighbor_id asc).
+    """
+    labeled = corpus.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    q_base = queries.filter(
+        F.col(vec_col).isNotNull() & F.col(label_col).isNotNull()
+    )
+    if method == "exact":
+        _guard_brute_force(corpus, "hard_negatives", force)
+        q = q_base.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("q_label"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+        ).filter(F.col("q_norm") > 0)
+        c = labeled.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("n_label"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+        ).filter(F.col("c_norm") > 0)
+        paired = c.crossJoin(F.broadcast(q))
+    elif method == "ivf":
+        C = (
+            centroids
+            if centroids is not None
+            else ivf_train(
+                corpus, n_centroids, id_col=id_col, vec_col=vec_col
+            )
+        )
+        assign = _nearest_centroids_udf(C, 1)
+        probe = _nearest_centroids_udf(C, nprobe)
+        c = labeled.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(label_col).alias("n_label"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+            assign(F.col(vec_col))[0].alias("cid"),
+        ).filter(F.col("c_norm") > 0)
+        q = q_base.select(
+            F.col(id_col).alias("query_id"),
+            F.col(label_col).alias("q_label"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
+            F.explode(probe(F.col(vec_col))).alias("cid"),
+        ).filter(F.col("q_norm") > 0)
+        paired = c.join(F.broadcast(q), "cid")
+    else:
+        raise ValueError(f"unknown method {method!r}; 'exact' or 'ivf'")
+    cos = F.round(
+        _dot(F.col("q_vec"), F.col("c_vec"))
+        / (F.col("q_norm") * F.col("c_norm")),
+        6,
+    )
+    scored = (
+        paired.filter(F.col("query_id") != F.col("neighbor_id"))
+        .filter(F.col("q_label") != F.col("n_label"))
+        .select(
+            "query_id", "q_label", "neighbor_id", "n_label",
+            cos.alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
 def _hyperplane_signs_py(dim: int, seed: int) -> list[float]:
     """±1 hyperplane from md5(seed|index) parity, precomputed driver-side
     (identical values to any engine computing the same md5 — the plane is

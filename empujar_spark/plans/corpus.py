@@ -8577,6 +8577,58 @@ def kmeans_drift(spark, sf_dir):
     )
 
 
+@q(
+    "hard_negatives",
+    """
+    WITH q AS (SELECT vec_id AS query_id, label AS q_label,
+                      embedding AS q_vec
+               FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+    scored AS (
+      SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
+             e.label AS n_label,
+             round(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(q.q_vec AS DOUBLE[]), CAST(q.q_vec AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
+                   6) AS cosine
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+    SELECT query_id, q_label, neighbor_id, n_label, cosine, rnk FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rnk
+      FROM scored) t
+    WHERE rnk <= 3
+    """,
+)
+def hard_negatives(spark, sf_dir):
+    """Hard-negative mining, exact leg (operators/similarity.py
+    hard_negatives): per query (vec_id < 5), the 3 most-similar
+    CROSS-LABEL neighbors — the contrastive-training data op. Broadcast
+    query side, documented brute baseline; the 100 TB path is the _ann
+    twin below."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, method="exact"
+    )
+
+
+@q("hard_negatives_ann", None)
+def hard_negatives_ann(spark, sf_dir):
+    """Production twin: IVF-probed hard negatives (nprobe=12 of 32
+    lists, shared session-cached quantizer) — per query only nprobe/c of
+    the corpus is scanned; pairs present in both legs carry identical
+    cosines and recall ≥ 0.8 is pinned in tests/test_similarity.py
+    (measured 0.867 at sf0.01; the cross-label filter reaches deeper
+    into each list than plain top-k, so this op wants a higher nprobe
+    than embedding search — 8/32 measured only 0.70). Rows-only driver
+    check; the recall bound is the pytest."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.hard_negatives(
+        emb, emb.filter(F.col("vec_id") < 5), k=3, method="ivf",
+        n_centroids=32, nprobe=12,
+        centroids=_ivf_centroids(spark, sf_dir, 32),
+    )
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

@@ -109,6 +109,7 @@ def main() -> None:
         from empujar_spark.operators import sketch as K
         from empujar_spark.operators import graph as G
         from empujar_spark.operators import similarity as S
+        from empujar_spark.operators import multimodal as M
         from empujar_spark.operators import text as X
         from empujar_spark.operators import timeseries as T
 
@@ -317,6 +318,14 @@ def main() -> None:
             # winnowing: explode + per-doc window min + distinct —
             # per-doc work, no joins, linear
             "winnow": lambda: noop(X.winnowing_fingerprints(docs)),
+            # binary byte-shingle SimHash pairs: per-payload hash/fold map
+            # + the band equi-join on a ×f signature table — the fold is
+            # the cost (|bytes|×bits per payload), the join is tiny
+            "binary_simhash": lambda: noop(
+                M.binary_simhash_pairs(
+                    M.text_as_binary(docs), max_hamming=1
+                )
+            ),
             # BPE first iteration: corpus scan collapses to the distinct-
             # word table, then pair explode + map-side agg — cost should
             # track the scan, with the pair shuffle saturating at

@@ -154,6 +154,9 @@ _CROSS_JOIN_ALLOWED = {
     "retrieval_quality",  # brute cosine baseline (broadcast 5-query side)
                           # — the oracle-checkable measurement loop
     "embedding_topk",
+    "hard_negatives",  # exact leg: the documented brute baseline, same
+                       # broadcast-query-side shape as embedding_topk;
+                       # the scale path is hard_negatives_ann (equi-join)
     "tfidf_top_terms",
     "histogram_price",
     "temperature_mixture",

@@ -640,3 +640,42 @@ def test_kmeans_distortion_matches_numpy(spark):
         j = int(np.argmin(d))
         assert out[i][0] == j
         assert out[i][1] == pytest.approx(d[j], rel=1e-12)
+
+
+def test_hard_negatives_cross_label_and_subset(spark):
+    """Every mined negative crosses labels; pairs the IVF leg shares with
+    the exact leg carry identical cosines and recall >= 0.8 at the
+    corpus entry's config (nprobe=12 of 32 — measures 0.867; the
+    cross-label filter reaches deeper into each list than plain top-k,
+    so 8/32 only manages 0.70)."""
+    emb01 = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = emb01.filter(F.col("vec_id") < 10)
+    exact = S.hard_negatives(emb01, queries, k=3, method="exact").collect()
+    assert len(exact) > 0
+    assert all(r.q_label != r.n_label for r in exact)
+    C = S.ivf_train(emb01, 32)
+    ann = S.hard_negatives(
+        emb01, queries, k=3, method="ivf", n_centroids=32, nprobe=12,
+        centroids=C,
+    ).collect()
+    ex = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    an = {(r.query_id, r.neighbor_id): r.cosine for r in ann}
+    hits = sum(1 for p in an if p in ex and an[p] == ex[p])
+    # ANN top-k can pull in a pair exact's top-k excluded, but any pair
+    # present in BOTH must carry the identical cosine
+    assert all(an[p] == ex[p] for p in an if p in ex)
+    recall = hits / len(ex)
+    assert recall >= 0.8, f"hard-negative recall {recall:.3f}"
+
+
+def test_hard_negatives_null_label_dropped(spark):
+    df = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0], 1),
+            (1, [0.9, 0.1], 2),
+            (2, [0.8, 0.2], None),
+        ],
+        "vec_id bigint, embedding array<double>, label int",
+    )
+    out = S.hard_negatives(df, df.filter(F.col("vec_id") == 0), k=5).collect()
+    assert {r.neighbor_id for r in out} == {1}
