@@ -526,11 +526,17 @@ def _argmin_euclidean_udf(centroids):
     def nearest(vecs: pd.Series) -> pd.Series:
         if len(vecs) == 0:
             return pd.Series([], dtype="int32")
-        V = np.vstack(vecs.to_numpy()).astype(np.float64)
-        scores = V @ C.T + corr
-        # np.argmax returns the FIRST maximal index — the expression
-        # path's smaller-centroid-id tie rule
-        return pd.Series(np.argmax(scores, axis=1).astype(np.int32))
+        # NULL vectors assign NULL (np.vstack over a batch holding None
+        # raises) — the same contract the expression path enforces
+        mask = vecs.notna().to_numpy()
+        out = pd.array([pd.NA] * len(vecs), dtype="Int32")
+        if mask.any():
+            V = np.vstack(vecs[mask].to_numpy()).astype(np.float64)
+            scores = V @ C.T + corr
+            # np.argmax returns the FIRST maximal index — the expression
+            # path's smaller-centroid-id tie rule
+            out[mask] = np.argmax(scores, axis=1).astype(np.int32)
+        return pd.Series(out)
 
     return nearest
 
@@ -547,12 +553,18 @@ def kmeans_assign(
     ``arrow=False`` uses the codegen'd literal-matrix expression (ordered
     folds, bit-exact vs the SQL oracle — the correctness-gated default);
     ``arrow=True`` the one-node Arrow matmul kernel (the production path
-    when k×dim makes the literal plan expensive to analyze)."""
+    when k×dim makes the literal plan expensive to analyze). A NULL
+    vector assigns a NULL cluster on BOTH paths — without the explicit
+    guard the expression path's struct sort would quietly rank the
+    all-NULL scores by centroid id and assign cluster 0."""
+    vec = F.col(vec_col)
     if arrow:
-        return df.withColumn(
-            out_col, _argmin_euclidean_udf(centroids)(F.col(vec_col))
+        assigned = _argmin_euclidean_udf(centroids)(vec)
+    else:
+        assigned = F.when(
+            vec.isNotNull(), _argmin_euclidean(vec, centroids)
         )
-    return df.withColumn(out_col, _argmin_euclidean(F.col(vec_col), centroids))
+    return df.withColumn(out_col, assigned)
 
 
 def kmeans_distortion(
@@ -568,7 +580,7 @@ def kmeans_distortion(
     plays for content changes. Pure map like kmeans_assign; dist² spells
     x·x − 2·x·c + c·c in exactly that association so the value is
     bit-identical to the SQL oracle's left-assoc expression."""
-    assigned = kmeans_assign(df, centroids)
+    assigned = kmeans_assign(df, centroids, vec_col=vec_col)
     c = F.element_at(_centroid_matrix(centroids), F.col("cluster") + 1)
     v = F.col(vec_col)
     dist2 = (

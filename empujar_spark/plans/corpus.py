@@ -8202,11 +8202,20 @@ def dedup_quality(spark, sf_dir):
     aggregates cross as constant-size broadcasts (the documented scalar
     BNL class)."""
     docs = load(spark, sf_dir, "documents")
-    truth = D.ngram_jaccard_pairs(docs, k=3, threshold=0.3).select(
-        "id_a", "id_b"
+    # The (id_a, id_b) frames are tiny; WITHOUT a boundary the shingle
+    # self-join (truth) and the full LSH build (cand) would each run
+    # twice — once for the scalar count, once for the hit join (verified
+    # on the compiled plan: 8 documents scans, 0 ReusedExchange). Same
+    # materialization rule as simhash_dup_pairs' signature relation.
+    truth = (
+        D.ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
-    cand = D.minhash_lsh_pairs(docs, num_hashes=8, band_size=2).select(
-        "id_a", "id_b"
+    cand = (
+        D.minhash_lsh_pairs(docs, num_hashes=8, band_size=2)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
     )
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
@@ -8436,16 +8445,13 @@ def kmeans_clusters(spark, sf_dir):
     against the oracle's unrolled SQL (accumulation-order wobble is
     crushed to the grid before it can flip any assignment). Output:
     final centroid per (cluster, dim) + the final E-step's member count
-    (empty clusters keep their previous centroid, n=0)."""
-    emb = load(spark, sf_dir, "embeddings")
-    Cm, counts = S.kmeans_lloyd(emb, k=8, iters=2)
-    rows = [
-        (cid, dim + 1, float(val), counts.get(cid, 0))
-        for cid, c in enumerate(Cm)
-        for dim, val in enumerate(c)
-    ]
-    return spark.createDataFrame(
-        rows, "cluster bigint, dim bigint, c_val double, n bigint"
+    (empty clusters keep their previous centroid, n=0). Training runs
+    ONCE per session through the registry component shared with
+    kmeans_serve/kmeans_drift — this entry returns the committed
+    centroid table, whose bit-exact round-trip vs a fresh train is
+    pinned in tests/test_similarity.py."""
+    return _kmeans_stored_centroids(spark, sf_dir)["centroids"].select(
+        "cluster", "dim", "c_val", "n"
     )
 
 
@@ -8582,7 +8588,11 @@ def kmeans_drift(spark, sf_dir):
     """
     WITH q AS (SELECT vec_id AS query_id, label AS q_label,
                       embedding AS q_vec
-               FROM embeddings WHERE vec_id < 5 AND label IS NOT NULL),
+               FROM embeddings
+               WHERE vec_id < 5 AND label IS NOT NULL
+                 AND embedding IS NOT NULL
+                 AND list_dot_product(CAST(embedding AS DOUBLE[]),
+                                      CAST(embedding AS DOUBLE[])) > 0),
     scored AS (
       SELECT q.query_id, q.q_label, e.vec_id AS neighbor_id,
              e.label AS n_label,
@@ -8591,7 +8601,10 @@ def kmeans_drift(spark, sf_dir):
                     sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))),
                    6) AS cosine
       FROM embeddings e, q
-      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label)
+      WHERE e.vec_id <> q.query_id AND e.label <> q.q_label
+        AND e.label IS NOT NULL AND e.embedding IS NOT NULL
+        AND list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                             CAST(e.embedding AS DOUBLE[])) > 0)
     SELECT query_id, q_label, neighbor_id, n_label, cosine, rnk FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rnk

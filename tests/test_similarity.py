@@ -679,3 +679,26 @@ def test_hard_negatives_null_label_dropped(spark):
     )
     out = S.hard_negatives(df, df.filter(F.col("vec_id") == 0), k=5).collect()
     assert {r.neighbor_id for r in out} == {1}
+
+
+def test_kmeans_assign_null_vector_assigns_null_both_paths(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    )
+    C = [[1.0, 0.0], [0.0, 1.0]]
+    for arrow in (False, True):
+        got = {r.vec_id: r.cluster
+               for r in S.kmeans_assign(df, C, arrow=arrow).collect()}
+        assert got == {1: 0, 2: None, 3: 1}, f"arrow={arrow}: {got}"
+
+
+def test_kmeans_distortion_respects_vec_col(spark):
+    df = spark.createDataFrame(
+        [(1, [9.0, 9.0], [1.0, 0.0])],
+        "vec_id bigint, embedding array<double>, vec array<double>",
+    )
+    out = S.kmeans_distortion(df, [[1.0, 0.0], [9.0, 9.0]], vec_col="vec")
+    r = out.collect()[0]
+    # assignment and distance must BOTH read vec, not the default column
+    assert r.cluster == 0 and r.dist2 == 0.0
