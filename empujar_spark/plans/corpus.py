@@ -8584,6 +8584,41 @@ def kmeans_drift(spark, sf_dir):
 
 
 @q(
+    "streaming_kmeans_drift",
+    f"""
+    WITH {_KMEANS_SERVE_CTES}
+    SELECT cid AS cluster, CAST(count(*) AS BIGINT) AS n,
+           round(sum(CAST(round((list_dot_product(v, v)
+                                 - 2 * list_dot_product(v, c)
+                                 + list_dot_product(c, c)) * 1000000, 0)
+                          AS BIGINT)) / 1000000.0 / count(*), 6)
+               AS mean_dist2
+    FROM assigned GROUP BY cid
+    """,
+)
+def streaming_kmeans_drift(spark, sf_dir):
+    """STREAMING drift monitor over the stored k-means model (streaming/
+    stream_ops.py kmeans_drift_stream): arrivals drain as multi-file
+    micro-batches (4 landing files, maxFilesPerTrigger=1), each batch
+    assigns against the registry-stored centroids and folds per-cluster
+    (n, Σ round(dist²·10⁶)) — EXACT scale-6 integer partials, so the
+    audit is micro-batch-boundary-invariant and the batch SQL is the
+    exact oracle. The per-row 1e-6 quantization before summation is what
+    the oracle mirrors (kmeans_drift, the batch twin, rounds the float
+    mean instead — same signal, different additive contract)."""
+    from empujar_spark.streaming.stream_ops import (
+        kmeans_drift_stream,
+        read_embeddings_stream,
+    )
+
+    C = _stored_kmeans_matrix(spark, sf_dir)
+    probe = read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") % 5 == 0
+    )
+    return kmeans_drift_stream(probe, C)
+
+
+@q(
     "hard_negatives",
     """
     WITH q AS (SELECT vec_id AS query_id, label AS q_label,

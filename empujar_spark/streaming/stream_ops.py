@@ -462,28 +462,28 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
-def read_documents_stream(
-    spark: SparkSession, sf_dir: str, n_files: int = 4
+def _split_table_stream(
+    spark: SparkSession, src: str, schema: T.StructType, n_files: int,
+    tag: str,
 ) -> DataFrame:
-    """File-source stream over the documents table, split once into
-    ``n_files`` landing files (cached per source generation, same
-    build-then-rename discipline as read_events_stream_flushed) and
-    read with maxFilesPerTrigger=1 — a bounded drain then exercises
-    REAL multi-micro-batch execution instead of swallowing the single
-    testdata file in one batch."""
+    """File-source stream over a single-file testdata table, split once
+    into ``n_files`` landing files (cached per source generation, same
+    build-then-rename discipline as read_events_stream_flushed) and read
+    with maxFilesPerTrigger=1 — a bounded drain then exercises REAL
+    multi-micro-batch execution instead of swallowing the single file in
+    one batch."""
     import os
     import shutil
     import tempfile
     import uuid
 
-    src = f"{sf_dir}/documents.parquet"
     st = os.stat(src)
     key = f"{src.replace('/', '_')}-{st.st_mtime_ns}-{st.st_size}-{n_files}"
-    d = os.path.join(tempfile.gettempdir(), f"empujar-stream-docs-{key}")
+    d = os.path.join(tempfile.gettempdir(), f"empujar-stream-{tag}-{key}")
     if not os.path.isdir(d):
         build = f"{d}.build-{os.getpid()}-{uuid.uuid4().hex[:8]}"
         (
-            spark.read.schema(DOCS_SCHEMA)
+            spark.read.schema(schema)
             .parquet(src)
             .repartition(n_files)
             .write.mode("overwrite")
@@ -494,9 +494,36 @@ def read_documents_stream(
         except OSError:
             shutil.rmtree(build, ignore_errors=True)  # concurrent winner
     return (
-        spark.readStream.schema(DOCS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(d)
+    )
+
+
+def read_documents_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Multi-micro-batch stream over the documents table."""
+    return _split_table_stream(
+        spark, f"{sf_dir}/documents.parquet", DOCS_SCHEMA, n_files, "docs"
+    )
+
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def read_embeddings_stream(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Multi-micro-batch stream over the embeddings table."""
+    return _split_table_stream(
+        spark, f"{sf_dir}/embeddings.parquet", EMB_SCHEMA, n_files, "emb"
     )
 
 
@@ -793,3 +820,78 @@ def bloom_admission_stream(
     out._bloom_spills = state["spills"]  # spill count,
     out._bloom_max_resident = state["max_resident"]  # peak driver keys
     return out
+
+
+def kmeans_drift_stream(
+    probe: DataFrame,
+    centroids,
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """Streaming data-drift monitor over a stored k-means model: every
+    micro-batch of arrivals assigns against the (plan-literal, driver-
+    sized) centroids and folds per-cluster ``(n, Σ round(dist²·10⁶))``
+    into the running audit — the continuous form of kmeans_drift, the
+    retrain trigger a serving pipeline watches between re-indexes.
+
+    Boundary invariance: the partials are EXACT scale-6 integers (the
+    corpus determinism rule for additive partials — integer addition is
+    exact in any merge order), so the aggregated audit is identical
+    however the arrival files split into micro-batches; the final mean
+    divides once, in-engine, after the drain. Driver state is one
+    (n, sum) pair per cluster — k entries, model-sized, at any corpus
+    scale. foreachBatch is the production sink shape: each batch's rows
+    would append to a monitoring table keyed by batch id; here they fold
+    into the accumulator the oracle checks.
+
+    Returns the drained audit (cluster, n, mean_dist2 rounded to 6).
+    """
+    import threading
+
+    from empujar_spark.operators import similarity as S
+
+    spark = probe.sparkSession
+    acc: dict[int, list[int]] = {}
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        d = S.kmeans_distortion(batch_df, centroids)
+        rows = (
+            d.select(
+                "cluster",
+                F.round(F.col("dist2") * F.lit(1000000.0), 0)
+                .cast("bigint")
+                .alias("d6"),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("d6").alias("s"),
+            )
+            .collect()
+        )
+        for r in rows:
+            slot = acc.setdefault(int(r["cluster"]), [0, 0])
+            slot[0] += int(r["n"])
+            slot[1] += int(r["s"])
+
+    q = probe.writeStream.foreachBatch(audit_batch).start()
+    watchdog = threading.Timer(timeout_s, q.stop)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        watchdog.cancel()
+        q.stop()
+    out = spark.createDataFrame(
+        [(c, n, s) for c, (n, s) in sorted(acc.items())],
+        "cluster bigint, n bigint, s bigint",
+    )
+    # the single division happens IN-ENGINE (Spark round is HALF_UP like
+    # DuckDB's; Python's banker's rounding would drift on exact .5e-7)
+    return out.select(
+        "cluster",
+        "n",
+        F.round(
+            F.col("s") / F.lit(1000000.0) / F.col("n"), 6
+        ).alias("mean_dist2"),
+    )

@@ -181,6 +181,7 @@ _CROSS_JOIN_ALLOWED = {
 # a plan audit of it would be vacuous; they're audited by their own tests.
 _PLAN_AUDIT_SKIP = {
     "streaming_quality_audit",
+    "streaming_kmeans_drift",
     "streaming_hourly_events",
     "streaming_join_events",
     "streaming_join_events_outer",

@@ -514,3 +514,53 @@ def test_bloom_admission_stream_spill_mode(spark, tmp_path):
         ).filter(~F.col("__maybe_seen")).count()
     )
     assert missed == 0
+
+
+def test_kmeans_drift_stream_boundary_invariant_and_matches_batch(spark):
+    """The streamed per-cluster audit must be identical however the
+    arrivals split into micro-batches (1 file vs 4 — exact integer
+    partials), and must equal the same aggregation computed in one
+    batch pass over the whole probe set."""
+    from empujar_spark.operators import similarity as S
+    from empujar_spark.streaming.stream_ops import (
+        kmeans_drift_stream,
+        read_embeddings_stream,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    C, _ = S.kmeans_lloyd(emb, k=4, iters=1)
+
+    def drained(n_files):
+        probe = read_embeddings_stream(spark, sf, n_files=n_files).filter(
+            F.col("vec_id") % 5 == 0
+        )
+        return {
+            r.cluster: (r.n, r.mean_dist2)
+            for r in kmeans_drift_stream(probe, C).collect()
+        }
+
+    one, four = drained(1), drained(4)
+    assert one == four and len(four) > 0
+    batch_probe = emb.filter(F.col("vec_id") % 5 == 0)
+    batch = {
+        r.cluster: (r.n, r.mean_dist2)
+        for r in S.kmeans_distortion(batch_probe, C)
+        .select(
+            "cluster",
+            F.round(F.col("dist2") * F.lit(1000000.0), 0)
+            .cast("bigint")
+            .alias("d6"),
+        )
+        .groupBy("cluster")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("d6").alias("s"))
+        .select(
+            F.col("cluster").cast("bigint").alias("cluster"),
+            "n",
+            F.round(F.col("s") / F.lit(1000000.0) / F.col("n"), 6).alias(
+                "mean_dist2"
+            ),
+        )
+        .collect()
+    }
+    assert four == batch
