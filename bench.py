@@ -142,6 +142,7 @@ def main() -> None:
         _emb_history_index,
         _ivf_centroids,
         _ivf_stored_index,
+        _kmeans_stored_centroids,
         _neardup_stored_history,
         _pq_stored_index,
     )
@@ -159,6 +160,11 @@ def main() -> None:
     _emb_history_index(spark, SF_DIR)
     _bloom_artifact(spark, SF_DIR)
     _admission_pristine(spark, SF_DIR)
+    # same rule for the stored k-means model: kmeans_clusters/serve/
+    # drift and the streaming drift entry read the registry component —
+    # the train is amortized ingest cost, warmed here so whichever entry
+    # runs first doesn't pay it
+    _kmeans_stored_centroids(spark, SF_DIR)
     # Steady-state timing: min of 2 runs per query. A single cold pass
     # conflates each query's cost with whole-stage-codegen compilation,
     # GC pressure from the preceding 70 queries, and background box load
