@@ -302,6 +302,37 @@ def memory_sink(df: DataFrame, name: str, output_mode: str = "append"):
     )
 
 
+def _drain_with_watchdog(q, timeout_s: float) -> None:
+    """Drain a bounded stream with a hard wall-time bound, shared by
+    every synchronous drain site: a watchdog stops the query if it has
+    not settled by ``timeout_s`` (the driver correctness gate runs these
+    synchronously — an unbounded processAllAvailable() would stall every
+    query after it). If the watchdog FIRED, raise instead of returning:
+    a truncated drain folded into an audit/result would masquerade as
+    the complete, oracle-exact figure (review r12)."""
+    import threading
+
+    fired = threading.Event()
+
+    def kill() -> None:
+        fired.set()
+        q.stop()
+
+    watchdog = threading.Timer(timeout_s, kill)
+    watchdog.daemon = True
+    watchdog.start()
+    try:
+        q.processAllAvailable()
+    finally:
+        watchdog.cancel()
+        q.stop()
+    if fired.is_set():
+        raise RuntimeError(
+            f"stream drain exceeded the {timeout_s}s watchdog; partial "
+            "results discarded rather than returned as complete"
+        )
+
+
 def drain_to_memory(
     df: DataFrame,
     name: str,
@@ -319,13 +350,8 @@ def drain_to_memory(
     the stream and restored after; on a real cluster size it to state
     volume, not to the batch shuffle default.
 
-    ``timeout_s`` is a hard wall-time bound: a watchdog stops the query if
-    the drain has not settled by then, so a misbehaving stream can never
-    hang a caller (the driver correctness gate runs these synchronously —
-    an unbounded processAllAvailable() would stall every query after it).
+    ``timeout_s`` is the shared watchdog bound (_drain_with_watchdog).
     """
-    import threading
-
     spark = df.sparkSession
     key = "spark.sql.shuffle.partitions"
     old = spark.conf.get(key)
@@ -337,14 +363,7 @@ def drain_to_memory(
             .outputMode(output_mode)
             .start()
         )
-        watchdog = threading.Timer(timeout_s, q.stop)
-        watchdog.daemon = True
-        watchdog.start()
-        try:
-            q.processAllAvailable()
-        finally:
-            watchdog.cancel()
-            q.stop()
+        _drain_with_watchdog(q, timeout_s)
     finally:
         spark.conf.set(key, old)
     return spark.table(name)
@@ -411,7 +430,6 @@ def quality_monitor_stream(
     batch's audit rows would append to a monitoring table with the batch
     id; here they collect into an accumulator for the oracle to check.
     """
-    import threading
 
     from empujar_spark.operators import quality as Q
 
@@ -430,14 +448,7 @@ def quality_monitor_stream(
 
     spark = events.sparkSession
     q = events.writeStream.foreachBatch(audit_batch).start()
-    watchdog = threading.Timer(timeout_s, q.stop)
-    watchdog.daemon = True
-    watchdog.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        watchdog.cancel()
-        q.stop()
+    _drain_with_watchdog(q, timeout_s)
     agg: dict[str, int] = {}
     for check, n in rows:
         agg[check] = agg.get(check, 0) + n
@@ -559,7 +570,6 @@ def neardup_ingest_stream(
     keyed by batch id (and merges the admitted batch's shingles into
     history afterwards, which re-freezes it for the next batch); here
     the pairs accumulate for the oracle to check."""
-    import threading
 
     from empujar_spark.operators.dedup import containment_incremental_pairs
 
@@ -577,14 +587,7 @@ def neardup_ingest_stream(
 
     spark = docs.sparkSession
     q = docs.writeStream.foreachBatch(check_batch).start()
-    watchdog = threading.Timer(timeout_s, q.stop)
-    watchdog.daemon = True
-    watchdog.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        watchdog.cancel()
-        q.stop()
+    _drain_with_watchdog(q, timeout_s)
     out = spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA)
     out._neardup_batches = batch_ids  # test hook: real multi-batch
     return out
@@ -706,7 +709,6 @@ def bloom_admission_stream(
     broadcast probe plus ONE collect — no write or aggregation job in
     the loop outside the spill regime."""
     import tempfile
-    import threading
 
     from empujar_spark.operators import sketch as K
 
@@ -781,14 +783,7 @@ def bloom_admission_stream(
         state["max_resident"] = max(state["max_resident"], len(resident))
 
     q = docs.writeStream.foreachBatch(admit_batch).start()
-    watchdog = threading.Timer(timeout_s, q.stop)
-    watchdog.daemon = True
-    watchdog.start()
-    try:
-        q.processAllAvailable()
-    finally:
-        watchdog.cancel()
-        q.stop()
+    _drain_with_watchdog(q, timeout_s)
     spilled = state["spill_dir"] is not None
     if resident or spilled:
         # epilogue: ONE history write of the drain's admissions (fresh
@@ -845,7 +840,6 @@ def kmeans_drift_stream(
 
     Returns the drained audit (cluster, n, mean_dist2 rounded to 6).
     """
-    import threading
 
     from empujar_spark.operators import similarity as S
 
@@ -869,21 +863,34 @@ def kmeans_drift_stream(
             .collect()
         )
         for r in rows:
-            slot = acc.setdefault(int(r["cluster"]), [0, 0])
+            # NULL-vector arrivals assign a NULL cluster (kmeans_assign's
+            # contract) and a NULL dist² — fold them as the batch twin's
+            # groupBy does: counted under the NULL group, mean NULL
+            key = None if r["cluster"] is None else int(r["cluster"])
+            slot = acc.setdefault(key, [0, 0 if key is not None else None])
             slot[0] += int(r["n"])
-            slot[1] += int(r["s"])
+            if key is not None:
+                slot[1] += int(r["s"])
 
-    q = probe.writeStream.foreachBatch(audit_batch).start()
-    watchdog = threading.Timer(timeout_s, q.stop)
-    watchdog.daemon = True
-    watchdog.start()
+    # the per-batch groupBy reduces to ≤k+1 rows — at the session
+    # shuffle default that's 32 reduce tasks per micro-batch of commit
+    # overhead (the drain_to_memory state_partitions rule); pin a small
+    # count for the drain and restore after
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "4")
     try:
-        q.processAllAvailable()
+        q = probe.writeStream.foreachBatch(audit_batch).start()
+        _drain_with_watchdog(q, timeout_s)
     finally:
-        watchdog.cancel()
-        q.stop()
+        spark.conf.set(conf_key, old)
     out = spark.createDataFrame(
-        [(c, n, s) for c, (n, s) in sorted(acc.items())],
+        [
+            (c, n, s)
+            for c, (n, s) in sorted(
+                acc.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)
+            )
+        ],
         "cluster bigint, n bigint, s bigint",
     )
     # the single division happens IN-ENGINE (Spark round is HALF_UP like

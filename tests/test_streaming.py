@@ -564,3 +564,37 @@ def test_kmeans_drift_stream_boundary_invariant_and_matches_batch(spark):
         .collect()
     }
     assert four == batch
+
+
+def test_kmeans_drift_stream_null_vector_counts_under_null_cluster(
+    spark, tmp_path
+):
+    """A NULL-embedding arrival must not kill the monitor: it folds into
+    a NULL-cluster row (n counted, mean NULL) exactly like the batch
+    twin's groupBy — review r12 finding."""
+    import os
+
+    from empujar_spark.streaming.stream_ops import (
+        EMB_SCHEMA,
+        kmeans_drift_stream,
+    )
+
+    land = str(tmp_path / "land")
+    os.makedirs(land)
+    spark.createDataFrame(
+        [(1, [1.0, 0.0], 1), (2, None, 1), (3, [0.0, 1.0], 2)],
+        EMB_SCHEMA,
+    ).coalesce(1).write.mode("overwrite").parquet(land)
+    probe = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    out = {
+        r.cluster: (r.n, r.mean_dist2)
+        for r in kmeans_drift_stream(
+            probe, [[1.0, 0.0], [0.0, 1.0]]
+        ).collect()
+    }
+    assert out[None] == (1, None)
+    assert out[0] == (1, 0.0) and out[1] == (1, 0.0)
