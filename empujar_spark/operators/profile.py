@@ -12,7 +12,7 @@ training-data pipeline does to a new 100 TB corpus.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -230,4 +230,92 @@ def winsorized_stats(
                 F.sum("__v").cast("double") / F.count(F.lit(1)), 6
             ).alias("winsorized_mean"),
         )
+    )
+
+
+def population_stability(
+    ref: DataFrame, cur: DataFrame, col: str, n_bins: int = 10
+) -> DataFrame:
+    """Population Stability Index per bin — the tabular-feature drift
+    monitor (the credit-scoring PSI, the standard "did this feature's
+    distribution move between the reference snapshot and today" check):
+    Σ (p−q)·ln(p/q) over equal-width bins, where the BINNING IS FROZEN
+    ON THE REFERENCE side (production monitors bin against the training
+    snapshot; re-binning on current data would hide exactly the shift
+    being measured). Current values outside the reference range clamp
+    into the edge bins; a constant reference column degenerates to one
+    bin, the numeric_histogram rule.
+
+    Cross-engine determinism (the DSIR playbook): proportions are
+    Laplace-smoothed — (n+1)/(N+n_bins), so empty bins stay finite —
+    and quantized to 1e-6 BEFORE the ln ratio; each bin's term rounds to
+    1e-6 again, so the per-bin PSI contribution is engine-exact. Plan:
+    one (min,max) scalar broadcast off the reference, one groupBy(bin)
+    count per side with map-side combine, the n_bins-row frames join to
+    a generated bin spine (empty bins surface as 0, not absence) —
+    nothing wider than a column scan at any scale.
+
+    Output: (bin, n_ref, n_cur, p_ref, p_cur, psi_term); total PSI is
+    the sum of psi_term (>0.25 is the classic retrain alarm).
+    """
+    spark = ref.sparkSession
+    rng = ref.agg(
+        F.min(F.col(col)).cast("double").alias("lo"),
+        F.max(F.col(col)).cast("double").alias("hi"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_ = F.when(width == 0.0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(n_bins - 1).cast("bigint"),
+        )
+    )
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("double").alias("x"))
+            .filter(F.col("x").isNotNull())
+            .crossJoin(F.broadcast(rng))
+            .select(bin_.alias("bin"))
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    counts = (
+        spine.join(side_counts(ref, "n_ref"), "bin", "left")
+        .join(side_counts(cur, "n_cur"), "bin", "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    w = Window.partitionBy()
+    p = F.round(
+        (F.col("n_ref") + F.lit(1.0))
+        / (F.sum("n_ref").over(w) + F.lit(float(n_bins))),
+        6,
+    )
+    q = F.round(
+        (F.col("n_cur") + F.lit(1.0))
+        / (F.sum("n_cur").over(w) + F.lit(float(n_bins))),
+        6,
+    )
+    return counts.select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        p.alias("p_ref"),
+        q.alias("q_cur"),
+    ).select(
+        "bin",
+        "n_ref",
+        "n_cur",
+        "p_ref",
+        "q_cur",
+        F.round(
+            (F.col("p_ref") - F.col("q_cur"))
+            * F.log(F.col("p_ref") / F.col("q_cur")),
+            6,
+        ).alias("psi_term"),
     )

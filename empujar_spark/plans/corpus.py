@@ -8584,6 +8584,57 @@ def kmeans_drift(spark, sf_dir):
 
 
 @q(
+    "population_stability",
+    """
+    WITH v AS (SELECT user_id % 2 AS side, CAST(value AS DOUBLE) AS x
+               FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+            FROM v WHERE side = 0),
+    b AS (SELECT side,
+                 CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+                      ELSE least(greatest(
+                             CAST(floor((x - lo) / ((hi - lo) / 10.0))
+                                  AS BIGINT), 0), 9) END AS bin
+          FROM v, rng),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    cr AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 0 GROUP BY bin),
+    cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 1 GROUP BY bin),
+    counts AS (SELECT spine.bin, COALESCE(cr.n, 0) AS n_ref,
+                      COALESCE(cc.n, 0) AS n_cur
+               FROM spine LEFT JOIN cr ON spine.bin = cr.bin
+               LEFT JOIN cc ON spine.bin = cc.bin),
+    pq AS (SELECT bin, n_ref, n_cur,
+                  round((n_ref + 1.0) / (sum(n_ref) OVER () + 10.0), 6)
+                      AS p_ref,
+                  round((n_cur + 1.0) / (sum(n_cur) OVER () + 10.0), 6)
+                      AS q_cur
+           FROM counts)
+    SELECT bin, n_ref, n_cur, p_ref, q_cur,
+           round((p_ref - q_cur) * ln(p_ref / q_cur), 6) AS psi_term
+    FROM pq
+    """,
+)
+def population_stability(spark, sf_dir):
+    """PSI feature-drift monitor (operators/profile.py
+    population_stability): equal-width bins FROZEN on the reference
+    split (events with even user_id), current split (odd user_id)
+    clamps into them — Σ psi_term > 0.25 is the classic retrain alarm.
+    Completes the drift family: kmeans_drift watches embedding space,
+    this watches tabular features, both against a frozen reference.
+    Laplace-smoothed quantized proportions keep every term engine-exact;
+    the 10-row spine join surfaces empty bins as zeros."""
+    ev = load(spark, sf_dir, "events")
+    return P.population_stability(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        n_bins=10,
+    )
+
+
+@q(
     "streaming_kmeans_drift",
     f"""
     WITH {_KMEANS_SERVE_CTES}

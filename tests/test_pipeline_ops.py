@@ -510,3 +510,38 @@ def test_winnowing_no_full_window_empty(spark):
         [(1, "short"), (2, "nine ch x")], ["doc_id", "text"]
     )
     assert X.winnowing_fingerprints(df, k=8, w=4).count() == 0
+
+
+def test_population_stability_detects_shift_and_freezes_bins(spark):
+    """A shifted current distribution yields a large total PSI; an
+    identical one yields ~0. Binning is frozen on the reference: current
+    values outside the reference range clamp into the edge bins instead
+    of re-binning (which would hide the shift being measured)."""
+    ref = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], ["id", "v"]
+    )
+    same = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], ["id", "v"]
+    )
+    shifted = spark.createDataFrame(
+        [(i, 500.0 + float(i % 10)) for i in range(1000)], ["id", "v"]
+    )
+    psi_same = sum(
+        r.psi_term for r in P.population_stability(ref, same, "v").collect()
+    )
+    rows_shift = P.population_stability(ref, shifted, "v").collect()
+    psi_shift = sum(r.psi_term for r in rows_shift)
+    assert abs(psi_same) < 1e-6
+    assert psi_shift > 0.25, psi_shift
+    # every out-of-range current value clamped into the TOP bin
+    top = {r.bin: r.n_cur for r in rows_shift}
+    assert top[9] == 1000 and sum(top.values()) == 1000
+
+
+def test_population_stability_constant_reference_single_bin(spark):
+    ref = spark.createDataFrame([(i, 5.0) for i in range(10)], ["id", "v"])
+    cur = spark.createDataFrame([(i, 7.0) for i in range(10)], ["id", "v"])
+    rows = P.population_stability(ref, cur, "v", n_bins=10).collect()
+    by_bin = {r.bin: (r.n_ref, r.n_cur) for r in rows}
+    assert by_bin[0] == (10, 10)
+    assert all(by_bin[b] == (0, 0) for b in range(1, 10))
