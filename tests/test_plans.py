@@ -159,6 +159,9 @@ _CROSS_JOIN_ALLOWED = {
                        # the scale path is hard_negatives_ann (equi-join)
     "tfidf_top_terms",
     "histogram_price",
+    "population_stability",  # the frozen-reference (min,max) one-row
+                             # scalar broadcast, histogram_price pattern
+                             # (twice — once per side's binning)
     "temperature_mixture",
     "embedding_decontam",
     "q22_dormant_customers",
