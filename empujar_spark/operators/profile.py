@@ -255,7 +255,7 @@ def population_stability(
     a generated bin spine (empty bins surface as 0, not absence) —
     nothing wider than a column scan at any scale.
 
-    Output: (bin, n_ref, n_cur, p_ref, p_cur, psi_term); total PSI is
+    Output: (bin, n_ref, n_cur, p_ref, q_cur, psi_term); total PSI is
     the sum of psi_term (>0.25 is the classic retrain alarm).
     """
     spark = ref.sparkSession

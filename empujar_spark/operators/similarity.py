@@ -14,6 +14,8 @@
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
@@ -624,10 +626,17 @@ def kmeans_lloyd(
     k×dim Python list (same pattern as MLlib's Lloyd, expressed on
     DataFrames).
 
-    Returns (centroids after ``iters`` rounds, {cluster: n} counts of the
-    final E-step — the assignment the returned centroids were computed
-    from). ``arrow=True`` swaps the assignment map for the one-node Arrow
-    matmul kernel (the large-k production path; see kmeans_assign).
+    Returns (centroids after at most ``iters`` rounds, {cluster: n}
+    counts of the final E-step — the assignment the returned centroids
+    were computed from). CONVERGENCE STOP: when a round's quantized
+    centroids equal the previous round's, the trajectory has hit a fixed
+    point of the quantized iteration — every later round would assign and
+    recenter identically — so the loop exits early with a result
+    bit-identical to running all ``iters`` rounds (the 1e-6 grid is what
+    makes the equality check deterministic; pinned in
+    tests/test_similarity.py). ``arrow=True`` swaps the assignment map
+    for the one-node Arrow matmul kernel (the large-k production path;
+    see kmeans_assign).
     """
     md5_key = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
@@ -639,7 +648,15 @@ def kmeans_lloyd(
         .limit(k)
         .collect()
     )
-    C = [[round(float(x), quant) for x in r["v"]] for r in seed_rows]
+    # half-up quantization like the in-loop F.round / the oracle's
+    # round() — builtin round() is banker's and would diverge the whole
+    # trajectory on an exactly-representable .5e-(quant+1) seed tie
+    grid = Decimal(1).scaleb(-quant)
+
+    def _q(x: float) -> float:
+        return float(Decimal(repr(float(x))).quantize(grid, ROUND_HALF_UP))
+
+    C = [[_q(x) for x in r["v"]] for r in seed_rows]
     counts: dict[int, int] = {j: 0 for j in range(len(C))}
     # NULL vectors can't vote (same filter as the seed scan — without it
     # a NULL row assigns a NULL cluster and the recenter loop KeyErrors)
@@ -662,10 +679,17 @@ def kmeans_lloyd(
             )
             .collect()
         )
+        prev = [list(c) for c in C]
         counts = {j: 0 for j in range(len(C))}
         for r in stats:
             C[r["cluster"]][r["dim0"]] = float(r["m"])
             counts[r["cluster"]] = int(r["n"])
+        if C == prev:
+            # fixed point on the quantized grid: assignments depend only
+            # on C, so every remaining round would recompute exactly
+            # these centroids and counts — stop without changing the
+            # fixed-iteration result
+            break
     return C, counts
 
 

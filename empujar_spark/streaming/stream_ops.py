@@ -313,9 +313,19 @@ def _drain_with_watchdog(q, timeout_s: float) -> None:
     import threading
 
     fired = threading.Event()
+    done = threading.Event()
+    race = threading.Lock()
 
     def kill() -> None:
-        fired.set()
+        # completion can win the race against the timer popping right at
+        # the boundary: a drain that fully settled must not be reported
+        # as truncated (ADVICE r12). The lock makes exactly one of
+        # done/fired win; fired is set BEFORE q.stop() so a drain the
+        # watchdog truncated can never claim completion afterward.
+        with race:
+            if done.is_set():
+                return
+            fired.set()
         q.stop()
 
     watchdog = threading.Timer(timeout_s, kill)
@@ -323,6 +333,9 @@ def _drain_with_watchdog(q, timeout_s: float) -> None:
     watchdog.start()
     try:
         q.processAllAvailable()
+        with race:
+            if not fired.is_set():
+                done.set()
     finally:
         watchdog.cancel()
         q.stop()

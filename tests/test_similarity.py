@@ -702,3 +702,48 @@ def test_kmeans_distortion_respects_vec_col(spark):
     r = out.collect()[0]
     # assignment and distance must BOTH read vec, not the default column
     assert r.cluster == 0 and r.dist2 == 0.0
+
+
+def test_kmeans_early_stop_matches_fixed_iteration_trajectory(spark):
+    """Convergence stop (VERDICT r12): once a round's quantized centroids
+    equal the previous round's, the iteration is at a fixed point of the
+    quantized map — running more rounds must change nothing, and the loop
+    must actually SKIP them (pinned by counting driver collects: one for
+    the seeds plus one per executed round)."""
+    import pyspark.sql
+
+    # two tight, well-separated blobs converge in <=2 rounds for k=2
+    rows = [(i, [float(i % 2) * 10.0 + 0.01 * (i // 2), 0.0])
+            for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    C_short, n_short = S.kmeans_lloyd(df, k=2, iters=3)
+
+    calls = {"n": 0}
+    orig = pyspark.sql.DataFrame.collect
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return orig(self)
+
+    pyspark.sql.DataFrame.collect = counting_collect
+    try:
+        C_long, n_long = S.kmeans_lloyd(df, k=2, iters=50)
+    finally:
+        pyspark.sql.DataFrame.collect = orig
+    assert C_long == C_short and n_long == n_short
+    # seeds + at most 4 rounds (converge + the equality-detect round),
+    # nowhere near the 51 a fixed 50-iteration run would issue
+    assert calls["n"] <= 5, f"early stop never engaged: {calls['n']} collects"
+
+
+def test_kmeans_seed_quantization_rounds_half_up(spark):
+    """Seed centroids must quantize HALF-UP like the in-loop F.round and
+    the DuckDB oracle (ADVICE r12): 0.0078125 = 2**-7 is an exactly-
+    representable 7-decimal tie — builtin round() (banker's) would park
+    it on 0.007812 and silently diverge the trajectory across engines."""
+    df = spark.createDataFrame(
+        [(1, [0.0078125])], "vec_id bigint, embedding array<double>"
+    )
+    C, counts = S.kmeans_lloyd(df, k=1, iters=0)
+    assert C == [[0.007813]]
+    assert counts == {0: 0}
