@@ -567,6 +567,7 @@ def neardup_ingest_stream(
     history_shingles: DataFrame,
     threshold: float = 0.5,
     timeout_s: float = 240.0,
+    max_resident_pairs: int | None = None,
 ) -> DataFrame:
     """STREAMING near-dup admission check: every micro-batch of incoming
     documents is containment-checked against the FROZEN stored shingle
@@ -582,12 +583,34 @@ def neardup_ingest_stream(
     Production appends each batch's flagged pairs to an audit table
     keyed by batch id (and merges the admitted batch's shingles into
     history afterwards, which re-freezes it for the next batch); here
-    the pairs accumulate for the oracle to check."""
+    the pairs accumulate for the oracle to check.
+
+    DRIVER MEMORY BOUND (``max_resident_pairs``, the bloom-admission
+    spill regime applied to the audit): the accumulated flagged pairs
+    are audit-sized for a steady-state ingest, but a backfill over a
+    duplicate-heavy corpus makes "audit-sized" unbounded. Past the
+    threshold the resident pairs append to a local parquet spill (one
+    small write job per spill, only in the degraded regime) and drop
+    from driver memory; unlike the admission stream nothing here feeds
+    back into the gate (history is frozen for the whole drain), so the
+    spill is write-only until the epilogue, where the returned
+    DataFrame scans spill ∪ resident-tail instead of being driver-
+    built. Output is bit-identical across regimes (pytest-pinned)."""
+    import tempfile
 
     from empujar_spark.operators.dedup import containment_incremental_pairs
 
+    spark = docs.sparkSession
     rows: list = []
     batch_ids: list = []
+    state = {"spill_dir": None, "spills": 0, "max_resident": 0}
+
+    def spill_df() -> DataFrame:
+        # re-plan per call: a parquet plan resolves its file list once,
+        # and every spill adds files
+        return spark.read.schema(NEARDUP_AUDIT_SCHEMA).parquet(
+            state["spill_dir"]
+        )
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
@@ -597,12 +620,29 @@ def neardup_ingest_stream(
             threshold=threshold,
         ).collect()
         rows.extend(tuple(r) for r in flagged)
+        if max_resident_pairs is not None and len(rows) > max_resident_pairs:
+            if state["spill_dir"] is None:
+                state["spill_dir"] = tempfile.mkdtemp(prefix="neardup-spill-")
+            spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA).write.mode(
+                "append"
+            ).parquet(state["spill_dir"])
+            state["spills"] += 1
+            rows.clear()
+        # the bound the spill enforces: pairs CARRIED across a batch
+        # boundary (the within-batch collect is that batch's audit-sized
+        # verdict — the operator's per-batch cost either way)
+        state["max_resident"] = max(state["max_resident"], len(rows))
 
-    spark = docs.sparkSession
     q = docs.writeStream.foreachBatch(check_batch).start()
     _drain_with_watchdog(q, timeout_s)
-    out = spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA)
-    out._neardup_batches = batch_ids  # test hook: real multi-batch
+    resident = spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA)
+    if state["spill_dir"] is not None:
+        out = spill_df().unionByName(resident)
+    else:
+        out = resident
+    out._neardup_batches = batch_ids  # test hooks: real multi-batch,
+    out._neardup_spills = state["spills"]  # spill count,
+    out._neardup_max_resident = state["max_resident"]  # peak driver pairs
     return out
 
 

@@ -598,3 +598,40 @@ def test_kmeans_drift_stream_null_vector_counts_under_null_cluster(
     }
     assert out[None] == (1, None)
     assert out[0] == (1, 0.0) and out[1] == (1, 0.0)
+
+
+def test_neardup_ingest_stream_spill_regime_bounds_driver_pairs(spark):
+    """VERDICT r12 item 5: a duplicate-heavy drain must not accumulate
+    the flagged-pair audit on the driver unboundedly — past
+    max_resident_pairs the resident sliver spills to parquet and only
+    the tail stays in memory. Output must stay bit-identical to the
+    unbounded regime (and hence to the batch twin), spills must really
+    happen, and the carried-across-batches peak must respect the bound."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    hist_sh = D.history_shingle_table(hist)
+    stream = SO.read_documents_stream(spark, sf).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    # threshold low enough that every batch flags pairs; bound low
+    # enough that the drain must spill at least once mid-stream
+    out = SO.neardup_ingest_stream(
+        stream, hist_sh, threshold=0.3, max_resident_pairs=1
+    )
+    assert len(out._neardup_batches) >= 2, "expected real multi-batch drain"
+    assert out._neardup_spills >= 2, "spill regime never engaged"
+    assert out._neardup_max_resident <= 1, (
+        "pairs carried across a batch boundary exceeded the bound"
+    )
+    twin = D.containment_incremental_pairs(new, hist, threshold=0.3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+    assert out.count() > 0
