@@ -8728,6 +8728,76 @@ def hard_negatives_ann(spark, sf_dir):
     )
 
 
+# ---- Round-13 additions ------------------------------------------------
+
+
+@q(
+    "population_stability_multi",
+    """
+    WITH v AS (
+      SELECT event_id % 2 AS side, 'user_id' AS feature,
+             CAST(user_id AS DOUBLE) AS x
+      FROM events WHERE user_id IS NOT NULL
+      UNION ALL
+      SELECT event_id % 2, 'value', CAST(value AS DOUBLE)
+      FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT feature, CAST(min(x) AS DOUBLE) AS lo,
+                   CAST(max(x) AS DOUBLE) AS hi
+            FROM v WHERE side = 0 GROUP BY feature),
+    b AS (SELECT side, v.feature,
+                 CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+                      ELSE least(greatest(
+                             CAST(floor((x - lo) / ((hi - lo) / 10.0))
+                                  AS BIGINT), 0), 9) END AS bin
+          FROM v JOIN rng ON v.feature = rng.feature),
+    spine AS (SELECT feature, unnest(generate_series(0, 9)) AS bin
+              FROM (SELECT DISTINCT feature FROM rng)),
+    cr AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 0 GROUP BY feature, bin),
+    cc AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 1 GROUP BY feature, bin),
+    counts AS (SELECT spine.feature, spine.bin,
+                      COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+               FROM spine
+               LEFT JOIN cr ON spine.feature = cr.feature
+                           AND spine.bin = cr.bin
+               LEFT JOIN cc ON spine.feature = cc.feature
+                           AND spine.bin = cc.bin),
+    pq AS (SELECT feature, bin, n_ref, n_cur,
+                  round((n_ref + 1.0)
+                        / (sum(n_ref) OVER (PARTITION BY feature) + 10.0), 6)
+                      AS p_ref,
+                  round((n_cur + 1.0)
+                        / (sum(n_cur) OVER (PARTITION BY feature) + 10.0), 6)
+                      AS q_cur
+           FROM counts)
+    SELECT feature, bin, n_ref, n_cur, p_ref, q_cur,
+           round((p_ref - q_cur) * ln(p_ref / q_cur), 6) AS psi_term
+    FROM pq
+    """,
+)
+def population_stability_multi(spark, sf_dir):
+    """Single-scan MULTI-feature PSI (operators/profile.py
+    population_stability_multi, VERDICT r12 item 3): both monitored
+    events features (user_id, value) drift-checked in one plan —
+    reference split (even event_id) freezes each feature's equal-width
+    bins, current split (odd) clamps into them. The feature axis rides
+    the rows: one aggregate computes every feature's (min,max) in a
+    single reference scan, each side then unpivots to (feature, x) and
+    counts with ONE scan + one groupBy(feature, bin) — three scans total
+    however many features are monitored, vs 3F for per-column calls
+    (plan-pinned in tests/test_plans.py). Per-feature semantics are
+    bit-identical to the single-column entry (Laplace smoothing
+    PARTITION BY feature)."""
+    ev = load(spark, sf_dir, "events")
+    return P.population_stability_multi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+        n_bins=10,
+    )
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

@@ -545,3 +545,49 @@ def test_population_stability_constant_reference_single_bin(spark):
     by_bin = {r.bin: (r.n_ref, r.n_cur) for r in rows}
     assert by_bin[0] == (10, 10)
     assert all(by_bin[b] == (0, 0) for b in range(1, 10))
+
+
+def test_population_stability_multi_equals_per_column(spark):
+    """The single-scan multi-feature PSI must reproduce the per-column
+    operator feature-for-feature, bit for bit — same frozen-reference
+    bins, same Laplace smoothing (totals partitioned by feature), same
+    1e-6 quantization."""
+    ref = spark.createDataFrame(
+        [(i, float(i % 100), float(i % 7)) for i in range(500)],
+        ["id", "a", "b"],
+    )
+    cur = spark.createDataFrame(
+        [(i, 50.0 + float(i % 10), float(i % 5)) for i in range(400)],
+        ["id", "a", "b"],
+    )
+    multi = P.population_stability_multi(ref, cur, ["a", "b"]).collect()
+    assert len(multi) == 20
+    for c in ("a", "b"):
+        single = {
+            r.bin: (r.n_ref, r.n_cur, r.p_ref, r.q_cur, r.psi_term)
+            for r in P.population_stability(ref, cur, c).collect()
+        }
+        got = {
+            r.bin: (r.n_ref, r.n_cur, r.p_ref, r.q_cur, r.psi_term)
+            for r in multi if r.feature == c
+        }
+        assert got == single, c
+
+
+def test_population_stability_multi_null_and_constant_features(spark):
+    """NULL values drop per feature independently; a constant reference
+    feature degenerates to bin 0 without poisoning its neighbors."""
+    ref = spark.createDataFrame(
+        [(i, 5.0, float(i)) for i in range(10)], ["id", "c", "d"]
+    )
+    cur = spark.createDataFrame(
+        [(0, 7.0, None), (1, 7.0, 4.0)],
+        "id bigint, c double, d double",
+    )
+    rows = P.population_stability_multi(ref, cur, ["c", "d"]).collect()
+    by = {(r.feature, r.bin): (r.n_ref, r.n_cur) for r in rows}
+    assert by[("c", 0)] == (10, 2)
+    assert all(by[("c", b)] == (0, 0) for b in range(1, 10))
+    # d: NULL current row dropped, 4.0 lands in bin 4 of [0, 9]
+    assert sum(n_cur for (f, _), (_, n_cur) in by.items() if f == "d") == 1
+    assert by[("d", 4)][1] == 1

@@ -745,3 +745,19 @@ def test_winnowing_single_scan_single_doc_shuffle(spark):
     plan = plan_of(spark, "winnowing_fingerprints")
     assert plan.count("Scan parquet") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_population_stability_multi_constant_scans(spark):
+    """The multi-feature PSI plan must scan events a CONSTANT number of
+    times — one unpivoted count pass per side IN the plan (the third
+    pass, the reference (min,max) aggregate, materialized eagerly into
+    the F-row checkpointed range table at construction) — however many
+    features are monitored (the per-column operator costs 3 scans PER
+    feature); the range table reaches the melted rows as a broadcast
+    equi-join, never a nested loop or a corpus shuffle."""
+    plan = plan_of(spark, "population_stability_multi")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed ranges
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
