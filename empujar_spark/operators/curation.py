@@ -431,6 +431,7 @@ def dsir_importance(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 256,
+    n_max: int = 1,
 ) -> DataFrame:
     """DSIR-style data selection (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every document by
@@ -441,7 +442,15 @@ def dsir_importance(
     without training a classifier. Add-one smoothing on both sides keeps
     unseen buckets finite.
 
-    Output: (id_col, n_tokens, lr_score) — lr_score > 0 means the doc
+    ``n_max`` picks the feature set: 1 = hashed unigrams, 2 = hashed
+    unigrams AND bigrams (the paper's reference setup — Xie et al. hash
+    unigram+bigram counts into a fixed bucket space). Bigrams come from
+    ONE zip_with slide over the token array (the bigram_doc_score
+    spelling, text.py), never a self-join, so the plan is identical in
+    shape — only the exploded feature stream is ~2× longer.
+
+    Output: (id_col, n_tokens, lr_score) — n_tokens counts the FEATURES
+    scored (unigrams + bigrams at n_max=2); lr_score > 0 means the doc
     looks more like the target than like the raw corpus; rank or
     threshold on it to select. Deterministic: features are md5-hashed
     token buckets, per-bucket weights are quantized to 1e-6 BEFORE the
@@ -463,13 +472,34 @@ def dsir_importance(
     in one machine by construction (fixed bucket count), only the
     corpus stays distributed.
     """
+    if n_max not in (1, 2):
+        raise ValueError(f"n_max must be 1 or 2, got {n_max}")
     df = _spread(df)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
-    toks = df.select(
-        F.col(id_col),
-        target_pred.alias("__tgt"),
-        F.explode(F.split(norm, " ")).alias("__tok"),
-    ).filter(F.col("__tok") != "")
+    toks_arr = F.filter(F.split(norm, " "), lambda x: x != "")
+    if n_max == 2:
+        arr = F.col("__toks")
+        # greatest(…, 0) keeps slice's length argument legal for 0/1-
+        # token docs (empty gram list) instead of an ANSI runtime error
+        glen = F.greatest(F.size(arr) - 1, F.lit(0))
+        grams = F.zip_with(
+            F.slice(arr, 1, glen),
+            F.slice(arr, 2, glen),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+        feats = F.concat(arr, grams)
+    else:
+        feats = F.col("__toks")
+    toks = (
+        df.select(
+            F.col(id_col),
+            target_pred.alias("__tgt"),
+            toks_arr.alias("__toks"),
+        )
+        .select(
+            F.col(id_col), F.col("__tgt"), F.explode(feats).alias("__tok")
+        )
+    )
     bucketed = toks.select(
         id_col,
         "__tgt",

@@ -8798,6 +8798,59 @@ def population_stability_multi(spark, sf_dir):
     )
 
 
+@q(
+    "dsir_selection_bigram",
+    r"""
+    WITH t AS (
+      SELECT doc_id, (lang = 'en') AS tgt,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS toks
+      FROM documents),
+    feats AS (
+      SELECT doc_id, tgt, unnest(toks) AS f FROM t
+      UNION ALL
+      SELECT doc_id, tgt,
+             unnest(list_transform(generate_series(1, len(toks) - 1),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS f
+      FROM t WHERE len(toks) >= 2),
+    b AS (SELECT doc_id, tgt,
+                 CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 256 AS bkt
+          FROM feats),
+    stats AS (SELECT bkt,
+                     CAST(count(*) AS BIGINT) AS n_raw,
+                     CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT)
+                         AS n_tgt
+              FROM b GROUP BY bkt),
+    tot AS (SELECT CAST(sum(n_raw) AS BIGINT) AS r_tot,
+                   CAST(sum(n_tgt) AS BIGINT) AS t_tot
+            FROM stats),
+    wts AS (SELECT bkt,
+                   round(ln((n_tgt + 1.0) / (t_tot + 256.0))
+                       - ln((n_raw + 1.0) / (r_tot + 256.0)), 6) AS w
+            FROM stats, tot)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+           round(sum(w), 6) AS lr_score
+    FROM b JOIN wts USING (bkt)
+    GROUP BY doc_id
+    """,
+)
+def dsir_selection_bigram(spark, sf_dir):
+    """DSIR importance scoring over hashed unigram+bigram features
+    (operators/curation.py dsir_importance n_max=2 — Xie et al. 2023's
+    reference feature set; the unigram-only twin is dsir_selection).
+    Bigrams come from one zip_with slide over the token array (the
+    bigram_doc_score spelling), so the plan keeps the two-pass shape:
+    the 256-row stats pass partial-aggregates the ~2×-longer feature
+    stream, the weight table broadcasts back, nothing new shuffles.
+    n_feats counts the features scored (unigrams + bigrams)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.dsir_importance(
+        docs, F.col("lang") == "en", n_buckets=256, n_max=2
+    ).select(
+        "doc_id", F.col("n_tokens").alias("n_feats"), "lr_score"
+    )
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

@@ -311,3 +311,44 @@ def test_dsir_importance_blank_and_null_text_drop_out(spark):
     out = C.dsir_importance(df, F.col("is_tgt"))
     ids = {r["doc_id"] for r in out.collect()}
     assert ids == {1}
+
+
+def test_dsir_bigram_features_see_transitions(spark):
+    """n_max=2 adds hashed bigram features (the paper's setup): a doc
+    with the target's exact word PAIRS must outscore a shuffled doc with
+    the identical unigram bag — invisible to the unigram score, which
+    ties them. Feature counts: n tokens + (n-1) bigrams."""
+    tgt = "alpha beta gamma delta"
+    shuffled = "delta beta alpha gamma"  # same bag, different pairs
+    rows = [(i, tgt, True) for i in range(10)]
+    rows += [(100, tgt, False), (101, shuffled, False)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "is_tgt"])
+    uni = {
+        r["doc_id"]: r["lr_score"]
+        for r in C.dsir_importance(df, F.col("is_tgt"), n_max=1).collect()
+    }
+    assert uni[100] == uni[101]
+    out = C.dsir_importance(df, F.col("is_tgt"), n_max=2)
+    bi = {r["doc_id"]: (r["n_tokens"], r["lr_score"]) for r in out.collect()}
+    assert bi[100][0] == 4 + 3
+    assert bi[100][1] > bi[101][1], bi
+
+
+def test_dsir_bigram_short_docs_survive(spark):
+    """0/1-token docs must not trip slice's length guard: a 1-token doc
+    scores on its single unigram; blank/null drop out as at n_max=1."""
+    df = spark.createDataFrame(
+        [(1, "word", True), (2, "", False), (3, None, False),
+         (4, "two tokens", True)],
+        ["doc_id", "text", "is_tgt"],
+    )
+    out = C.dsir_importance(df, F.col("is_tgt"), n_max=2)
+    got = {r["doc_id"]: r["n_tokens"] for r in out.collect()}
+    assert got == {1: 1, 4: 3}
+
+
+def test_dsir_n_max_validation():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        C.dsir_importance(None, None, n_max=3)

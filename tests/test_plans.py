@@ -173,6 +173,9 @@ _CROSS_JOIN_ALLOWED = {
                        # 256-row bucket-stats table — constant-size build
                        # at any corpus scale; the corpus-sized join is
                        # the broadcast hash join on bucket id
+    "dsir_selection_bigram",  # same one-row totals scalar cross — only
+                              # the feature stream (unigrams + bigrams)
+                              # is longer, the weight plan is identical
     "dedup_quality",  # three ONE-ROW scalar aggregates (n_truth, n_cand,
                       # n_hit) crossed into the metric row — the pair
                       # generators themselves are the gated bucketed
