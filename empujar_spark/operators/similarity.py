@@ -543,22 +543,45 @@ def _argmin_euclidean_udf(centroids):
     return nearest
 
 
+# Above this k×dim the Arrow matmul kernel replaces the literal-matrix
+# expression in auto mode. MEASURED (STRESS_KMEANS.json, r13: k-octave
+# sweep at dim 64 over 32k rows, runs=3): the expression path's cost
+# grows linearly in k — 0.40s at k=8, 0.94s at k=32 (k×dim 2048),
+# 3.0s at k=128, 24.9s at k=1024 — because every row folds k dot
+# products AND the driver analyzes a k×dim literal, while the Arrow
+# kernel holds flat at ~0.3s (one BLAS matmul per batch, matrix shipped
+# once). At k×dim ≤ 1024 the two are within 2× and the expression buys
+# bit-exactness vs the SQL oracle with no Python-worker dependency, so
+# auto keeps it; from 2048 (the first octave where the expression is
+# 3.3× and climbing) auto flips to Arrow.
+_ARROW_ASSIGN_MIN_KXDIM = 2048
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids,
     vec_col: str = "embedding",
     out_col: str = "cluster",
-    arrow: bool = False,
+    arrow: bool | None = None,
 ) -> DataFrame:
     """Assign every row to its Euclidean-nearest centroid — the E-step of
     Lloyd and the serving-time cluster lookup. Pure map, no shuffle:
     ``arrow=False`` uses the codegen'd literal-matrix expression (ordered
-    folds, bit-exact vs the SQL oracle — the correctness-gated default);
+    folds, bit-exact vs the SQL oracle — the correctness-gated path);
     ``arrow=True`` the one-node Arrow matmul kernel (the production path
-    when k×dim makes the literal plan expensive to analyze). A NULL
-    vector assigns a NULL cluster on BOTH paths — without the explicit
-    guard the expression path's struct sort would quietly rank the
-    all-NULL scores by centroid id and assign cluster 0."""
+    at large k×dim, where the literal plan's analysis and per-row fold
+    cost grow with k while the matmul holds flat); ``arrow=None`` (the
+    default) dispatches by the measured ``_ARROW_ASSIGN_MIN_KXDIM``
+    rule. The two paths agree except on exact inter-centroid ties (both
+    break toward the smaller centroid id; parity pinned in
+    tests/test_similarity.py). A NULL vector assigns a NULL cluster on
+    BOTH paths — without the explicit guard the expression path's struct
+    sort would quietly rank the all-NULL scores by centroid id and
+    assign cluster 0."""
+    if arrow is None:
+        arrow = (
+            len(centroids) * len(centroids[0]) >= _ARROW_ASSIGN_MIN_KXDIM
+        )
     vec = F.col(vec_col)
     if arrow:
         assigned = _argmin_euclidean_udf(centroids)(vec)
@@ -600,7 +623,7 @@ def kmeans_lloyd(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     quant: int = 6,
-    arrow: bool = False,
+    arrow: bool | None = None,
 ) -> tuple[list[list[float]], dict[int, int]]:
     """Distributed Lloyd k-means over the FULL corpus — the clustering
     pass a training-data pipeline runs for semantic sharding, curriculum
@@ -636,7 +659,8 @@ def kmeans_lloyd(
     makes the equality check deterministic; pinned in
     tests/test_similarity.py). ``arrow=True`` swaps the assignment map
     for the one-node Arrow matmul kernel (the large-k production path;
-    see kmeans_assign).
+    see kmeans_assign); ``None`` dispatches by the measured
+    ``_ARROW_ASSIGN_MIN_KXDIM`` rule once the seed dimensions are known.
     """
     md5_key = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
@@ -657,6 +681,10 @@ def kmeans_lloyd(
         return float(Decimal(repr(float(x))).quantize(grid, ROUND_HALF_UP))
 
     C = [[_q(x) for x in r["v"]] for r in seed_rows]
+    if arrow is None:
+        arrow = bool(C) and (
+            len(C) * len(C[0]) >= _ARROW_ASSIGN_MIN_KXDIM
+        )
     counts: dict[int, int] = {j: 0 for j in range(len(C))}
     # NULL vectors can't vote (same filter as the seed scan — without it
     # a NULL row assigns a NULL cluster and the recenter loop KeyErrors)

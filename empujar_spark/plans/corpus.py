@@ -8538,7 +8538,35 @@ def kmeans_serve(spark, sf_dir):
     probe = load(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") % 5 == 0
     )
-    return S.kmeans_assign(probe, C).select(
+    return S.kmeans_assign(probe, C, arrow=False).select(
+        "vec_id", F.col("cluster").cast("bigint").alias("cluster")
+    )
+
+
+@q(
+    "kmeans_serve_arrow",
+    f"""
+    WITH {_KMEANS_SERVE_CTES}
+    SELECT vec_id, cid AS cluster FROM assigned
+    """,
+)
+def kmeans_serve_arrow(spark, sf_dir):
+    """kmeans_serve's PRODUCTION twin: the same stored-model assignment
+    through the Arrow matmul kernel (operators/similarity.py
+    kmeans_assign arrow=True) — the path auto mode dispatches to above
+    the measured k×dim crossover (_ARROW_ASSIGN_MIN_KXDIM = 2048:
+    STRESS_KMEANS.json shows the literal-matrix expression growing
+    linearly in k, 0.40s→24.9s from k=8→1024 at dim 64 over 32k rows,
+    while the Arrow kernel holds flat ~0.3s). Same oracle as
+    kmeans_serve: BLAS float64 association can only flip an exact
+    inter-centroid tie, which both paths break toward the smaller
+    centroid id — so the assignment is hash-exact on real data (parity
+    also pinned in tests/test_similarity.py)."""
+    C = _stored_kmeans_matrix(spark, sf_dir)
+    probe = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 0
+    )
+    return S.kmeans_assign(probe, C, arrow=True).select(
         "vec_id", F.col("cluster").cast("bigint").alias("cluster")
     )
 

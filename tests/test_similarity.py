@@ -747,3 +747,29 @@ def test_kmeans_seed_quantization_rounds_half_up(spark):
     C, counts = S.kmeans_lloyd(df, k=1, iters=0)
     assert C == [[0.007813]]
     assert counts == {0: 0}
+
+
+def test_kmeans_assign_auto_dispatches_on_kxdim(spark, monkeypatch):
+    """arrow=None picks the path by the measured k×dim rule
+    (_ARROW_ASSIGN_MIN_KXDIM, STRESS_KMEANS.json): literal expression
+    below the crossover, Arrow kernel at/above it."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id bigint, embedding array<double>"
+    )
+    seen = []
+    real = S._argmin_euclidean_udf
+
+    def spy(C):
+        seen.append(len(C))
+        return real(C)
+
+    monkeypatch.setattr(S, "_argmin_euclidean_udf", spy)
+    small = [[float(i), 0.0] for i in range(2)]  # k×dim 4 — expression
+    big = [
+        [float(i), 0.0] for i in range(S._ARROW_ASSIGN_MIN_KXDIM // 2)
+    ]  # k×dim == crossover — Arrow
+    out_small = S.kmeans_assign(df, small).collect()
+    assert seen == []
+    out_big = S.kmeans_assign(df, big).collect()
+    assert seen == [len(big)]
+    assert out_small[0]["cluster"] == 0 and out_big[0]["cluster"] == 0
