@@ -541,3 +541,65 @@ def dsir_importance(
             F.round(F.sum("__w"), 6).alias("lr_score"),
         )
     )
+
+
+def importance_resample(
+    df: DataFrame,
+    k: int,
+    score_col: str = "lr_score",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Sample ``k`` rows WITHOUT replacement with probability ∝
+    exp(score/temperature) — the RESAMPLING half of DSIR (Xie et al.
+    2023 select by sampling on the importance weight, not by
+    thresholding, precisely so the tail keeps probability mass) and the
+    generic weighted corpus draw (quality-tilted subsets, temperature-
+    flattened mixtures).
+
+    Gumbel top-k: argtop-k of score/T + Gumbel noise is a without-
+    replacement sample from softmax(score/T) — but the noise here is
+    DETERMINISTIC, derived from md5(id) like every sampling decision in
+    this engine (hash_sample, stratified_split): u = (h + 0.5) / 2^52
+    with h the first 13 md5 hex digits (52 bits — exact in a double on
+    any engine), g = −ln(−ln u). A doc keeps its noise forever, so the
+    draw is reproducible across engines, partitionings and reruns, and
+    stable under corpus growth. The key rounds to 1e-9 (ln's last-ulp
+    engine wobble sits ~1e-16 relative, far under the grid) and ties
+    break on id, so the selected SET is engine-exact. NULL scores are
+    excluded (they cannot carry a sampling weight).
+
+    Plan shape for 100 TB: a pure per-row projection followed by a
+    global top-k — Spark spells that TakeOrderedAndProject (per-
+    partition top-k, then a k·P-row driver merge), never a full sort.
+
+    Output: the sampled rows with their ``resample_key`` appended,
+    top-k by (key desc, id asc).
+    """
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("resample-1:"), F.col(id_col).cast("string")
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        )
+        .cast("bigint")
+        .cast("double")
+    )
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 52))
+    key = F.round(
+        F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u)), 9
+    )
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .select(*df.columns, key.alias("resample_key"))
+        .orderBy(F.col("resample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -459,3 +459,65 @@ def population_stability_multi(
             6,
         ).alias("psi_term"),
     )
+
+
+def chi_square_drift(
+    ref: DataFrame, cur: DataFrame, col: str
+) -> DataFrame:
+    """Pearson chi-square goodness-of-fit drift for a CATEGORICAL
+    feature — the third leg of the drift family (kmeans_drift watches
+    embedding space, population_stability numeric features, this one
+    categoricals like event_type / source / lang, where equal-width
+    bins have no meaning). Expected counts come from the REFERENCE
+    snapshot's Laplace-smoothed proportions scaled to the current
+    total: e = (n_ref+1)/(N_ref+K) · N_cur over the UNION of categories
+    seen on either side (K = |union|), so a category that newly appears
+    or vanishes contributes a finite, visible term instead of a
+    divide-by-zero or a silent drop.
+
+    Cross-engine determinism (the PSI playbook): e quantizes to 1e-6
+    before the (n_cur−e)²/e term, and the term re-rounds to 1e-6.
+    Plan: ONE groupBy(col) count per side (map-side combine to K rows),
+    a K-row full-outer join, two scalar totals computed from the
+    already-reduced count tables — nothing wider than a column scan.
+
+    Output: (category, n_ref, n_cur, e_cur, chi2_term); total statistic
+    is sum(chi2_term), degrees of freedom K−1.
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("string").alias("category"))
+            .filter(F.col("category").isNotNull())
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    counts = (
+        side(ref, "n_ref")
+        .join(side(cur, "n_cur"), "category", "full_outer")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    w = Window.partitionBy()
+    n_ref_tot = F.sum("n_ref").over(w)
+    n_cur_tot = F.sum("n_cur").over(w)
+    k_cats = F.count(F.lit(1)).over(w)
+    e = F.round(
+        (F.col("n_ref") + F.lit(1.0))
+        / (n_ref_tot + k_cats.cast("double"))
+        * n_cur_tot.cast("double"),
+        6,
+    )
+    return counts.select(
+        "category", "n_ref", "n_cur", e.alias("e_cur")
+    ).select(
+        "category",
+        "n_ref",
+        "n_cur",
+        "e_cur",
+        F.round(
+            (F.col("n_cur") - F.col("e_cur"))
+            * (F.col("n_cur") - F.col("e_cur"))
+            / F.col("e_cur"),
+            6,
+        ).alias("chi2_term"),
+    )

@@ -1123,3 +1123,81 @@ def bpe_encode(
         )
     )
     return df.withColumn(out_col, syms)
+
+
+def token_js_divergence(
+    ref: DataFrame,
+    cur: DataFrame,
+    text_col: str = "text",
+) -> DataFrame:
+    """Jensen-Shannon divergence between two corpora's unigram token
+    distributions — the data-mixing / corpus-shift diagnostic (0 =
+    identical language, ln 2 = disjoint vocabularies): run it between a
+    frozen training mixture and this week's crawl, or between two
+    candidate sources, before anything retrains. Completes the drift
+    family at the TOKEN level (chi_square_drift watches one categorical
+    column; this watches the open-vocabulary distribution itself).
+
+    Cross-engine determinism: both sides' proportions are Laplace-
+    smoothed over the UNION vocabulary — p = (n_ref+1)/(R+V) — and
+    quantized to 1e-12 (token probabilities sit around 1/V, so the PSI
+    family's 1e-6 grid would flush them to zero); each token's JS term
+    0.5·(p·ln(p/m) + q·ln(q/m)), m = (p+q)/2, is snapped to an EXACT
+    scale-12 integer partial before summation (the
+    streaming_kmeans_drift contract: integer partials make the sum
+    association-free), and the final figure re-rounds to 1e-9.
+
+    Plan shape for 100 TB: one explode + groupBy(token) per side with
+    map-side combine (vocab-sized outputs), a vocab-keyed full-outer
+    join, ONE-ROW totals (R, C, V) re-aggregated from the already-
+    reduced merged table and broadcast back (the documented scalar
+    cross), then a single integer-sum reduction to one row. Nothing
+    wider than the token stream is ever shuffled.
+
+    Output: one row (v_union, n_ref_tokens, n_cur_tokens, jsd).
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        norm = F.regexp_replace(
+            F.trim(F.lower(F.col(text_col))), r"\s+", " "
+        )
+        return (
+            _spread(df)
+            .select(F.explode(F.split(norm, " ")).alias("token"))
+            .filter(F.col("token") != "")
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    merged = (
+        side(ref, "n_ref")
+        .join(side(cur, "n_cur"), "token", "full_outer")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    totals = merged.agg(
+        F.sum("n_ref").cast("bigint").alias("__R"),
+        F.sum("n_cur").cast("bigint").alias("__C"),
+        F.count(F.lit(1)).cast("bigint").alias("__V"),
+    )
+    p = F.round(
+        (F.col("n_ref") + F.lit(1.0)) / (F.col("__R") + F.col("__V")), 12
+    )
+    q = F.round(
+        (F.col("n_cur") + F.lit(1.0)) / (F.col("__C") + F.col("__V")), 12
+    )
+    m = (p + q) / F.lit(2.0)
+    term = F.lit(0.5) * (p * F.log(p / m) + q * F.log(q / m))
+    return (
+        merged.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__V").alias("v_union"),
+            F.col("__R").alias("n_ref_tokens"),
+            F.col("__C").alias("n_cur_tokens"),
+            F.round(term * F.lit(1e12), 0).cast("bigint").alias("__t"),
+        )
+        .groupBy("v_union", "n_ref_tokens", "n_cur_tokens")
+        .agg(
+            F.round(
+                F.sum("__t").cast("double") / F.lit(1e12), 9
+            ).alias("jsd")
+        )
+    )

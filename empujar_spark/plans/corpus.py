@@ -8879,6 +8879,132 @@ def dsir_selection_bigram(spark, sf_dir):
     )
 
 
+@q(
+    "chi_square_drift",
+    """
+    WITH v AS (SELECT event_id % 2 AS side,
+                      CAST(event_type AS VARCHAR) AS category
+               FROM events WHERE event_type IS NOT NULL),
+    cr AS (SELECT category, CAST(count(*) AS BIGINT) AS n FROM v
+           WHERE side = 0 GROUP BY category),
+    cc AS (SELECT category, CAST(count(*) AS BIGINT) AS n FROM v
+           WHERE side = 1 GROUP BY category),
+    counts AS (SELECT COALESCE(cr.category, cc.category) AS category,
+                      COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+               FROM cr FULL OUTER JOIN cc ON cr.category = cc.category),
+    e AS (SELECT category, n_ref, n_cur,
+                 round((n_ref + 1.0)
+                       / (sum(n_ref) OVER () + count(*) OVER ())
+                       * sum(n_cur) OVER (), 6) AS e_cur
+          FROM counts)
+    SELECT category, n_ref, n_cur, e_cur,
+           round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6) AS chi2_term
+    FROM e
+    """,
+)
+def chi_square_drift(spark, sf_dir):
+    """Chi-square categorical drift (operators/profile.py
+    chi_square_drift): event_type distribution of the current split
+    (odd event_id) tested against Laplace-smoothed expected counts
+    frozen on the reference split (even) — the drift leg for features
+    where equal-width bins mean nothing (kmeans_drift watches embedding
+    space, population_stability numeric columns, this one categoricals).
+    One groupBy per side reduced to K category rows, a K-row full-outer
+    join (new/vanished categories surface with finite terms), quantized
+    expected counts and terms engine-exact. Total statistic is
+    sum(chi2_term) on K-1 degrees of freedom."""
+    ev = load(spark, sf_dir, "events")
+    return P.chi_square_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "event_type",
+    )
+
+
+@q(
+    "token_js_divergence",
+    r"""
+    WITH tok AS (
+      SELECT doc_id % 2 AS side,
+             unnest(list_filter(
+                 regexp_split_to_array(trim(lower(text)), '\s+'),
+                 x -> x <> '')) AS token
+      FROM documents),
+    cr AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+           WHERE side = 0 GROUP BY token),
+    cc AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM tok
+           WHERE side = 1 GROUP BY token),
+    merged AS (SELECT COALESCE(cr.token, cc.token) AS token,
+                      COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+               FROM cr FULL OUTER JOIN cc ON cr.token = cc.token),
+    tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS r,
+                   CAST(sum(n_cur) AS BIGINT) AS c,
+                   CAST(count(*) AS BIGINT) AS v FROM merged),
+    pq AS (SELECT v, r, c,
+                  round((n_ref + 1.0) / (r + v), 12) AS p,
+                  round((n_cur + 1.0) / (c + v), 12) AS q
+           FROM merged, tot),
+    terms AS (SELECT v, r, c,
+                     CAST(round(0.5 * (p * ln(p / ((p + q) / 2.0))
+                                       + q * ln(q / ((p + q) / 2.0)))
+                                * 1e12, 0) AS BIGINT) AS t
+              FROM pq)
+    SELECT v AS v_union, r AS n_ref_tokens, c AS n_cur_tokens,
+           round(CAST(sum(t) AS DOUBLE) / 1e12, 9) AS jsd
+    FROM terms GROUP BY v, r, c
+    """,
+)
+def token_js_divergence(spark, sf_dir):
+    """Jensen-Shannon divergence between the two document splits' unigram
+    distributions (operators/text.py token_js_divergence) — the corpus-
+    level mixing/shift diagnostic: 0 = same language, ln 2 = disjoint
+    vocabularies. Laplace-smoothed proportions over the union vocabulary
+    quantize to 1e-12 and every token's JS term snaps to an exact
+    scale-12 integer partial before the association-free sum, so the
+    single output row is engine-exact. One explode+groupBy per side, a
+    vocab-keyed full-outer join, the documented one-row totals scalar
+    cross, one final reduction."""
+    docs = load(spark, sf_dir, "documents")
+    return X.token_js_divergence(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+    )
+
+
+@q(
+    "importance_resample",
+    """
+    WITH scored AS (SELECT doc_id, round(ln(n_chars + 1.0), 6) AS score
+                    FROM documents WHERE n_chars IS NOT NULL),
+    keyed AS (SELECT doc_id, score,
+                     round(score / 1.0 - ln(-ln(
+                         (CAST(('0x' || substr(md5('resample-1:'
+                              || CAST(doc_id AS VARCHAR)), 1, 13))
+                              AS BIGINT) + 0.5)
+                         / 4503599627370496.0)), 9) AS resample_key
+              FROM scored)
+    SELECT doc_id, score, resample_key
+    FROM keyed ORDER BY resample_key DESC, doc_id ASC LIMIT 100
+    """,
+)
+def importance_resample(spark, sf_dir):
+    """Gumbel top-k importance resampling (operators/curation.py
+    importance_resample) — the RESAMPLING half of DSIR: k=100 documents
+    drawn without replacement with probability ∝ exp(score), score =
+    ln(n_chars+1) here (any importance weight plugs in, e.g.
+    dsir_selection's lr_score). The Gumbel noise is md5(id)-derived —
+    52-bit exact uniforms, keys rounded to 1e-9, ties broken on id — so
+    the sampled SET is engine-exact and rerun-stable. Plan: a pure
+    projection + global top-k (TakeOrderedAndProject: per-partition
+    top-k, k·P-row driver merge — never a full sort)."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        F.round(F.log(F.col("n_chars") + F.lit(1.0)), 6).alias("score"),
+    )
+    return C.importance_resample(scored, k=100, score_col="score")
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

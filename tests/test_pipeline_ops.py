@@ -591,3 +591,74 @@ def test_population_stability_multi_null_and_constant_features(spark):
     # d: NULL current row dropped, 4.0 lands in bin 4 of [0, 9]
     assert sum(n_cur for (f, _), (_, n_cur) in by.items() if f == "d") == 1
     assert by[("d", 4)][1] == 1
+
+
+def test_chi_square_drift_detects_category_shift(spark):
+    """An identical current split yields tiny terms; a shifted one a
+    large statistic; categories NEW in current (absent from reference)
+    surface with n_ref=0 and a finite smoothed expectation."""
+    ref = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], ["id", "c"]
+    )
+    same = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], ["id", "c"]
+    )
+    shifted = spark.createDataFrame(
+        [(i, "a" if i % 10 else "z") for i in range(400)], ["id", "c"]
+    )
+    stat_same = sum(
+        r.chi2_term for r in P.chi_square_drift(ref, same, "c").collect()
+    )
+    rows = P.chi_square_drift(ref, shifted, "c").collect()
+    stat_shift = sum(r.chi2_term for r in rows)
+    assert stat_same < 3.0  # smoothing keeps it near zero, not exactly 0
+    assert stat_shift > 50.0, stat_shift
+    z = {r.category: r for r in rows}["z"]
+    assert z.n_ref == 0 and z.n_cur == 40 and z.e_cur > 0
+    # a category that VANISHED from current still contributes
+    assert {r.category for r in rows} == {"a", "b", "z"}
+
+
+def test_token_js_divergence_bounds(spark):
+    """JSD is ~0 for identical corpora and approaches ln 2 for disjoint
+    vocabularies (Laplace smoothing keeps it strictly inside)."""
+    import math
+
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)], ["doc_id", "text"]
+    )
+    b = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(50)], ["doc_id", "text"]
+    )
+    c = spark.createDataFrame(
+        [(i, "zeta eta theta") for i in range(50)], ["doc_id", "text"]
+    )
+    same = X.token_js_divergence(a, b).collect()[0]
+    assert same.v_union == 3
+    assert abs(same.jsd) < 1e-6
+    disj = X.token_js_divergence(a, c).collect()[0]
+    assert disj.v_union == 6
+    assert 0.5 < disj.jsd < math.log(2.0) + 1e-9
+    # one row out, totals carried
+    assert same.n_ref_tokens == 150 and same.n_cur_tokens == 150
+
+
+def test_importance_resample_weights_and_determinism(spark):
+    """High-score rows must be sampled far more often than low-score
+    ones; the draw is deterministic (rerun-identical) and NULL scores
+    are excluded."""
+    from empujar_spark.operators import curation as C
+
+    rows = [(i, 5.0 if i < 60 else 0.0) for i in range(1000)]
+    rows.append((9999, None))
+    df = spark.createDataFrame(rows, "doc_id bigint, score double")
+    got = C.importance_resample(df, k=50, score_col="score").collect()
+    assert len(got) == 50
+    ids = {r.doc_id for r in got}
+    assert 9999 not in ids
+    # exp(5)/exp(0) ≈ 148:1 odds — the 60 hot docs dominate the draw
+    hot = sum(1 for i in ids if i < 60)
+    assert hot >= 40, hot
+    again = {r.doc_id for r in
+             C.importance_resample(df, k=50, score_col="score").collect()}
+    assert again == ids

@@ -176,6 +176,10 @@ _CROSS_JOIN_ALLOWED = {
     "dsir_selection_bigram",  # same one-row totals scalar cross — only
                               # the feature stream (unigrams + bigrams)
                               # is longer, the weight plan is identical
+    "token_js_divergence",  # one-row (R, C, V) totals scalar crossed
+                            # back onto the already-reduced vocab-keyed
+                            # merge — constant-size broadcast, the
+                            # dsir_selection totals pattern
     "dedup_quality",  # three ONE-ROW scalar aggregates (n_truth, n_cand,
                       # n_hit) crossed into the metric row — the pair
                       # generators themselves are the gated bucketed
@@ -764,3 +768,20 @@ def test_population_stability_multi_constant_scans(spark):
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_importance_resample_topk_not_full_sort(spark):
+    """The Gumbel draw must plan as TakeOrderedAndProject (per-partition
+    top-k + k·P driver merge), never a global Sort of the corpus."""
+    plan = plan_of(spark, "importance_resample")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Exchange rangepartitioning" not in plan, plan
+    assert "Join" not in plan, plan
+
+
+def test_chi_square_drift_two_scans_tiny_join(spark):
+    """One groupBy(col) scan per side reduced to K category rows before
+    the full-outer merge — the events table is never joined raw."""
+    plan = plan_of(spark, "chi_square_drift")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan
