@@ -290,6 +290,14 @@ def population_stability(
         .join(side_counts(cur, "n_cur"), "bin", "left")
         .fillna(0, subset=["n_ref", "n_cur"])
     )
+    return psi_terms_from_counts(counts, n_bins)
+
+
+def psi_terms_from_counts(counts: DataFrame, n_bins: int) -> DataFrame:
+    """The PSI epilogue over an already-binned (bin, n_ref, n_cur)
+    frame — shared by the batch operator and the streaming monitor
+    (streaming/stream_ops.py psi_drift_stream), so the two compute
+    bit-identical smoothed/quantized terms from the same counts."""
     w = Window.partitionBy()
     p = F.round(
         (F.col("n_ref") + F.lit(1.0))

@@ -9005,6 +9005,64 @@ def importance_resample(spark, sf_dir):
     return C.importance_resample(scored, k=100, score_col="score")
 
 
+@q(
+    "streaming_psi",
+    """
+    WITH v AS (SELECT user_id % 2 AS side, CAST(value AS DOUBLE) AS x
+               FROM events WHERE value IS NOT NULL),
+    rng AS (SELECT CAST(min(x) AS DOUBLE) AS lo, CAST(max(x) AS DOUBLE) AS hi
+            FROM v WHERE side = 0),
+    b AS (SELECT side,
+                 CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+                      ELSE least(greatest(
+                             CAST(floor((x - lo) / ((hi - lo) / 10.0))
+                                  AS BIGINT), 0), 9) END AS bin
+          FROM v, rng),
+    spine AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    cr AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 0 GROUP BY bin),
+    cc AS (SELECT bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 1 GROUP BY bin),
+    counts AS (SELECT spine.bin, COALESCE(cr.n, 0) AS n_ref,
+                      COALESCE(cc.n, 0) AS n_cur
+               FROM spine LEFT JOIN cr ON spine.bin = cr.bin
+               LEFT JOIN cc ON spine.bin = cc.bin),
+    pq AS (SELECT bin, n_ref, n_cur,
+                  round((n_ref + 1.0) / (sum(n_ref) OVER () + 10.0), 6)
+                      AS p_ref,
+                  round((n_cur + 1.0) / (sum(n_cur) OVER () + 10.0), 6)
+                      AS q_cur
+           FROM counts)
+    SELECT bin, n_ref, n_cur, p_ref, q_cur,
+           round((p_ref - q_cur) * ln(p_ref / q_cur), 6) AS psi_term
+    FROM pq
+    """,
+)
+def streaming_psi(spark, sf_dir):
+    """STREAMING PSI feature-drift monitor (streaming/stream_ops.py
+    psi_drift_stream): the current split (odd user_id) arrives as
+    multi-file micro-batches and bins against the (min,max) frozen on
+    the batch reference (even user_id); per-bin integer counts fold
+    additively, so the audit is micro-batch-boundary-invariant and the
+    population_stability batch SQL is the exact oracle. The epilogue
+    shares the batch operator's smoothing/quantization tail
+    (psi_terms_from_counts), making every term bit-identical. Completes
+    the streaming drift family: kmeans_drift_stream watches embedding
+    space, this watches tabular features between retrains."""
+    from empujar_spark.streaming.stream_ops import (
+        psi_drift_stream,
+        read_events_stream_split,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    stream = read_events_stream_split(spark, sf_dir).filter(
+        F.col("user_id") % 2 == 1
+    )
+    return psi_drift_stream(
+        stream, ev.filter(F.col("user_id") % 2 == 0), "value", n_bins=10
+    )
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

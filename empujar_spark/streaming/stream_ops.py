@@ -551,6 +551,18 @@ def read_embeddings_stream(
     )
 
 
+def read_events_stream_split(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> DataFrame:
+    """Multi-micro-batch stream over the events table (read_events_stream
+    swallows the single testdata file in one batch; the monitors that
+    claim boundary invariance need real batch boundaries to cross)."""
+    raw = _split_table_stream(
+        spark, f"{sf_dir}/events.parquet", EVENTS_SCHEMA, n_files, "ev"
+    )
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 NEARDUP_AUDIT_SCHEMA = T.StructType(
     [
         T.StructField("new_id", T.LongType()),
@@ -955,3 +967,103 @@ def kmeans_drift_stream(
             F.col("s") / F.lit(1000000.0) / F.col("n"), 6
         ).alias("mean_dist2"),
     )
+
+
+def psi_drift_stream(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    n_bins: int = 10,
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """STREAMING PSI feature-drift monitor: arrivals drain as micro-
+    batches, each batch bins against the (min, max) range FROZEN on the
+    reference snapshot and folds exact integer per-bin counts into the
+    running audit — the continuous form of operators/profile.py
+    population_stability, completing the streaming drift family
+    (kmeans_drift_stream watches embedding space; this watches a
+    tabular feature between retrains).
+
+    Boundary invariance: binning is a pure per-row expression over the
+    frozen range (collected once, two scalars) and bin counts are
+    exact integer partials, so the accumulated histogram equals the
+    batch twin's however the arrival files split — the
+    population_stability batch SQL is the EXACT oracle. The epilogue
+    re-derives the reference histogram in-engine and routes both count
+    frames through the SAME shared smoothing/quantization tail
+    (psi_terms_from_counts), so every p/q/psi term is bit-identical to
+    the batch operator's. Driver state is n_bins integers; per-batch
+    Spark work is one n_bins-row groupBy collect."""
+    from empujar_spark.operators.profile import psi_terms_from_counts
+
+    # session off the batch reference: the range check below must fire
+    # before the stream is ever touched
+    spark = ref.sparkSession
+    r = ref.agg(
+        F.min(F.col(col)).cast("double").alias("lo"),
+        F.max(F.col(col)).cast("double").alias("hi"),
+    ).collect()[0]
+    if r["lo"] is None:
+        raise ValueError(
+            f"psi_drift_stream: reference column {col!r} has no non-NULL "
+            "values to freeze a binning on"
+        )
+    lo, hi = float(r["lo"]), float(r["hi"])
+    # Python '/' is the same IEEE double division the engines run, so
+    # the literal width matches the oracle's (hi - lo) / n_bins exactly
+    width = (hi - lo) / float(n_bins)
+    if width == 0.0:
+        bin_ = F.lit(0).cast("bigint")
+    else:
+        bin_ = F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.lit(lo)) / F.lit(width))
+                .cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(n_bins - 1).cast("bigint"),
+        )
+
+    def binned(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("double").alias("x"))
+            .filter(F.col("x").isNotNull())
+            .select(bin_.alias("bin"))
+        )
+
+    acc: dict[int, int] = {}
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            binned(batch_df)
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        )
+        for row in rows:
+            b = int(row["bin"])
+            acc[b] = acc.get(b, 0) + int(row["n"])
+
+    # ≤ n_bins rows per batch reduce — pin a small shuffle count for
+    # the drain (the drain_to_memory state_partitions rule)
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "4")
+    try:
+        q = cur.writeStream.foreachBatch(audit_batch).start()
+        _drain_with_watchdog(q, timeout_s)
+    finally:
+        spark.conf.set(conf_key, old)
+    spine = spark.range(n_bins).select(F.col("id").alias("bin"))
+    ref_counts = binned(ref).groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ref")
+    )
+    cur_counts = spark.createDataFrame(
+        sorted(acc.items()), "bin bigint, n_cur bigint"
+    )
+    counts = (
+        spine.join(ref_counts, "bin", "left")
+        .join(F.broadcast(cur_counts), "bin", "left")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    return psi_terms_from_counts(counts, n_bins)

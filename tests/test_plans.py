@@ -192,6 +192,7 @@ _CROSS_JOIN_ALLOWED = {
 _PLAN_AUDIT_SKIP = {
     "streaming_quality_audit",
     "streaming_kmeans_drift",
+    "streaming_psi",
     "streaming_hourly_events",
     "streaming_join_events",
     "streaming_join_events_outer",

@@ -635,3 +635,35 @@ def test_neardup_ingest_stream_spill_regime_bounds_driver_pairs(spark):
         map(tuple, twin.collect())
     )
     assert out.count() > 0
+
+
+def test_psi_drift_stream_equals_batch_twin(spark):
+    """The streaming PSI monitor drains the 4-file events split in real
+    multiple micro-batches and its audit equals the batch operator bit
+    for bit — frozen-reference binning is per-row, bin counts are exact
+    integer partials, and both route through the shared smoothing tail."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import profile as P
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cur_batch = ev.filter(F.col("user_id") % 2 == 1)
+    stream = SO.read_events_stream_split(spark, sf).filter(
+        F.col("user_id") % 2 == 1
+    )
+    got = SO.psi_drift_stream(stream, ref, "value", n_bins=10)
+    twin = P.population_stability(ref, cur_batch, "value", n_bins=10)
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+
+
+def test_psi_drift_stream_empty_reference_raises(spark):
+    from empujar_spark.streaming import stream_ops as SO
+
+    ref = spark.createDataFrame([], "value double")
+    with __import__("pytest").raises(ValueError):
+        SO.psi_drift_stream(None, ref, "value")
