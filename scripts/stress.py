@@ -110,6 +110,7 @@ def main() -> None:
         from empujar_spark.operators import graph as G
         from empujar_spark.operators import similarity as S
         from empujar_spark.operators import multimodal as M
+        from empujar_spark.operators import profile as P
         from empujar_spark.operators import text as X
         from empujar_spark.operators import timeseries as T
 
@@ -314,6 +315,40 @@ def main() -> None:
             # the token stream, both linear
             "dsir_score": lambda: noop(
                 C.dsir_importance(docs, F.col("lang") == "en")
+            ),
+            # multi-feature PSI: constant scan count (1 range + 1 count
+            # per side) whatever F — growth should track the ×f scans
+            "psi_multi": lambda: noop(
+                P.population_stability_multi(
+                    ev.filter(F.col("event_id") % 2 == 0),
+                    ev.filter(F.col("event_id") % 2 == 1),
+                    ["user_id", "value"],
+                )
+            ),
+            # token JSD: one explode+groupBy per side + a vocab-keyed
+            # merge — the vocab saturates under replication (copies add
+            # only the vN suffix tokens), so growth lands on the token
+            # scans, linear
+            "token_jsd": lambda: noop(
+                X.token_js_divergence(
+                    docs.filter(F.col("doc_id") % 2 == 0),
+                    docs.filter(F.col("doc_id") % 2 == 1),
+                )
+            ),
+            # Gumbel top-k resample: pure projection + TakeOrdered —
+            # per-partition top-k, k·P driver merge; should track the
+            # scan and nothing else
+            "resample": lambda: noop(
+                C.importance_resample(
+                    docs.select(
+                        "doc_id",
+                        F.round(
+                            F.log(F.col("n_chars") + F.lit(1.0)), 6
+                        ).alias("score"),
+                    ),
+                    k=100,
+                    score_col="score",
+                )
             ),
             # winnowing: explode + per-doc window min + distinct —
             # per-doc work, no joins, linear
