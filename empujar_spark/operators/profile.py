@@ -529,3 +529,57 @@ def chi_square_drift(
             6,
         ).alias("chi2_term"),
     )
+
+
+def quantile_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.99),
+) -> DataFrame:
+    """Per-quantile location drift for a numeric feature — the scale/
+    shift complement to population_stability (PSI sees mass moving
+    between bins but not HOW FAR; a quantile table says "the median
+    moved +3.2, the p99 moved +41"). Exact interpolated percentiles
+    (Spark ``percentile`` ≡ DuckDB quantile_cont — the quantiles corpus
+    entry's equivalence), each side reduced in ONE aggregate whose
+    single row explodes to (q, v) and joins on the tiny q spine.
+
+    Exact ``percentile`` buffers each side's values in the aggregation
+    state (fine for bounded inputs — the quantiles-entry contract); at
+    unbounded scale swap ``approx_percentile`` in, same plan shape.
+
+    Output: (q, v_ref, v_cur, delta), delta = v_cur − v_ref, all
+    quantized to 1e-6.
+    """
+    def side(df: DataFrame, name: str) -> DataFrame:
+        aggs = [
+            F.round(
+                F.percentile(F.col(col).cast("double"), F.lit(float(q))), 6
+            ).alias(f"__{name}_{i}")
+            for i, q in enumerate(qs)
+        ]
+        return df.agg(*aggs).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(q)).alias("q"),
+                            F.col(f"__{name}_{i}").alias(name),
+                        )
+                        for i, q in enumerate(qs)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+
+    return (
+        side(ref, "v_ref")
+        .join(side(cur, "v_cur"), "q")
+        .select(
+            "q",
+            "v_ref",
+            "v_cur",
+            F.round(F.col("v_cur") - F.col("v_ref"), 6).alias("delta"),
+        )
+    )

@@ -9063,6 +9063,46 @@ def streaming_psi(spark, sf_dir):
     )
 
 
+@q(
+    "quantile_drift",
+    """
+    WITH pr AS (SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q25,
+                       round(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS q50,
+                       round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q75,
+                       round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS q99
+                FROM events WHERE event_id % 2 = 0),
+    pc AS (SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q25,
+                  round(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS q50,
+                  round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q75,
+                  round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS q99
+           FROM events WHERE event_id % 2 = 1),
+    rows_ AS (
+      SELECT CAST(0.25 AS DOUBLE) AS q, pr.q25 AS v_ref, pc.q25 AS v_cur
+      FROM pr, pc
+      UNION ALL SELECT CAST(0.50 AS DOUBLE), pr.q50, pc.q50 FROM pr, pc
+      UNION ALL SELECT CAST(0.75 AS DOUBLE), pr.q75, pc.q75 FROM pr, pc
+      UNION ALL SELECT CAST(0.99 AS DOUBLE), pr.q99, pc.q99 FROM pr, pc)
+    SELECT q, v_ref, v_cur, round(v_cur - v_ref, 6) AS delta FROM rows_
+    """,
+)
+def quantile_drift(spark, sf_dir):
+    """Per-quantile location drift (operators/profile.py quantile_drift):
+    the scale/shift complement to population_stability — PSI sees mass
+    moving between frozen bins, this says how far each quantile of
+    events.value moved between the reference split (even event_id) and
+    the current one (odd). Exact interpolated percentiles (Spark
+    `percentile` ≡ DuckDB quantile_cont, the quantiles-entry
+    equivalence), one single-row aggregate per side exploded onto the
+    4-row q spine; swap approx_percentile in at unbounded scale, same
+    plan shape."""
+    ev = load(spark, sf_dir, "events")
+    return P.quantile_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+    )
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

@@ -662,3 +662,20 @@ def test_importance_resample_weights_and_determinism(spark):
     again = {r.doc_id for r in
              C.importance_resample(df, k=50, score_col="score").collect()}
     assert again == ids
+
+
+def test_quantile_drift_sees_shift_psi_cannot_size(spark):
+    """A +10 location shift must surface as delta ≈ 10 at every
+    quantile; identical sides yield zero deltas."""
+    ref = spark.createDataFrame(
+        [(i, float(i % 100)) for i in range(1000)], ["id", "v"]
+    )
+    shifted = spark.createDataFrame(
+        [(i, float(i % 100) + 10.0) for i in range(1000)], ["id", "v"]
+    )
+    rows = {r.q: r for r in P.quantile_drift(ref, shifted, "v").collect()}
+    assert set(rows) == {0.25, 0.5, 0.75, 0.99}
+    for r in rows.values():
+        assert r.delta == pytest.approx(10.0, abs=1e-6), r
+    same = P.quantile_drift(ref, ref, "v").collect()
+    assert all(r.delta == 0.0 for r in same)
