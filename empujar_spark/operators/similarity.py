@@ -721,6 +721,93 @@ def kmeans_lloyd(
     return C, counts
 
 
+def kmeans_update(
+    batch: DataFrame,
+    model: DataFrame,
+    vec_col: str = "embedding",
+    quant: int = 6,
+    arrow: bool | None = None,
+) -> DataFrame:
+    """MINI-BATCH model maintenance: fold an arrival batch into the
+    STORED k-means model without retraining — the update leg that
+    completes the registry lifecycle (kmeans_lloyd trains,
+    kmeans_assign serves, kmeans_distortion / kmeans_drift_stream watch
+    drift, this absorbs arrivals until drift says retrain). The
+    mini-batch k-means recurrence on the stored sufficient statistics:
+    each arrival assigns to its nearest stored centroid, and
+    c' = round((n·c + Σx) / (n + m), quant) per dimension — the exact
+    weighted mean of the old members (n per cluster rides the stored
+    model) and the batch's. Clusters the batch never touches keep
+    (c, n) unchanged.
+
+    ``model`` is the stored centroid table, (cluster, dim, c_val, n) —
+    the kmeans_clusters registry component schema, dim 1-based. Returns
+    the updated table in the same schema, ready to re-commit.
+
+    Determinism: the batch's per-dimension sums quantize to 10^-quant
+    before the fold (accumulation wobble crushed, the kmeans_lloyd
+    contract) and the weighted mean computes IN-ENGINE (F.round is
+    HALF_UP like the oracle; a driver-side Python round would be
+    banker's — the ADVICE r12 seed hazard). Plan: one codegen
+    assignment map + one posexplode/groupBy combining to ≤ k×dim rows,
+    then a k×dim-row broadcast join against the model table — the
+    corpus never reaches the driver (only the k×dim matrix for the
+    assignment literals does, model-sized by construction)."""
+    rows = model.orderBy("cluster", "dim").collect()
+    k = 1 + max(r["cluster"] for r in rows)
+    C: list[list[float]] = [[] for _ in range(k)]
+    for r in rows:
+        C[r["cluster"]].append(float(r["c_val"]))
+    if arrow is None:
+        arrow = bool(C) and (
+            len(C) * len(C[0]) >= _ARROW_ASSIGN_MIN_KXDIM
+        )
+    voters = batch.filter(F.col(vec_col).isNotNull())
+    assign_col = (
+        _argmin_euclidean_udf(C)(F.col(vec_col))
+        if arrow
+        else _argmin_euclidean(F.col(vec_col), C)
+    )
+    # assignment in its OWN projection before the posexplode — a
+    # generator in the same select rewrites the plan in a way that
+    # mangles the argmin lambda's struct aliases (kmeans_lloyd's rule)
+    assigned = voters.select(
+        assign_col.cast("bigint").alias("cluster"),
+        F.col(vec_col).alias("__v"),
+    )
+    bstats = (
+        assigned.select("cluster", F.posexplode("__v").alias("dim0", "x"))
+        .groupBy("cluster", "dim0")
+        .agg(
+            F.round(F.sum(F.col("x").cast("double")), quant).alias("__s"),
+            F.count(F.lit(1)).cast("bigint").alias("__m"),
+        )
+        .select(
+            "cluster",
+            (F.col("dim0") + 1).cast("bigint").alias("dim"),
+            "__s",
+            "__m",
+        )
+    )
+    n = F.col("n")
+    m = F.col("__m")
+    folded = F.round(
+        (n.cast("double") * F.col("c_val") + F.col("__s"))
+        / (n + m).cast("double"),
+        quant,
+    )
+    return (
+        model.join(F.broadcast(bstats), ["cluster", "dim"], "left")
+        .select(
+            "cluster",
+            "dim",
+            F.when(m.isNull(), F.col("c_val")).otherwise(folded)
+            .alias("c_val"),
+            (n + F.coalesce(m, F.lit(0))).cast("bigint").alias("n"),
+        )
+    )
+
+
 def cogrouped_cosine_pairs(
     hist: DataFrame,
     probes: DataFrame,

@@ -9103,6 +9103,61 @@ def quantile_drift(spark, sf_dir):
     )
 
 
+@q(
+    "kmeans_update",
+    f"""
+    WITH {_KMEANS_SERVE_CTES},
+    counts0 AS (SELECT dims.cid, CAST(COALESCE(max(m2.n), 0) AS BIGINT) AS n0
+                FROM dims LEFT JOIN m2
+                  ON dims.cid = m2.cid AND dims.dim = m2.dim
+                GROUP BY dims.cid),
+    batch AS (SELECT vec_id, v FROM e WHERE vec_id % 5 = 3),
+    assignedb AS (SELECT vec_id, v, cid FROM (
+        SELECT b.vec_id, b.v, c2.cid,
+               row_number() OVER (PARTITION BY b.vec_id
+                 ORDER BY list_dot_product(b.v, c2.c)
+                          - list_dot_product(c2.c, c2.c) / 2.0 DESC,
+                          c2.cid ASC) AS rn
+        FROM batch b CROSS JOIN c2) t
+      WHERE rn = 1),
+    bstats AS (SELECT cid, dim, round(sum(x), 6) AS s,
+                      CAST(count(*) AS BIGINT) AS m
+               FROM (SELECT cid, unnest(v) AS x,
+                            unnest(generate_series(1, len(v))) AS dim
+                     FROM assignedb) d
+               GROUP BY cid, dim),
+    cdims AS (SELECT cid, unnest(generate_series(1, len(c))) AS dim,
+                     unnest(c) AS cv
+              FROM c2)
+    SELECT cdims.cid AS cluster, cdims.dim AS dim,
+           CASE WHEN bstats.m IS NULL THEN cdims.cv
+                ELSE round((counts0.n0 * cdims.cv + bstats.s)
+                           / (counts0.n0 + bstats.m), 6) END AS c_val,
+           counts0.n0 + COALESCE(bstats.m, 0) AS n
+    FROM cdims
+    JOIN counts0 ON cdims.cid = counts0.cid
+    LEFT JOIN bstats ON cdims.cid = bstats.cid AND cdims.dim = bstats.dim
+    """,
+)
+def kmeans_update(spark, sf_dir):
+    """Mini-batch k-means model maintenance (operators/similarity.py
+    kmeans_update): an arrival batch (vec_id % 5 == 3) folds into the
+    REGISTRY-STORED model as exact weighted means —
+    c' = round((n·c + Σx)/(n + m), 6) per dimension, n' = n + m —
+    without retraining; untouched clusters pass through unchanged. The
+    update leg completing the model lifecycle (train → serve → drift →
+    update → eventual retrain). The oracle re-derives the stored
+    centroids AND member counts from the shared unrolled-Lloyd SQL and
+    folds the same batch, so any drift in the store/read-back/fold path
+    breaks the hash. Plan: one assignment map + one k×dim-row combine +
+    a k×dim broadcast join against the model table."""
+    model = _kmeans_stored_centroids(spark, sf_dir)["centroids"]
+    batch = load(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") % 5 == 3
+    )
+    return S.kmeans_update(batch, model)
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

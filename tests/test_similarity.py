@@ -773,3 +773,35 @@ def test_kmeans_assign_auto_dispatches_on_kxdim(spark, monkeypatch):
     out_big = S.kmeans_assign(df, big).collect()
     assert seen == [len(big)]
     assert out_small[0]["cluster"] == 0 and out_big[0]["cluster"] == 0
+
+
+def test_kmeans_update_folds_batch_into_stored_model(spark):
+    """The mini-batch fold must equal the hand-computed weighted mean,
+    leave untouched clusters unchanged, and return the registry schema
+    ready to re-commit. NULL vectors cannot vote."""
+    # stored model: 2 clusters in 2-d, n=4 and n=0 members
+    model = spark.createDataFrame(
+        [(0, 1, 0.0, 4), (0, 2, 0.0, 4), (1, 1, 10.0, 0), (1, 2, 10.0, 0)],
+        "cluster bigint, dim bigint, c_val double, n bigint",
+    )
+    batch = spark.createDataFrame(
+        [(1, [2.0, 0.0]), (2, [0.0, 2.0]), (3, None)],
+        "vec_id bigint, embedding array<double>",
+    )
+    out = {(r.cluster, r.dim): (r.c_val, r.n)
+           for r in S.kmeans_update(batch, model).collect()}
+    # both voters land in cluster 0: c' = (4*0 + 2)/(4+2) per dim
+    assert out[(0, 1)] == (pytest.approx(2.0 / 6.0, abs=1e-6), 6)
+    assert out[(0, 2)] == (pytest.approx(2.0 / 6.0, abs=1e-6), 6)
+    # cluster 1 untouched
+    assert out[(1, 1)] == (10.0, 0) and out[(1, 2)] == (10.0, 0)
+
+
+def test_kmeans_update_empty_batch_is_identity(spark):
+    model = spark.createDataFrame(
+        [(0, 1, 1.5, 3), (1, 1, -2.0, 5)],
+        "cluster bigint, dim bigint, c_val double, n bigint",
+    )
+    batch = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
+    got = sorted(map(tuple, S.kmeans_update(batch, model).collect()))
+    assert got == [(0, 1, 1.5, 3), (1, 1, -2.0, 5)]
