@@ -287,16 +287,27 @@ def main() -> None:
     if args.runs >= 3:
         import glob as _glob
 
-        prev_files = sorted(_glob.glob(os.path.join(
-            os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"
-        )))
+        here = os.path.dirname(os.path.abspath(__file__))
+        # Baseline candidates, best first: the on-disk BENCH_LOCAL.json
+        # is the PREVIOUS round's canonical capture (this run only
+        # overwrites it below, after re-verification) — the driver's
+        # BENCH_r*.json records have truncated before the per-query tail
+        # (r12: no "queries" at all), which silently disabled the whole
+        # mover re-check in the r13 capture. Walk newest-first and take
+        # the first file that actually carries per-query figures.
+        candidates = [os.path.join(here, "BENCH_LOCAL.json")] + sorted(
+            _glob.glob(os.path.join(here, "BENCH_r*.json")), reverse=True
+        )
         prev_q: dict[str, float] = {}
-        if prev_files:
+        for cand in candidates:
             try:
-                with open(prev_files[-1]) as fh:
-                    prev_q = json.load(fh).get("queries", {}) or {}
+                with open(cand) as fh:
+                    qd = json.load(fh).get("queries") or {}
             except (OSError, ValueError):
-                prev_q = {}
+                continue
+            if qd:
+                prev_q = qd
+                break
         runners = {n: entry_setup(n) for n in samples}
         for n, (val, _stat) in list(rep.items()):
             base = prev_q.get(n, 0.0)
