@@ -576,6 +576,22 @@ def importance_resample(
     Output: the sampled rows with their ``resample_key`` appended,
     top-k by (key desc, id asc).
     """
+    key = _gumbel_key(score_col, id_col, temperature)
+    return (
+        df.filter(F.col(score_col).isNotNull())
+        .select(*df.columns, key.alias("resample_key"))
+        .orderBy(F.col("resample_key").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def _gumbel_key(score_col: str, id_col: str, temperature: float) -> Column:
+    """score/T + deterministic Gumbel noise off md5(id) — the shared
+    sampling key of importance_resample and its grouped twin. 13 md5 hex
+    digits give a 52-bit integer (exact in a double on any engine);
+    u = (h + 0.5)/2^52 stays strictly inside (0, 1) so both logs are
+    finite; the key rounds to 1e-9 (ln's last-ulp engine wobble is
+    ~1e-16 relative, far under the grid)."""
     h = (
         F.conv(
             F.substring(
@@ -594,12 +610,41 @@ def importance_resample(
         .cast("double")
     )
     u = (h + F.lit(0.5)) / F.lit(float(1 << 52))
-    key = F.round(
+    return F.round(
         F.col(score_col) / F.lit(float(temperature)) - F.log(-F.log(u)), 9
+    )
+
+
+def importance_resample_grouped(
+    df: DataFrame,
+    k: int,
+    group_col: str,
+    score_col: str = "lr_score",
+    id_col: str = "doc_id",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Per-GROUP Gumbel top-k: within every group (source, domain,
+    language), sample ``k`` rows without replacement with probability ∝
+    exp(score/T) — the weighted quota fill (domain_quota_sample picks
+    deterministic top-N by hash; this draws ∝ importance weight, so a
+    domain's best documents are likelier but not certain, preserving
+    tail diversity inside each quota — Xie et al.'s resampling argument
+    applied per stratum).
+
+    Same deterministic key as importance_resample (shared _gumbel_key);
+    the global TakeOrdered becomes a per-group window row_number — one
+    shuffle on the group key, state bounded by the window's single pass.
+    Groups with fewer than ``k`` scored rows keep them all. Output: the
+    sampled rows + resample_key.
+    """
+    key = _gumbel_key(score_col, id_col, temperature)
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("resample_key").desc(), F.col(id_col).asc()
     )
     return (
         df.filter(F.col(score_col).isNotNull())
         .select(*df.columns, key.alias("resample_key"))
-        .orderBy(F.col("resample_key").desc(), F.col(id_col).asc())
-        .limit(k)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
     )

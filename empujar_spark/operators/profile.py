@@ -505,6 +505,14 @@ def chi_square_drift(
         .join(side(cur, "n_cur"), "category", "full_outer")
         .fillna(0, subset=["n_ref", "n_cur"])
     )
+    return chi2_terms_from_counts(counts)
+
+
+def chi2_terms_from_counts(counts: DataFrame) -> DataFrame:
+    """The chi-square epilogue over an already-counted (category, n_ref,
+    n_cur) frame — shared by the batch operator and the streaming
+    monitor (streaming/stream_ops.py chi2_drift_stream), so both compute
+    bit-identical smoothed expected counts and terms."""
     w = Window.partitionBy()
     n_ref_tot = F.sum("n_ref").over(w)
     n_cur_tot = F.sum("n_cur").over(w)
@@ -583,3 +591,66 @@ def quantile_drift(
             F.round(F.col("v_cur") - F.col("v_ref"), 6).alias("delta"),
         )
     )
+
+
+def drift_report(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
+    n_bins: int = 10,
+) -> DataFrame:
+    """The NIGHTLY DRIFT REPORT: every leg of the drift family over one
+    reference/current pair, reduced to one (check_name, feature, stat)
+    row per monitored signal — the single table a monitoring job writes
+    per snapshot and alerts on (psi > 0.25, the classic retrain alarm;
+    chi2 vs the K−1-dof critical value; quantile_max_shift vs a domain
+    tolerance):
+
+    - ``psi``: per numeric feature, total PSI from the single-scan
+      multi-feature pass (population_stability_multi — 3 scans for ALL
+      features).
+    - ``chi2``: per categorical feature, the total chi-square statistic
+      (chi_square_drift — one K-row groupBy per side per feature).
+    - ``quantile_max_shift``: per numeric feature, the largest absolute
+      per-quantile location move (quantile_drift — two single-row
+      aggregates per feature; PSI says mass moved, this says how far).
+
+    Every component is the already-oracle-paired operator, so the whole
+    report is engine-exact; the output unions constant-size aggregates
+    (never data-sized frames).
+    """
+    from functools import reduce
+
+    psi = (
+        population_stability_multi(ref, cur, numeric_cols, n_bins=n_bins)
+        .groupBy("feature")
+        .agg(F.round(F.sum("psi_term"), 6).alias("stat"))
+        .select(
+            F.lit("psi").alias("check_name"), "feature", "stat"
+        )
+    )
+    parts = [psi]
+    for c in categorical_cols:
+        parts.append(
+            chi_square_drift(ref, cur, c)
+            .agg(F.round(F.sum("chi2_term"), 6).alias("stat"))
+            .select(
+                F.lit("chi2").alias("check_name"),
+                F.lit(c).alias("feature"),
+                "stat",
+            )
+        )
+    for c in numeric_cols:
+        parts.append(
+            quantile_drift(ref, cur, c)
+            .agg(
+                F.round(F.max(F.abs(F.col("delta"))), 6).alias("stat")
+            )
+            .select(
+                F.lit("quantile_max_shift").alias("check_name"),
+                F.lit(c).alias("feature"),
+                "stat",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)

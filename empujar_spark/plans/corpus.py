@@ -9063,19 +9063,17 @@ def streaming_psi(spark, sf_dir):
     )
 
 
-@q(
-    "quantile_drift",
-    """
-    WITH pr AS (SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q25,
-                       round(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS q50,
-                       round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q75,
-                       round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS q99
-                FROM events WHERE event_id % 2 = 0),
-    pc AS (SELECT round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS q25,
-                  round(quantile_cont(CAST(value AS DOUBLE), 0.50), 6) AS q50,
-                  round(quantile_cont(CAST(value AS DOUBLE), 0.75), 6) AS q75,
-                  round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS q99
-           FROM events WHERE event_id % 2 = 1),
+def _quantile_drift_sql(col: str) -> str:
+    """The quantile_drift oracle parameterized by column — shared by the
+    standalone entry (value) and drift_report's per-feature legs."""
+    q_aggs = ",\n".join(
+        f"round(quantile_cont(CAST({col} AS DOUBLE), {q}), 6) AS q{tag}"
+        for q, tag in (("0.25", "25"), ("0.50", "50"),
+                       ("0.75", "75"), ("0.99", "99"))
+    )
+    return f"""
+    WITH pr AS (SELECT {q_aggs} FROM events WHERE event_id % 2 = 0),
+    pc AS (SELECT {q_aggs} FROM events WHERE event_id % 2 = 1),
     rows_ AS (
       SELECT CAST(0.25 AS DOUBLE) AS q, pr.q25 AS v_ref, pc.q25 AS v_cur
       FROM pr, pc
@@ -9083,8 +9081,10 @@ def streaming_psi(spark, sf_dir):
       UNION ALL SELECT CAST(0.75 AS DOUBLE), pr.q75, pc.q75 FROM pr, pc
       UNION ALL SELECT CAST(0.99 AS DOUBLE), pr.q99, pc.q99 FROM pr, pc)
     SELECT q, v_ref, v_cur, round(v_cur - v_ref, 6) AS delta FROM rows_
-    """,
-)
+    """
+
+
+@q("quantile_drift", _quantile_drift_sql("value"))
 def quantile_drift(spark, sf_dir):
     """Per-quantile location drift (operators/profile.py quantile_drift):
     the scale/shift complement to population_stability — PSI sees mass
@@ -9156,6 +9156,131 @@ def kmeans_update(spark, sf_dir):
         F.col("vec_id") % 5 == 3
     )
     return S.kmeans_update(batch, model)
+
+
+@q(
+    "streaming_chi2",
+    """
+    WITH v AS (SELECT event_id % 2 AS side,
+                      CAST(event_type AS VARCHAR) AS category
+               FROM events WHERE event_type IS NOT NULL),
+    cr AS (SELECT category, CAST(count(*) AS BIGINT) AS n FROM v
+           WHERE side = 0 GROUP BY category),
+    cc AS (SELECT category, CAST(count(*) AS BIGINT) AS n FROM v
+           WHERE side = 1 GROUP BY category),
+    counts AS (SELECT COALESCE(cr.category, cc.category) AS category,
+                      COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+               FROM cr FULL OUTER JOIN cc ON cr.category = cc.category),
+    e AS (SELECT category, n_ref, n_cur,
+                 round((n_ref + 1.0)
+                       / (sum(n_ref) OVER () + count(*) OVER ())
+                       * sum(n_cur) OVER (), 6) AS e_cur
+          FROM counts)
+    SELECT category, n_ref, n_cur, e_cur,
+           round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6) AS chi2_term
+    FROM e
+    """,
+)
+def streaming_chi2(spark, sf_dir):
+    """STREAMING chi-square categorical drift (streaming/stream_ops.py
+    chi2_drift_stream): the current split (odd event_id) of event_type
+    arrives as multi-file micro-batches; per-category integer counts
+    fold additively, so the audit is micro-batch-boundary-invariant and
+    the chi_square_drift batch SQL is the exact oracle. Shares the
+    batch operator's smoothed-expectation tail (chi2_terms_from_counts)
+    — the categorical leg completing the streaming drift family."""
+    from empujar_spark.streaming.stream_ops import (
+        chi2_drift_stream,
+        read_events_stream_split,
+    )
+
+    ev = load(spark, sf_dir, "events")
+    stream = read_events_stream_split(spark, sf_dir).filter(
+        F.col("event_id") % 2 == 1
+    )
+    return chi2_drift_stream(
+        stream, ev.filter(F.col("event_id") % 2 == 0), "event_type"
+    )
+
+
+@q(
+    "importance_resample_grouped",
+    """
+    WITH scored AS (SELECT doc_id, source,
+                           round(ln(n_chars + 1.0), 6) AS score
+                    FROM documents WHERE n_chars IS NOT NULL),
+    keyed AS (SELECT doc_id, source, score,
+                     round(score / 1.0 - ln(-ln(
+                         (CAST(('0x' || substr(md5('resample-1:'
+                              || CAST(doc_id AS VARCHAR)), 1, 13))
+                              AS BIGINT) + 0.5)
+                         / 4503599627370496.0)), 9) AS resample_key
+              FROM scored),
+    rk AS (SELECT doc_id, source, score, resample_key,
+                  row_number() OVER (PARTITION BY source
+                    ORDER BY resample_key DESC, doc_id ASC) AS rn
+           FROM keyed)
+    SELECT doc_id, source, score, resample_key FROM rk WHERE rn <= 20
+    """,
+)
+def importance_resample_grouped(spark, sf_dir):
+    """Per-source weighted quota fill (operators/curation.py
+    importance_resample_grouped): within every source, 20 documents
+    drawn without replacement ∝ exp(score) — the stratified form of
+    importance_resample (domain_quota_sample's deterministic quota, but
+    drawn by importance weight so each stratum keeps tail diversity).
+    Same md5-Gumbel key, engine-exact selected set; the global top-k
+    becomes one row_number window per group — a single shuffle on the
+    group key."""
+    docs = load(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(F.log(F.col("n_chars") + F.lit(1.0)), 6).alias("score"),
+    )
+    return C.importance_resample_grouped(
+        scored, k=20, group_col="source", score_col="score"
+    )
+
+
+@q(
+    "drift_report",
+    f"""
+    SELECT 'psi' AS check_name, feature, round(sum(psi_term), 6) AS stat
+    FROM ({CORPUS["population_stability_multi"].sql}) psi_t
+    GROUP BY feature
+    UNION ALL
+    SELECT 'chi2', 'event_type', round(sum(chi2_term), 6)
+    FROM ({CORPUS["chi_square_drift"].sql}) chi_t
+    UNION ALL
+    SELECT 'quantile_max_shift', 'user_id', round(max(abs(delta)), 6)
+    FROM ({_quantile_drift_sql("user_id")}) qd_u
+    UNION ALL
+    SELECT 'quantile_max_shift', 'value', round(max(abs(delta)), 6)
+    FROM ({_quantile_drift_sql("value")}) qd_v
+    """,
+)
+def drift_report(spark, sf_dir):
+    """The nightly drift REPORT (operators/profile.py drift_report):
+    every leg of the drift family over one reference/current split
+    (even/odd event_id), reduced to one (check_name, feature, stat) row
+    per monitored signal — total PSI per numeric feature (single-scan
+    multi-feature pass), total chi-square per categorical feature, and
+    the largest per-quantile location move per numeric feature. The one
+    table a monitoring job writes per snapshot and alerts on. The
+    oracle COMPOSES the component entries' own registered SQL (psi
+    multi + chi2 verbatim, the quantile leg from the shared
+    _quantile_drift_sql builder), so the report stays in lock-step with
+    the parts it aggregates."""
+    ev = load(spark, sf_dir, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    return P.drift_report(
+        ref, cur,
+        numeric_cols=["user_id", "value"],
+        categorical_cols=["event_type"],
+        n_bins=10,
+    )
 
 
 # =====================================================================

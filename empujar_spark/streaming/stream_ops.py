@@ -1067,3 +1067,70 @@ def psi_drift_stream(
         .fillna(0, subset=["n_ref", "n_cur"])
     )
     return psi_terms_from_counts(counts, n_bins)
+
+
+def chi2_drift_stream(
+    cur: DataFrame,
+    ref: DataFrame,
+    col: str,
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """STREAMING chi-square categorical drift: arrivals drain as micro-
+    batches, each batch's category counts fold as exact integer partials
+    into the running audit — the continuous form of operators/profile.py
+    chi_square_drift, the categorical leg of the streaming drift family
+    (psi_drift_stream watches numeric features, kmeans_drift_stream
+    embedding space).
+
+    Boundary invariance: counting a category is a pure per-row map and
+    integer counts add in any order, so the accumulated histogram equals
+    the batch twin's however the arrival files split — the
+    chi_square_drift batch SQL is the exact oracle. Categories the
+    stream introduces that the reference never saw surface exactly as in
+    the batch op (the category-union full-outer shape, expected count
+    from smoothing alone). The epilogue re-counts the reference
+    in-engine and routes both frames through the SAME shared tail
+    (chi2_terms_from_counts). Driver state is one integer per category
+    seen; per-batch Spark work is one K-row groupBy collect."""
+    from empujar_spark.operators.profile import chi2_terms_from_counts
+
+    spark = ref.sparkSession
+
+    def cat(df: DataFrame) -> DataFrame:
+        return (
+            df.select(F.col(col).cast("string").alias("category"))
+            .filter(F.col("category").isNotNull())
+        )
+
+    acc: dict[str, int] = {}
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        rows = (
+            cat(batch_df)
+            .groupBy("category")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .collect()
+        )
+        for row in rows:
+            c = row["category"]
+            acc[c] = acc.get(c, 0) + int(row["n"])
+
+    conf_key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "4")
+    try:
+        q = cur.writeStream.foreachBatch(audit_batch).start()
+        _drain_with_watchdog(q, timeout_s)
+    finally:
+        spark.conf.set(conf_key, old)
+    ref_counts = cat(ref).groupBy("category").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ref")
+    )
+    cur_counts = spark.createDataFrame(
+        sorted(acc.items()), "category string, n_cur bigint"
+    )
+    counts = (
+        ref_counts.join(cur_counts, "category", "full_outer")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    return chi2_terms_from_counts(counts)

@@ -352,3 +352,28 @@ def test_dsir_n_max_validation():
 
     with _pytest.raises(ValueError):
         C.dsir_importance(None, None, n_max=3)
+
+
+def test_importance_resample_grouped_quota_and_weights(spark):
+    """Each group fills its own quota (short groups keep everything),
+    high-score rows dominate within a group, and the per-group draw
+    equals the global operator restricted to that group's rows."""
+    rows = [(i, "a", 5.0 if i < 30 else 0.0) for i in range(500)]
+    rows += [(1000 + i, "b", 1.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "doc_id bigint, src string, score double")
+    got = C.importance_resample_grouped(
+        df, k=25, group_col="src", score_col="score"
+    ).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.src, set()).add(r.doc_id)
+    assert len(by_src["a"]) == 25
+    assert by_src["b"] == {1000, 1001, 1002}  # short group keeps all
+    hot = sum(1 for i in by_src["a"] if i < 30)
+    assert hot >= 20, hot
+    # stratum draw ≡ global draw over that stratum (same key, same k)
+    only_a = C.importance_resample(
+        df.filter(F.col("src") == "a"), k=25,
+        score_col="score",
+    ).collect()
+    assert {r.doc_id for r in only_a} == by_src["a"]

@@ -679,3 +679,66 @@ def test_quantile_drift_sees_shift_psi_cannot_size(spark):
         assert r.delta == pytest.approx(10.0, abs=1e-6), r
     same = P.quantile_drift(ref, ref, "v").collect()
     assert all(r.delta == 0.0 for r in same)
+
+
+def test_drift_report_composes_all_legs(spark):
+    """One call = one (check_name, feature, stat) row per monitored
+    signal, each equal to the standalone operator's aggregate."""
+    ref = spark.createDataFrame(
+        [(i, float(i % 100), "a" if i % 2 else "b") for i in range(400)],
+        ["id", "v", "c"],
+    )
+    cur = spark.createDataFrame(
+        [(i, float(i % 100) + 10.0, "a" if i % 10 else "z")
+         for i in range(400)],
+        ["id", "v", "c"],
+    )
+    rows = {(r.check_name, r.feature): r.stat
+            for r in P.drift_report(ref, cur, ["v"], ["c"]).collect()}
+    assert set(rows) == {
+        ("psi", "v"), ("chi2", "c"), ("quantile_max_shift", "v")
+    }
+    psi_direct = round(sum(
+        r.psi_term for r in P.population_stability(ref, cur, "v").collect()
+    ), 6)
+    assert rows[("psi", "v")] == pytest.approx(psi_direct, abs=2e-6)
+    chi_direct = round(sum(
+        r.chi2_term for r in P.chi_square_drift(ref, cur, "c").collect()
+    ), 6)
+    assert rows[("chi2", "c")] == pytest.approx(chi_direct, abs=2e-6)
+    # +10 shift → max quantile move ≈ 10
+    assert rows[("quantile_max_shift", "v")] == pytest.approx(10.0, abs=1e-6)
+
+
+def test_token_js_divergence_symmetric(spark):
+    """JSD is symmetric by construction: swapping ref and cur must give
+    the identical statistic (with totals transposed)."""
+    a = spark.createDataFrame(
+        [(i, "alpha beta gamma shared") for i in range(30)],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame(
+        [(i, "zeta eta shared shared") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    ab = X.token_js_divergence(a, b).collect()[0]
+    ba = X.token_js_divergence(b, a).collect()[0]
+    assert ab.jsd == ba.jsd
+    assert (ab.n_ref_tokens, ab.n_cur_tokens) == (
+        ba.n_cur_tokens, ba.n_ref_tokens
+    )
+    assert ab.v_union == ba.v_union
+
+
+def test_importance_resample_k_laws(spark):
+    """k ≥ n returns every scored row; k = 0 returns none; output rows
+    carry the input columns plus resample_key."""
+    from empujar_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [(i, 1.0) for i in range(7)], "doc_id bigint, score double"
+    )
+    allr = C.importance_resample(df, k=100, score_col="score")
+    assert allr.count() == 7
+    assert allr.columns == ["doc_id", "score", "resample_key"]
+    assert C.importance_resample(df, k=0, score_col="score").count() == 0

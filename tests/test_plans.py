@@ -193,6 +193,7 @@ _PLAN_AUDIT_SKIP = {
     "streaming_quality_audit",
     "streaming_kmeans_drift",
     "streaming_psi",
+    "streaming_chi2",
     "streaming_hourly_events",
     "streaming_join_events",
     "streaming_join_events_outer",

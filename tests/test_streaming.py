@@ -667,3 +667,28 @@ def test_psi_drift_stream_empty_reference_raises(spark):
     ref = spark.createDataFrame([], "value double")
     with __import__("pytest").raises(ValueError):
         SO.psi_drift_stream(None, ref, "value")
+
+
+def test_chi2_drift_stream_equals_batch_twin(spark):
+    """The streaming categorical monitor drains real multiple micro-
+    batches and its audit equals the batch operator bit for bit —
+    integer category counts are additive in any batch split, and both
+    route through the shared expected-count tail."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import profile as P
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur_batch = ev.filter(F.col("event_id") % 2 == 1)
+    stream = SO.read_events_stream_split(spark, sf).filter(
+        F.col("event_id") % 2 == 1
+    )
+    got = SO.chi2_drift_stream(stream, ref, "event_type")
+    twin = P.chi_square_drift(ref, cur_batch, "event_type")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+    assert got.count() > 0
