@@ -77,6 +77,15 @@ def pretrain_pipeline(spark) -> None:
         run_pretrain(spark, SF_DIR, tmp)
 
 
+def monitor_pipeline(spark) -> None:
+    """The MONITOR book end-to-end: snapshot → drift report → alert gate
+    through the Warehouse (books/monitor)."""
+    from empujar_spark.books.monitor import run_monitor
+
+    with tempfile.TemporaryDirectory(prefix="bench-mon-") as tmp:
+        run_monitor(spark, SF_DIR, tmp)
+
+
 def main() -> None:
     import argparse
 
@@ -208,7 +217,8 @@ def main() -> None:
     # them here would double-count the composites, which are measured
     # standalone below under their historical etl_pipeline /
     # pretrain_pipeline keys.
-    skip = {"etl_pipeline_summary", "pretrain_pipeline_summary"}
+    skip = {"etl_pipeline_summary", "pretrain_pipeline_summary",
+            "drift_monitor_summary"}
     # Per-entry untimed setup (ADVICE r11): the admission entries drain
     # against a throwaway warehouse clone; preparing it is setup I/O the
     # docstring's "what's timed" claim excludes, so pool a clone before
@@ -243,6 +253,7 @@ def main() -> None:
     for pname, pipeline in (
         ("etl_pipeline", etl_pipeline),
         ("pretrain_pipeline", pretrain_pipeline),
+        ("monitor_pipeline", monitor_pipeline),
     ):
         samples[pname] = timed_samples(lambda pipeline=pipeline: pipeline(spark))
     # Representative per-query figure: median when >=3 runs (robust to a
@@ -315,10 +326,12 @@ def main() -> None:
             # only re-verify movers whose delta is worth a diagnosis
             if base < 0.5 or val <= 1.5 * base:
                 continue
-            if n in ("etl_pipeline", "pretrain_pipeline"):
+            if n in ("etl_pipeline", "pretrain_pipeline",
+                     "monitor_pipeline"):
                 run_once = (lambda p=dict(
                     etl_pipeline=etl_pipeline,
-                    pretrain_pipeline=pretrain_pipeline)[n]: p(spark))
+                    pretrain_pipeline=pretrain_pipeline,
+                    monitor_pipeline=monitor_pipeline)[n]: p(spark))
             else:
                 run_once = (lambda q=CORPUS[n]: materialize(
                     q.fn(spark, SF_DIR)))

@@ -9283,6 +9283,38 @@ def drift_report(spark, sf_dir):
     )
 
 
+@q("drift_monitor_summary", CORPUS["drift_report"].sql)
+def drift_monitor_summary(spark, sf_dir):
+    """Driver-checkable gate for the MONITOR book (books/monitor): runs
+    the whole pipeline end-to-end — snapshot the reference/current
+    splits into a scratch warehouse, compute the drift report over the
+    STORED snapshots, upsert it keyed by check:feature, pass the alert
+    gate (no drift between the testdata's even/odd splits, so the book
+    publishes) — then returns the persisted ``drift_report`` table read
+    back. The oracle is the drift_report entry's composed SQL verbatim,
+    so this pins store/read-back parity for the full monitoring
+    composition: any drift in the book plumbing, the warehouse
+    round-trip, or the report itself breaks the hash. The signal-sized
+    report collects once so the scratch warehouse can be deleted before
+    returning."""
+    import shutil
+    import tempfile
+
+    from empujar_spark.books.monitor import run_monitor
+
+    tmp = tempfile.mkdtemp(prefix="gate-monitor-")
+    try:
+        wh = run_monitor(spark, sf_dir, tmp)
+        rows = wh.read("drift_report").select(
+            "check_name", "feature", "stat"
+        ).collect()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "check_name string, feature string, stat double"
+    )
+
+
 # =====================================================================
 # The correctness gate walks CORPUS in registration order and records at
 # most ~50 rows per round, so the walk order decides which entries get

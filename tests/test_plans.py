@@ -218,9 +218,10 @@ _PLAN_AUDIT_SKIP = {
 
     # the pipeline-summary gates run their whole book at call time and
     # return a collected ≤40-row summary — the books' own plans are
-    # audited by test_etl_book / test_pretrain_book
+    # audited by test_etl_book / test_pretrain_book / test_monitor_book
     "etl_pipeline_summary",
     "pretrain_pipeline_summary",
+    "drift_monitor_summary",
 }
 
 
