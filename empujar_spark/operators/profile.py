@@ -508,12 +508,17 @@ def chi_square_drift(
     return chi2_terms_from_counts(counts)
 
 
-def chi2_terms_from_counts(counts: DataFrame) -> DataFrame:
+def chi2_terms_from_counts(
+    counts: DataFrame, by: str | None = None
+) -> DataFrame:
     """The chi-square epilogue over an already-counted (category, n_ref,
-    n_cur) frame — shared by the batch operator and the streaming
-    monitor (streaming/stream_ops.py chi2_drift_stream), so both compute
-    bit-identical smoothed expected counts and terms."""
-    w = Window.partitionBy()
+    n_cur) frame — shared by the batch operator, the streaming monitor
+    (streaming/stream_ops.py chi2_drift_stream), and the multi-feature
+    variant (``by="feature"`` partitions the smoothing totals per
+    feature), so every caller computes bit-identical smoothed expected
+    counts and terms."""
+    lead = [by] if by else []
+    w = Window.partitionBy(*lead)
     n_ref_tot = F.sum("n_ref").over(w)
     n_cur_tot = F.sum("n_cur").over(w)
     k_cats = F.count(F.lit(1)).over(w)
@@ -524,8 +529,9 @@ def chi2_terms_from_counts(counts: DataFrame) -> DataFrame:
         6,
     )
     return counts.select(
-        "category", "n_ref", "n_cur", e.alias("e_cur")
+        *lead, "category", "n_ref", "n_cur", e.alias("e_cur")
     ).select(
+        *lead,
         "category",
         "n_ref",
         "n_cur",
@@ -536,6 +542,103 @@ def chi2_terms_from_counts(counts: DataFrame) -> DataFrame:
             / F.col("e_cur"),
             6,
         ).alias("chi2_term"),
+    )
+
+
+def chi_square_drift_multi(
+    ref: DataFrame, cur: DataFrame, cols: list[str]
+) -> DataFrame:
+    """Chi-square drift over MANY categorical features in ONE scan per
+    side — the population_stability_multi trick applied to categoricals:
+    the feature axis unpivots onto the rows (inline explode of struct
+    literals, column-pruned to the monitored set), one
+    groupBy(feature, category) per side with map-side combine, a tiny
+    full-outer merge, and the shared epilogue with smoothing totals
+    PARTITION BY feature. Per-feature results are bit-identical to
+    chi_square_drift (pinned in tests); the per-column call costs 2
+    scans PER feature, this costs 2 total.
+
+    Output: (feature, category, n_ref, n_cur, e_cur, chi2_term)."""
+    def side(df: DataFrame, name: str) -> DataFrame:
+        melted = (
+            df.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("feature"),
+                                F.col(c).cast("string").alias("category"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("m")
+            )
+            .select("m.feature", "m.category")
+            .filter(F.col("category").isNotNull())
+        )
+        return melted.groupBy("feature", "category").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    counts = (
+        side(ref, "n_ref")
+        .join(side(cur, "n_cur"), ["feature", "category"], "full_outer")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    return chi2_terms_from_counts(counts, by="feature")
+
+
+def quantile_drift_multi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    qs: tuple = (0.25, 0.5, 0.75, 0.99),
+) -> DataFrame:
+    """Per-quantile location drift for MANY numeric features in ONE
+    aggregate per side: every (feature, quantile) percentile computes in
+    the same single-row aggregation pass (exact interpolated
+    ``percentile``, the quantiles-entry equivalence), the row explodes
+    to (feature, q, v), and the two tiny frames join on the spine — two
+    scans total however many features are monitored, vs 2F for
+    per-column quantile_drift (per-feature results bit-identical,
+    pinned in tests).
+
+    Output: (feature, q, v_ref, v_cur, delta), quantized to 1e-6."""
+    def side(df: DataFrame, name: str) -> DataFrame:
+        aggs = [
+            F.round(
+                F.percentile(F.col(c).cast("double"), F.lit(float(q))), 6
+            ).alias(f"__{name}_{i}_{j}")
+            for i, c in enumerate(cols)
+            for j, q in enumerate(qs)
+        ]
+        return df.agg(*aggs).select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("feature"),
+                            F.lit(float(q)).alias("q"),
+                            F.col(f"__{name}_{i}_{j}").alias(name),
+                        )
+                        for i, c in enumerate(cols)
+                        for j, q in enumerate(qs)
+                    ]
+                )
+            ).alias("s")
+        ).select("s.*")
+
+    return (
+        side(ref, "v_ref")
+        .join(side(cur, "v_cur"), ["feature", "q"])
+        .select(
+            "feature",
+            "q",
+            "v_ref",
+            "v_cur",
+            F.round(F.col("v_cur") - F.col("v_ref"), 6).alias("delta"),
+        )
     )
 
 
@@ -611,17 +714,21 @@ def drift_report(
       multi-feature pass (population_stability_multi — 3 scans for ALL
       features).
     - ``chi2``: per categorical feature, the total chi-square statistic
-      (chi_square_drift — one K-row groupBy per side per feature).
+      (chi_square_drift_multi — one unpivoted scan per side for ALL
+      features).
     - ``quantile_max_shift``: per numeric feature, the largest absolute
-      per-quantile location move (quantile_drift — two single-row
-      aggregates per feature; PSI says mass moved, this says how far).
+      per-quantile location move (quantile_drift_multi — one aggregate
+      per side for ALL features; PSI says mass moved, this says how
+      far).
 
-    Every component is the already-oracle-paired operator, so the whole
-    report is engine-exact; the output unions constant-size aggregates
+    Every leg is the multi-feature form, so the WHOLE report costs a
+    CONSTANT seven scans (3 PSI + 2 chi2 + 2 quantile) however many
+    features are monitored; per-feature statistics are bit-identical to
+    the single-column operators (each multi variant pins that in
+    tests), so the already-oracle-paired component SQL remains the
+    report's exact oracle. The output unions constant-size aggregates
     (never data-sized frames).
     """
-    from functools import reduce
-
     psi = (
         population_stability_multi(ref, cur, numeric_cols, n_bins=n_bins)
         .groupBy("feature")
@@ -630,27 +737,22 @@ def drift_report(
             F.lit("psi").alias("check_name"), "feature", "stat"
         )
     )
-    parts = [psi]
-    for c in categorical_cols:
-        parts.append(
-            chi_square_drift(ref, cur, c)
-            .agg(F.round(F.sum("chi2_term"), 6).alias("stat"))
-            .select(
-                F.lit("chi2").alias("check_name"),
-                F.lit(c).alias("feature"),
-                "stat",
-            )
+    chi = (
+        chi_square_drift_multi(ref, cur, categorical_cols)
+        .groupBy("feature")
+        .agg(F.round(F.sum("chi2_term"), 6).alias("stat"))
+        .select(
+            F.lit("chi2").alias("check_name"), "feature", "stat"
         )
-    for c in numeric_cols:
-        parts.append(
-            quantile_drift(ref, cur, c)
-            .agg(
-                F.round(F.max(F.abs(F.col("delta"))), 6).alias("stat")
-            )
-            .select(
-                F.lit("quantile_max_shift").alias("check_name"),
-                F.lit(c).alias("feature"),
-                "stat",
-            )
+    )
+    qd = (
+        quantile_drift_multi(ref, cur, numeric_cols)
+        .groupBy("feature")
+        .agg(F.round(F.max(F.abs(F.col("delta"))), 6).alias("stat"))
+        .select(
+            F.lit("quantile_max_shift").alias("check_name"),
+            "feature",
+            "stat",
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    )
+    return psi.unionByName(chi).unionByName(qd)

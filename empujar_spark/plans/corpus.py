@@ -9283,6 +9283,97 @@ def drift_report(spark, sf_dir):
     )
 
 
+@q(
+    "chi_square_drift_multi",
+    """
+    WITH v AS (
+      SELECT event_id % 2 AS side, 'event_type' AS feature,
+             CAST(event_type AS VARCHAR) AS category
+      FROM events WHERE event_type IS NOT NULL
+      UNION ALL
+      SELECT event_id % 2, 'value_band',
+             CAST(CAST(floor(value / 50.0) AS BIGINT) AS VARCHAR)
+      FROM events WHERE value IS NOT NULL),
+    cr AS (SELECT feature, category, CAST(count(*) AS BIGINT) AS n FROM v
+           WHERE side = 0 GROUP BY feature, category),
+    cc AS (SELECT feature, category, CAST(count(*) AS BIGINT) AS n FROM v
+           WHERE side = 1 GROUP BY feature, category),
+    counts AS (SELECT COALESCE(cr.feature, cc.feature) AS feature,
+                      COALESCE(cr.category, cc.category) AS category,
+                      COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+               FROM cr FULL OUTER JOIN cc
+                 ON cr.feature = cc.feature AND cr.category = cc.category),
+    e AS (SELECT feature, category, n_ref, n_cur,
+                 round((n_ref + 1.0)
+                       / (sum(n_ref) OVER (PARTITION BY feature)
+                          + count(*) OVER (PARTITION BY feature))
+                       * sum(n_cur) OVER (PARTITION BY feature), 6) AS e_cur
+          FROM counts)
+    SELECT feature, category, n_ref, n_cur, e_cur,
+           round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6) AS chi2_term
+    FROM e
+    """,
+)
+def chi_square_drift_multi(spark, sf_dir):
+    """Chi-square drift over MANY categorical features in one scan per
+    side (operators/profile.py chi_square_drift_multi): event_type plus
+    a derived value_band (floor(value/50)) monitored together — the
+    feature axis unpivots onto the rows, one groupBy(feature, category)
+    per side, smoothing totals PARTITION BY feature. Per-feature terms
+    bit-identical to chi_square_drift; the per-column spelling costs 2
+    scans per feature, this costs 2 total (the
+    population_stability_multi scale rule for categoricals)."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "value_band",
+        F.floor(F.col("value") / F.lit(50.0)).cast("bigint").cast("string"),
+    )
+    return P.chi_square_drift_multi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["event_type", "value_band"],
+    )
+
+
+def _quantile_drift_multi_sql(cols: list[str]) -> str:
+    """The quantile_drift_multi oracle: every (feature, quantile) in one
+    aggregate per side, exploded onto the spine — mirrors the operator's
+    single-pass shape."""
+    tags = [("0.25", "25"), ("0.50", "50"), ("0.75", "75"), ("0.99", "99")]
+    aggs = ",\n".join(
+        f"round(quantile_cont(CAST({c} AS DOUBLE), {q}), 6) AS {c}_{t}"
+        for c in cols for q, t in tags
+    )
+    rows = "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS feature, CAST({q} AS DOUBLE) AS q, "
+        f"pr.{c}_{t} AS v_ref, pc.{c}_{t} AS v_cur FROM pr, pc"
+        for c in cols for q, t in tags
+    )
+    return f"""
+    WITH pr AS (SELECT {aggs} FROM events WHERE event_id % 2 = 0),
+    pc AS (SELECT {aggs} FROM events WHERE event_id % 2 = 1),
+    rows_ AS ({rows})
+    SELECT feature, q, v_ref, v_cur, round(v_cur - v_ref, 6) AS delta
+    FROM rows_
+    """
+
+
+@q("quantile_drift_multi", _quantile_drift_multi_sql(["user_id", "value"]))
+def quantile_drift_multi(spark, sf_dir):
+    """Per-quantile location drift for MANY numeric features in one
+    aggregate per side (operators/profile.py quantile_drift_multi):
+    user_id and value monitored together — every (feature, quantile)
+    percentile computes in the same single-row aggregation pass, the
+    row explodes onto the (feature, q) spine, two scans total however
+    many features are watched (vs 2 per feature for quantile_drift;
+    per-feature values bit-identical, pinned in tests)."""
+    ev = load(spark, sf_dir, "events")
+    return P.quantile_drift_multi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+    )
+
+
 @q("drift_monitor_summary", CORPUS["drift_report"].sql)
 def drift_monitor_summary(spark, sf_dir):
     """Driver-checkable gate for the MONITOR book (books/monitor): runs

@@ -742,3 +742,48 @@ def test_importance_resample_k_laws(spark):
     assert allr.count() == 7
     assert allr.columns == ["doc_id", "score", "resample_key"]
     assert C.importance_resample(df, k=0, score_col="score").count() == 0
+
+
+def test_chi_square_drift_multi_equals_per_column(spark):
+    ref = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b", str(i % 3)) for i in range(300)],
+        ["id", "c1", "c2"],
+    )
+    cur = spark.createDataFrame(
+        [(i, "a" if i % 10 else "z", str(i % 4)) for i in range(200)],
+        ["id", "c1", "c2"],
+    )
+    multi = P.chi_square_drift_multi(ref, cur, ["c1", "c2"]).collect()
+    for c in ("c1", "c2"):
+        single = {
+            r.category: (r.n_ref, r.n_cur, r.e_cur, r.chi2_term)
+            for r in P.chi_square_drift(ref, cur, c).collect()
+        }
+        got = {
+            r.category: (r.n_ref, r.n_cur, r.e_cur, r.chi2_term)
+            for r in multi if r.feature == c
+        }
+        assert got == single, c
+
+
+def test_quantile_drift_multi_equals_per_column(spark):
+    ref = spark.createDataFrame(
+        [(i, float(i % 100), float(i % 7)) for i in range(500)],
+        ["id", "a", "b"],
+    )
+    cur = spark.createDataFrame(
+        [(i, 50.0 + float(i % 10), 2.0 * (i % 7)) for i in range(400)],
+        ["id", "a", "b"],
+    )
+    multi = P.quantile_drift_multi(ref, cur, ["a", "b"]).collect()
+    assert len(multi) == 8
+    for c in ("a", "b"):
+        single = {
+            r.q: (r.v_ref, r.v_cur, r.delta)
+            for r in P.quantile_drift(ref, cur, c).collect()
+        }
+        got = {
+            r.q: (r.v_ref, r.v_cur, r.delta)
+            for r in multi if r.feature == c
+        }
+        assert got == single, c
