@@ -325,6 +325,17 @@ def main() -> None:
                     ["user_id", "value"],
                 )
             ),
+            # the whole nightly drift report — every leg in multi form,
+            # a constant SEVEN scans at any feature count; growth should
+            # track the ×f scans like its parts
+            "drift_report": lambda: noop(
+                P.drift_report(
+                    ev.filter(F.col("event_id") % 2 == 0),
+                    ev.filter(F.col("event_id") % 2 == 1),
+                    numeric_cols=["user_id", "value"],
+                    categorical_cols=["event_type"],
+                )
+            ),
             # token JSD: one explode+groupBy per side + a vocab-keyed
             # merge — the vocab saturates under replication (copies add
             # only the vN suffix tokens), so growth lands on the token
