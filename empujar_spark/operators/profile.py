@@ -293,12 +293,16 @@ def population_stability(
     return psi_terms_from_counts(counts, n_bins)
 
 
-def psi_terms_from_counts(counts: DataFrame, n_bins: int) -> DataFrame:
+def psi_terms_from_counts(
+    counts: DataFrame, n_bins: int, by: str | None = None
+) -> DataFrame:
     """The PSI epilogue over an already-binned (bin, n_ref, n_cur)
-    frame — shared by the batch operator and the streaming monitor
-    (streaming/stream_ops.py psi_drift_stream), so the two compute
-    bit-identical smoothed/quantized terms from the same counts."""
-    w = Window.partitionBy()
+    frame — shared by the batch operator, the streaming monitor
+    (streaming/stream_ops.py psi_drift_stream), and the sliced variant
+    (``by="slice"`` partitions the smoothing totals per slice), so every
+    caller computes bit-identical smoothed/quantized terms."""
+    lead = [by] if by else []
+    w = Window.partitionBy(*lead)
     p = F.round(
         (F.col("n_ref") + F.lit(1.0))
         / (F.sum("n_ref").over(w) + F.lit(float(n_bins))),
@@ -310,12 +314,14 @@ def psi_terms_from_counts(counts: DataFrame, n_bins: int) -> DataFrame:
         6,
     )
     return counts.select(
+        *lead,
         "bin",
         "n_ref",
         "n_cur",
         p.alias("p_ref"),
         q.alias("q_cur"),
     ).select(
+        *lead,
         "bin",
         "n_ref",
         "n_cur",
@@ -327,6 +333,87 @@ def psi_terms_from_counts(counts: DataFrame, n_bins: int) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+def population_stability_sliced(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    slice_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI per SLICE: the same frozen-reference drift check computed
+    WITHIN every segment of ``slice_col`` — aggregate PSI can read clean
+    while one segment (a source, a language, an event type) has moved
+    violently and another compensated; sliced evaluation is how a
+    production monitor catches that. Each slice freezes its OWN (min,
+    max) on the reference (one groupBy(slice) pass, materialized once —
+    the slice-count-sized range table both sides' binning joins), counts
+    are one groupBy(slice, bin) per side, and the shared PSI tail runs
+    with smoothing totals PARTITION BY slice — per-slice results
+    bit-identical to calling population_stability on that slice's rows
+    (pinned in tests). Slices with no reference rows are DROPPED (no
+    frozen binning exists for them — surface new slices with
+    chi_square_drift on the slice column itself).
+
+    Output: (slice, bin, n_ref, n_cur, p_ref, q_cur, psi_term); per-
+    slice PSI = sum(psi_term) within the slice block.
+    """
+    def prep(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(slice_col).cast("string").alias("slice"),
+            F.col(col).cast("double").alias("x"),
+        ).filter(F.col("x").isNotNull() & F.col("slice").isNotNull())
+
+    rng = (
+        prep(ref)
+        .groupBy("slice")
+        .agg(
+            F.min("x").alias("lo"),
+            F.max("x").alias("hi"),
+        )
+        # materialize once: both sides' binning joins reference it, and
+        # an unmaterialized plan re-runs the reference scan per side
+        # (the population_stability_multi rule)
+        .localCheckpoint(eager=True)
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_ = F.when(width == 0.0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(n_bins - 1).cast("bigint"),
+        )
+    )
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            prep(df)
+            .join(F.broadcast(rng), "slice")
+            .select("slice", bin_.alias("bin"))
+            .groupBy("slice", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    # slice × bin spine from the range table — an explode, never a join
+    spine = rng.select(
+        "slice",
+        F.explode(
+            F.array(*[F.lit(b).cast("bigint") for b in range(n_bins)])
+        ).alias("bin"),
+    )
+    counts = (
+        spine.join(
+            F.broadcast(side_counts(ref, "n_ref")), ["slice", "bin"], "left"
+        )
+        .join(
+            F.broadcast(side_counts(cur, "n_cur")), ["slice", "bin"], "left"
+        )
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    return psi_terms_from_counts(counts, n_bins, by="slice")
 
 
 def population_stability_multi(

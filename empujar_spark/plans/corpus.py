@@ -9374,6 +9374,66 @@ def quantile_drift_multi(spark, sf_dir):
     )
 
 
+@q(
+    "psi_sliced",
+    """
+    WITH v AS (SELECT user_id % 2 AS side,
+                      CAST(event_type AS VARCHAR) AS slice,
+                      CAST(value AS DOUBLE) AS x
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    rng AS (SELECT slice, CAST(min(x) AS DOUBLE) AS lo,
+                   CAST(max(x) AS DOUBLE) AS hi
+            FROM v WHERE side = 0 GROUP BY slice),
+    b AS (SELECT side, v.slice,
+                 CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+                      ELSE least(greatest(
+                             CAST(floor((x - lo) / ((hi - lo) / 10.0))
+                                  AS BIGINT), 0), 9) END AS bin
+          FROM v JOIN rng ON v.slice = rng.slice),
+    spine AS (SELECT slice, unnest(generate_series(0, 9)) AS bin FROM rng),
+    cr AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 0 GROUP BY slice, bin),
+    cc AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b
+           WHERE side = 1 GROUP BY slice, bin),
+    counts AS (SELECT spine.slice, spine.bin,
+                      COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
+               FROM spine
+               LEFT JOIN cr ON spine.slice = cr.slice AND spine.bin = cr.bin
+               LEFT JOIN cc ON spine.slice = cc.slice
+                           AND spine.bin = cc.bin),
+    pq AS (SELECT slice, bin, n_ref, n_cur,
+                  round((n_ref + 1.0)
+                        / (sum(n_ref) OVER (PARTITION BY slice) + 10.0), 6)
+                      AS p_ref,
+                  round((n_cur + 1.0)
+                        / (sum(n_cur) OVER (PARTITION BY slice) + 10.0), 6)
+                      AS q_cur
+           FROM counts)
+    SELECT slice, bin, n_ref, n_cur, p_ref, q_cur,
+           round((p_ref - q_cur) * ln(p_ref / q_cur), 6) AS psi_term
+    FROM pq
+    """,
+)
+def psi_sliced(spark, sf_dir):
+    """Per-slice PSI (operators/profile.py population_stability_sliced):
+    the value feature drift-checked WITHIN every event_type segment —
+    aggregate PSI can read clean while one segment moved and another
+    compensated; sliced evaluation catches that. Each slice freezes its
+    own (min,max) on the reference split (even user_id), counts are one
+    groupBy(slice, bin) per side, the shared tail smooths PARTITION BY
+    slice. Per-slice results bit-identical to population_stability on
+    that slice alone (pinned in tests)."""
+    ev = load(spark, sf_dir, "events")
+    return P.population_stability_sliced(
+        ev.filter(F.col("user_id") % 2 == 0),
+        ev.filter(F.col("user_id") % 2 == 1),
+        "value",
+        "event_type",
+        n_bins=10,
+    )
+
+
 @q("drift_monitor_summary", CORPUS["drift_report"].sql)
 def drift_monitor_summary(spark, sf_dir):
     """Driver-checkable gate for the MONITOR book (books/monitor): runs

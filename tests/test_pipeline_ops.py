@@ -787,3 +787,74 @@ def test_quantile_drift_multi_equals_per_column(spark):
             for r in multi if r.feature == c
         }
         assert got == single, c
+
+
+def test_psi_sliced_equals_per_slice_single(spark):
+    """Per-slice PSI must equal population_stability run on that slice's
+    rows alone, and a shift hidden inside ONE slice must surface there
+    while the clean slice stays near zero."""
+    rows = [(i, "s1", float(i % 100)) for i in range(500)]
+    rows += [(1000 + i, "s2", float(i % 50)) for i in range(400)]
+    ref = spark.createDataFrame(rows, ["id", "seg", "v"])
+    # s1 unchanged; s2 shifted far right
+    rows_c = [(i, "s1", float(i % 100)) for i in range(500)]
+    rows_c += [(1000 + i, "s2", 500.0 + float(i % 5)) for i in range(400)]
+    cur = spark.createDataFrame(rows_c, ["id", "seg", "v"])
+    sliced = P.population_stability_sliced(ref, cur, "v", "seg").collect()
+    for s in ("s1", "s2"):
+        single = {
+            r.bin: (r.n_ref, r.n_cur, r.p_ref, r.q_cur, r.psi_term)
+            for r in P.population_stability(
+                ref.filter(F.col("seg") == s),
+                cur.filter(F.col("seg") == s),
+                "v",
+            ).collect()
+        }
+        got = {
+            r.bin: (r.n_ref, r.n_cur, r.p_ref, r.q_cur, r.psi_term)
+            for r in sliced if r.slice == s
+        }
+        assert got == single, s
+    psi = {}
+    for r in sliced:
+        psi[r.slice] = psi.get(r.slice, 0.0) + r.psi_term
+    assert abs(psi["s1"]) < 1e-5
+    assert psi["s2"] > 0.25, psi
+
+
+def test_psi_sliced_drops_slices_absent_from_reference(spark):
+    ref = spark.createDataFrame([(1, "a", 1.0), (2, "a", 2.0)],
+                                ["id", "seg", "v"])
+    cur = spark.createDataFrame([(3, "a", 1.5), (4, "NEW", 9.0)],
+                                ["id", "seg", "v"])
+    out = P.population_stability_sliced(ref, cur, "v", "seg").collect()
+    assert {r.slice for r in out} == {"a"}
+
+
+def test_drift_terms_nonnegative_and_jsd_bounds(spark):
+    """Family laws: every PSI term (p−q)·ln(p/q) and chi² term are ≥ 0
+    by construction, and JSD(a,a) = 0."""
+    import random
+
+    rng = random.Random(13)
+    ref = spark.createDataFrame(
+        [(i, rng.uniform(0, 50), str(rng.randint(0, 4)))
+         for i in range(300)], ["id", "v", "c"]
+    )
+    cur = spark.createDataFrame(
+        [(i, rng.uniform(10, 80), str(rng.randint(0, 6)))
+         for i in range(250)], ["id", "v", "c"]
+    )
+    assert all(
+        r.psi_term >= 0
+        for r in P.population_stability(ref, cur, "v").collect()
+    )
+    assert all(
+        r.chi2_term >= 0
+        for r in P.chi_square_drift(ref, cur, "c").collect()
+    )
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    assert X.token_js_divergence(docs, docs).collect()[0].jsd == 0.0
