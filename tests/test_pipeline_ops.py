@@ -858,3 +858,64 @@ def test_drift_terms_nonnegative_and_jsd_bounds(spark):
         ["doc_id", "text"],
     )
     assert X.token_js_divergence(docs, docs).collect()[0].jsd == 0.0
+
+
+def test_importance_resample_invariant_under_repartition(spark):
+    """The Gumbel draw is a pure per-row expression + top-k: the selected
+    set must not depend on partition layout (the df.sample failure mode
+    the md5 noise exists to avoid)."""
+    from empujar_spark.operators import curation as C
+
+    df = spark.createDataFrame(
+        [(i, float(i % 13)) for i in range(300)],
+        "doc_id bigint, score double",
+    )
+    base = {r.doc_id for r in
+            C.importance_resample(df, k=40, score_col="score").collect()}
+    for n in (1, 7, 32):
+        again = {
+            r.doc_id
+            for r in C.importance_resample(
+                df.repartition(n), k=40, score_col="score"
+            ).collect()
+        }
+        assert again == base, n
+
+
+def test_psi_sliced_constant_slice_single_bin(spark):
+    """A slice whose reference value is constant degenerates to bin 0
+    (the numeric_histogram rule) without poisoning other slices."""
+    ref = spark.createDataFrame(
+        [(i, "flat", 5.0) for i in range(10)]
+        + [(100 + i, "wide", float(i)) for i in range(10)],
+        ["id", "seg", "v"],
+    )
+    cur = spark.createDataFrame(
+        [(i, "flat", 7.0) for i in range(4)]
+        + [(100 + i, "wide", 4.5) for i in range(3)],
+        ["id", "seg", "v"],
+    )
+    rows = P.population_stability_sliced(ref, cur, "v", "seg").collect()
+    by = {(r.slice, r.bin): (r.n_ref, r.n_cur) for r in rows}
+    assert by[("flat", 0)] == (10, 4)
+    assert all(by[("flat", b)] == (0, 0) for b in range(1, 10))
+    # 4.5 / (9/10) floats to 5.000…001 → bin 5 (engine-exact either way;
+    # the oracle computes the identical IEEE division)
+    assert by[("wide", 5)][1] == 3
+
+
+def test_token_js_divergence_one_empty_side(spark):
+    """An empty current corpus still yields a finite figure (smoothing
+    keeps q > 0 for every reference token)."""
+    import math
+
+    # NON-uniform reference: a uniform one is indistinguishable from
+    # the empty side's uniform smoothing and JSD is legitimately 0
+    a = spark.createDataFrame(
+        [(i, "alpha alpha alpha beta gamma") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    b = spark.createDataFrame([(1, "")], ["doc_id", "text"])
+    r = X.token_js_divergence(a, b).collect()[0]
+    assert r.n_cur_tokens == 0 and r.v_union == 3
+    assert 0.0 < r.jsd < math.log(2.0) + 1e-9
