@@ -17,14 +17,25 @@ def chapter_loader(book):
     wh = book.destination
 
     def gate():
+        from empujar_spark.books.monitor import (
+            CATEGORICAL_COLS,
+            NUMERIC_COLS,
+        )
+
         thresholds = getattr(book, "drift_thresholds", DEFAULT_THRESHOLDS)
         # the report table is signal-sized (one row per monitored
-        # check:feature) — collect once, gate driver-side
+        # check:feature) — collect once, gate driver-side. The report
+        # chapter upserts on signal and never deletes, so the table
+        # accumulates signals from since-removed monitored features;
+        # restrict the gate to the feature set THIS run monitors
+        # (ADVICE r13) so a stale signal can't keep raising the alarm.
+        monitored = set(NUMERIC_COLS) | set(CATEGORICAL_COLS)
         rows = wh.read("drift_report").collect()
         breaches = [
             f"{r.signal} stat={r.stat} > {thresholds[r.check_name]}"
             for r in rows
-            if r.check_name in thresholds
+            if r.feature in monitored
+            and r.check_name in thresholds
             and r.stat is not None
             and r.stat > thresholds[r.check_name]
         ]

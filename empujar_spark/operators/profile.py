@@ -440,7 +440,10 @@ def population_stability_multi(
 
     Output: (feature, bin, n_ref, n_cur, p_ref, q_cur, psi_term), one
     block of n_bins rows per feature; per-feature PSI = sum(psi_term)
-    within the block.
+    within the block. A feature whose REFERENCE column is entirely NULL
+    has no binning range and is dropped from the report (the
+    population_stability_sliced drop rule — PSI against an empty
+    reference is undefined, not zero).
     """
     spark = ref.sparkSession
     rng = ref.agg(
@@ -509,10 +512,20 @@ def population_stability_multi(
 
     # literal F × n_bins spine (constant-size by construction) — a
     # crossJoin of two literal frames would spell the same thing as a
-    # BroadcastNestedLoopJoin for no reason
+    # BroadcastNestedLoopJoin for no reason. Features whose reference
+    # column is all-NULL have no binning range (lo is NULL) and are
+    # DROPPED from the report, matching population_stability_sliced's
+    # documented semantics and the SQL oracle (ADVICE r13 — previously
+    # the literal spine emitted n_bins all-zero smoothed rows for them).
     spine = spark.createDataFrame(
         [(c, b) for c in cols for b in range(n_bins)],
         "feature string, bin bigint",
+    ).join(
+        F.broadcast(
+            rng.filter(F.col("lo").isNotNull()).select("feature")
+        ),
+        "feature",
+        "left_semi",
     )
     counts = (
         spine.join(

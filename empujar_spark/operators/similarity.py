@@ -754,7 +754,34 @@ def kmeans_update(
     corpus never reaches the driver (only the k×dim matrix for the
     assignment literals does, model-sized by construction)."""
     rows = model.orderBy("cluster", "dim").collect()
+    # Validate the collected model before building the centroid matrix
+    # (ADVICE r13): a gap in cluster ids would yield a ragged matrix
+    # (C[missing] == []) that breaks both assignment paths, and an
+    # empty model would raise a bare ValueError from max().
+    if not rows:
+        raise ValueError(
+            "kmeans_update: model table is empty — expected the "
+            "(cluster, dim, c_val, n) registry component written by "
+            "kmeans_clusters"
+        )
     k = 1 + max(r["cluster"] for r in rows)
+    dims_per_cluster: dict[int, int] = {}
+    for r in rows:
+        dims_per_cluster[r["cluster"]] = dims_per_cluster.get(
+            r["cluster"], 0
+        ) + 1
+    missing = sorted(set(range(k)) - set(dims_per_cluster))
+    if missing:
+        raise ValueError(
+            f"kmeans_update: model cluster ids are not contiguous "
+            f"0..{k - 1} — missing {missing[:5]}"
+        )
+    if len(set(dims_per_cluster.values())) != 1:
+        raise ValueError(
+            "kmeans_update: model clusters carry different dimension "
+            f"counts {sorted(set(dims_per_cluster.values()))} — every "
+            "cluster must store the same dim range"
+        )
     C: list[list[float]] = [[] for _ in range(k)]
     for r in rows:
         C[r["cluster"]].append(float(r["c_val"]))

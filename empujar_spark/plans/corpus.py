@@ -4686,21 +4686,91 @@ def bpe_pair_counts(spark, sf_dir):
     )
 
 
-@q("bpe_merges", None)
+def _bpe_merges_sql(k: int) -> str:
+    """Unrolled-CTE DuckDB twin of bpe_train's first ``k`` merge
+    iterations (VERDICT r13 item 3 — the merge loop IS SQL-expressible
+    by unrolling). Per iteration: (1) pair counts over the symbolized
+    vocab, (2) argmax with the (-freq, left, right) tie-break, (3) the
+    GREEDY left-to-right merge via gaps-and-islands parity — runs of
+    consecutive match positions only arise when left == right, and
+    greedy keeps exactly the even-offset positions within each run
+    ((i - run_start) % 2 = 0), with position i+1 of a kept merge
+    dropped on rebuild. AS MATERIALIZED pins each state to evaluate
+    once (each s{{it}} is referenced three times; inlined, the chain
+    re-derives s0 ~3^k times and k=5 already times out)."""
+    parts = [
+        """
+    WITH words0 AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS word
+      FROM documents),
+    wf AS (SELECT word, count(*) AS freq FROM words0
+           WHERE word <> '' GROUP BY word),
+    s0 AS MATERIALIZED (
+      SELECT word, freq, regexp_extract_all(word, '.') AS syms FROM wf)"""
+    ]
+    for it in range(1, k + 1):
+        parts.append(f""",
+    p{it} AS (
+      SELECT syms[i] AS l, syms[i+1] AS r, CAST(sum(freq) AS BIGINT) AS pf
+      FROM s{it - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+      GROUP BY 1, 2),
+    m{it} AS MATERIALIZED (
+      SELECT l, r, pf FROM p{it} ORDER BY pf DESC, l ASC, r ASC LIMIT 1),
+    mp{it} AS (
+      SELECT word, i
+      FROM s{it - 1}, unnest(generate_series(1, len(syms) - 1)) AS t(i)
+      WHERE syms[i] = (SELECT l FROM m{it})
+        AND syms[i+1] = (SELECT r FROM m{it})),
+    keep{it} AS MATERIALIZED (
+      SELECT word, i FROM (
+        SELECT word, i,
+               min(i) OVER (PARTITION BY word, grp) AS st
+        FROM (SELECT word, i,
+                     i - row_number() OVER (PARTITION BY word ORDER BY i)
+                       AS grp
+              FROM mp{it}))
+      WHERE (i - st) % 2 = 0),
+    ap{it} AS (
+      SELECT word, freq, a.pos AS pos, syms[a.pos] AS sym
+      FROM s{it - 1}, unnest(generate_series(1, len(syms))) AS a(pos)),
+    s{it} AS MATERIALIZED (
+      SELECT ap.word AS word, ap.freq AS freq,
+             list(CASE WHEN k.i IS NOT NULL
+                       THEN (SELECT l || r FROM m{it})
+                       ELSE ap.sym END ORDER BY ap.pos) AS syms
+      FROM ap{it} ap
+      LEFT JOIN keep{it} k ON k.word = ap.word AND k.i = ap.pos
+      LEFT JOIN keep{it} kp ON kp.word = ap.word AND kp.i = ap.pos - 1
+      WHERE kp.i IS NULL
+      GROUP BY ap.word, ap.freq)""")
+    heads = "\n      UNION ALL ".join(
+        f'SELECT {it - 1} AS "rank", l AS "left", r AS "right",'
+        f" l || r AS merged, pf AS pair_freq FROM m{it}"
+        for it in range(1, k + 1)
+    )
+    parts.append(f"""
+    SELECT CAST("rank" AS INT) AS "rank", "left", "right", merged, pair_freq
+    FROM ({heads}) ORDER BY "rank" """)
+    return "".join(parts)
+
+
+@q("bpe_merges", _bpe_merges_sql(8))
 def bpe_merges(spark, sf_dir):
     """BPE tokenizer TRAINING (operators/text.py bpe_train): the 8
     highest-frequency adjacent symbol merges learned from the documents
     table — Sennrich-style merge induction, the step upstream of the
-    BPE-ish segmenters already in the corpus. Iterative (per-merge
-    argmax is sequential by definition) → rows-only; exact behavior is
-    golden-tested against a pure-Python reference in tests/test_bpe.py,
-    and the first iteration's pair table is the oracle-paired
-    `bpe_pair_counts`. Scale: ONE corpus scan collapses to the
-    vocabulary-bounded |distinct words| table; when that fits the
-    driver (it does even web-scale) the merge loop runs driver-local —
-    a 32k-merge vocab is dict passes, not 32k Spark jobs — with the
-    distributed per-iteration loop retained above the threshold
-    (bpe_train, both paths golden + cross-asserted)."""
+    BPE-ish segmenters already in the corpus. Oracle-paired since r14:
+    the "inherently sequential" merge loop unrolls into a CTE chain
+    (one pair-count + argmax + greedy-apply block per iteration,
+    _bpe_merges_sql), pinning the merge argmax tie-break AND the greedy
+    overlap semantics cross-engine for all 8 ranks; it is additionally
+    golden-tested against a pure-Python reference in tests/test_bpe.py.
+    Scale: ONE corpus scan collapses to the vocabulary-bounded
+    |distinct words| table; when that fits the driver (it does even
+    web-scale) the merge loop runs driver-local — a 32k-merge vocab is
+    dict passes, not 32k Spark jobs — with the distributed
+    per-iteration loop retained above the threshold (bpe_train, both
+    paths golden + cross-asserted)."""
     return X.bpe_train(load(spark, sf_dir, "documents"), n_merges=8)
 
 

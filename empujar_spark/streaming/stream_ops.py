@@ -580,6 +580,7 @@ def neardup_ingest_stream(
     threshold: float = 0.5,
     timeout_s: float = 240.0,
     max_resident_pairs: int | None = None,
+    spill_dir: str | None = None,
 ) -> DataFrame:
     """STREAMING near-dup admission check: every micro-batch of incoming
     documents is containment-checked against the FROZEN stored shingle
@@ -607,7 +608,19 @@ def neardup_ingest_stream(
     back into the gate (history is frozen for the whole drain), so the
     spill is write-only until the epilogue, where the returned
     DataFrame scans spill ∪ resident-tail instead of being driver-
-    built. Output is bit-identical across regimes (pytest-pinned)."""
+    built. Output is bit-identical across regimes (pytest-pinned).
+
+    SPILL-PATH ASSUMPTION (ADVICE r13): when ``spill_dir`` is omitted a
+    driver-local tempdir is used, which Spark jobs can only read back
+    where driver and executors share a filesystem — i.e. local mode,
+    exactly the mode this audit drain targets. On a real cluster pass
+    ``spill_dir`` pointing at shared storage (DFS/object store). The
+    default tempdir is registered for atexit cleanup (the returned
+    DataFrame reads it lazily, so it cannot be deleted here) and is
+    exposed as ``out._neardup_spill_dir`` so a caller that has
+    materialized the audit can rmtree it earlier."""
+    import atexit
+    import shutil
     import tempfile
 
     from empujar_spark.operators.dedup import containment_incremental_pairs
@@ -615,7 +628,7 @@ def neardup_ingest_stream(
     spark = docs.sparkSession
     rows: list = []
     batch_ids: list = []
-    state = {"spill_dir": None, "spills": 0, "max_resident": 0}
+    state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
 
     def spill_df() -> DataFrame:
         # re-plan per call: a parquet plan resolves its file list once,
@@ -635,6 +648,11 @@ def neardup_ingest_stream(
         if max_resident_pairs is not None and len(rows) > max_resident_pairs:
             if state["spill_dir"] is None:
                 state["spill_dir"] = tempfile.mkdtemp(prefix="neardup-spill-")
+                # best-effort cleanup at interpreter exit: the audit DF
+                # reads this dir lazily, so it must outlive the call
+                atexit.register(
+                    shutil.rmtree, state["spill_dir"], ignore_errors=True
+                )
             spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA).write.mode(
                 "append"
             ).parquet(state["spill_dir"])
@@ -648,13 +666,14 @@ def neardup_ingest_stream(
     q = docs.writeStream.foreachBatch(check_batch).start()
     _drain_with_watchdog(q, timeout_s)
     resident = spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA)
-    if state["spill_dir"] is not None:
+    if state["spills"] > 0:
         out = spill_df().unionByName(resident)
     else:
         out = resident
     out._neardup_batches = batch_ids  # test hooks: real multi-batch,
     out._neardup_spills = state["spills"]  # spill count,
     out._neardup_max_resident = state["max_resident"]  # peak driver pairs
+    out._neardup_spill_dir = state["spill_dir"]  # rmtree after materialize
     return out
 
 
@@ -925,6 +944,7 @@ def kmeans_drift_stream(
                 F.count(F.lit(1)).cast("bigint").alias("n"),
                 F.sum("d6").alias("s"),
             )
+            .coalesce(4)
             .collect()
         )
         for r in rows:
@@ -937,18 +957,13 @@ def kmeans_drift_stream(
             if key is not None:
                 slot[1] += int(r["s"])
 
-    # the per-batch groupBy reduces to ≤k+1 rows — at the session
-    # shuffle default that's 32 reduce tasks per micro-batch of commit
-    # overhead (the drain_to_memory state_partitions rule); pin a small
-    # count for the drain and restore after
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "4")
-    try:
-        q = probe.writeStream.foreachBatch(audit_batch).start()
-        _drain_with_watchdog(q, timeout_s)
-    finally:
-        spark.conf.set(conf_key, old)
+    # the per-batch groupBy reduces to ≤k+1 rows; the coalesce(4) above
+    # pipelines the final aggregate into 4 tasks (instead of one tiny
+    # reduce task per session shuffle partition) while keeping map-side
+    # partial aggregation — scoped to this query, so a concurrent query
+    # on the shared session keeps its own shuffle width (ADVICE r13)
+    q = probe.writeStream.foreachBatch(audit_batch).start()
+    _drain_with_watchdog(q, timeout_s)
     out = spark.createDataFrame(
         [
             (c, n, s)
@@ -1038,22 +1053,18 @@ def psi_drift_stream(
             binned(batch_df)
             .groupBy("bin")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .coalesce(4)
             .collect()
         )
         for row in rows:
             b = int(row["bin"])
             acc[b] = acc.get(b, 0) + int(row["n"])
 
-    # ≤ n_bins rows per batch reduce — pin a small shuffle count for
-    # the drain (the drain_to_memory state_partitions rule)
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "4")
-    try:
-        q = cur.writeStream.foreachBatch(audit_batch).start()
-        _drain_with_watchdog(q, timeout_s)
-    finally:
-        spark.conf.set(conf_key, old)
+    # ≤ n_bins rows per batch reduce — coalesce(4) above scopes the
+    # small task count to this query instead of mutating the session
+    # shuffle default under concurrent queries (ADVICE r13)
+    q = cur.writeStream.foreachBatch(audit_batch).start()
+    _drain_with_watchdog(q, timeout_s)
     spine = spark.range(n_bins).select(F.col("id").alias("bin"))
     ref_counts = binned(ref).groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ref")
@@ -1109,20 +1120,17 @@ def chi2_drift_stream(
             cat(batch_df)
             .groupBy("category")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .coalesce(4)
             .collect()
         )
         for row in rows:
             c = row["category"]
             acc[c] = acc.get(c, 0) + int(row["n"])
 
-    conf_key = "spark.sql.shuffle.partitions"
-    old = spark.conf.get(conf_key)
-    spark.conf.set(conf_key, "4")
-    try:
-        q = cur.writeStream.foreachBatch(audit_batch).start()
-        _drain_with_watchdog(q, timeout_s)
-    finally:
-        spark.conf.set(conf_key, old)
+    # coalesce(4) above scopes the small reduce-task count to this
+    # query — no session-global shuffle.partitions mutation (ADVICE r13)
+    q = cur.writeStream.foreachBatch(audit_batch).start()
+    _drain_with_watchdog(q, timeout_s)
     ref_counts = cat(ref).groupBy("category").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ref")
     )

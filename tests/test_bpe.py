@@ -179,3 +179,29 @@ def test_bpe_encode_never_merges_across_word_boundary(spark):
     df2 = spark.createDataFrame([("xab y",)], ["text"])
     out2 = X.bpe_encode(df2, [("a", "b")]).collect()[0].bpe_tokens
     assert out2 == ["x", "ab", "y"]
+
+
+def test_bpe_merges_sql_oracle_matches_reference_on_overlap_corpus():
+    """The unrolled-CTE DuckDB twin of bpe_train (corpus._bpe_merges_sql,
+    r14 — the oracle the driver gate runs) must reproduce the greedy
+    left-to-right overlap semantics, which its gaps-and-islands parity
+    encodes: runs of consecutive match positions (possible only when
+    left == right) keep even offsets. Exercised on a corpus dominated by
+    same-char runs — 'aaaaa' must merge as [aa, aa, a], never
+    [aa, a, aa] (what a naive string-replace twin would produce)."""
+    import duckdb
+
+    from empujar_spark.plans.corpus import _bpe_merges_sql
+
+    texts = [
+        "aaaaa aaaaa aaaaa aaa",
+        "aaaa baab baab",
+        "ababab ababab",
+        "aa aa aa aa",
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in texts])
+    for k in (1, 3, 6):
+        got = [tuple(r) for r in con.execute(_bpe_merges_sql(k)).fetchall()]
+        assert got == _ref_bpe(texts, k), f"k={k}: {got}"

@@ -66,3 +66,26 @@ def test_monitor_book_alert_gate_fail_fasts_on_breach(spark):
         )
     wh = Warehouse(spark, tmp, primary_key="event_id")
     assert wh.table_size("drift_report") > 0
+
+
+def test_monitor_book_alert_gate_ignores_stale_signals(spark):
+    """ADVICE r13: the report table accumulates signals by upsert and
+    never deletes — a breach-level signal from a since-removed monitored
+    feature must NOT keep raising the alarm. Pre-seed the warehouse with
+    a stale breaching row for a feature outside the monitored set; the
+    run must pass its gate."""
+    from empujar_spark.catalog import Warehouse
+
+    tmp = tempfile.mkdtemp(prefix="t-monitor-stale-")
+    wh = Warehouse(spark, tmp, primary_key="event_id")
+    stale = spark.createDataFrame(
+        [("psi:retired_feature", "psi", "retired_feature", 99.0)],
+        "signal string, check_name string, feature string, stat double",
+    )
+    wh.insert_data("drift_report", stale, merge_key="signal")
+    # no-drift testdata + default thresholds: only the stale row could
+    # alarm, and the gate must scope to this run's monitored features
+    wh2 = run_monitor(spark, SF, tmp)
+    stored = {r.signal for r in wh2.read("drift_report").collect()}
+    assert "psi:retired_feature" in stored  # history retained...
+    # ...but the run completed without the stale signal raising

@@ -593,6 +593,24 @@ def test_population_stability_multi_null_and_constant_features(spark):
     assert by[("d", 4)][1] == 1
 
 
+def test_population_stability_multi_drops_all_null_reference_feature(spark):
+    """A feature whose REFERENCE column is entirely NULL has no binning
+    range: it is dropped from the report (the sliced variant's
+    documented rule and the SQL oracle's behavior — ADVICE r13), while
+    its healthy neighbors report normally."""
+    ref = spark.createDataFrame(
+        [(i, None, float(i)) for i in range(10)],
+        "id bigint, dead double, live double",
+    )
+    cur = spark.createDataFrame(
+        [(0, 1.0, 3.0)], "id bigint, dead double, live double"
+    )
+    rows = P.population_stability_multi(ref, cur, ["dead", "live"]).collect()
+    feats = {r.feature for r in rows}
+    assert feats == {"live"}
+    assert sum(1 for r in rows if r.feature == "live") == 10
+
+
 def test_chi_square_drift_detects_category_shift(spark):
     """An identical current split yields tiny terms; a shifted one a
     large statistic; categories NEW in current (absent from reference)

@@ -805,3 +805,29 @@ def test_kmeans_update_empty_batch_is_identity(spark):
     batch = spark.createDataFrame([], "vec_id bigint, embedding array<double>")
     got = sorted(map(tuple, S.kmeans_update(batch, model).collect()))
     assert got == [(0, 1, 1.5, 3), (1, 1, -2.0, 5)]
+
+
+def test_kmeans_update_rejects_malformed_model(spark):
+    """ADVICE r13: an empty model, a gap in cluster ids, or ragged
+    per-cluster dim counts must raise a descriptive error instead of
+    building a broken centroid matrix."""
+    batch = spark.createDataFrame(
+        [(1, [1.0, 2.0])], "vec_id bigint, embedding array<double>"
+    )
+    empty = spark.createDataFrame(
+        [], "cluster bigint, dim bigint, c_val double, n bigint"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        S.kmeans_update(batch, empty)
+    gapped = spark.createDataFrame(
+        [(0, 1, 0.0, 1), (2, 1, 5.0, 1)],
+        "cluster bigint, dim bigint, c_val double, n bigint",
+    )
+    with pytest.raises(ValueError, match="not contiguous"):
+        S.kmeans_update(batch, gapped)
+    ragged = spark.createDataFrame(
+        [(0, 1, 0.0, 1), (0, 2, 0.0, 1), (1, 1, 5.0, 1)],
+        "cluster bigint, dim bigint, c_val double, n bigint",
+    )
+    with pytest.raises(ValueError, match="dimension"):
+        S.kmeans_update(batch, ragged)

@@ -635,6 +635,43 @@ def test_neardup_ingest_stream_spill_regime_bounds_driver_pairs(spark):
         map(tuple, twin.collect())
     )
     assert out.count() > 0
+    # ADVICE r13: the spill dir is exposed so a caller that has
+    # materialized the audit can reclaim the disk, and it is registered
+    # for atexit cleanup as the backstop
+    assert out._neardup_spill_dir is not None
+    import os
+
+    assert os.path.isdir(out._neardup_spill_dir)
+
+
+def test_neardup_ingest_stream_caller_supplied_spill_dir(spark, tmp_path):
+    """On a cluster the spill path must live on shared storage — the
+    spill_dir parameter routes the degraded-regime writes there and the
+    audit output stays identical (ADVICE r13 local-mode note)."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    hist = docs.filter(F.col("doc_id") % 5 != 0)
+    hist_sh = D.history_shingle_table(hist)
+    stream = SO.read_documents_stream(spark, sf).filter(
+        F.col("doc_id") % 5 == 0
+    )
+    spill = str(tmp_path / "neardup-spill")
+    out = SO.neardup_ingest_stream(
+        stream, hist_sh, threshold=0.3, max_resident_pairs=1,
+        spill_dir=spill,
+    )
+    assert out._neardup_spills >= 1
+    assert out._neardup_spill_dir == spill
+    twin = D.containment_incremental_pairs(new, hist, threshold=0.3)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
 
 
 def test_psi_drift_stream_equals_batch_twin(spark):
