@@ -689,6 +689,59 @@ def chi_square_drift_multi(
     return chi2_terms_from_counts(counts, by="feature")
 
 
+def chi_square_drift_sliced(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    slice_col: str,
+) -> DataFrame:
+    """Chi-square categorical drift per SLICE — the
+    population_stability_sliced companion for categoricals (VERDICT r13
+    item 4): an aggregate chi-square over the whole table can read
+    clean while one segment's category mix inverts and another
+    compensates (e.g. one source's event_type distribution flipping);
+    computing the test WITHIN every segment of ``slice_col`` catches
+    that. Expected counts freeze on the reference snapshot's
+    Laplace-smoothed proportions PER SLICE, over the union of
+    categories seen on either side within that slice (K per slice), via
+    the shared epilogue with smoothing totals PARTITION BY slice —
+    per-slice results bit-identical to chi_square_drift on that slice's
+    rows alone (pinned in tests).
+
+    Slice membership rides the full-outer category merge, so a slice
+    with rows on only ONE side still surfaces (all-new slices get
+    finite smoothed terms — unlike sliced PSI, chi-square needs no
+    frozen numeric range, so there is nothing undefined to drop; a
+    brand-new segment IS a drift signal).
+
+    Plan shape at 100 TB: one groupBy(slice, category) per side with
+    map-side combine (each reduces to Σ_slices K_slice rows — signal-
+    sized), a tiny full-outer merge, and window partials over the
+    reduced frame. Two scans total, nothing shuffled wider than the
+    count table.
+
+    Output: (slice, category, n_ref, n_cur, e_cur, chi2_term); per-
+    slice statistic = sum(chi2_term) within the slice block, dof =
+    K_slice − 1."""
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return (
+            df.select(
+                F.col(slice_col).cast("string").alias("slice"),
+                F.col(col).cast("string").alias("category"),
+            )
+            .filter(F.col("category").isNotNull() & F.col("slice").isNotNull())
+            .groupBy("slice", "category")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    counts = (
+        side(ref, "n_ref")
+        .join(side(cur, "n_cur"), ["slice", "category"], "full_outer")
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    return chi2_terms_from_counts(counts, by="slice")
+
+
 def quantile_drift_multi(
     ref: DataFrame,
     cur: DataFrame,

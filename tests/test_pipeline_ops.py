@@ -840,6 +840,62 @@ def test_psi_sliced_equals_per_slice_single(spark):
     assert psi["s2"] > 0.25, psi
 
 
+def test_chi2_sliced_equals_per_slice_single_and_catches_hidden_flip(spark):
+    """Per-slice chi-square must equal chi_square_drift on that slice's
+    rows alone, and a category mix that INVERTS inside one slice while
+    the aggregate stays balanced must alarm in that slice (and stay
+    near zero in the clean one) — the failure mode sliced evaluation
+    exists to close."""
+    # ref: both slices 100 A / 100 B. cur: s1 flips to 160 A / 40 B,
+    # s2 flips to 40 A / 160 B — the AGGREGATE stays 200/200 (clean).
+    ref_rows = [(i, s, c) for i in range(100)
+                for s in ("s1", "s2") for c in ("A", "B")]
+    cur_rows = [(i, "s1", "A") for i in range(160)]
+    cur_rows += [(i, "s1", "B") for i in range(40)]
+    cur_rows += [(i, "s2", "A") for i in range(40)]
+    cur_rows += [(i, "s2", "B") for i in range(160)]
+    ref = spark.createDataFrame(ref_rows, ["id", "seg", "c"])
+    cur = spark.createDataFrame(cur_rows, ["id", "seg", "c"])
+    # the aggregate (unsliced) statistic reads clean
+    agg = sum(r.chi2_term
+              for r in P.chi_square_drift(ref, cur, "c").collect())
+    assert agg < 0.1, agg
+    sliced = P.chi_square_drift_sliced(ref, cur, "c", "seg").collect()
+    for s in ("s1", "s2"):
+        single = {
+            r.category: (r.n_ref, r.n_cur, r.e_cur, r.chi2_term)
+            for r in P.chi_square_drift(
+                ref.filter(F.col("seg") == s),
+                cur.filter(F.col("seg") == s),
+                "c",
+            ).collect()
+        }
+        got = {
+            r.category: (r.n_ref, r.n_cur, r.e_cur, r.chi2_term)
+            for r in sliced if r.slice == s
+        }
+        assert got == single, s
+    stat = {}
+    for r in sliced:
+        stat[r.slice] = stat.get(r.slice, 0.0) + r.chi2_term
+    # dof=1 critical value at 0.001 is 10.83 — both flipped slices alarm
+    assert stat["s1"] > 10.83 and stat["s2"] > 10.83, stat
+
+
+def test_chi2_sliced_keeps_one_sided_slices(spark):
+    """Unlike sliced PSI (which needs a frozen numeric range), a slice
+    present on only one side still surfaces with finite smoothed terms —
+    a brand-new segment IS the drift signal."""
+    ref = spark.createDataFrame([(1, "a", "X"), (2, "a", "Y")],
+                                ["id", "seg", "c"])
+    cur = spark.createDataFrame([(3, "a", "X"), (4, "NEW", "Z")],
+                                ["id", "seg", "c"])
+    out = P.chi_square_drift_sliced(ref, cur, "c", "seg").collect()
+    assert {r.slice for r in out} == {"a", "NEW"}
+    new = [r for r in out if r.slice == "NEW"]
+    assert all(r.chi2_term is not None and r.e_cur > 0 for r in new)
+
+
 def test_psi_sliced_drops_slices_absent_from_reference(spark):
     ref = spark.createDataFrame([(1, "a", 1.0), (2, "a", 2.0)],
                                 ["id", "seg", "v"])
