@@ -45,20 +45,22 @@ class JdbcSource:
         Spark reads the result set."""
         return self._reader(query=sql).load()
 
-    def get_all(
+    def get_all_options(
         self,
         table: str,
         partition_column: str | None = None,
         lower_bound=None,
         upper_bound=None,
         num_partitions: int = 8,
-        limit: int | None = None,
-    ) -> DataFrame:
-        """Full scan (reference getAll, mysql.js:232-256). With a numeric
-        ``partition_column`` the read is split into ``num_partitions``
-        range-parallel queries — replacing the serial LIMIT-offset loop.
-        ``limit`` honors getAllLimit (lib/book.js:74)."""
-        opts: dict = {"dbtable": table}
+    ) -> dict:
+        """The EXACT option dict ``get_all`` hands the JDBC DataSource
+        (connection opts merged with the scan opts) — the testable plan
+        boundary: no live database exists in this sandbox and no driver
+        jar is installed, so contract tests assert the partitioning and
+        pushdown options are wired here instead of against an endpoint
+        (the layer reference test/connections/mysql.js:143-208 exercises
+        live)."""
+        opts: dict = {**self._opts, "dbtable": table}
         if partition_column is not None:
             if lower_bound is None or upper_bound is None:
                 # str(None) would reach the JDBC datasource as the literal
@@ -75,7 +77,26 @@ class JdbcSource:
                 upperBound=str(upper_bound),
                 numPartitions=str(num_partitions),
             )
-        df = self._reader(**opts).load()
+        return opts
+
+    def get_all(
+        self,
+        table: str,
+        partition_column: str | None = None,
+        lower_bound=None,
+        upper_bound=None,
+        num_partitions: int = 8,
+        limit: int | None = None,
+    ) -> DataFrame:
+        """Full scan (reference getAll, mysql.js:232-256). With a numeric
+        ``partition_column`` the read is split into ``num_partitions``
+        range-parallel queries — replacing the serial LIMIT-offset loop.
+        ``limit`` honors getAllLimit (lib/book.js:74)."""
+        opts = self.get_all_options(
+            table, partition_column, lower_bound, upper_bound,
+            num_partitions,
+        )
+        df = self.spark.read.format("jdbc").options(**opts).load()
         return df.limit(limit) if limit is not None else df
 
     def get_max(self, table: str, column: str):

@@ -94,6 +94,27 @@ def main() -> None:
 
     from empujar_spark.operators.graph import basket_edges
 
+    upd_model = None
+    if not only or "kmeans_update_fold" in only:
+        # FIXED stored model for the mini-batch fold (built untimed once,
+        # outside the factor loop): the timed claim is arrival-batch
+        # scaling against a constant registry component — one assignment
+        # map + a k×dim combine + a k×dim broadcast join, so the curve
+        # should track the arrival scan, never the model.
+        from empujar_spark.operators import similarity as S_upd
+
+        emb_model_src = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        C_upd, n_upd = S_upd.kmeans_lloyd(emb_model_src, k=8, iters=1,
+                                          arrow=True)
+        upd_model = spark.createDataFrame(
+            [
+                (j, d + 1, C_upd[j][d], n_upd.get(j, 0))
+                for j in range(len(C_upd))
+                for d in range(len(C_upd[j]))
+            ],
+            "cluster bigint, dim bigint, c_val double, n bigint",
+        ).localCheckpoint(eager=True)
+
     def copurchase_edges(li):
         # the SAME graph the corpus/correctness entries run on — one
         # shared builder, so the scaling ratio measures the real plan
@@ -113,6 +134,7 @@ def main() -> None:
         from empujar_spark.operators import profile as P
         from empujar_spark.operators import text as X
         from empujar_spark.operators import timeseries as T
+        from empujar_spark.streaming import stream_ops as SO
 
         idx_serve = None
         if not only or "ivf_serve" in only:
@@ -228,6 +250,20 @@ def main() -> None:
             # untimed fixed centroid set from the BASE corpus so every
             # factor times the same k=16 round shape
             km_centroids, _ = S.kmeans_lloyd(emb0, k=16, iters=1, arrow=True)
+
+        drift_model = None
+        if not only or "kmeans_stream" in only:
+            # ×f STORED model for the streaming drift monitor: k = 8·f
+            # centroids (content irrelevant to the scaling claim — the
+            # first 8·f corpus vectors, collected untimed). The timed
+            # claim is that per-batch cost is MODEL-sized (one
+            # O(rows·k·dim) assignment map + ≤k+1-row fold), so the
+            # curve should track k — never the drained history.
+            drift_model = [
+                [float(x) for x in r.embedding]
+                for r in emb0.filter(F.col("embedding").isNotNull())
+                .orderBy("vec_id").limit(8 * f).collect()
+            ]
 
         one = F.lit(1).cast("decimal(18,6)")
         return {
@@ -459,6 +495,54 @@ def main() -> None:
             "heavy_hitters": lambda: noop(
                 K.heavy_hitters(ev, "user_id", k=10, capacity=2048)
             ),
+            # STREAMING drift family (VERDICT r13 item 5): fixed arrival
+            # stream vs a ×f STORED reference. Per-batch work (bin/count
+            # the batch against two frozen scalars / the frozen category
+            # smoothing) never touches the reference; the growth that IS
+            # allowed is the one-time reference scans in setup + epilogue
+            # — so the curve should sit far below linear, the
+            # streaming_neardup_ingest precedent (0.6 flat).
+            "psi_stream": lambda: noop(
+                SO.psi_drift_stream(
+                    SO.read_events_stream_split(spark, SF_DIR).filter(
+                        F.col("user_id") % 2 == 1
+                    ),
+                    ev.filter(F.col("user_id") % 2 == 0),
+                    "value",
+                )
+            ),
+            "chi2_stream": lambda: noop(
+                SO.chi2_drift_stream(
+                    SO.read_events_stream_split(spark, SF_DIR).filter(
+                        F.col("event_id") % 2 == 1
+                    ),
+                    ev.filter(F.col("event_id") % 2 == 0),
+                    "event_type",
+                )
+            ),
+            # Streaming k-means drift: fixed probe stream vs a ×f stored
+            # MODEL (k = 8·f). Unlike psi/chi2 the per-batch cost is
+            # k-proportional by definition (each row scores k·dim
+            # distances), so ~linear-in-f IS the sound shape; what must
+            # not appear is growth with drained history (state is k+1
+            # integers+sums however long the stream runs).
+            "kmeans_stream": lambda: noop(
+                SO.kmeans_drift_stream(
+                    SO.read_embeddings_stream(spark, SF_DIR).filter(
+                        F.col("vec_id") % 5 == 0
+                    ),
+                    drift_model,
+                )
+            ),
+            # Mini-batch model maintenance (VERDICT r13 item 7): ×f
+            # arrival batch folds into the FIXED stored k=8 model — one
+            # codegen assignment map + posexplode/groupBy combining to
+            # ≤k×dim rows + a k×dim broadcast join, so the curve should
+            # track the arrival scan (~linear, sub-linear on idle cores)
+            # and never the model
+            "kmeans_update_fold": lambda: noop(
+                S.kmeans_update(emb, upd_model)
+            ),
         }
 
     # warmup (JVM + python workers)
@@ -473,6 +557,21 @@ def main() -> None:
 
         noop(X_warm.bm25_search_indexed(
             X_warm.bm25_build_index(docs0), {"w": ["table"]}
+        ))
+    if not only or {"psi_stream", "chi2_stream", "kmeans_stream"} & only:
+        # warm the micro-batch machinery (checkpoint dir setup, stream
+        # codegen, the foreachBatch drain path) with one tiny untimed
+        # drain — the first streaming query of a session pays ~5-15s of
+        # one-off cost that would land entirely on the ×1 point
+        # (observed: kmeans_stream 23.5s cold at ×1 vs 9.8s at ×8)
+        from empujar_spark.streaming import stream_ops as SO_warm
+
+        noop(SO_warm.psi_drift_stream(
+            SO_warm.read_events_stream_split(spark, SF_DIR).filter(
+                F.col("event_id") % 97 == 0
+            ),
+            ev0.filter(F.col("event_id") % 97 == 1),
+            "value",
         ))
 
     secs: dict[str, dict[str, float]] = {}
