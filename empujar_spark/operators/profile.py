@@ -795,6 +795,131 @@ def quantile_drift_multi(
     )
 
 
+def quantile_drift_sliced(
+    ref: DataFrame,
+    cur: DataFrame,
+    col: str,
+    slice_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.99),
+) -> DataFrame:
+    """Per-quantile location drift WITHIN every segment of ``slice_col``
+    — completing the sliced triad (population_stability_sliced for
+    numeric mass, chi_square_drift_sliced for categorical mix, this for
+    numeric LOCATION): opposite-direction location moves in two
+    segments cancel in the aggregate quantile table, so a monitor that
+    only watches the whole-table quantiles misses both. One
+    groupBy(slice) aggregate per side computes every quantile in the
+    same pass (exact interpolated ``percentile`` ≡ DuckDB
+    quantile_cont), the per-slice row explodes onto the q spine, and
+    the two signal-sized frames join on (slice, q) — two scans total
+    however many slices exist.
+
+    Slices present on only ONE side are dropped (a location delta needs
+    both sides; chi_square_drift_sliced on the slice column itself is
+    the new/vanished-segment detector, same division of labor as the
+    sliced-PSI drop rule).
+
+    Output: (slice, q, v_ref, v_cur, delta), quantized to 1e-6."""
+    def side(df: DataFrame, name: str) -> DataFrame:
+        prep = df.select(
+            F.col(slice_col).cast("string").alias("slice"),
+            F.col(col).cast("double").alias("x"),
+        ).filter(F.col("x").isNotNull() & F.col("slice").isNotNull())
+        aggs = [
+            F.round(F.percentile(F.col("x"), F.lit(float(q))), 6).alias(
+                f"__{name}_{i}"
+            )
+            for i, q in enumerate(qs)
+        ]
+        return prep.groupBy("slice").agg(*aggs).select(
+            "slice",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(float(q)).alias("q"),
+                            F.col(f"__{name}_{i}").alias(name),
+                        )
+                        for i, q in enumerate(qs)
+                    ]
+                )
+            ).alias("s"),
+        ).select("slice", "s.*")
+
+    return (
+        side(ref, "v_ref")
+        .join(side(cur, "v_cur"), ["slice", "q"])
+        .select(
+            "slice",
+            "q",
+            "v_ref",
+            "v_cur",
+            F.round(F.col("v_cur") - F.col("v_ref"), 6).alias("delta"),
+        )
+    )
+
+
+def embedding_moment_drift(
+    ref: DataFrame, cur: DataFrame, vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-space distribution drift via per-dimension moments —
+    the diagonal-covariance Fréchet distance (the FID formula with
+    Σ restricted to its diagonal): per dimension d,
+    term_d = (μ_ref,d − μ_cur,d)² + σ²_ref,d + σ²_cur,d −
+    2·√(σ²_ref,d · σ²_cur,d); the total Σ_d term_d is the squared
+    Fréchet distance between the two diagonal Gaussians. Complements
+    kmeans_drift: the k-means monitor needs a trained model and sees
+    drift as cluster-mass/distortion movement, this is model-FREE and
+    sees mean shift and per-dim variance inflation/collapse directly —
+    the standard embedding-health check between encoder versions or
+    corpus snapshots.
+
+    Cross-engine determinism: μ and σ² (population variance) quantize
+    to 1e-6 per side BEFORE the term, and the term re-rounds to 1e-6 —
+    the PSI playbook, so the DuckDB twin is hash-exact. Plan shape at
+    100 TB: posexplode + ONE groupBy(dim) per side with map-side
+    combine — each side reduces to a dim-count-sized frame in a single
+    scan, the join is dim×dim rows; nothing else shuffles.
+
+    Output: (dim, mu_ref, mu_cur, var_ref, var_cur, fid_term), dim
+    0-based; total drift = sum(fid_term) (≥ 0 by construction — the
+    variance part is (σ_ref − σ_cur)²)."""
+    def side(df: DataFrame, pre: str) -> DataFrame:
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("dim0", "x0"))
+            .select(
+                F.col("dim0").cast("bigint").alias("dim"),
+                F.col("x0").cast("double").alias("x"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.round(F.avg("x"), 6).alias(f"mu_{pre}"),
+                F.round(F.var_pop("x"), 6).alias(f"var_{pre}"),
+            )
+        )
+
+    mu_d = F.col("mu_ref") - F.col("mu_cur")
+    return (
+        side(ref, "ref")
+        .join(side(cur, "cur"), "dim")
+        .select(
+            "dim",
+            "mu_ref",
+            "mu_cur",
+            "var_ref",
+            "var_cur",
+            F.round(
+                mu_d * mu_d
+                + F.col("var_ref")
+                + F.col("var_cur")
+                - F.lit(2.0) * F.sqrt(F.col("var_ref") * F.col("var_cur")),
+                6,
+            ).alias("fid_term"),
+        )
+    )
+
+
 def quantile_drift(
     ref: DataFrame,
     cur: DataFrame,

@@ -9154,6 +9154,99 @@ def _quantile_drift_sql(col: str) -> str:
     """
 
 
+@q(
+    "quantile_drift_sliced",
+    """
+    WITH v AS (SELECT event_id % 2 AS side,
+                      CAST(event_type AS VARCHAR) AS slice,
+                      CAST(value AS DOUBLE) AS x
+               FROM events
+               WHERE value IS NOT NULL AND event_type IS NOT NULL),
+    pr AS (SELECT slice,
+                  round(quantile_cont(x, 0.25), 6) AS q25,
+                  round(quantile_cont(x, 0.50), 6) AS q50,
+                  round(quantile_cont(x, 0.75), 6) AS q75,
+                  round(quantile_cont(x, 0.99), 6) AS q99
+           FROM v WHERE side = 0 GROUP BY slice),
+    pc AS (SELECT slice,
+                  round(quantile_cont(x, 0.25), 6) AS q25,
+                  round(quantile_cont(x, 0.50), 6) AS q50,
+                  round(quantile_cont(x, 0.75), 6) AS q75,
+                  round(quantile_cont(x, 0.99), 6) AS q99
+           FROM v WHERE side = 1 GROUP BY slice),
+    rows_ AS (
+      SELECT pr.slice AS slice, CAST(0.25 AS DOUBLE) AS q,
+             pr.q25 AS v_ref, pc.q25 AS v_cur
+      FROM pr JOIN pc ON pr.slice = pc.slice
+      UNION ALL SELECT pr.slice, CAST(0.50 AS DOUBLE), pr.q50, pc.q50
+      FROM pr JOIN pc ON pr.slice = pc.slice
+      UNION ALL SELECT pr.slice, CAST(0.75 AS DOUBLE), pr.q75, pc.q75
+      FROM pr JOIN pc ON pr.slice = pc.slice
+      UNION ALL SELECT pr.slice, CAST(0.99 AS DOUBLE), pr.q99, pc.q99
+      FROM pr JOIN pc ON pr.slice = pc.slice)
+    SELECT slice, q, v_ref, v_cur, round(v_cur - v_ref, 6) AS delta
+    FROM rows_
+    """,
+)
+def quantile_drift_sliced(spark, sf_dir):
+    """Per-slice quantile location drift (operators/profile.py
+    quantile_drift_sliced): the value feature's quantile table computed
+    WITHIN every event_type segment — opposite-direction location moves
+    in two segments cancel in the aggregate quantile table, the same
+    hidden-drift failure psi_sliced/chi2_sliced close for mass and mix.
+    Completes the sliced triad. One groupBy(slice) aggregate per side
+    (all quantiles in the same pass, Spark percentile ≡ DuckDB
+    quantile_cont), exploded onto the q spine, joined on (slice, q);
+    one-sided slices drop (delta needs both sides — chi2 on the slice
+    column is the new-segment detector)."""
+    ev = load(spark, sf_dir, "events")
+    return P.quantile_drift_sliced(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+    )
+
+
+@q(
+    "embedding_moment_drift",
+    """
+    WITH x AS (SELECT vec_id % 2 AS side, i - 1 AS dim,
+                      CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings,
+                    unnest(generate_series(1, len(embedding))) AS t(i)
+               WHERE embedding IS NOT NULL),
+    r AS (SELECT dim, round(avg(x), 6) AS mu_ref,
+                 round(var_pop(x), 6) AS var_ref
+          FROM x WHERE side = 0 GROUP BY dim),
+    c AS (SELECT dim, round(avg(x), 6) AS mu_cur,
+                 round(var_pop(x), 6) AS var_cur
+          FROM x WHERE side = 1 GROUP BY dim)
+    SELECT r.dim AS dim, mu_ref, mu_cur, var_ref, var_cur,
+           round((mu_ref - mu_cur) * (mu_ref - mu_cur)
+                 + var_ref + var_cur - 2 * sqrt(var_ref * var_cur), 6)
+               AS fid_term
+    FROM r JOIN c ON r.dim = c.dim
+    """,
+)
+def embedding_moment_drift(spark, sf_dir):
+    """Model-free embedding-space drift (operators/profile.py
+    embedding_moment_drift): the diagonal-covariance Fréchet distance
+    between the even/odd vec_id splits' per-dimension moment tables —
+    (μΔ)² + (σ_ref − σ_cur)² per dim, the FID formula with diagonal Σ.
+    Complements kmeans_drift (which needs a trained model and reads
+    drift as cluster movement): this catches mean shift and per-dim
+    variance inflation/collapse directly between encoder versions or
+    corpus snapshots. One posexplode + groupBy(dim) scan per side with
+    map-side combine; moments quantized to 1e-6 before the term (the
+    PSI playbook) so the oracle is hash-exact."""
+    emb = load(spark, sf_dir, "embeddings")
+    return P.embedding_moment_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+    )
+
+
 @q("quantile_drift", _quantile_drift_sql("value"))
 def quantile_drift(spark, sf_dir):
     """Per-quantile location drift (operators/profile.py quantile_drift):

@@ -896,6 +896,75 @@ def test_chi2_sliced_keeps_one_sided_slices(spark):
     assert all(r.chi2_term is not None and r.e_cur > 0 for r in new)
 
 
+def test_quantile_drift_sliced_equals_per_slice_and_catches_cancellation(spark):
+    """Per-slice quantile deltas must equal quantile_drift on that
+    slice's rows alone, and opposite-direction location moves in two
+    slices — which CANCEL in the whole-table quantile deltas — must
+    each surface in their slice."""
+    ref_rows = [(i, "s1", float(i % 100)) for i in range(400)]
+    ref_rows += [(i, "s2", float(i % 100)) for i in range(400)]
+    # s1 shifts +50, s2 shifts −50: aggregate median barely moves
+    cur_rows = [(i, "s1", 50.0 + float(i % 100)) for i in range(400)]
+    cur_rows += [(i, "s2", -50.0 + float(i % 100)) for i in range(400)]
+    ref = spark.createDataFrame(ref_rows, ["id", "seg", "v"])
+    cur = spark.createDataFrame(cur_rows, ["id", "seg", "v"])
+    agg = {r.q: r.delta for r in P.quantile_drift(ref, cur, "v").collect()}
+    assert abs(agg[0.5]) < 1.0, agg  # the cancellation
+    sliced = P.quantile_drift_sliced(ref, cur, "v", "seg").collect()
+    for s in ("s1", "s2"):
+        single = {
+            r.q: (r.v_ref, r.v_cur, r.delta)
+            for r in P.quantile_drift(
+                ref.filter(F.col("seg") == s),
+                cur.filter(F.col("seg") == s),
+                "v",
+            ).collect()
+        }
+        got = {r.q: (r.v_ref, r.v_cur, r.delta)
+               for r in sliced if r.slice == s}
+        assert got == single, s
+    med = {r.slice: r.delta for r in sliced if r.q == 0.5}
+    assert med["s1"] == 50.0 and med["s2"] == -50.0, med
+
+
+def test_quantile_drift_sliced_drops_one_sided_slices(spark):
+    ref = spark.createDataFrame([(1, "a", 1.0), (2, "a", 2.0)],
+                                ["id", "seg", "v"])
+    cur = spark.createDataFrame([(3, "a", 1.5), (4, "NEW", 9.0)],
+                                ["id", "seg", "v"])
+    out = P.quantile_drift_sliced(ref, cur, "v", "seg").collect()
+    assert {r.slice for r in out} == {"a"}
+
+
+def test_embedding_moment_drift_laws(spark):
+    """The diagonal-Fréchet term must equal the hand-computed
+    (μΔ)² + (σ_ref − σ_cur)² per dimension, be ≥ 0, vanish on identical
+    distributions, and catch a pure mean shift the variance legs miss."""
+    import statistics as st
+
+    a = [[1.0, 10.0], [2.0, 20.0], [3.0, 30.0]]
+    b = [[6.0, 10.0], [7.0, 20.0], [8.0, 30.0]]  # dim0 shifted +5
+    ref = spark.createDataFrame([(i, v) for i, v in enumerate(a)],
+                                "vec_id bigint, embedding array<double>")
+    cur = spark.createDataFrame([(i, v) for i, v in enumerate(b)],
+                                "vec_id bigint, embedding array<double>")
+    out = {r.dim: r for r in P.embedding_moment_drift(ref, cur).collect()}
+    for d in (0, 1):
+        xs_r = [v[d] for v in a]
+        xs_c = [v[d] for v in b]
+        mu_d = round(st.fmean(xs_r), 6) - round(st.fmean(xs_c), 6)
+        sd = (round(st.pvariance(xs_r), 6) ** 0.5
+              - round(st.pvariance(xs_c), 6) ** 0.5)
+        assert out[d].fid_term == pytest.approx(mu_d * mu_d + sd * sd,
+                                                abs=2e-6), d
+        assert out[d].fid_term >= 0
+    assert out[0].fid_term == pytest.approx(25.0, abs=1e-5)  # the shift
+    assert out[1].fid_term == pytest.approx(0.0, abs=1e-5)  # untouched
+    # identical distributions → zero everywhere
+    same = P.embedding_moment_drift(ref, ref).collect()
+    assert all(r.fid_term == 0.0 for r in same)
+
+
 def test_psi_sliced_drops_slices_absent_from_reference(spark):
     ref = spark.createDataFrame([(1, "a", 1.0), (2, "a", 2.0)],
                                 ["id", "seg", "v"])
