@@ -534,6 +534,43 @@ def main() -> None:
                     drift_model,
                 )
             ),
+            # Sliced drift triad over ×f events (r14): both sides grow
+            # ×f, the shuffle stays SIGNAL-sized (slices × categories /
+            # slices × quantile-state / dims), so the curve should track
+            # the two scans — sub-linear while the box has idle cores
+            "chi2_sliced": lambda: noop(
+                P.chi_square_drift_sliced(
+                    ev.filter(F.col("event_id") % 2 == 0).withColumn(
+                        "shard", F.col("user_id") % 4
+                    ),
+                    ev.filter(F.col("event_id") % 2 == 1).withColumn(
+                        "shard", F.col("user_id") % 4
+                    ),
+                    "event_type",
+                    "shard",
+                )
+            ),
+            # exact interpolated percentile buffers each slice's values
+            # in the agg state — the entry whose memory-per-group grows
+            # with rows/slice; the octave makes that cost visible (swap
+            # approx_percentile at unbounded scale, same plan shape)
+            "quantile_sliced": lambda: noop(
+                P.quantile_drift_sliced(
+                    ev.filter(F.col("event_id") % 2 == 0),
+                    ev.filter(F.col("event_id") % 2 == 1),
+                    "value",
+                    "event_type",
+                )
+            ),
+            # model-free embedding drift over ×f vectors: posexplode +
+            # one groupBy(dim) per side, map-side combine to dim rows —
+            # should track the explode scan, ~linear at saturation
+            "emb_moment_drift": lambda: noop(
+                P.embedding_moment_drift(
+                    emb.filter(F.col("vec_id") % 2 == 0),
+                    emb.filter(F.col("vec_id") % 2 == 1),
+                )
+            ),
             # Mini-batch model maintenance (VERDICT r13 item 7): ×f
             # arrival batch folds into the FIXED stored k=8 model — one
             # codegen assignment map + posexplode/groupBy combining to
