@@ -965,6 +965,37 @@ def test_embedding_moment_drift_laws(spark):
     assert all(r.fid_term == 0.0 for r in same)
 
 
+def test_new_drift_ops_repartition_invariant(spark):
+    """The r14 drift additions must be partitioning-invariant (the
+    resample-invariance law r13 pinned for the family): integer counts
+    (chi2_sliced), exact interpolated percentiles (quantile sliced) and
+    1e-6-quantized moments (embedding moment drift) may not move when
+    the same input arrives in 1 vs 13 shuffled partitions."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, str(rng.randint(0, 3)), rng.uniform(0, 100),
+             [rng.uniform(-1, 1) for _ in range(4)])
+            for i in range(600)]
+    df = spark.createDataFrame(
+        rows, "id bigint, seg string, v double, emb array<double>"
+    )
+    ref, cur = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+
+    def run(r, c):
+        a = sorted(map(tuple, P.chi_square_drift_sliced(
+            r, c, "seg", "seg").collect()))
+        b = sorted(map(tuple, P.quantile_drift_sliced(
+            r, c, "v", "seg").collect()))
+        d = sorted(map(tuple, P.embedding_moment_drift(
+            r, c, "emb").collect()))
+        return a, b, d
+
+    one = run(ref.coalesce(1), cur.coalesce(1))
+    many = run(ref.repartition(13), cur.repartition(13))
+    assert one == many
+
+
 def test_psi_sliced_drops_slices_absent_from_reference(spark):
     ref = spark.createDataFrame([(1, "a", 1.0), (2, "a", 2.0)],
                                 ["id", "seg", "v"])
