@@ -648,3 +648,77 @@ def importance_resample_grouped(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark DECONTAMINATION scan (the GPT-3 appendix-C /
+    PaLM-style check): flag training documents sharing any word n-gram
+    with an evaluation/benchmark set, so test data can be excised from
+    the corpus before training instead of leaking into it. Exact
+    collision on normalized (lowercased, whitespace-split) n-grams —
+    the industry-standard 8-13 gram window; no fuzziness, by design:
+    a single shared n-gram of that length is decisive evidence.
+
+    Per scanned document: ``n_grams`` (positions), ``n_hits`` (positions
+    whose gram appears ANYWHERE in the eval set), ``hit_rate``
+    (n_hits/n_grams, 1e-6-quantized) and ``contaminated`` (any hit).
+    Documents shorter than ``n`` tokens carry zero grams and report
+    (0, 0, 0.0, false) — too short to collide at this window size.
+
+    Plan shape for 100 TB: the eval side is benchmark-sized (thousands
+    of documents), so its DISTINCT gram set builds in one tiny scan and
+    BROADCASTS; the corpus side is one scan whose per-row gram explode
+    (bounded by doc length) hash-joins the broadcast set and re-groups
+    by document with map-side combine — no corpus-wide shuffle of
+    anything wider than (doc_id, hit) partials. The left join back to
+    the per-doc gram counts keeps zero-hit documents visible (the audit
+    must show what was CHECKED, not only what was caught).
+    """
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        g = F.transform(
+            F.sequence(F.lit(1), F.size("__t") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice("__t", i, n)),
+        )
+        base = df.select(
+            *([F.col(id_col)] if with_id else []), toks.alias("__t")
+        ).filter(F.size("__t") >= n)
+        return base.select(
+            *([id_col] if with_id else []), F.explode(g).alias("gram")
+        )
+
+    eval_grams = grams(eval_docs, with_id=False).distinct()
+    doc_grams = grams(docs, with_id=True)
+    per_doc = doc_grams.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_grams")
+    )
+    hits = (
+        doc_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+    )
+    return (
+        docs.select(id_col)
+        .join(per_doc, id_col, "left")
+        .join(hits, id_col, "left")
+        .fillna(0, subset=["n_grams", "n_hits"])
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.round(
+                F.when(F.col("n_grams") > 0,
+                       F.col("n_hits") / F.col("n_grams"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("hit_rate"),
+            (F.col("n_hits") > 0).alias("contaminated"),
+        )
+    )

@@ -6798,6 +6798,52 @@ def _quality_classifier(spark, sf_dir):
     return _QCLS_CACHE[key]
 
 
+@q(
+    "ngram_contamination",
+    """
+    WITH tok AS (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+                 FROM documents),
+    eg AS (SELECT DISTINCT array_to_string(t[i : i + 7], ' ') AS gram
+           FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+           WHERE doc_id % 97 = 0 AND len(t) >= 8),
+    dg AS (SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
+           FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
+           WHERE doc_id % 97 <> 0 AND len(t) >= 8),
+    pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
+           FROM dg GROUP BY doc_id),
+    h AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+          FROM dg JOIN eg USING (gram) GROUP BY dg.doc_id)
+    SELECT d.doc_id,
+           COALESCE(pd.n_grams, 0) AS n_grams,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           round(CASE WHEN COALESCE(pd.n_grams, 0) > 0
+                      THEN COALESCE(h.n_hits, 0) * 1.0 / pd.n_grams
+                      ELSE 0.0 END, 6) AS hit_rate,
+           COALESCE(h.n_hits, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    LEFT JOIN pd USING (doc_id)
+    LEFT JOIN h USING (doc_id)
+    """,
+)
+def ngram_contamination(spark, sf_dir):
+    """Benchmark decontamination scan (operators/curation.py
+    ngram_contamination, GPT-3 appendix-C shape): training documents
+    flagged for sharing any exact 8-gram with the held-out benchmark
+    slice (doc_id % 97 — standing in for an eval set), so test data is
+    excised BEFORE training instead of leaking into the corpus. The
+    benchmark-sized distinct gram set broadcasts; the corpus side is
+    one scan whose bounded per-row gram explode hash-joins it and
+    re-groups per document — zero-hit documents stay visible (the audit
+    shows what was checked, not only what was caught)."""
+    docs = load(spark, sf_dir, "documents")
+    return C.ngram_contamination(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=8,
+    )
+
+
 @q("quality_classifier_filter", None)
 def quality_classifier_filter(spark, sf_dir):
     """LEARNED quality filtering, DCLM / FineWeb-Edu shape

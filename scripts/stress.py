@@ -534,6 +534,17 @@ def main() -> None:
                     drift_model,
                 )
             ),
+            # Benchmark decontamination over a ×f corpus vs a FIXED
+            # benchmark slice (r14): the eval gram set broadcasts, the
+            # corpus side is one scan with a bounded per-row explode —
+            # growth should land on that scan, ~linear at saturation
+            "contamination": lambda: noop(
+                C.ngram_contamination(
+                    docs.filter(F.col("doc_id") % 97 != 0),
+                    docs0.filter(F.col("doc_id") % 97 == 0),
+                    n=8,
+                )
+            ),
             # Sliced drift triad over ×f events (r14): both sides grow
             # ×f, the shuffle stays SIGNAL-sized (slices × categories /
             # slices × quantile-state / dims), so the curve should track

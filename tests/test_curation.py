@@ -377,3 +377,51 @@ def test_importance_resample_grouped_quota_and_weights(spark):
         score_col="score",
     ).collect()
     assert {r.doc_id for r in only_a} == by_src["a"]
+
+
+def test_ngram_contamination_planted_hits(spark):
+    """Planted contamination must be caught exactly: a training doc
+    embedding a benchmark 8-gram flags with the right positional hit
+    count, a clean doc reports its gram count with zero hits, a doc
+    shorter than the window reports (0, 0, 0.0, false), and case/
+    whitespace differences do not defeat the normalized match."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog tonight")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [
+            # contains the benchmark's first 8-gram verbatim, mid-doc,
+            # with different CASE and extra whitespace
+            (1, "intro words THE  Quick Brown fox jumps over the lazy trailing tail"),
+            # clean: same vocabulary, different order
+            (2, "dog lazy the over jumps fox brown quick the tonight again padding"),
+            # too short for an 8-gram window
+            (3, "tiny doc"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in C.ngram_contamination(docs, bench, n=8).collect()}
+    d1 = out[1]  # 12 tokens -> 5 gram positions; exactly one matches
+    assert (d1.n_grams, d1.n_hits, d1.contaminated) == (5, 1, True)
+    assert d1.hit_rate == pytest.approx(0.2, abs=1e-6)
+    d2 = out[2]  # 12 tokens -> 5 positions, no benchmark 8-gram
+    assert (d2.n_grams, d2.n_hits, d2.contaminated) == (5, 0, False)
+    assert out[3].n_grams == 0 and out[3].contaminated is False
+
+
+def test_ngram_contamination_counts_positions_not_distinct_grams(spark):
+    """A doc repeating one leaked benchmark gram at two positions counts
+    BOTH (hit_rate weights by contaminated span, the excision-size
+    signal), while the broadcast eval set is distinct so eval-side
+    duplicates cannot double-count."""
+    gram = "a b c d e f g h"
+    bench = spark.createDataFrame(
+        [(9, gram), (10, gram)], ["doc_id", "text"]  # duplicated eval doc
+    )
+    docs = spark.createDataFrame(
+        [(1, f"{gram} x {gram}")], ["doc_id", "text"]
+    )
+    r = C.ngram_contamination(docs, bench, n=8).collect()[0]
+    # 17 tokens -> 10 positions; the leaked gram appears at positions 1 and 10
+    assert (r.n_grams, r.n_hits, r.contaminated) == (10, 2, True)
