@@ -6798,9 +6798,12 @@ def _quality_classifier(spark, sf_dir):
     return _QCLS_CACHE[key]
 
 
-@q(
-    "ngram_contamination",
-    """
+def _contamination_sql(scan_pred: str) -> str:
+    """The decontamination oracle parameterized by the scanned-side
+    predicate — shared by the batch entry (the full non-benchmark
+    corpus) and the streaming gate (the same check restricted to the
+    streamed arrival subset), so the two entries move in lockstep."""
+    return f"""
     WITH tok AS (SELECT doc_id,
                         regexp_split_to_array(trim(lower(text)), '\\s+') AS t
                  FROM documents),
@@ -6809,7 +6812,7 @@ def _quality_classifier(spark, sf_dir):
            WHERE doc_id % 97 = 0 AND len(t) >= 8),
     dg AS (SELECT doc_id, array_to_string(t[i : i + 7], ' ') AS gram
            FROM tok, unnest(generate_series(1, len(t) - 7)) AS u(i)
-           WHERE doc_id % 97 <> 0 AND len(t) >= 8),
+           WHERE ({scan_pred}) AND len(t) >= 8),
     pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams
            FROM dg GROUP BY doc_id),
     h AS (SELECT dg.doc_id, CAST(count(*) AS BIGINT) AS n_hits
@@ -6821,11 +6824,13 @@ def _quality_classifier(spark, sf_dir):
                       THEN COALESCE(h.n_hits, 0) * 1.0 / pd.n_grams
                       ELSE 0.0 END, 6) AS hit_rate,
            COALESCE(h.n_hits, 0) > 0 AS contaminated
-    FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+    FROM (SELECT doc_id FROM documents WHERE {scan_pred}) d
     LEFT JOIN pd USING (doc_id)
     LEFT JOIN h USING (doc_id)
-    """,
-)
+    """
+
+
+@q("ngram_contamination", _contamination_sql("doc_id % 97 <> 0"))
 def ngram_contamination(spark, sf_dir):
     """Benchmark decontamination scan (operators/curation.py
     ngram_contamination, GPT-3 appendix-C shape): training documents
@@ -6839,6 +6844,33 @@ def ngram_contamination(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     return C.ngram_contamination(
         docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        n=8,
+    )
+
+
+@q(
+    "streaming_contamination_gate",
+    _contamination_sql("doc_id % 97 <> 0 AND doc_id % 5 = 0"),
+)
+def streaming_contamination_gate(spark, sf_dir):
+    """STREAMING decontamination gate (streaming/stream_ops.py
+    contamination_gate_stream): the incoming document stream (doc_id %
+    5 == 0, 4 landing files read one per micro-batch) is exact-8-gram-
+    collision-checked per batch against the FROZEN benchmark slice
+    (doc_id % 97) — leaks caught at ingest, not in a later sweep. Each
+    document's verdict depends only on itself and the frozen eval gram
+    set, so the accumulated audit is micro-batch-boundary-invariant and
+    the batch twin's SQL (the shared _contamination_sql, restricted to
+    the streamed subset) is its EXACT oracle."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    docs = load(spark, sf_dir, "documents")
+    stream = SO.read_documents_stream(spark, sf_dir).filter(
+        (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 5 == 0)
+    )
+    return SO.contamination_gate_stream(
+        stream,
         docs.filter(F.col("doc_id") % 97 == 0),
         n=8,
     )

@@ -1142,3 +1142,96 @@ def chi2_drift_stream(
         .fillna(0, subset=["n_ref", "n_cur"])
     )
     return chi2_terms_from_counts(counts)
+
+
+CONTAM_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_grams", T.LongType()),
+        T.StructField("n_hits", T.LongType()),
+        T.StructField("hit_rate", T.DoubleType()),
+        T.StructField("contaminated", T.BooleanType()),
+    ]
+)
+
+
+def contamination_gate_stream(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    n: int = 8,
+    timeout_s: float = 240.0,
+    max_resident_rows: int | None = None,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """STREAMING benchmark-decontamination gate: every micro-batch of
+    incoming documents is exact-n-gram-collision-checked against the
+    FROZEN evaluation set (operators/curation.py ngram_contamination as
+    an ingest gate instead of a post-hoc sweep) — the arrival-time leg
+    of decontamination, so benchmark leaks are caught at the door
+    instead of discovered in a later corpus audit.
+
+    Each document's verdict depends only on itself and the frozen eval
+    gram set, so the accumulated audit is micro-batch-boundary-
+    invariant: the batch twin (ngram_contamination on the whole stream
+    input) is its EXACT oracle however the arrival files split — the
+    same additivity argument as neardup_ingest_stream. The eval side is
+    benchmark-sized; pass it pre-checkpointed to amortize its gram-set
+    derivation across batches (per-batch it is one tiny scan +
+    broadcast either way).
+
+    DRIVER MEMORY BOUND (``max_resident_rows``) and SPILL-PATH
+    ASSUMPTION: identical regime to neardup_ingest_stream — the audit
+    is one row per arrival, so a backfill drain can outgrow the driver;
+    past the threshold resident rows append to a parquet spill
+    (driver-local tempdir by default — local-mode only; pass
+    ``spill_dir`` on shared storage for a cluster; atexit-cleaned,
+    exposed as ``out._contam_spill_dir``) and the returned DataFrame
+    scans spill ∪ resident-tail. Output is bit-identical across
+    regimes (pytest-pinned)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from empujar_spark.operators.curation import ngram_contamination
+
+    spark = docs.sparkSession
+    rows: list = []
+    batch_ids: list = []
+    state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
+
+    def spill_df() -> DataFrame:
+        # re-plan per call: a parquet plan resolves its file list once,
+        # and every spill adds files
+        return spark.read.schema(CONTAM_AUDIT_SCHEMA).parquet(
+            state["spill_dir"]
+        )
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        flagged = ngram_contamination(batch_df, eval_docs, n=n).collect()
+        rows.extend(tuple(r) for r in flagged)
+        if max_resident_rows is not None and len(rows) > max_resident_rows:
+            if state["spill_dir"] is None:
+                state["spill_dir"] = tempfile.mkdtemp(prefix="contam-spill-")
+                atexit.register(
+                    shutil.rmtree, state["spill_dir"], ignore_errors=True
+                )
+            spark.createDataFrame(rows, CONTAM_AUDIT_SCHEMA).write.mode(
+                "append"
+            ).parquet(state["spill_dir"])
+            state["spills"] += 1
+            rows.clear()
+        state["max_resident"] = max(state["max_resident"], len(rows))
+
+    q = docs.writeStream.foreachBatch(check_batch).start()
+    _drain_with_watchdog(q, timeout_s)
+    resident = spark.createDataFrame(rows, CONTAM_AUDIT_SCHEMA)
+    if state["spills"] > 0:
+        out = spill_df().unionByName(resident)
+    else:
+        out = resident
+    out._contam_batches = batch_ids  # test hooks: real multi-batch,
+    out._contam_spills = state["spills"]  # spill count,
+    out._contam_max_resident = state["max_resident"]  # peak driver rows
+    out._contam_spill_dir = state["spill_dir"]  # rmtree after materialize
+    return out

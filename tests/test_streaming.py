@@ -729,3 +729,56 @@ def test_chi2_drift_stream_equals_batch_twin(spark):
         map(tuple, twin.collect())
     )
     assert got.count() > 0
+
+
+def test_contamination_gate_stream_multibatch_equals_batch_twin(spark):
+    """The streaming decontamination gate must drain in real multiple
+    micro-batches and its accumulated audit equal the batch operator on
+    the whole stream input bit for bit — each doc's verdict depends only
+    on itself and the frozen eval gram set (boundary invariance)."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import curation as C
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pred = (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 5 == 0)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    stream = SO.read_documents_stream(spark, sf).filter(pred)
+    out = SO.contamination_gate_stream(stream, eval_docs, n=8)
+    assert len(out._contam_batches) >= 2, "expected real multi-batch drain"
+    twin = C.ngram_contamination(docs.filter(pred), eval_docs, n=8)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
+    assert out.count() > 0
+
+
+def test_contamination_gate_stream_spill_regime_bounds_driver_rows(spark,
+                                                                   tmp_path):
+    """Past max_resident_rows the audit spills to parquet and only the
+    tail stays resident; output stays bit-identical to the unbounded
+    regime, spills really happen, and the carried-across-batches peak
+    respects the bound (the neardup_ingest_stream regime)."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import curation as C
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pred = (F.col("doc_id") % 97 != 0) & (F.col("doc_id") % 5 == 0)
+    eval_docs = docs.filter(F.col("doc_id") % 97 == 0)
+    stream = SO.read_documents_stream(spark, sf).filter(pred)
+    spill = str(tmp_path / "contam-spill")
+    out = SO.contamination_gate_stream(
+        stream, eval_docs, n=8, max_resident_rows=3, spill_dir=spill,
+    )
+    assert out._contam_spills >= 2, "spill regime never engaged"
+    assert out._contam_max_resident <= 3
+    assert out._contam_spill_dir == spill
+    twin = C.ngram_contamination(docs.filter(pred), eval_docs, n=8)
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, twin.collect())
+    )
