@@ -657,13 +657,21 @@ def ngram_contamination(
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Benchmark DECONTAMINATION scan (the GPT-3 appendix-C /
+    """Benchmark DECONTAMINATION rate audit (the GPT-3 appendix-C /
     PaLM-style check): flag training documents sharing any word n-gram
     with an evaluation/benchmark set, so test data can be excised from
     the corpus before training instead of leaking into it. Exact
     collision on normalized (lowercased, whitespace-split) n-grams —
     the industry-standard 8-13 gram window; no fuzziness, by design:
     a single shared n-gram of that length is decisive evidence.
+
+    Division of labor with ``text.benchmark_contamination`` (the r02
+    flag variant, deliberately kept): that one counts DISTINCT shared
+    grams — the cheap yes/no leak detector; this one counts POSITIONS
+    (how much of each doc is covered by leaked grams), the signal a
+    pipeline thresholds on to decide excise-the-span vs drop-the-doc,
+    and the batch twin the streaming ingest gate
+    (stream_ops.contamination_gate_stream) accumulates.
 
     Per scanned document: ``n_grams`` (positions), ``n_hits`` (positions
     whose gram appears ANYWHERE in the eval set), ``hit_rate``

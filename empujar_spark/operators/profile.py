@@ -1034,3 +1034,59 @@ def drift_report(
         )
     )
     return psi.unionByName(chi).unionByName(qd)
+
+
+def drift_report_sliced(
+    ref: DataFrame,
+    cur: DataFrame,
+    numeric_col: str,
+    categorical_col: str,
+    slice_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """The PER-SEGMENT drift report: the sliced triad composed into one
+    (check_name, slice, stat) table — the companion drift_report writes
+    when aggregate signals read clean but a segment may have moved (the
+    failure every sliced operator exists to close; run it on the
+    slicing axes that matter operationally — source, tenant, language):
+
+    - ``psi``: per slice, total PSI of ``numeric_col`` within the slice
+      (population_stability_sliced — slices absent from the reference
+      drop, its documented rule).
+    - ``chi2``: per slice, the total chi-square of ``categorical_col``'s
+      mix within the slice (chi_square_drift_sliced — one-sided slices
+      stay visible with finite smoothed terms).
+    - ``quantile_max_shift``: per slice, the largest absolute
+      per-quantile move of ``numeric_col`` (quantile_drift_sliced —
+      one-sided slices drop, a delta needs both sides).
+
+    Six scans total however many slices exist (2 per leg; each leg's
+    shuffle is signal-sized), and per-slice statistics are bit-identical
+    to the single-slice operators, so the component entries' oracle SQL
+    composes into this report's exact oracle — the same contract as
+    drift_report."""
+    psi = (
+        population_stability_sliced(
+            ref, cur, numeric_col, slice_col, n_bins=n_bins
+        )
+        .groupBy("slice")
+        .agg(F.round(F.sum("psi_term"), 6).alias("stat"))
+        .select(F.lit("psi").alias("check_name"), "slice", "stat")
+    )
+    chi = (
+        chi_square_drift_sliced(ref, cur, categorical_col, slice_col)
+        .groupBy("slice")
+        .agg(F.round(F.sum("chi2_term"), 6).alias("stat"))
+        .select(F.lit("chi2").alias("check_name"), "slice", "stat")
+    )
+    qd = (
+        quantile_drift_sliced(ref, cur, numeric_col, slice_col)
+        .groupBy("slice")
+        .agg(F.round(F.max(F.abs(F.col("delta"))), 6).alias("stat"))
+        .select(
+            F.lit("quantile_max_shift").alias("check_name"),
+            "slice",
+            "stat",
+        )
+    )
+    return psi.unionByName(chi).unionByName(qd)

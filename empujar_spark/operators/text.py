@@ -331,7 +331,13 @@ def benchmark_contamination(
     equi-join — the benchmark side is tiny by construction (eval sets are
     thousands of docs, the corpus is billions) so it BROADCASTS and the
     100 TB side never shuffles; counts are distinct benchmark grams per
-    corpus doc."""
+    corpus doc.
+
+    Division of labor with ``curation.ngram_contamination`` (r14): this
+    is the cheap DISTINCT-gram yes/no leak detector; that one counts
+    positional hits and a hit RATE (how much of the doc is covered by
+    leaked grams — the excise-vs-drop threshold signal) and serves as
+    the batch twin of the streaming ingest gate."""
     # Tokenize in a separate projection (see shingles_of_tokens docstring:
     # no CSE inside the gram lambda — inline split() re-tokenizes per gram).
     c_sh = (

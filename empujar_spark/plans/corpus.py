@@ -9727,6 +9727,97 @@ def chi2_sliced(spark, sf_dir):
     )
 
 
+@q(
+    "drift_report_sliced",
+    f"""
+    WITH v1 AS (SELECT event_id % 2 AS side,
+                       CAST(user_id % 4 AS VARCHAR) AS slice,
+                       CAST(value AS DOUBLE) AS x
+                FROM events
+                WHERE value IS NOT NULL AND user_id IS NOT NULL),
+    rng1 AS (SELECT slice, CAST(min(x) AS DOUBLE) AS lo,
+                    CAST(max(x) AS DOUBLE) AS hi
+             FROM v1 WHERE side = 0 GROUP BY slice),
+    b1 AS (SELECT side, v1.slice,
+                  CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+                       ELSE least(greatest(
+                              CAST(floor((x - lo) / ((hi - lo) / 10.0))
+                                   AS BIGINT), 0), 9) END AS bin
+           FROM v1 JOIN rng1 ON v1.slice = rng1.slice),
+    spine1 AS (SELECT slice, unnest(generate_series(0, 9)) AS bin
+               FROM rng1),
+    cr1 AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b1
+            WHERE side = 0 GROUP BY slice, bin),
+    cc1 AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b1
+            WHERE side = 1 GROUP BY slice, bin),
+    counts1 AS (SELECT spine1.slice, spine1.bin,
+                       COALESCE(cr1.n, 0) AS n_ref,
+                       COALESCE(cc1.n, 0) AS n_cur
+                FROM spine1
+                LEFT JOIN cr1 ON spine1.slice = cr1.slice
+                             AND spine1.bin = cr1.bin
+                LEFT JOIN cc1 ON spine1.slice = cc1.slice
+                             AND spine1.bin = cc1.bin),
+    pq1 AS (SELECT slice, n_ref, n_cur,
+                   round((n_ref + 1.0)
+                         / (sum(n_ref) OVER (PARTITION BY slice) + 10.0),
+                         6) AS p_ref,
+                   round((n_cur + 1.0)
+                         / (sum(n_cur) OVER (PARTITION BY slice) + 10.0),
+                         6) AS q_cur
+            FROM counts1),
+    qr AS (SELECT slice,
+                  round(quantile_cont(x, 0.25), 6) AS q25,
+                  round(quantile_cont(x, 0.50), 6) AS q50,
+                  round(quantile_cont(x, 0.75), 6) AS q75,
+                  round(quantile_cont(x, 0.99), 6) AS q99
+           FROM v1 WHERE side = 0 GROUP BY slice),
+    qc AS (SELECT slice,
+                  round(quantile_cont(x, 0.25), 6) AS q25,
+                  round(quantile_cont(x, 0.50), 6) AS q50,
+                  round(quantile_cont(x, 0.75), 6) AS q75,
+                  round(quantile_cont(x, 0.99), 6) AS q99
+           FROM v1 WHERE side = 1 GROUP BY slice),
+    qdel AS (SELECT qr.slice AS slice,
+                    greatest(abs(round(qc.q25 - qr.q25, 6)),
+                             abs(round(qc.q50 - qr.q50, 6)),
+                             abs(round(qc.q75 - qr.q75, 6)),
+                             abs(round(qc.q99 - qr.q99, 6))) AS mx
+             FROM qr JOIN qc ON qr.slice = qc.slice)
+    SELECT 'psi' AS check_name, slice,
+           round(sum(round((p_ref - q_cur) * ln(p_ref / q_cur), 6)), 6)
+               AS stat
+    FROM pq1 GROUP BY slice
+    UNION ALL
+    SELECT 'chi2', slice, round(sum(chi2_term), 6)
+    FROM ({CORPUS["chi2_sliced"].sql}) chi_s GROUP BY slice
+    UNION ALL
+    SELECT 'quantile_max_shift', slice, round(mx, 6) FROM qdel
+    """,
+)
+def drift_report_sliced(spark, sf_dir):
+    """The PER-SEGMENT drift report (operators/profile.py
+    drift_report_sliced): the sliced triad composed into one
+    (check_name, slice, stat) table over the user shard axis (user_id %
+    4) — per-shard PSI and quantile_max_shift of value, per-shard
+    chi-square of the event_type mix — the table a monitor writes when
+    the aggregate drift_report reads clean but a segment may have moved.
+    Six scans however many slices; the chi2 leg's oracle is the
+    chi2_sliced entry's SQL verbatim (component entries compose, the
+    drift_report contract), the psi/quantile legs re-derive the sliced
+    component SQL on the shard axis."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    return P.drift_report_sliced(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        "value",
+        "event_type",
+        "shard",
+    )
+
+
 @q("drift_monitor_summary", CORPUS["drift_report"].sql)
 def drift_monitor_summary(spark, sf_dir):
     """Driver-checkable gate for the MONITOR book (books/monitor): runs

@@ -425,3 +425,23 @@ def test_ngram_contamination_counts_positions_not_distinct_grams(spark):
     r = C.ngram_contamination(docs, bench, n=8).collect()[0]
     # 17 tokens -> 10 positions; the leaked gram appears at positions 1 and 10
     assert (r.n_grams, r.n_hits, r.contaminated) == (10, 2, True)
+
+
+def test_ngram_contamination_self_scan_is_total(spark):
+    """Scanning a corpus against ITSELF as the eval set must flag every
+    document long enough to carry a gram with hit_rate exactly 1.0 —
+    the identity law that pins the gram normalization is consistent
+    between the two sides."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .limit(50)
+    )
+    out = C.ngram_contamination(docs, docs, n=8).collect()
+    assert out
+    for r in out:
+        if r.n_grams > 0:
+            assert (r.n_hits, r.hit_rate, r.contaminated) == (
+                r.n_grams, 1.0, True
+            ), r
+        else:
+            assert not r.contaminated

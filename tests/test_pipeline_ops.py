@@ -1093,3 +1093,33 @@ def test_token_js_divergence_one_empty_side(spark):
     r = X.token_js_divergence(a, b).collect()[0]
     assert r.n_cur_tokens == 0 and r.v_union == 3
     assert 0.0 < r.jsd < math.log(2.0) + 1e-9
+
+
+def test_drift_report_sliced_composes_component_stats(spark):
+    """Each (check_name, slice) stat in the sliced report must equal the
+    corresponding component operator's per-slice reduction — the same
+    composition contract drift_report pins for the aggregate legs."""
+    import random
+
+    rng = random.Random(29)
+    rows = [(i, str(rng.randint(0, 2)), str(rng.randint(0, 4)),
+             rng.uniform(0, 100)) for i in range(800)]
+    df = spark.createDataFrame(rows, "id bigint, seg string, c string, v double")
+    ref, cur = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    rep = {(r.check_name, r.slice): r.stat
+           for r in P.drift_report_sliced(ref, cur, "v", "c", "seg").collect()}
+    psi = {}
+    for r in P.population_stability_sliced(ref, cur, "v", "seg").collect():
+        psi[r.slice] = round(psi.get(r.slice, 0.0) + r.psi_term, 9)
+    chi = {}
+    for r in P.chi_square_drift_sliced(ref, cur, "c", "seg").collect():
+        chi[r.slice] = round(chi.get(r.slice, 0.0) + r.chi2_term, 9)
+    qmx = {}
+    for r in P.quantile_drift_sliced(ref, cur, "v", "seg").collect():
+        qmx[r.slice] = max(qmx.get(r.slice, 0.0), abs(r.delta))
+    for s, v in psi.items():
+        assert rep[("psi", s)] == pytest.approx(v, abs=2e-6), s
+    for s, v in chi.items():
+        assert rep[("chi2", s)] == pytest.approx(v, abs=2e-6), s
+    for s, v in qmx.items():
+        assert rep[("quantile_max_shift", s)] == pytest.approx(v, abs=2e-6), s
