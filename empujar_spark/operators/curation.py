@@ -703,19 +703,27 @@ def ngram_contamination(
         )
 
     eval_grams = grams(eval_docs, with_id=False).distinct()
-    doc_grams = grams(docs, with_id=True)
-    per_doc = doc_grams.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_grams")
-    )
-    hits = (
-        doc_grams.join(F.broadcast(eval_grams), "gram")
+    # ONE corpus gram pass: left-broadcast-join the eval set and count
+    # positions and hits in the same aggregate (a separate hits branch
+    # would re-scan and re-explode the whole corpus — measured as the
+    # difference between 2 and 1 corpus gram scans in the plan, pinned
+    # in tests/test_plans.py)
+    per_doc = (
+        grams(docs, with_id=True)
+        .join(
+            F.broadcast(eval_grams.withColumn("__hit", F.lit(1))),
+            "gram",
+            "left",
+        )
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_hits"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.count("__hit").cast("bigint").alias("n_hits"),
+        )
     )
     return (
         docs.select(id_col)
         .join(per_doc, id_col, "left")
-        .join(hits, id_col, "left")
         .fillna(0, subset=["n_grams", "n_hits"])
         .select(
             id_col,

@@ -788,3 +788,33 @@ def test_chi_square_drift_two_scans_tiny_join(spark):
     plan = plan_of(spark, "chi_square_drift")
     assert plan.count("Scan parquet") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_contamination_one_gram_scan_broadcast_eval(spark):
+    """The decontamination scan must explode the corpus grams ONCE
+    (positions and hits counted in the same aggregate off a left
+    broadcast join), plus one column-pruned id scan for zero-gram
+    visibility and one benchmark-sized eval scan — never a second
+    corpus gram pass, never a shuffle join against the eval set."""
+    plan = plan_of(spark, "ngram_contamination")
+    # 3 parquet scans total: corpus grams, corpus ids (pruned), eval set
+    assert plan.count("Scan parquet") == 3, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("Generate explode") == 2, plan  # one per side
+
+
+def test_sliced_drift_ops_constant_scans(spark):
+    """Each sliced-triad entry scans events exactly twice (one reduced
+    pass per side); the merges are signal-sized, never a corpus-wide
+    sort-merge of raw rows."""
+    for name in ("chi2_sliced", "quantile_drift_sliced"):
+        plan = plan_of(spark, name)
+        assert plan.count("Scan parquet") == 2, (name, plan)
+        assert "CartesianProduct" not in plan, (name, plan)
+
+
+def test_embedding_moment_drift_two_scans(spark):
+    plan = plan_of(spark, "embedding_moment_drift")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "CartesianProduct" not in plan, plan
