@@ -89,3 +89,40 @@ def test_monitor_book_alert_gate_ignores_stale_signals(spark):
     stored = {r.signal for r in wh2.read("drift_report").collect()}
     assert "psi:retired_feature" in stored  # history retained...
     # ...but the run completed without the stale signal raising
+
+
+def test_monitor_book_publishes_sliced_report(spark):
+    """The report chapter's second page persists the per-segment
+    companion: stored drift_report_sliced equals a direct
+    drift_report_sliced call over the same splits on the same shard
+    axis, and the aggregate gate is unaffected by its presence."""
+    from empujar_spark.operators import profile as P
+
+    tmp = tempfile.mkdtemp(prefix="t-monitor-sliced-")
+    wh = run_monitor(spark, SF, tmp)
+    assert "drift_report_sliced" in set(wh.show_tables())
+    stored = {
+        (r.check_name, r.slice): r.stat
+        for r in wh.read("drift_report_sliced").collect()
+    }
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    direct = {
+        (r.check_name, r.slice): r.stat
+        for r in P.drift_report_sliced(
+            ev.filter(F.col("event_id") % 2 == 0),
+            ev.filter(F.col("event_id") % 2 == 1),
+            "value",
+            "event_type",
+            "shard",
+        ).collect()
+    }
+    assert stored == direct
+    # rerun idempotent: signals re-merge, nothing doubles
+    wh2 = run_monitor(spark, SF, tmp)
+    again = {
+        (r.check_name, r.slice): r.stat
+        for r in wh2.read("drift_report_sliced").collect()
+    }
+    assert again == stored
