@@ -9325,6 +9325,56 @@ def embedding_moment_drift(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_moment_drift",
+    """
+    WITH x AS (SELECT vec_id % 2 AS side, i - 1 AS dim,
+                      CAST(embedding[i] AS DOUBLE) AS x
+               FROM embeddings,
+                    unnest(generate_series(1, len(embedding))) AS t(i)
+               WHERE embedding IS NOT NULL),
+    p AS (SELECT side, dim, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(round(x * 1000000, 0) AS BIGINT))
+                      AS BIGINT) AS s1,
+                 CAST(sum(CAST(round(x * x * 1000000000000, 0) AS BIGINT))
+                      AS BIGINT) AS s2
+          FROM x GROUP BY side, dim),
+    m AS (SELECT side, dim,
+                 round(s1 / 1000000.0 / n, 6) AS mu,
+                 round(s2 / 1000000000000.0 / n
+                       - (s1 / 1000000.0 / n) * (s1 / 1000000.0 / n), 6)
+                     AS var
+          FROM p)
+    SELECT r.dim AS dim, r.mu AS mu_ref, c.mu AS mu_cur,
+           r.var AS var_ref, c.var AS var_cur,
+           round((r.mu - c.mu) * (r.mu - c.mu) + r.var + c.var
+                 - 2 * sqrt(r.var * c.var), 6) AS fid_term
+    FROM m r JOIN m c ON r.dim = c.dim AND r.side = 0 AND c.side = 1
+    """,
+)
+def streaming_moment_drift(spark, sf_dir):
+    """STREAMING embedding moment-drift monitor (streaming/stream_ops.py
+    moment_drift_stream): the current split (odd vec_id) arrives as
+    multi-file micro-batches, each folding per-dim EXACT integer
+    partials (n, Σ round(x·10⁶), Σ round(x²·10¹²)) — integer addition is
+    exact in any merge order, so the audit is micro-batch-boundary-
+    invariant and this quantized SQL is its EXACT oracle. Both sides'
+    moments derive from the same quantized-sum formula; the diagonal-
+    Fréchet epilogue matches embedding_moment_drift (which rounds float
+    avg/var_pop instead — same signal, different additive contract, the
+    streaming_kmeans_drift precedent)."""
+    from empujar_spark.streaming.stream_ops import (
+        moment_drift_stream,
+        read_embeddings_stream,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    cur = read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") % 2 == 1
+    )
+    return moment_drift_stream(cur, emb.filter(F.col("vec_id") % 2 == 0))
+
+
 @q("quantile_drift", _quantile_drift_sql("value"))
 def quantile_drift(spark, sf_dir):
     """Per-quantile location drift (operators/profile.py quantile_drift):

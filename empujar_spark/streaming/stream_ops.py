@@ -1235,3 +1235,108 @@ def contamination_gate_stream(
     out._contam_max_resident = state["max_resident"]  # peak driver rows
     out._contam_spill_dir = state["spill_dir"]  # rmtree after materialize
     return out
+
+
+def moment_drift_stream(
+    cur: DataFrame,
+    ref: DataFrame,
+    vec_col: str = "embedding",
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """STREAMING embedding moment-drift monitor: arrivals drain as
+    micro-batches, each folding per-dimension EXACT integer partials —
+    ``(n, Σ round(x·10⁶), Σ round(x²·10¹²))`` — into the running
+    accumulator; the epilogue derives the same quantized moments from
+    the stored reference in-engine and emits the diagonal-Fréchet term
+    per dimension. The continuous form of
+    operators/profile.py embedding_moment_drift, completing the
+    streaming drift family (PSI watches tabular mass, chi² categorical
+    mix, k-means cluster movement — this watches raw embedding moments
+    between encoder versions, model-FREE).
+
+    Boundary invariance: integer addition is exact in any merge order
+    (the kmeans_drift_stream / token JS-divergence partial rule), so
+    the accumulated (n, S1, S2) triple is identical however the arrival
+    files split — and both sides' moments derive from the SAME
+    quantized-sum formula, making the oracle SQL exact. This is a
+    deliberately DIFFERENT additive contract from the batch operator
+    (which rounds float avg/var_pop after aggregation — same signal,
+    scale-6-identical on well-scaled data): the batch twin's floats are
+    not merge-order-exact, the stream's integers are.
+
+    Scale-12 bound: Σ round(x²·10¹²) overflows bigint past ~9·10⁶ unit-
+    scale rows PER DIMENSION per drain window; production drains roll
+    the accumulator per watermark window (the quality_monitor_stream
+    pattern) long before that. Driver state is dim-count-sized triples.
+
+    Output: (dim, mu_ref, mu_cur, var_ref, var_cur, fid_term), all
+    quantized to 1e-6 — dims the drained stream never produced are
+    absent (no arrivals, nothing to compare)."""
+    spark = cur.sparkSession
+    acc: dict[int, list[int]] = {}
+
+    def partials(df: DataFrame) -> DataFrame:
+        x = F.col("x0").cast("double")
+        return (
+            df.filter(F.col(vec_col).isNotNull())
+            .select(F.posexplode(vec_col).alias("dim0", "x0"))
+            .select(
+                F.col("dim0").cast("bigint").alias("dim"),
+                F.round(x * F.lit(1000000.0), 0).cast("bigint").alias("x6"),
+                F.round(x * x * F.lit(1000000000000.0), 0)
+                .cast("bigint")
+                .alias("xx12"),
+            )
+            .groupBy("dim")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.sum("x6").alias("s1"),
+                F.sum("xx12").alias("s2"),
+            )
+        )
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        for r in partials(batch_df).coalesce(4).collect():
+            slot = acc.setdefault(int(r["dim"]), [0, 0, 0])
+            slot[0] += int(r["n"])
+            slot[1] += int(r["s1"])
+            slot[2] += int(r["s2"])
+
+    q = cur.writeStream.foreachBatch(audit_batch).start()
+    _drain_with_watchdog(q, timeout_s)
+    cur_m = spark.createDataFrame(
+        [(d, n, s1, s2) for d, (n, s1, s2) in sorted(acc.items())],
+        "dim bigint, n bigint, s1 bigint, s2 bigint",
+    )
+
+    def moments(df: DataFrame, pre: str) -> DataFrame:
+        mu_raw = F.col("s1") / F.lit(1000000.0) / F.col("n")
+        var_raw = (
+            F.col("s2") / F.lit(1000000000000.0) / F.col("n")
+            - mu_raw * mu_raw
+        )
+        return df.select(
+            "dim",
+            F.round(mu_raw, 6).alias(f"mu_{pre}"),
+            F.round(var_raw, 6).alias(f"var_{pre}"),
+        )
+
+    ref_m = moments(partials(ref), "ref")
+    mu_d = F.col("mu_ref") - F.col("mu_cur")
+    return (
+        ref_m.join(moments(cur_m, "cur"), "dim")
+        .select(
+            "dim",
+            "mu_ref",
+            "mu_cur",
+            "var_ref",
+            "var_cur",
+            F.round(
+                mu_d * mu_d
+                + F.col("var_ref")
+                + F.col("var_cur")
+                - F.lit(2.0) * F.sqrt(F.col("var_ref") * F.col("var_cur")),
+                6,
+            ).alias("fid_term"),
+        )
+    )

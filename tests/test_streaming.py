@@ -782,3 +782,34 @@ def test_contamination_gate_stream_spill_regime_bounds_driver_rows(spark,
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, twin.collect())
     )
+
+
+def test_moment_drift_stream_multibatch_and_scale6_agreement(spark):
+    """The streaming moment monitor must drain in real multiple
+    micro-batches, equal its quantized batch formula bit for bit
+    (integer partials are merge-order-exact), and agree with the float
+    batch operator embedding_moment_drift to the 1e-6 grid on
+    well-scaled data (same signal, different additive contract)."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import profile as P
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    ref = emb.filter(F.col("vec_id") % 2 == 0)
+    cur_b = emb.filter(F.col("vec_id") % 2 == 1)
+    stream = SO.read_embeddings_stream(spark, sf).filter(
+        F.col("vec_id") % 2 == 1
+    )
+    out = SO.moment_drift_stream(stream, ref)
+    rows = {r.dim: r for r in out.collect()}
+    assert rows
+    # float-batch agreement on the 1e-6 grid (values are unit-scale)
+    batch = {r.dim: r for r in P.embedding_moment_drift(ref, cur_b).collect()}
+    assert set(rows) == set(batch)
+    for d, r in rows.items():
+        b = batch[d]
+        assert abs(r.mu_cur - b.mu_cur) <= 2e-6, d
+        assert abs(r.var_cur - b.var_cur) <= 2e-6, d
+        assert abs(r.fid_term - b.fid_term) <= 5e-6, d
