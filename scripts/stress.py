@@ -582,6 +582,33 @@ def main() -> None:
                     emb.filter(F.col("vec_id") % 2 == 1),
                 )
             ),
+            # Streaming moment drift (r14): fixed arrival stream vs ×f
+            # stored reference — per-batch work is the posexplode +
+            # dim-row fold and never touches the reference; only the
+            # one-time reference moment scan grows
+            "moment_stream": lambda: noop(
+                SO.moment_drift_stream(
+                    SO.read_embeddings_stream(spark, SF_DIR).filter(
+                        F.col("vec_id") % 2 == 1
+                    ),
+                    emb.filter(F.col("vec_id") % 2 == 0),
+                )
+            ),
+            # Composed per-segment report (r14): six scans however many
+            # slices — inherits its parts' signal-sized-shuffle shapes
+            "report_sliced": lambda: noop(
+                P.drift_report_sliced(
+                    ev.filter(F.col("event_id") % 2 == 0).withColumn(
+                        "shard", F.col("user_id") % 4
+                    ),
+                    ev.filter(F.col("event_id") % 2 == 1).withColumn(
+                        "shard", F.col("user_id") % 4
+                    ),
+                    "value",
+                    "event_type",
+                    "shard",
+                )
+            ),
             # Mini-batch model maintenance (VERDICT r13 item 7): ×f
             # arrival batch folds into the FIXED stored k=8 model — one
             # codegen assignment map + posexplode/groupBy combining to
