@@ -17,13 +17,18 @@ glob-and-call-every-export contract as books/etl):
 2. chapters/curate/score_filter.py (priority 200): single-scan quality +
    language-ID + repetition signals → filter chain → documents_curated
    (one scan, zero joins — the curated_corpus plan shape).
-3. chapters/dedup/spans.py         (priority 300): C4-style span-level
+3. chapters/decontam/benchmark.py  (priority 250): benchmark
+   decontamination — curated docs sharing any exact normalized 8-gram
+   with the doc_id % 97 benchmark slice drop before span-dedup (so a
+   leak can't claim span first-occurrence); the positional rate audit
+   persists to contamination_audit.
+4. chapters/dedup/spans.py         (priority 300): C4-style span-level
    exact dedup over the curated set → documents_clean (cleaned text +
    span stats).
-4. chapters/pack/sequences.py      (priority 400): deterministic
+5. chapters/pack/sequences.py      (priority 400): deterministic
    stratified split + concat-and-chunk sequence packing of the train
    split → train_sequences.
-5. chapters/validate/checks.py     (priority 500): declarative
+6. chapters/validate/checks.py     (priority 500): declarative
    data-quality gate (operators/quality.py) — audit rows persist to
    quality_audit and ANY violation fail-fasts the book (the
    reference's error contract), so bad output never publishes.

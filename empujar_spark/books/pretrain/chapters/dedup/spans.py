@@ -1,10 +1,13 @@
 """DEDUP chapter (priority 300): C4-style span-level exact dedup over
-the curated set → documents_clean.
+the DECONTAMINATED set → documents_clean.
 
 Two high-cardinality-key shuffles (span value, doc_id), zero joins —
 operators/dedup.py segment_dedup. Cross-document exact duplicates were
-already dropped at ingest; this pass removes repeated SPANS (boilerplate,
-quoted passages) while keeping one occurrence corpus-wide.
+already dropped at ingest, benchmark-contaminated docs at decontam
+(priority 250 — ordering matters: a contaminated doc must not claim
+first-occurrence of a span a clean doc also carries); this pass removes
+repeated SPANS (boilerplate, quoted passages) while keeping one
+occurrence corpus-wide.
 """
 
 
@@ -15,7 +18,7 @@ def chapter_loader(book):
     wh = book.destination
 
     def dedup_spans():
-        curated = wh.read("documents_curated")
+        curated = wh.read("documents_decontam")
         clean = segment_dedup(curated, seg_tokens=5)
         meta = curated.select("doc_id", "source", "lang_pred")
         wh.insert_data(

@@ -6087,8 +6087,23 @@ def etl_pipeline_summary(spark, sf_dir):
         AND qy.alpha_ratio >= 0.5
         AND rep.frac_dup_ngrams <= 0.9
         AND lang.lang_pred <> 'und'),
+    evg AS (SELECT DISTINCT array_to_string(tt[i : i + 7], ' ') AS gram
+            FROM (SELECT regexp_split_to_array(trim(lower(text)), '\s+')
+                         AS tt
+                  FROM documents WHERE doc_id % 97 = 0) b,
+                 unnest(generate_series(1, len(tt) - 7)) AS u(i)
+            WHERE len(tt) >= 8),
+    cg AS (SELECT doc_id, array_to_string(tt[i : i + 7], ' ') AS gram
+           FROM (SELECT doc_id,
+                        regexp_split_to_array(trim(lower(text)), '\s+') AS tt
+                 FROM cur) ctk,
+                unnest(generate_series(1, len(tt) - 7)) AS u(i)
+           WHERE len(tt) >= 8),
+    contam AS (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (gram)),
+    decon AS (SELECT cur.* FROM cur
+              WHERE cur.doc_id NOT IN (SELECT doc_id FROM contam)),
     t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
-          FROM cur WHERE coalesce(trim(text), '') <> ''),
+          FROM decon WHERE coalesce(trim(text), '') <> ''),
     s AS (
       SELECT doc_id,
              unnest(range(CAST(ceil(len(toks) / 5.0) AS BIGINT))) AS seg_idx,
@@ -6132,6 +6147,9 @@ def etl_pipeline_summary(spark, sf_dir):
     SELECT 'table', 'documents_curated', CAST(count(*) AS BIGINT),
            CAST(sum(n_tokens) AS BIGINT) FROM cur
     UNION ALL
+    SELECT 'table', 'documents_decontam', CAST(count(*) AS BIGINT),
+           CAST(sum(n_tokens) AS BIGINT) FROM decon
+    UNION ALL
     SELECT 'table', 'documents_clean', CAST(count(*) AS BIGINT),
            CAST(sum(n_kept) AS BIGINT) FROM clean
     UNION ALL
@@ -6145,13 +6163,15 @@ def etl_pipeline_summary(spark, sf_dir):
 def pretrain_pipeline_summary(spark, sf_dir):
     """Driver-checkable summary of the PRETRAIN book's FINAL warehouse
     state (VERDICT r7 item 3): runs books/pretrain end-to-end — content
-    -dedup ingest → curate filter chain → C4-style span dedup →
-    stratified split + sequence packing → quality gate (the fail-fast
-    error contract of lib/book.js) — into a scratch warehouse, then pins
-    table row counts, token totals, and the per-shard packing layout
-    (doc counts, token sums, sequence counts, max seq_id). The oracle
-    unrolls the full five-chapter composition in SQL from the raw
-    documents parquet. All metrics BIGINT → exact hash compare; the
+    -dedup ingest → curate filter chain → benchmark decontamination
+    (r14: 8-gram collision vs the doc_id % 97 slice, contaminated docs
+    dropped BEFORE span dedup so they cannot claim first-occurrence) →
+    C4-style span dedup → stratified split + sequence packing → quality
+    gate (the fail-fast error contract of lib/book.js) — into a scratch
+    warehouse, then pins table row counts, token totals, and the
+    per-shard packing layout (doc counts, token sums, sequence counts,
+    max seq_id). The oracle unrolls the full six-chapter composition in
+    SQL from the raw documents parquet. All metrics BIGINT → exact hash compare; the
     ≤19-row summary is collected once so the scratch warehouse can be
     deleted before returning."""
     import shutil
@@ -6181,6 +6201,7 @@ def pretrain_pipeline_summary(spark, sf_dir):
         parts = [
             table_row("documents", wh.read("documents"), None),
             table_row("documents_curated", wh.read("documents_curated"), "n_tokens"),
+            table_row("documents_decontam", wh.read("documents_decontam"), "n_tokens"),
             table_row("documents_clean", wh.read("documents_clean"), "n_kept"),
             seqs.groupBy("shard").agg(
                 F.count(F.lit(1)).cast("bigint").alias("n"),

@@ -19,6 +19,7 @@ def pre_wh(spark, tmp_path_factory):
 def test_tables_produced(pre_wh):
     assert set(pre_wh.show_tables()) >= {
         "documents", "embeddings", "documents_scored", "documents_curated",
+        "documents_decontam", "contamination_audit",
         "documents_clean", "train_sequences", "empujar",
     }
 
@@ -65,14 +66,16 @@ def test_curated_subset_and_signals(pre_wh):
 
 
 def test_span_dedup_matches_direct_operator(pre_wh):
-    """documents_clean equals segment_dedup run directly on the curated
-    table — the chapter adds orchestration, not semantics."""
+    """documents_clean equals segment_dedup run directly on the
+    DECONTAMINATED table (the span-dedup input since r14 — ordering
+    matters: a contaminated doc must not claim span first-occurrence) —
+    the chapter adds orchestration, not semantics."""
     from empujar_spark.operators.dedup import segment_dedup
 
     direct = {
         r.doc_id: (r.n_segs, r.n_kept, r.clean_text)
         for r in segment_dedup(
-            pre_wh.read("documents_curated"), seg_tokens=5
+            pre_wh.read("documents_decontam"), seg_tokens=5
         ).collect()
     }
     got = {
@@ -153,3 +156,50 @@ def test_ingest_maintains_bloom_admission_index(pre_wh, spark):
         .filter(~F.col("__maybe_seen")).count()
     )
     assert missed == 0
+
+
+def test_decontam_drops_planted_leak_and_audits(spark, tmp_path):
+    """A training doc embedding a benchmark 8-gram must be EXCISED by
+    the decontam chapter (r14): absent from documents_decontam and
+    documents_clean, flagged in contamination_audit with the right
+    positional hit count — while an equally long clean doc survives to
+    packing. Built on a synthetic source dir so the leak is planted, not
+    hoped for."""
+    import os
+    import shutil
+
+    src = str(tmp_path / "source")
+    os.makedirs(src)
+    # embeddings are required by the ingest chapter — reuse the testdata
+    shutil.copyfile(
+        f"{SF}/embeddings.parquet", os.path.join(src, "embeddings.parquet")
+    )
+    bench_text = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "keeps falling on the quiet town all night long"
+    )
+    leak = (
+        "some perfectly normal training text and then the quick brown "
+        "fox jumps over the lazy dog stolen verbatim from the benchmark"
+    )
+    clean = (
+        "another perfectly normal training document about rivers and "
+        "mountains with enough simple english words to pass the filters"
+    )
+    rows = [(0, bench_text, "en", "srcA"),       # doc_id % 97 == 0: benchmark
+            (1, leak, "en", "srcA"),
+            (2, clean, "en", "srcB")]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string"
+    ).withColumn("n_chars", F.length("text")).coalesce(1).write.parquet(
+        os.path.join(src, "documents.parquet")
+    )
+    wh = run_pretrain(spark, src, str(tmp_path / "wh"))
+    decon_ids = {r.doc_id for r in wh.read("documents_decontam").collect()}
+    assert 2 in decon_ids and 1 not in decon_ids and 0 not in decon_ids
+    clean_ids = {r.doc_id for r in wh.read("documents_clean").collect()}
+    assert 1 not in clean_ids and 0 not in clean_ids
+    audit = {r.doc_id: r for r in wh.read("contamination_audit").collect()}
+    assert audit[1].contaminated and audit[1].n_hits >= 1
+    assert audit[0].contaminated and audit[0].hit_rate == 1.0  # self-leak
+    assert not audit[2].contaminated and audit[2].n_grams > 0
