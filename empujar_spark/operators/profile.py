@@ -925,6 +925,7 @@ def quantile_drift(
     cur: DataFrame,
     col: str,
     qs: tuple = (0.25, 0.5, 0.75, 0.99),
+    approx_accuracy: int | None = None,
 ) -> DataFrame:
     """Per-quantile location drift for a numeric feature — the scale/
     shift complement to population_stability (PSI sees mass moving
@@ -935,16 +936,29 @@ def quantile_drift(
     single row explodes to (q, v) and joins on the tiny q spine.
 
     Exact ``percentile`` buffers each side's values in the aggregation
-    state (fine for bounded inputs — the quantiles-entry contract); at
-    unbounded scale swap ``approx_percentile`` in, same plan shape.
+    state (fine for bounded inputs — the quantiles-entry contract). At
+    unbounded scale pass ``approx_accuracy`` (e.g. 10_000): the same
+    plan shape runs on ``approx_percentile`` — a Greenwald-Khanna-style
+    mergeable sketch whose state is O(accuracy · log n) per side
+    instead of all values, with rank error ≤ 1/accuracy (delta error
+    bounded by the value spread across that rank band; agreement with
+    the exact form is pinned in tests). Approximate → rows-only for the
+    driver gate; the exact default stays the oracle-paired form.
 
     Output: (q, v_ref, v_cur, delta), delta = v_cur − v_ref, all
     quantized to 1e-6.
     """
+    def pctl(x, q):
+        if approx_accuracy is not None:
+            return F.approx_percentile(
+                x, F.lit(float(q)), F.lit(int(approx_accuracy))
+            )
+        return F.percentile(x, F.lit(float(q)))
+
     def side(df: DataFrame, name: str) -> DataFrame:
         aggs = [
             F.round(
-                F.percentile(F.col(col).cast("double"), F.lit(float(q))), 6
+                pctl(F.col(col).cast("double"), q), 6
             ).alias(f"__{name}_{i}")
             for i, q in enumerate(qs)
         ]

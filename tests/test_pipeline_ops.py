@@ -1123,3 +1123,34 @@ def test_drift_report_sliced_composes_component_stats(spark):
         assert rep[("chi2", s)] == pytest.approx(v, abs=2e-6), s
     for s, v in qmx.items():
         assert rep[("quantile_max_shift", s)] == pytest.approx(v, abs=2e-6), s
+
+
+def test_quantile_drift_approx_path_agrees_with_exact(spark):
+    """The unbounded-scale path (approx_percentile sketch, r14) must
+    agree with the exact default within the rank-error bound on real
+    data — the claim the exact operator's docstring makes concrete."""
+    from empujar_spark.plans.corpus import load
+
+    ev = load(spark, SF, "events")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    exact = {r.q: r for r in P.quantile_drift(ref, cur, "value").collect()}
+    approx = {
+        r.q: r
+        for r in P.quantile_drift(
+            ref, cur, "value", approx_accuracy=10_000
+        ).collect()
+    }
+    assert set(exact) == set(approx)
+    spread = (
+        ev.agg(
+            (F.max("value") - F.min("value")).cast("double")
+        ).first()[0]
+    )
+    for q, e in exact.items():
+        a = approx[q]
+        # rank error 1e-4 of ~n rows -> value error well under 1% of
+        # the spread on this distribution
+        assert abs(a.v_ref - e.v_ref) <= 0.01 * spread, q
+        assert abs(a.v_cur - e.v_cur) <= 0.01 * spread, q
+        assert abs(a.delta - e.delta) <= 0.02 * spread, q
