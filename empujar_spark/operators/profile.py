@@ -294,14 +294,15 @@ def population_stability(
 
 
 def psi_terms_from_counts(
-    counts: DataFrame, n_bins: int, by: str | None = None
+    counts: DataFrame, n_bins: int, by: str | list[str] | None = None
 ) -> DataFrame:
     """The PSI epilogue over an already-binned (bin, n_ref, n_cur)
     frame — shared by the batch operator, the streaming monitor
-    (streaming/stream_ops.py psi_drift_stream), and the sliced variant
-    (``by="slice"`` partitions the smoothing totals per slice), so every
-    caller computes bit-identical smoothed/quantized terms."""
-    lead = [by] if by else []
+    (streaming/stream_ops.py psi_drift_stream), the sliced variant
+    (``by="slice"`` partitions the smoothing totals per slice), and the
+    multi×sliced form (``by=["feature", "slice"]``), so every caller
+    computes bit-identical smoothed/quantized terms."""
+    lead = ([by] if isinstance(by, str) else list(by)) if by else []
     w = Window.partitionBy(*lead)
     p = F.round(
         (F.col("n_ref") + F.lit(1.0))
@@ -687,6 +688,106 @@ def chi_square_drift_multi(
         .fillna(0, subset=["n_ref", "n_cur"])
     )
     return chi2_terms_from_counts(counts, by="feature")
+
+
+def population_stability_sliced_multi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    slice_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI for MANY features WITHIN every slice, in a CONSTANT number of
+    scans — the full production monitor shape (F monitored features ×
+    S segments; the per-call composition costs 3 scans per feature).
+    Both tricks compose: the feature axis unpivots onto the rows (the
+    population_stability_multi melt) WITH the slice key riding along,
+    ranges freeze per (feature, slice) on the reference (one scan → an
+    F×S-row checkpointed range table both sides' binning joins), one
+    groupBy(feature, slice, bin) count per side with map-side combine,
+    and the shared epilogue smooths PARTITION BY (feature, slice).
+    Three scans total for ANY F and S; nothing shuffled wider than
+    F × S × n_bins rows.
+
+    Per-(feature, slice) results are bit-identical to
+    population_stability_sliced on that feature (pinned in tests),
+    which is itself pinned to the single-column operator — one
+    equality chain for the whole family. (Feature, slice) pairs with no
+    reference rows drop (no frozen binning — the sliced drop rule;
+    all-NULL-reference features drop the same way).
+
+    Output: (feature, slice, bin, n_ref, n_cur, p_ref, q_cur,
+    psi_term); PSI per signal = sum(psi_term) within the
+    (feature, slice) block."""
+    def melt(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(slice_col).cast("string").alias("slice"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("feature"),
+                                F.col(c).cast("double").alias("x"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("m"),
+            )
+            .select("slice", "m.feature", "m.x")
+            .filter(F.col("x").isNotNull() & F.col("slice").isNotNull())
+        )
+
+    rng = (
+        melt(ref)
+        .groupBy("feature", "slice")
+        .agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+        # materialize once: both sides' binning joins reference it (the
+        # population_stability_multi/sliced rule)
+        .localCheckpoint(eager=True)
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(float(n_bins))
+    bin_ = F.when(width == 0.0, F.lit(0).cast("bigint")).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((F.col("x") - F.col("lo")) / width).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+            F.lit(n_bins - 1).cast("bigint"),
+        )
+    )
+
+    def side_counts(df: DataFrame, name: str) -> DataFrame:
+        return (
+            melt(df)
+            .join(F.broadcast(rng), ["feature", "slice"])
+            .select("feature", "slice", bin_.alias("bin"))
+            .groupBy("feature", "slice", "bin")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+        )
+
+    spine = rng.select(
+        "feature",
+        "slice",
+        F.explode(
+            F.array(*[F.lit(b).cast("bigint") for b in range(n_bins)])
+        ).alias("bin"),
+    )
+    counts = (
+        spine.join(
+            F.broadcast(side_counts(ref, "n_ref")),
+            ["feature", "slice", "bin"],
+            "left",
+        )
+        .join(
+            F.broadcast(side_counts(cur, "n_cur")),
+            ["feature", "slice", "bin"],
+            "left",
+        )
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    return psi_terms_from_counts(counts, n_bins, by=["feature", "slice"])
 
 
 def chi_square_drift_sliced(

@@ -9889,6 +9889,77 @@ def drift_report_sliced(spark, sf_dir):
     )
 
 
+def _psi_sliced_leg_sql(col: str) -> str:
+    """One feature's per-slice PSI block (event_id % 2 split, event_type
+    slices) — the psi_sliced_multi oracle composes one per feature."""
+    return f"""
+    SELECT '{col}' AS feature, slice, bin, n_ref, n_cur, p_ref, q_cur,
+           round((p_ref - q_cur) * ln(p_ref / q_cur), 6) AS psi_term
+    FROM (
+      WITH v AS (SELECT event_id % 2 AS side,
+                        CAST(event_type AS VARCHAR) AS slice,
+                        CAST({col} AS DOUBLE) AS x
+                 FROM events
+                 WHERE {col} IS NOT NULL AND event_type IS NOT NULL),
+      rng AS (SELECT slice, CAST(min(x) AS DOUBLE) AS lo,
+                     CAST(max(x) AS DOUBLE) AS hi
+              FROM v WHERE side = 0 GROUP BY slice),
+      b AS (SELECT side, v.slice,
+                   CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
+                        ELSE least(greatest(
+                               CAST(floor((x - lo) / ((hi - lo) / 10.0))
+                                    AS BIGINT), 0), 9) END AS bin
+            FROM v JOIN rng ON v.slice = rng.slice),
+      spine AS (SELECT slice, unnest(generate_series(0, 9)) AS bin
+                FROM rng),
+      cr AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b
+             WHERE side = 0 GROUP BY slice, bin),
+      cc AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b
+             WHERE side = 1 GROUP BY slice, bin),
+      counts AS (SELECT spine.slice, spine.bin,
+                        COALESCE(cr.n, 0) AS n_ref,
+                        COALESCE(cc.n, 0) AS n_cur
+                 FROM spine
+                 LEFT JOIN cr ON spine.slice = cr.slice
+                             AND spine.bin = cr.bin
+                 LEFT JOIN cc ON spine.slice = cc.slice
+                             AND spine.bin = cc.bin)
+      SELECT slice, bin, n_ref, n_cur,
+             round((n_ref + 1.0)
+                   / (sum(n_ref) OVER (PARTITION BY slice) + 10.0), 6)
+                 AS p_ref,
+             round((n_cur + 1.0)
+                   / (sum(n_cur) OVER (PARTITION BY slice) + 10.0), 6)
+                 AS q_cur
+      FROM counts) pq_{col}
+    """
+
+
+@q(
+    "psi_sliced_multi",
+    " UNION ALL ".join(
+        _psi_sliced_leg_sql(c) for c in ("user_id", "value")
+    ),
+)
+def psi_sliced_multi(spark, sf_dir):
+    """Multi-feature × per-slice PSI in a CONSTANT 3 scans
+    (operators/profile.py population_stability_sliced_multi): both
+    monitored numeric features drift-checked WITHIN every event_type
+    segment in one pass — the full production monitor shape (the
+    per-call composition costs 3 scans PER feature). The feature melt
+    and the per-slice frozen ranges compose; smoothing partitions by
+    (feature, slice). Per-signal results bit-identical to
+    population_stability_sliced per feature (pinned in tests). The
+    oracle unions one sliced block per feature."""
+    ev = load(spark, sf_dir, "events")
+    return P.population_stability_sliced_multi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+        "event_type",
+    )
+
+
 @q("drift_monitor_summary", CORPUS["drift_report"].sql)
 def drift_monitor_summary(spark, sf_dir):
     """Driver-checkable gate for the MONITOR book (books/monitor): runs

@@ -545,6 +545,17 @@ def main() -> None:
                     n=8,
                 )
             ),
+            # Multi-feature × sliced PSI (r14): F×S signals in a
+            # constant 3 scans — growth lands on the melted scans, the
+            # shuffle stays F×S×bins rows
+            "psi_sliced_multi": lambda: noop(
+                P.population_stability_sliced_multi(
+                    ev.filter(F.col("event_id") % 2 == 0),
+                    ev.filter(F.col("event_id") % 2 == 1),
+                    ["user_id", "value"],
+                    "event_type",
+                )
+            ),
             # Sliced drift triad over ×f events (r14): both sides grow
             # ×f, the shuffle stays SIGNAL-sized (slices × categories /
             # slices × quantile-state / dims), so the curve should track

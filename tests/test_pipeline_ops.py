@@ -1154,3 +1154,32 @@ def test_quantile_drift_approx_path_agrees_with_exact(spark):
         assert abs(a.v_ref - e.v_ref) <= 0.01 * spread, q
         assert abs(a.v_cur - e.v_cur) <= 0.01 * spread, q
         assert abs(a.delta - e.delta) <= 0.02 * spread, q
+
+
+def test_psi_sliced_multi_equals_per_feature_sliced(spark):
+    """Every (feature, slice) block of the multi×sliced pass must equal
+    population_stability_sliced on that feature alone — closing the
+    equality chain multi×sliced → sliced → single-column."""
+    import random
+
+    rng = random.Random(41)
+    rows = [(i, str(rng.randint(0, 2)), rng.uniform(0, 100),
+             rng.uniform(-5, 5)) for i in range(700)]
+    df = spark.createDataFrame(rows, "id bigint, seg string, a double, b double")
+    ref, cur = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    multi = P.population_stability_sliced_multi(ref, cur, ["a", "b"], "seg")
+    got = {
+        (r.feature, r.slice, r.bin):
+            (r.n_ref, r.n_cur, r.p_ref, r.q_cur, r.psi_term)
+        for r in multi.collect()
+    }
+    for c in ("a", "b"):
+        single = {
+            (c, r.slice, r.bin):
+                (r.n_ref, r.n_cur, r.p_ref, r.q_cur, r.psi_term)
+            for r in P.population_stability_sliced(
+                ref, cur, c, "seg"
+            ).collect()
+        }
+        sub = {k: v for k, v in got.items() if k[0] == c}
+        assert sub == single, c

@@ -818,3 +818,15 @@ def test_embedding_moment_drift_two_scans(spark):
     plan = plan_of(spark, "embedding_moment_drift")
     assert plan.count("Scan parquet") == 2, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_psi_sliced_multi_constant_scans(spark):
+    """F features × S slices in a constant number of scans: one melted
+    count pass per side in the plan (the range pass materialized into
+    the checkpointed F×S-row table at construction), broadcast-joined —
+    never a per-feature loop or a corpus-wide merge join."""
+    plan = plan_of(spark, "psi_sliced_multi")
+    assert plan.count("Scan parquet") == 2, plan
+    assert "Scan ExistingRDD" in plan, plan  # the checkpointed ranges
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan, plan
