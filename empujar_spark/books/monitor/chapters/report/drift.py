@@ -52,12 +52,14 @@ def chapter_loader(book):
         rep = P.drift_report_sliced(
             ref.select("*", slice_expr),
             cur.select("*", slice_expr),
-            numeric_col=NUMERIC_COLS[-1],
-            categorical_col=CATEGORICAL_COLS[0],
+            numeric_cols=NUMERIC_COLS,
+            categorical_cols=CATEGORICAL_COLS,
             slice_col=SLICE_COL,
         ).select(
-            F.concat_ws(":", "check_name", "slice").alias("signal"),
+            F.concat_ws(":", "check_name", "feature", "slice")
+            .alias("signal"),
             "check_name",
+            "feature",
             "slice",
             "stat",
         )

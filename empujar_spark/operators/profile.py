@@ -610,15 +610,16 @@ def chi_square_drift(
 
 
 def chi2_terms_from_counts(
-    counts: DataFrame, by: str | None = None
+    counts: DataFrame, by: str | list[str] | None = None
 ) -> DataFrame:
     """The chi-square epilogue over an already-counted (category, n_ref,
     n_cur) frame — shared by the batch operator, the streaming monitor
-    (streaming/stream_ops.py chi2_drift_stream), and the multi-feature
+    (streaming/stream_ops.py chi2_drift_stream), the multi-feature
     variant (``by="feature"`` partitions the smoothing totals per
-    feature), so every caller computes bit-identical smoothed expected
-    counts and terms."""
-    lead = [by] if by else []
+    feature), the sliced variant (``by="slice"``) and the multi×sliced
+    form (``by=["feature", "slice"]``), so every caller computes
+    bit-identical smoothed expected counts and terms."""
+    lead = ([by] if isinstance(by, str) else list(by)) if by else []
     w = Window.partitionBy(*lead)
     n_ref_tot = F.sum("n_ref").over(w)
     n_cur_tot = F.sum("n_cur").over(w)
@@ -841,6 +842,130 @@ def chi_square_drift_sliced(
         .fillna(0, subset=["n_ref", "n_cur"])
     )
     return chi2_terms_from_counts(counts, by="slice")
+
+
+def chi_square_drift_sliced_multi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    slice_col: str,
+) -> DataFrame:
+    """Chi-square drift for MANY categorical features WITHIN every slice
+    in TWO scans — the psi_sliced_multi composition applied to
+    categoricals: the feature axis unpivots onto the rows with the
+    slice key riding along, one groupBy(feature, slice, category) per
+    side with map-side combine, a signal-sized full-outer merge, and
+    the shared epilogue smoothing PARTITION BY (feature, slice).
+    Per-(feature, slice) results bit-identical to
+    chi_square_drift_sliced per feature (pinned in tests). One-sided
+    (feature, slice) groups stay visible — the chi2_sliced new-segment
+    rule.
+
+    Output: (feature, slice, category, n_ref, n_cur, e_cur,
+    chi2_term); per-signal statistic = sum within the (feature, slice)
+    block, dof = K_{feature,slice} − 1."""
+    def side(df: DataFrame, name: str) -> DataFrame:
+        melted = (
+            df.select(
+                F.col(slice_col).cast("string").alias("slice"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("feature"),
+                                F.col(c).cast("string").alias("category"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("m"),
+            )
+            .select("slice", "m.feature", "m.category")
+            .filter(
+                F.col("category").isNotNull() & F.col("slice").isNotNull()
+            )
+        )
+        return melted.groupBy("feature", "slice", "category").agg(
+            F.count(F.lit(1)).cast("bigint").alias(name)
+        )
+
+    counts = (
+        side(ref, "n_ref")
+        .join(
+            side(cur, "n_cur"),
+            ["feature", "slice", "category"],
+            "full_outer",
+        )
+        .fillna(0, subset=["n_ref", "n_cur"])
+    )
+    return chi2_terms_from_counts(counts, by=["feature", "slice"])
+
+
+def quantile_drift_sliced_multi(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    slice_col: str,
+    qs: tuple = (0.25, 0.5, 0.75, 0.99),
+) -> DataFrame:
+    """Per-quantile location drift for MANY features WITHIN every slice
+    in TWO scans: one groupBy(slice) aggregate per side computes every
+    (feature, quantile) percentile in the same pass (the
+    quantile_drift_multi trick with the slice key as the group), the
+    per-slice row explodes onto the feature×q spine, and the two
+    signal-sized frames join on (feature, slice, q). One-sided slices
+    drop (a delta needs both sides — the quantile_drift_sliced rule).
+
+    Output: (feature, slice, q, v_ref, v_cur, delta), 1e-6-quantized;
+    per-(feature, slice) results bit-identical to quantile_drift_sliced
+    per feature (pinned in tests)."""
+    def side(df: DataFrame, name: str) -> DataFrame:
+        prep = df.select(
+            F.col(slice_col).cast("string").alias("slice"),
+            *[F.col(c).cast("double").alias(f"__x_{i}")
+              for i, c in enumerate(cols)],
+        ).filter(F.col("slice").isNotNull())
+        aggs = [
+            F.round(
+                F.percentile(F.col(f"__x_{i}"), F.lit(float(q))), 6
+            ).alias(f"__{name}_{i}_{j}")
+            for i, _c in enumerate(cols)
+            for j, q in enumerate(qs)
+        ]
+        return prep.groupBy("slice").agg(*aggs).select(
+            "slice",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(c).alias("feature"),
+                            F.lit(float(q)).alias("q"),
+                            F.col(f"__{name}_{i}_{j}").alias(name),
+                        )
+                        for i, c in enumerate(cols)
+                        for j, q in enumerate(qs)
+                    ]
+                )
+            ).alias("s"),
+        ).select("slice", "s.*").filter(
+            # a feature all-NULL within a slice has no percentile: drop
+            # that (feature, slice) leg, matching the single-feature
+            # sliced operator (whose per-feature prep drops the slice)
+            F.col(name).isNotNull()
+        )
+
+    return (
+        side(ref, "v_ref")
+        .join(side(cur, "v_cur"), ["feature", "slice", "q"])
+        .select(
+            "feature",
+            "slice",
+            "q",
+            "v_ref",
+            "v_cur",
+            F.round(F.col("v_cur") - F.col("v_ref"), 6).alias("delta"),
+        )
+    )
 
 
 def quantile_drift_multi(
@@ -1154,52 +1279,60 @@ def drift_report(
 def drift_report_sliced(
     ref: DataFrame,
     cur: DataFrame,
-    numeric_col: str,
-    categorical_col: str,
+    numeric_cols: list[str],
+    categorical_cols: list[str],
     slice_col: str,
     n_bins: int = 10,
 ) -> DataFrame:
-    """The PER-SEGMENT drift report: the sliced triad composed into one
-    (check_name, slice, stat) table — the companion drift_report writes
-    when aggregate signals read clean but a segment may have moved (the
-    failure every sliced operator exists to close; run it on the
-    slicing axes that matter operationally — source, tenant, language):
+    """The PER-SEGMENT drift report: every monitored feature × every
+    segment, reduced to one (check_name, feature, slice, stat) row —
+    the companion drift_report writes when aggregate signals read clean
+    but a segment may have moved (the failure every sliced operator
+    exists to close; run it on the slicing axes that matter
+    operationally — source, tenant, language):
 
-    - ``psi``: per slice, total PSI of ``numeric_col`` within the slice
-      (population_stability_sliced — slices absent from the reference
-      drop, its documented rule).
-    - ``chi2``: per slice, the total chi-square of ``categorical_col``'s
-      mix within the slice (chi_square_drift_sliced — one-sided slices
-      stay visible with finite smoothed terms).
-    - ``quantile_max_shift``: per slice, the largest absolute
-      per-quantile move of ``numeric_col`` (quantile_drift_sliced —
+    - ``psi``: per (feature, slice), total PSI within the slice
+      (population_stability_sliced_multi — (feature, slice) pairs
+      absent from the reference drop, the sliced rule).
+    - ``chi2``: per (feature, slice), the total chi-square of the
+      feature's category mix within the slice
+      (chi_square_drift_sliced_multi — one-sided groups stay visible).
+    - ``quantile_max_shift``: per (feature, slice), the largest
+      absolute per-quantile move (quantile_drift_sliced_multi —
       one-sided slices drop, a delta needs both sides).
 
-    Six scans total however many slices exist (2 per leg; each leg's
-    shuffle is signal-sized), and per-slice statistics are bit-identical
-    to the single-slice operators, so the component entries' oracle SQL
-    composes into this report's exact oracle — the same contract as
-    drift_report."""
+    Every leg is the multi×sliced form, so the WHOLE report costs a
+    CONSTANT seven scans (3 PSI + 2 chi2 + 2 quantile) however many
+    features OR slices are monitored — the same scan bill as the
+    aggregate drift_report; per-signal statistics are bit-identical to
+    the single-feature sliced operators (each multi variant pins that),
+    so the component oracle SQL composes into this report's exact
+    oracle."""
     psi = (
-        population_stability_sliced(
-            ref, cur, numeric_col, slice_col, n_bins=n_bins
+        population_stability_sliced_multi(
+            ref, cur, numeric_cols, slice_col, n_bins=n_bins
         )
-        .groupBy("slice")
+        .groupBy("feature", "slice")
         .agg(F.round(F.sum("psi_term"), 6).alias("stat"))
-        .select(F.lit("psi").alias("check_name"), "slice", "stat")
+        .select(
+            F.lit("psi").alias("check_name"), "feature", "slice", "stat"
+        )
     )
     chi = (
-        chi_square_drift_sliced(ref, cur, categorical_col, slice_col)
-        .groupBy("slice")
+        chi_square_drift_sliced_multi(ref, cur, categorical_cols, slice_col)
+        .groupBy("feature", "slice")
         .agg(F.round(F.sum("chi2_term"), 6).alias("stat"))
-        .select(F.lit("chi2").alias("check_name"), "slice", "stat")
+        .select(
+            F.lit("chi2").alias("check_name"), "feature", "slice", "stat"
+        )
     )
     qd = (
-        quantile_drift_sliced(ref, cur, numeric_col, slice_col)
-        .groupBy("slice")
+        quantile_drift_sliced_multi(ref, cur, numeric_cols, slice_col)
+        .groupBy("feature", "slice")
         .agg(F.round(F.max(F.abs(F.col("delta"))), 6).alias("stat"))
         .select(
             F.lit("quantile_max_shift").alias("check_name"),
+            "feature",
             "slice",
             "stat",
         )

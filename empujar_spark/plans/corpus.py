@@ -9798,109 +9798,23 @@ def chi2_sliced(spark, sf_dir):
     )
 
 
-@q(
-    "drift_report_sliced",
-    f"""
-    WITH v1 AS (SELECT event_id % 2 AS side,
-                       CAST(user_id % 4 AS VARCHAR) AS slice,
-                       CAST(value AS DOUBLE) AS x
-                FROM events
-                WHERE value IS NOT NULL AND user_id IS NOT NULL),
-    rng1 AS (SELECT slice, CAST(min(x) AS DOUBLE) AS lo,
-                    CAST(max(x) AS DOUBLE) AS hi
-             FROM v1 WHERE side = 0 GROUP BY slice),
-    b1 AS (SELECT side, v1.slice,
-                  CASE WHEN (hi - lo) / 10.0 = 0 THEN 0
-                       ELSE least(greatest(
-                              CAST(floor((x - lo) / ((hi - lo) / 10.0))
-                                   AS BIGINT), 0), 9) END AS bin
-           FROM v1 JOIN rng1 ON v1.slice = rng1.slice),
-    spine1 AS (SELECT slice, unnest(generate_series(0, 9)) AS bin
-               FROM rng1),
-    cr1 AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b1
-            WHERE side = 0 GROUP BY slice, bin),
-    cc1 AS (SELECT slice, bin, CAST(count(*) AS BIGINT) AS n FROM b1
-            WHERE side = 1 GROUP BY slice, bin),
-    counts1 AS (SELECT spine1.slice, spine1.bin,
-                       COALESCE(cr1.n, 0) AS n_ref,
-                       COALESCE(cc1.n, 0) AS n_cur
-                FROM spine1
-                LEFT JOIN cr1 ON spine1.slice = cr1.slice
-                             AND spine1.bin = cr1.bin
-                LEFT JOIN cc1 ON spine1.slice = cc1.slice
-                             AND spine1.bin = cc1.bin),
-    pq1 AS (SELECT slice, n_ref, n_cur,
-                   round((n_ref + 1.0)
-                         / (sum(n_ref) OVER (PARTITION BY slice) + 10.0),
-                         6) AS p_ref,
-                   round((n_cur + 1.0)
-                         / (sum(n_cur) OVER (PARTITION BY slice) + 10.0),
-                         6) AS q_cur
-            FROM counts1),
-    qr AS (SELECT slice,
-                  round(quantile_cont(x, 0.25), 6) AS q25,
-                  round(quantile_cont(x, 0.50), 6) AS q50,
-                  round(quantile_cont(x, 0.75), 6) AS q75,
-                  round(quantile_cont(x, 0.99), 6) AS q99
-           FROM v1 WHERE side = 0 GROUP BY slice),
-    qc AS (SELECT slice,
-                  round(quantile_cont(x, 0.25), 6) AS q25,
-                  round(quantile_cont(x, 0.50), 6) AS q50,
-                  round(quantile_cont(x, 0.75), 6) AS q75,
-                  round(quantile_cont(x, 0.99), 6) AS q99
-           FROM v1 WHERE side = 1 GROUP BY slice),
-    qdel AS (SELECT qr.slice AS slice,
-                    greatest(abs(round(qc.q25 - qr.q25, 6)),
-                             abs(round(qc.q50 - qr.q50, 6)),
-                             abs(round(qc.q75 - qr.q75, 6)),
-                             abs(round(qc.q99 - qr.q99, 6))) AS mx
-             FROM qr JOIN qc ON qr.slice = qc.slice)
-    SELECT 'psi' AS check_name, slice,
-           round(sum(round((p_ref - q_cur) * ln(p_ref / q_cur), 6)), 6)
-               AS stat
-    FROM pq1 GROUP BY slice
-    UNION ALL
-    SELECT 'chi2', slice, round(sum(chi2_term), 6)
-    FROM ({CORPUS["chi2_sliced"].sql}) chi_s GROUP BY slice
-    UNION ALL
-    SELECT 'quantile_max_shift', slice, round(mx, 6) FROM qdel
-    """,
-)
-def drift_report_sliced(spark, sf_dir):
-    """The PER-SEGMENT drift report (operators/profile.py
-    drift_report_sliced): the sliced triad composed into one
-    (check_name, slice, stat) table over the user shard axis (user_id %
-    4) — per-shard PSI and quantile_max_shift of value, per-shard
-    chi-square of the event_type mix — the table a monitor writes when
-    the aggregate drift_report reads clean but a segment may have moved.
-    Six scans however many slices; the chi2 leg's oracle is the
-    chi2_sliced entry's SQL verbatim (component entries compose, the
-    drift_report contract), the psi/quantile legs re-derive the sliced
-    component SQL on the shard axis."""
-    ev = load(spark, sf_dir, "events").withColumn(
-        "shard", F.col("user_id") % 4
-    )
-    return P.drift_report_sliced(
-        ev.filter(F.col("event_id") % 2 == 0),
-        ev.filter(F.col("event_id") % 2 == 1),
-        "value",
-        "event_type",
-        "shard",
-    )
-
-
-def _psi_sliced_leg_sql(col: str) -> str:
-    """One feature's per-slice PSI block (event_id % 2 split, event_type
-    slices) — the psi_sliced_multi oracle composes one per feature."""
+def _psi_sliced_leg_sql(
+    col: str,
+    slice_expr: str = "CAST(event_type AS VARCHAR)",
+    slice_guard: str = "event_type IS NOT NULL",
+) -> str:
+    """One feature's per-slice PSI block (event_id % 2 split, slice
+    axis parameterized — default event_type) — the psi_sliced_multi and
+    drift_report_sliced oracles compose one per feature."""
     return f"""
     SELECT '{col}' AS feature, slice, bin, n_ref, n_cur, p_ref, q_cur,
            round((p_ref - q_cur) * ln(p_ref / q_cur), 6) AS psi_term
     FROM (
       WITH v AS (SELECT event_id % 2 AS side,
-                        CAST(event_type AS VARCHAR) AS slice,
+                        {slice_expr} AS slice,
                         CAST({col} AS DOUBLE) AS x
                  FROM events
-                 WHERE {col} IS NOT NULL AND event_type IS NOT NULL),
+                 WHERE {col} IS NOT NULL AND {slice_guard}),
       rng AS (SELECT slice, CAST(min(x) AS DOUBLE) AS lo,
                      CAST(max(x) AS DOUBLE) AS hi
               FROM v WHERE side = 0 GROUP BY slice),
@@ -9957,6 +9871,185 @@ def psi_sliced_multi(spark, sf_dir):
         ev.filter(F.col("event_id") % 2 == 1),
         ["user_id", "value"],
         "event_type",
+    )
+
+
+def _chi2_sliced_leg_sql(
+    feature: str,
+    cat_expr: str,
+    slice_expr: str = "CAST(user_id % 4 AS VARCHAR)",
+    slice_guard: str = "user_id IS NOT NULL",
+) -> str:
+    """One categorical feature's per-slice chi-square block (event_id %
+    2 split, slice axis parameterized — default user_id % 4 shards) —
+    the chi2_sliced_multi and drift_report_sliced oracles compose one
+    per feature."""
+    return f"""
+    SELECT '{feature}' AS feature, slice, category, n_ref, n_cur, e_cur,
+           round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6)
+               AS chi2_term
+    FROM (
+      WITH v AS (SELECT event_id % 2 AS side,
+                        {slice_expr} AS slice,
+                        CAST({cat_expr} AS VARCHAR) AS category
+                 FROM events
+                 WHERE ({cat_expr}) IS NOT NULL AND {slice_guard}),
+      cr AS (SELECT slice, category, CAST(count(*) AS BIGINT) AS n FROM v
+             WHERE side = 0 GROUP BY 1, 2),
+      cc AS (SELECT slice, category, CAST(count(*) AS BIGINT) AS n FROM v
+             WHERE side = 1 GROUP BY 1, 2),
+      counts AS (SELECT COALESCE(cr.slice, cc.slice) AS slice,
+                        COALESCE(cr.category, cc.category) AS category,
+                        COALESCE(cr.n, 0) AS n_ref,
+                        COALESCE(cc.n, 0) AS n_cur
+                 FROM cr FULL OUTER JOIN cc
+                   ON cr.slice = cc.slice AND cr.category = cc.category)
+      SELECT slice, category, n_ref, n_cur,
+             round((n_ref + 1.0)
+                   / (sum(n_ref) OVER (PARTITION BY slice)
+                      + count(*) OVER (PARTITION BY slice))
+                   * sum(n_cur) OVER (PARTITION BY slice), 6) AS e_cur
+      FROM counts) e_{feature}
+    """
+
+
+def _quantile_sliced_leg_sql(
+    col: str,
+    slice_expr: str = "CAST(event_type AS VARCHAR)",
+    slice_guard: str = "event_type IS NOT NULL",
+) -> str:
+    """One numeric feature's per-slice quantile-delta block (event_id %
+    2 split, slice axis parameterized — default event_type) — the
+    quantile_sliced_multi and drift_report_sliced oracles compose one
+    per feature."""
+    return f"""
+    SELECT '{col}' AS feature, slice, q, v_ref, v_cur,
+           round(v_cur - v_ref, 6) AS delta
+    FROM (
+      WITH v AS (SELECT event_id % 2 AS side,
+                        {slice_expr} AS slice,
+                        CAST({col} AS DOUBLE) AS x
+                 FROM events
+                 WHERE {col} IS NOT NULL AND {slice_guard}),
+      pr AS (SELECT slice,
+                    round(quantile_cont(x, 0.25), 6) AS q25,
+                    round(quantile_cont(x, 0.50), 6) AS q50,
+                    round(quantile_cont(x, 0.75), 6) AS q75,
+                    round(quantile_cont(x, 0.99), 6) AS q99
+             FROM v WHERE side = 0 GROUP BY slice),
+      pc AS (SELECT slice,
+                    round(quantile_cont(x, 0.25), 6) AS q25,
+                    round(quantile_cont(x, 0.50), 6) AS q50,
+                    round(quantile_cont(x, 0.75), 6) AS q75,
+                    round(quantile_cont(x, 0.99), 6) AS q99
+             FROM v WHERE side = 1 GROUP BY slice)
+      SELECT pr.slice AS slice, CAST(0.25 AS DOUBLE) AS q,
+             pr.q25 AS v_ref, pc.q25 AS v_cur
+      FROM pr JOIN pc ON pr.slice = pc.slice
+      UNION ALL SELECT pr.slice, CAST(0.50 AS DOUBLE), pr.q50, pc.q50
+      FROM pr JOIN pc ON pr.slice = pc.slice
+      UNION ALL SELECT pr.slice, CAST(0.75 AS DOUBLE), pr.q75, pc.q75
+      FROM pr JOIN pc ON pr.slice = pc.slice
+      UNION ALL SELECT pr.slice, CAST(0.99 AS DOUBLE), pr.q99, pc.q99
+      FROM pr JOIN pc ON pr.slice = pc.slice) rows_{col}
+    """
+
+
+@q(
+    "chi2_sliced_multi",
+    " UNION ALL ".join(
+        _chi2_sliced_leg_sql(f, e)
+        for f, e in (("event_type", "event_type"),
+                     ("cohort", "user_id % 3"))
+    ),
+)
+def chi2_sliced_multi(spark, sf_dir):
+    """Multi-feature × per-slice chi-square in TWO scans
+    (operators/profile.py chi_square_drift_sliced_multi): the
+    event_type mix AND a derived user cohort (user_id % 3, a stand-in
+    for any second categorical) drift-checked within every user shard
+    in one melted pass per side — the psi_sliced_multi composition for
+    categoricals. Per-signal results bit-identical to
+    chi_square_drift_sliced per feature (pinned in tests); the oracle
+    unions one sliced block per feature."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "shard", F.col("user_id") % 4
+    ).withColumn("cohort", F.col("user_id") % 3)
+    return P.chi_square_drift_sliced_multi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["event_type", "cohort"],
+        "shard",
+    )
+
+
+@q(
+    "quantile_sliced_multi",
+    " UNION ALL ".join(
+        _quantile_sliced_leg_sql(c) for c in ("user_id", "value")
+    ),
+)
+def quantile_sliced_multi(spark, sf_dir):
+    """Multi-feature × per-slice quantile drift in TWO scans
+    (operators/profile.py quantile_drift_sliced_multi): every
+    (feature, quantile, slice) percentile computes in ONE
+    groupBy(slice) aggregate per side — the quantile_drift_multi trick
+    with the slice as the group key. Per-signal results bit-identical
+    to quantile_drift_sliced per feature (pinned in tests); the oracle
+    unions one sliced block per feature."""
+    ev = load(spark, sf_dir, "events")
+    return P.quantile_drift_sliced_multi(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+        "event_type",
+    )
+
+
+@q(
+    "drift_report_sliced",
+    f"""
+    SELECT 'psi' AS check_name, feature, slice,
+           round(sum(psi_term), 6) AS stat
+    FROM ({" UNION ALL ".join(
+        _psi_sliced_leg_sql(c, "CAST(user_id % 4 AS VARCHAR)",
+                            "user_id IS NOT NULL")
+        for c in ("user_id", "value"))}) psi_legs
+    GROUP BY feature, slice
+    UNION ALL
+    SELECT 'chi2', feature, slice, round(sum(chi2_term), 6)
+    FROM ({_chi2_sliced_leg_sql("event_type", "event_type")}) chi_legs
+    GROUP BY feature, slice
+    UNION ALL
+    SELECT 'quantile_max_shift', feature, slice,
+           round(max(abs(delta)), 6)
+    FROM ({" UNION ALL ".join(
+        _quantile_sliced_leg_sql(c, "CAST(user_id % 4 AS VARCHAR)",
+                                 "user_id IS NOT NULL")
+        for c in ("user_id", "value"))}) qd_legs
+    GROUP BY feature, slice
+    """,
+)
+def drift_report_sliced(spark, sf_dir):
+    """The PER-SEGMENT drift report (operators/profile.py
+    drift_report_sliced): EVERY monitored feature × every user shard
+    (user_id % 4 — a stand-in for per-source/per-tenant slicing) in a
+    constant SEVEN scans, the same scan bill as the aggregate
+    drift_report — per-shard PSI and quantile_max_shift of both numeric
+    features plus per-shard chi-square of the event_type mix, one
+    (check_name, feature, slice, stat) row per signal. Every leg is the
+    multi×sliced form (r14), each pinned bit-identical to its
+    single-feature sliced operator, so the parameterized component leg
+    SQL composes into this report's exact oracle."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    return P.drift_report_sliced(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+        ["event_type"],
+        "shard",
     )
 
 

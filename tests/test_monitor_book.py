@@ -102,19 +102,19 @@ def test_monitor_book_publishes_sliced_report(spark):
     wh = run_monitor(spark, SF, tmp)
     assert "drift_report_sliced" in set(wh.show_tables())
     stored = {
-        (r.check_name, r.slice): r.stat
+        (r.check_name, r.feature, r.slice): r.stat
         for r in wh.read("drift_report_sliced").collect()
     }
     ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
         "shard", F.col("user_id") % 4
     )
     direct = {
-        (r.check_name, r.slice): r.stat
+        (r.check_name, r.feature, r.slice): r.stat
         for r in P.drift_report_sliced(
             ev.filter(F.col("event_id") % 2 == 0),
             ev.filter(F.col("event_id") % 2 == 1),
-            "value",
-            "event_type",
+            ["user_id", "value"],
+            ["event_type"],
             "shard",
         ).collect()
     }
@@ -122,7 +122,7 @@ def test_monitor_book_publishes_sliced_report(spark):
     # rerun idempotent: signals re-merge, nothing doubles
     wh2 = run_monitor(spark, SF, tmp)
     again = {
-        (r.check_name, r.slice): r.stat
+        (r.check_name, r.feature, r.slice): r.stat
         for r in wh2.read("drift_report_sliced").collect()
     }
     assert again == stored

@@ -1106,8 +1106,9 @@ def test_drift_report_sliced_composes_component_stats(spark):
              rng.uniform(0, 100)) for i in range(800)]
     df = spark.createDataFrame(rows, "id bigint, seg string, c string, v double")
     ref, cur = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
-    rep = {(r.check_name, r.slice): r.stat
-           for r in P.drift_report_sliced(ref, cur, "v", "c", "seg").collect()}
+    rep = {(r.check_name, r.feature, r.slice): r.stat
+           for r in P.drift_report_sliced(
+               ref, cur, ["v"], ["c"], "seg").collect()}
     psi = {}
     for r in P.population_stability_sliced(ref, cur, "v", "seg").collect():
         psi[r.slice] = round(psi.get(r.slice, 0.0) + r.psi_term, 9)
@@ -1118,11 +1119,12 @@ def test_drift_report_sliced_composes_component_stats(spark):
     for r in P.quantile_drift_sliced(ref, cur, "v", "seg").collect():
         qmx[r.slice] = max(qmx.get(r.slice, 0.0), abs(r.delta))
     for s, v in psi.items():
-        assert rep[("psi", s)] == pytest.approx(v, abs=2e-6), s
+        assert rep[("psi", "v", s)] == pytest.approx(v, abs=2e-6), s
     for s, v in chi.items():
-        assert rep[("chi2", s)] == pytest.approx(v, abs=2e-6), s
+        assert rep[("chi2", "c", s)] == pytest.approx(v, abs=2e-6), s
     for s, v in qmx.items():
-        assert rep[("quantile_max_shift", s)] == pytest.approx(v, abs=2e-6), s
+        assert rep[("quantile_max_shift", "v", s)] == pytest.approx(
+            v, abs=2e-6), s
 
 
 def test_quantile_drift_approx_path_agrees_with_exact(spark):
@@ -1183,3 +1185,63 @@ def test_psi_sliced_multi_equals_per_feature_sliced(spark):
         }
         sub = {k: v for k, v in got.items() if k[0] == c}
         assert sub == single, c
+
+
+def test_chi2_and_quantile_sliced_multi_equal_per_feature(spark):
+    """The multi×sliced chi-square and quantile forms must equal their
+    single-feature sliced operators per feature — the same equality
+    chain psi_sliced_multi pins for PSI."""
+    import random
+
+    rng = random.Random(53)
+    rows = [(i, str(rng.randint(0, 2)), str(rng.randint(0, 4)),
+             str(rng.randint(0, 1)), rng.uniform(0, 100),
+             rng.uniform(-5, 5)) for i in range(700)]
+    df = spark.createDataFrame(
+        rows, "id bigint, seg string, c1 string, c2 string, a double, b double"
+    )
+    ref, cur = df.filter("id % 2 = 0"), df.filter("id % 2 = 1")
+    chi_m = {
+        (r.feature, r.slice, r.category):
+            (r.n_ref, r.n_cur, r.e_cur, r.chi2_term)
+        for r in P.chi_square_drift_sliced_multi(
+            ref, cur, ["c1", "c2"], "seg"
+        ).collect()
+    }
+    for c in ("c1", "c2"):
+        single = {
+            (c, r.slice, r.category): (r.n_ref, r.n_cur, r.e_cur, r.chi2_term)
+            for r in P.chi_square_drift_sliced(ref, cur, c, "seg").collect()
+        }
+        assert {k: v for k, v in chi_m.items() if k[0] == c} == single, c
+    qd_m = {
+        (r.feature, r.slice, r.q): (r.v_ref, r.v_cur, r.delta)
+        for r in P.quantile_drift_sliced_multi(
+            ref, cur, ["a", "b"], "seg"
+        ).collect()
+    }
+    for c in ("a", "b"):
+        single = {
+            (c, r.slice, r.q): (r.v_ref, r.v_cur, r.delta)
+            for r in P.quantile_drift_sliced(ref, cur, c, "seg").collect()
+        }
+        assert {k: v for k, v in qd_m.items() if k[0] == c} == single, c
+
+
+def test_quantile_sliced_multi_drops_all_null_feature_slice_leg(spark):
+    """A feature entirely NULL within one slice must drop just that
+    (feature, slice) leg — matching the single-feature operator, whose
+    per-feature prep drops the slice."""
+    ref = spark.createDataFrame(
+        [(1, "s1", None, 1.0), (2, "s1", None, 2.0),
+         (3, "s2", 5.0, 3.0), (4, "s2", 6.0, 4.0)],
+        "id bigint, seg string, a double, b double",
+    )
+    cur = spark.createDataFrame(
+        [(5, "s1", 1.0, 1.5), (6, "s2", 5.5, 3.5)],
+        "id bigint, seg string, a double, b double",
+    )
+    out = P.quantile_drift_sliced_multi(ref, cur, ["a", "b"], "seg")
+    keys = {(r.feature, r.slice) for r in out.collect()}
+    assert ("a", "s1") not in keys          # all-NULL ref leg dropped
+    assert {("a", "s2"), ("b", "s1"), ("b", "s2")} <= keys
