@@ -556,6 +556,29 @@ def main() -> None:
                     "event_type",
                 )
             ),
+            # Multi×sliced chi-square / quantile (r14): same constant-
+            # scan claim as psi_sliced_multi — 2 melted scans however
+            # many features × slices
+            "chi2_sliced_multi": lambda: noop(
+                P.chi_square_drift_sliced_multi(
+                    ev.filter(F.col("event_id") % 2 == 0).withColumn(
+                        "shard", F.col("user_id") % 4
+                    ).withColumn("cohort", F.col("user_id") % 3),
+                    ev.filter(F.col("event_id") % 2 == 1).withColumn(
+                        "shard", F.col("user_id") % 4
+                    ).withColumn("cohort", F.col("user_id") % 3),
+                    ["event_type", "cohort"],
+                    "shard",
+                )
+            ),
+            "quantile_sliced_multi": lambda: noop(
+                P.quantile_drift_sliced_multi(
+                    ev.filter(F.col("event_id") % 2 == 0),
+                    ev.filter(F.col("event_id") % 2 == 1),
+                    ["user_id", "value"],
+                    "event_type",
+                )
+            ),
             # Sliced drift triad over ×f events (r14): both sides grow
             # ×f, the shuffle stays SIGNAL-sized (slices × categories /
             # slices × quantile-state / dims), so the curve should track
