@@ -101,6 +101,16 @@ def main() -> None:
         "a quiet-box 3-run median refuted, so median-of-3 is the default "
         "the driver now inherits; 2 = legacy min-of-2 for quick checks)",
     )
+    ap.add_argument(
+        "--out",
+        default="BENCH_DRIVER.json",
+        help="where to write the full per-query capture (default "
+        "BENCH_DRIVER.json, gitignored: the driver's flagless post-commit "
+        "run used to overwrite the committed BENCH_LOCAL.json every round "
+        "— VERDICT r14 item 3 — so the committed round-close history is "
+        "now an explicit `--out BENCH_LOCAL.json` opt-in and an unflagged "
+        "run leaves `git status` clean)",
+    )
     args = ap.parse_args()
     # Single-JVM local mode: executors share the driver heap, and a full
     # capture accumulates session-lifetime state (13 streaming entries'
@@ -368,8 +378,9 @@ def main() -> None:
     # compact separators, 2dp, queries capped to the slowest entries
     # that fit a 1900-byte budget (the heavy tail is where regressions
     # live; sub-second entries swing on scheduler noise anyway), plus
-    # runs / n_queries / a pointer to the committed full capture
-    # (BENCH_LOCAL.json, written below with all 220 entries + spreads).
+    # runs / n_queries / a pointer to the full capture (written below
+    # to --out with all entries + spreads; BENCH_DRIVER.json by
+    # default, BENCH_LOCAL.json when committing a round-close).
     line_payload = {
         "metric": "corpus_total_wall",
         "value": round(total, 2),
@@ -379,7 +390,7 @@ def main() -> None:
         "runs": args.runs,
         "stat": "median" if args.runs >= 3 else "min",
         "n_queries": len(timings),
-        "full": "BENCH_LOCAL.json",
+        "full": os.path.basename(args.out),
     }
     _budget = 1900 - len(json.dumps(line_payload, separators=(",", ":")))
     for n in sorted(timings, key=timings.get, reverse=True):
@@ -415,9 +426,11 @@ def main() -> None:
     # reproduced regression, not capture noise.
     if reverified:
         local["reverified"] = sorted(reverified)
-    out_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"
-    )
+    out_path = args.out
+    if not os.path.isabs(out_path):
+        out_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), out_path
+        )
     with open(out_path, "w") as fh:
         fh.write(json.dumps(local) + "\n")
     print(line)

@@ -21,7 +21,9 @@ glob-and-call-every-export contract as books/etl and books/pretrain):
    alarm; chi2 > the K−1-dof critical value; optional quantile
    tolerance) and ANY breach raises, fail-fasting the book (the
    reference's error contract) so a drifted model never silently keeps
-   serving. Thresholds override via ``book.drift_thresholds``.
+   serving. Thresholds override via ``book.drift_thresholds``; an
+   opt-in ``book.sliced_thresholds`` additionally gates the per-segment
+   report with population-aware per-slice bars (chapters/alert/gate.py).
 
 Every chapter reads from / writes to the destination Warehouse, so the
 report history accumulates across runs and the stored reference stays
@@ -56,12 +58,15 @@ def build_monitor_book(
 def run_monitor(
     spark: SparkSession, source_dir: str, warehouse_dir: str,
     thresholds: dict | None = None,
+    sliced_thresholds: dict | None = None,
 ) -> Warehouse:
     """Build + run the book, flush the audit table, return the warehouse."""
     wh = Warehouse(spark, warehouse_dir, primary_key="event_id")
     book = build_monitor_book(spark, source_dir, wh)
     if thresholds is not None:
         book.drift_thresholds = thresholds
+    if sliced_thresholds is not None:
+        book.sliced_thresholds = sliced_thresholds
     book.run()
     book.flush_audit(wh)
     return wh

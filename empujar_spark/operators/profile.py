@@ -618,7 +618,21 @@ def chi2_terms_from_counts(
     variant (``by="feature"`` partitions the smoothing totals per
     feature), the sliced variant (``by="slice"``) and the multi×sliced
     form (``by=["feature", "slice"]``), so every caller computes
-    bit-identical smoothed expected counts and terms."""
+    bit-identical smoothed expected counts and terms.
+
+    VANISHED-GROUP EDGE (ADVICE r14): a partition with rows on the
+    reference side only (a slice that disappeared from current) has
+    n_cur_tot = 0, so every e_cur in it is 0 and the raw term is
+    0/0 → NULL. That block emits an EXPLICIT 0.0 instead (the standard
+    chi-square convention for observed = expected = 0): a vanished
+    slice says nothing about its category MIX — which is all this test
+    measures — and disappearance itself is a volume signal the count
+    monitors own. The remaining e_cur = 0 path (n_cur > 0 with an
+    expected count that ROUNDS to 0 — needs a ≲1e-6 reference
+    proportion at 6-decimal rounding) stays NULL: the drift there is
+    effectively infinite and no finite term is honest. Pinned
+    cross-engine: the chi2_sliced corpus oracle carves a ref-only
+    shard out of the current split and hash-matches the 0.0 rows."""
     lead = ([by] if isinstance(by, str) else list(by)) if by else []
     w = Window.partitionBy(*lead)
     n_ref_tot = F.sum("n_ref").over(w)
@@ -630,6 +644,16 @@ def chi2_terms_from_counts(
         * n_cur_tot.cast("double"),
         6,
     )
+    term = F.when(
+        (F.col("e_cur") == 0) & (F.col("n_cur") == 0), F.lit(0.0)
+    ).otherwise(
+        F.round(
+            (F.col("n_cur") - F.col("e_cur"))
+            * (F.col("n_cur") - F.col("e_cur"))
+            / F.col("e_cur"),
+            6,
+        )
+    )
     return counts.select(
         *lead, "category", "n_ref", "n_cur", e.alias("e_cur")
     ).select(
@@ -638,12 +662,7 @@ def chi2_terms_from_counts(
         "n_ref",
         "n_cur",
         "e_cur",
-        F.round(
-            (F.col("n_cur") - F.col("e_cur"))
-            * (F.col("n_cur") - F.col("e_cur"))
-            / F.col("e_cur"),
-            6,
-        ).alias("chi2_term"),
+        term.alias("chi2_term"),
     )
 
 
@@ -811,10 +830,18 @@ def chi_square_drift_sliced(
     rows alone (pinned in tests).
 
     Slice membership rides the full-outer category merge, so a slice
-    with rows on only ONE side still surfaces (all-new slices get
-    finite smoothed terms — unlike sliced PSI, chi-square needs no
-    frozen numeric range, so there is nothing undefined to drop; a
-    brand-new segment IS a drift signal).
+    with rows on only ONE side still surfaces — but the two one-sided
+    directions differ (ADVICE r14): an all-NEW (current-only) slice
+    gets finite smoothed terms (n_ref = 0 smooths to a positive
+    expected proportion — a brand-new segment IS a mix-drift signal;
+    unlike sliced PSI there is no frozen numeric range to make it
+    undefined), while a VANISHED (reference-only) slice has
+    n_cur_tot = 0 and emits explicit 0.0 terms per the shared-epilogue
+    convention (observed = expected = 0): the test measures the
+    category MIX, which a disappeared slice says nothing about —
+    disappearance is a volume signal the count monitors own. The edge
+    is pinned cross-engine by the chi2_sliced corpus oracle's carved
+    ref-only shard.
 
     Plan shape at 100 TB: one groupBy(slice, category) per side with
     map-side combine (each reduces to Σ_slices K_slice rows — signal-

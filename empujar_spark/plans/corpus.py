@@ -9757,7 +9757,7 @@ def psi_sliced(spark, sf_dir):
     cr AS (SELECT slice, category, CAST(count(*) AS BIGINT) AS n FROM v
            WHERE side = 0 GROUP BY 1, 2),
     cc AS (SELECT slice, category, CAST(count(*) AS BIGINT) AS n FROM v
-           WHERE side = 1 GROUP BY 1, 2),
+           WHERE side = 1 AND slice <> '3' GROUP BY 1, 2),
     counts AS (SELECT COALESCE(cr.slice, cc.slice) AS slice,
                       COALESCE(cr.category, cc.category) AS category,
                       COALESCE(cr.n, 0) AS n_ref, COALESCE(cc.n, 0) AS n_cur
@@ -9770,7 +9770,9 @@ def psi_sliced(spark, sf_dir):
                        * sum(n_cur) OVER (PARTITION BY slice), 6) AS e_cur
           FROM counts)
     SELECT slice, category, n_ref, n_cur, e_cur,
-           round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6) AS chi2_term
+           CASE WHEN e_cur = 0 AND n_cur = 0 THEN 0.0
+                ELSE round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6)
+           END AS chi2_term
     FROM e
     """,
 )
@@ -9786,13 +9788,21 @@ def chi2_sliced(spark, sf_dir):
     PARTITION BY slice. Per-slice results bit-identical to
     chi_square_drift on that slice alone (pinned in tests). Constant
     scans: one groupBy(slice, category) per side reduced map-side to
-    the signal-sized count table."""
+    the signal-sized count table.
+
+    ONE-SIDED-SLICE FIXTURE (ADVICE r14): shard 3 is carved out of the
+    current split, making it a VANISHED (reference-only) slice — its
+    n_cur_tot = 0 block must emit explicit 0.0 terms per the shared-
+    epilogue convention (chi2_terms_from_counts), and this oracle pins
+    that 0/0 edge cross-engine instead of leaving it to Spark's
+    divide-by-zero NULL vs DuckDB's NaN."""
     ev = load(spark, sf_dir, "events").withColumn(
         "src_shard", F.col("user_id") % 4
     )
     return P.chi_square_drift_sliced(
         ev.filter(F.col("event_id") % 2 == 0),
-        ev.filter(F.col("event_id") % 2 == 1),
+        ev.filter(F.col("event_id") % 2 == 1)
+        .filter(F.col("src_shard") != 3),
         "event_type",
         "src_shard",
     )
@@ -9886,8 +9896,9 @@ def _chi2_sliced_leg_sql(
     per feature."""
     return f"""
     SELECT '{feature}' AS feature, slice, category, n_ref, n_cur, e_cur,
-           round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6)
-               AS chi2_term
+           CASE WHEN e_cur = 0 AND n_cur = 0 THEN 0.0
+                ELSE round((n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6)
+           END AS chi2_term
     FROM (
       WITH v AS (SELECT event_id % 2 AS side,
                         {slice_expr} AS slice,

@@ -15,6 +15,8 @@ reference's merge semantics on a stream (micro-batch CDC).
 
 from __future__ import annotations
 
+import uuid as _uuid
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -628,6 +630,16 @@ def neardup_ingest_stream(
     spark = docs.sparkSession
     rows: list = []
     batch_ids: list = []
+    # unique per-run subpath under a caller-supplied dir (ADVICE r14):
+    # spill writes use mode('append') and the epilogue scans the WHOLE
+    # directory, so a reused/shared dir would silently union leftover
+    # parquet from a previous run — or a concurrent gate sharing the
+    # dir — into this run's audit. A uuid subdir makes the scan
+    # run-private; Spark's writer creates it on first spill, so this is
+    # a pure string op that works for DFS/object-store URIs too. The
+    # caller still owns (and cleans) the base dir.
+    if spill_dir is not None:
+        spill_dir = spill_dir.rstrip("/") + "/run-" + _uuid.uuid4().hex
     state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
 
     def spill_df() -> DataFrame:
@@ -1197,6 +1209,12 @@ def contamination_gate_stream(
     spark = docs.sparkSession
     rows: list = []
     batch_ids: list = []
+    # unique per-run subpath under a caller-supplied dir (ADVICE r14) —
+    # see neardup_ingest_stream for the full rationale: append-mode
+    # spills + whole-dir epilogue scan make a reused dir union stale
+    # audits; a uuid subdir makes the scan run-private.
+    if spill_dir is not None:
+        spill_dir = spill_dir.rstrip("/") + "/run-" + _uuid.uuid4().hex
     state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
 
     def spill_df() -> DataFrame:

@@ -628,8 +628,11 @@ def main() -> None:
                     emb.filter(F.col("vec_id") % 2 == 0),
                 )
             ),
-            # Composed per-segment report (r14): six scans however many
-            # slices — inherits its parts' signal-sized-shuffle shapes
+            # Composed per-segment report (r14): seven scans however
+            # many features OR slices — inherits its parts'
+            # signal-sized-shuffle shapes (multi×sliced legs take
+            # list[str] feature sets since fed9c6e — the same args as
+            # the corpus.py and monitor-book call sites)
             "report_sliced": lambda: noop(
                 P.drift_report_sliced(
                     ev.filter(F.col("event_id") % 2 == 0).withColumn(
@@ -638,8 +641,8 @@ def main() -> None:
                     ev.filter(F.col("event_id") % 2 == 1).withColumn(
                         "shard", F.col("user_id") % 4
                     ),
-                    "value",
-                    "event_type",
+                    ["user_id", "value"],
+                    ["event_type"],
                     "shard",
                 )
             ),

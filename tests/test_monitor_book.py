@@ -126,3 +126,82 @@ def test_monitor_book_publishes_sliced_report(spark):
         for r in wh2.read("drift_report_sliced").collect()
     }
     assert again == stored
+
+
+def _write_segment_drift_source(spark, src_dir):
+    """Synthetic events where the AGGREGATE category mix is IDENTICAL
+    between splits but two shards' mixes invert against each other —
+    the compensating-segments failure the sliced report exists for.
+    Shard 2 is a tiny (10 rows/side) fully-inverted slice that must be
+    population-skipped by the sliced gate."""
+    rows = []
+    eid = [0]
+
+    def block(user_id, parity, n_click, n_view):
+        for k in range(n_click + n_view):
+            e = eid[0] * 2 + parity
+            eid[0] += 1
+            rows.append((
+                e, user_id,
+                "click" if k < n_click else "view",
+                float(k % 100), "{}",
+            ))
+
+    block(0, 0, 400, 100)   # ref shard 0: click-heavy
+    block(1, 0, 100, 400)   # ref shard 1: view-heavy
+    block(0, 1, 100, 400)   # cur shard 0: inverted...
+    block(1, 1, 400, 100)   # cur shard 1: ...compensated exactly
+    block(2, 0, 10, 0)      # tiny shard, fully inverted: below
+    block(2, 1, 0, 10)      # min_slice_rows, must not gate
+    # write via pyarrow with an explicit timestamp[us] ts: the corpus
+    # loader branches on the parquet footer's physical ts type and
+    # Spark's own writer emits a unit the loader would misroute
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(
+            [(r[0] + 1_600_000_000) * 1_000_000 for r in rows],
+            pa.timestamp("us"),
+        ),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+        "props": pa.array([r[4] for r in rows], pa.string()),
+    })
+    pq.write_table(table, f"{src_dir}/events.parquet")
+
+
+def test_monitor_book_sliced_gate_catches_segment_local_drift(spark):
+    """VERDICT r14 item 7: a compensating per-segment mix inversion that
+    the AGGREGATE gate reads straight through (aggregate chi2 = 0 by
+    construction) must raise once the book opts into
+    ``sliced_thresholds`` — and the tiny inverted shard below
+    min_slice_rows must be population-skipped, not paged on."""
+    src = tempfile.mkdtemp(prefix="t-monitor-seg-src-")
+    _write_segment_drift_source(spark, src)
+
+    # aggregate gate (default thresholds) reads clean: identical
+    # aggregate mixes, identical value distributions
+    wh = run_monitor(spark, src, tempfile.mkdtemp(prefix="t-monitor-agg-"))
+    agg = {
+        r.check_name: r.stat
+        for r in wh.read("drift_report").collect()
+        if r.feature == "event_type"
+    }
+    # the two big shards cancel exactly; only the 20-row tiny shard
+    # leaks a trace into the aggregate — nowhere near the 18.47 alarm
+    assert agg["chi2"] < 1.0
+
+    # sliced gate: both big shards breach, the tiny shard is skipped
+    with pytest.raises(Exception, match="drift alarm") as exc:
+        run_monitor(
+            spark, src, tempfile.mkdtemp(prefix="t-monitor-sliced-gate-"),
+            sliced_thresholds={"psi": 0.25, "chi2": 18.47},
+        )
+    msg = str(exc.value)
+    assert "chi2:event_type:0" in msg
+    assert "chi2:event_type:1" in msg
+    assert "chi2:event_type:2" not in msg  # population-skipped
+    assert "psi:" not in msg  # values did not move anywhere

@@ -667,11 +667,24 @@ def test_neardup_ingest_stream_caller_supplied_spill_dir(spark, tmp_path):
         spill_dir=spill,
     )
     assert out._neardup_spills >= 1
-    assert out._neardup_spill_dir == spill
+    # ADVICE r14: the gate spills into a run-private subdir of the
+    # caller's base dir — append-mode writes + a whole-dir epilogue
+    # scan would otherwise union leftovers from a previous run
+    assert out._neardup_spill_dir.startswith(spill + "/run-")
     twin = D.containment_incremental_pairs(new, hist, threshold=0.3)
-    assert sorted(map(tuple, out.collect())) == sorted(
-        map(tuple, twin.collect())
+    expected = sorted(map(tuple, twin.collect()))
+    assert sorted(map(tuple, out.collect())) == expected
+    # a SECOND run sharing the same base dir must not inherit the first
+    # run's spilled parquet into its audit (the leftover-union hazard)
+    out2 = SO.neardup_ingest_stream(
+        SO.read_documents_stream(spark, sf).filter(
+            F.col("doc_id") % 5 == 0
+        ),
+        hist_sh, threshold=0.3, max_resident_pairs=1,
+        spill_dir=spill,
     )
+    assert out2._neardup_spill_dir != out._neardup_spill_dir
+    assert sorted(map(tuple, out2.collect())) == expected
 
 
 def test_psi_drift_stream_equals_batch_twin(spark):
@@ -777,7 +790,9 @@ def test_contamination_gate_stream_spill_regime_bounds_driver_rows(spark,
     )
     assert out._contam_spills >= 2, "spill regime never engaged"
     assert out._contam_max_resident <= 3
-    assert out._contam_spill_dir == spill
+    # run-private subdir under the caller's base dir (ADVICE r14) —
+    # see the neardup twin test for the leftover-union rationale
+    assert out._contam_spill_dir.startswith(spill + "/run-")
     twin = C.ngram_contamination(docs.filter(pred), eval_docs, n=8)
     assert sorted(map(tuple, out.collect())) == sorted(
         map(tuple, twin.collect())
