@@ -10125,7 +10125,14 @@ def drift_monitor_summary(spark, sf_dir):
 
 
 def _evidence_rounds(repo: str | None = None) -> dict[str, dict[int, bool]]:
-    """entry -> {round: hash_matched} from the committed driver records.
+    """entry -> {round: hash_matched} from the committed records: the
+    driver's CORRECTNESS_r*.json UNIONED with CORRECTNESS_LOCAL.json
+    (scripts/local_gate.py runs, keyed {round: {entry: row}}) — a local
+    exact-equality re-green is evidence of the same strength as a
+    driver hash match, so it refreshes staleness identically (VERDICT
+    r14 item 1). Where both sides carry the same (entry, round), a
+    green from either wins: a re-verified pass refutes a transient
+    miss, never the reverse.
 
     ``repo`` overrides the records directory (tests point it at a
     scratch layout to prove a NEW record re-rotates instead of breaking
@@ -10150,6 +10157,19 @@ def _evidence_rounds(repo: str | None = None) -> dict[str, dict[int, bool]]:
             out.setdefault(name, {})[n] = bool(
                 isinstance(row, dict) and row.get("hash_match")
             )
+    try:
+        with open(_os.path.join(repo, "CORRECTNESS_LOCAL.json")) as fh:
+            local = _json.load(fh)
+    except (OSError, ValueError):
+        local = {}
+    for rnd, rows in local.items():
+        if not (isinstance(rnd, str) and rnd.isdigit() and isinstance(rows, dict)):
+            continue
+        n = int(rnd)
+        for name, row in rows.items():
+            ok = bool(isinstance(row, dict) and row.get("hash_match"))
+            prev = out.setdefault(name, {}).get(n, False)
+            out[name][n] = prev or ok
     return out
 
 

@@ -171,3 +171,32 @@ def test_records_parse_and_name_known_entries():
         rec = json.loads(f.read_text())
         unknown = set(rec) - known
         assert not unknown, f"{f.name} names unknown entries: {sorted(unknown)}"
+
+
+def test_evidence_staleness_ceiling():
+    """VERDICT r14 item 1, machine-checked: over the UNION of driver
+    records (CORRECTNESS_r*.json) and local re-greens
+    (CORRECTNESS_LOCAL.json via scripts/local_gate.py), every corpus
+    entry's latest usable evidence is at most 4 rounds old — the
+    documented ceiling. Oracle-paired entries need a green (hash/exact
+    match) within the window; rows-only (sql=None) entries need any
+    record, the strongest check they can get. When this fails, the fix
+    is `python scripts/local_gate.py /root/testdata/sf0.01 <names>` —
+    re-verify and record, don't wait on driver-rotation luck."""
+    CEILING = 4
+    evidence = _evidence_rounds()
+    latest = max(r for rounds in evidence.values() for r in rounds)
+    too_stale = []
+    for n in CORPUS:
+        rounds = evidence.get(n, {})
+        if CORPUS[n].sql is None:
+            eff = max(rounds, default=None)
+        else:
+            good = [r for r, ok in rounds.items() if ok]
+            eff = max(good) if good else None
+        if eff is None or latest - eff > CEILING:
+            too_stale.append(f"{n} (last green: r{eff})")
+    assert not too_stale, (
+        f"{len(too_stale)} entries exceed the {CEILING}-round evidence "
+        f"ceiling vs r{latest}: {too_stale}"
+    )
