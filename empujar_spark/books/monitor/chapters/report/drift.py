@@ -33,7 +33,10 @@ def chapter_loader(book):
     from empujar_spark.books.monitor import CATEGORICAL_COLS, NUMERIC_COLS
     from empujar_spark.operators import profile as P
 
-    chapter = book.add_chapter(200, "report")
+    # threads=2: the two report pages are independent reads of the same
+    # checkpointed snapshots — they really do run concurrently (the
+    # default bound of 1 had been serializing them, r15)
+    chapter = book.add_chapter(200, "report", threads=2)
     wh = book.destination
 
     # one warehouse scan per snapshot, shared by both pages: the loader

@@ -1,5 +1,7 @@
 """JdbcSource: the MySQL/Redshift/Snowflake *source* surface as Spark
-JDBC reads (no driver jars in this container — construction works, reads
+JDBC reads (no MySQL/Postgres driver jars in this container and no live
+DB endpoints — re-probed r15: only hive-jdbc/spark-connect jars under
+/opt/spark/jars, ports 3306/5432/9200 closed. Construction works, reads
 raise a clear error until a jar is provided; covered by contract tests).
 
 Reference parity (lib/connections/mysql.js):

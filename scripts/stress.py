@@ -136,6 +136,58 @@ def main() -> None:
         from empujar_spark.operators import timeseries as T
         from empujar_spark.streaming import stream_ops as SO
 
+        hyb_centroids = None
+        hyb_qmap = None
+        if not only or {"hybrid_rrf_ann", "ivf_dense_leg"} & only:
+            # VERDICT r14 item 2: the ONE ANN twin with an asserted-not-
+            # measured sub-linear claim. Untimed shared centroid train
+            # (√n rule: c = 16·√f so inverted-list length stays bounded)
+            # — the corpus entry's _ivf_centroids is likewise built once
+            # and cached. Queries are the corpus entry's FIXED 3-query
+            # set, so the dense probe should scan nprobe·n/c ∝ √f rows
+            # per query while the lexical leg's from-scratch BM25 stays
+            # ~linear — the fused hybrid curve sits between the two and
+            # the dense leg alone pins the √f claim.
+            from empujar_spark.plans.corpus import (
+                _BM25_QUERIES,
+                _HYBRID_QUERY_VECS,
+            )
+
+            hyb_centroids = S.ivf_train(emb, int(16 * (f ** 0.5)))
+            hyb_qmap = spark.createDataFrame(
+                list(_HYBRID_QUERY_VECS.items()),
+                "query_id string, vec_id long",
+            )
+
+        def dense_leg():
+            cos = S.ivf_topk(
+                emb,
+                emb.join(
+                    F.broadcast(hyb_qmap.select("vec_id")),
+                    "vec_id",
+                    "left_semi",
+                ),
+                k=10,
+                n_centroids=int(16 * (f ** 0.5)),
+                nprobe=4,
+                centroids=hyb_centroids,
+            ).withColumnRenamed("query_id", "qvec_id")
+            return (
+                cos.join(
+                    F.broadcast(hyb_qmap),
+                    F.col("qvec_id") == hyb_qmap.vec_id,
+                )
+                .select(
+                    "query_id", F.col("neighbor_id").alias("doc_id"), "rnk"
+                )
+            )
+
+        def hybrid_rrf_ann():
+            from empujar_spark.plans.corpus import _BM25_QUERIES
+
+            lexical = X.bm25_search(docs, _BM25_QUERIES, top_n=10)
+            return S.rrf_fuse([lexical, dense_leg()], k=60, top_n=10)
+
         idx_serve = None
         if not only or "ivf_serve" in only:
             # Untimed build, same rule as bench.py's warmup: serving
@@ -655,6 +707,17 @@ def main() -> None:
             "kmeans_update_fold": lambda: noop(
                 S.kmeans_update(emb, upd_model)
             ),
+            # Hybrid retrieval, production regime (VERDICT r14 item 2):
+            # the fused RRF pipeline with the nprobe=4 IVF dense leg
+            # over the ×f corpus — the one ANN twin whose sub-linear
+            # label had no octave row. Lexical leg is the from-scratch
+            # BM25 (~linear in corpus); fusion itself is top-n-sized.
+            "hybrid_rrf_ann": lambda: noop(hybrid_rrf_ann()),
+            # The IVF dense leg ALONE (fixed 3-query serve, nprobe=4 of
+            # c=16·√f lists): per-query candidate volume nprobe·n/c ∝
+            # √f — this row pins the sub-linear claim the fused entry's
+            # mixed curve dilutes.
+            "ivf_dense_leg": lambda: noop(dense_leg()),
         }
 
     # warmup (JVM + python workers)
