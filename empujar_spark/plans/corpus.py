@@ -6924,6 +6924,87 @@ def quality_classifier_filter(spark, sf_dir):
     )
 
 
+# Frozen distilled student (VERDICT r14 item 5): logistic weights over
+# [ln(1+n_tokens), alpha_ratio], fit OFFLINE against the same teacher
+# rule quality_classifier_filter distills (token count >= 56), 20k GD
+# steps at sf0.01, quantized to 1e-6 — 99.6% holdout agreement. The
+# committed constants make the SERVE path exactly reproducible on any
+# engine (the thing MLlib's partition-order-sensitive L-BFGS can't be).
+_FROZEN_QCLS = {"bias": -64.676624, "lt": 27.104891, "ar": -53.87007}
+
+
+@q(
+    "classifier_serve_frozen",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CASE WHEN len(string_split(text, ' ')) >= 56
+                  THEN 'keep' ELSE 'drop' END AS teacher,
+             round(ln(1 + CASE WHEN COALESCE(trim(text), '') = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END), 6) AS lt,
+             round((length(text) -
+                    length(regexp_replace(text, '[A-Za-z]', '', 'g'))) /
+                   CAST(CASE WHEN length(text) = 0 THEN 1
+                        ELSE length(text) END AS DOUBLE), 6) AS ar
+      FROM documents),
+    s AS (
+      SELECT doc_id, teacher,
+             round(1.0 / (1.0 + exp(-round(
+                 {_FROZEN_QCLS["bias"]}
+                 + {_FROZEN_QCLS["lt"]} * lt
+                 + {_FROZEN_QCLS["ar"]} * ar, 6))), 6) AS score
+      FROM f)
+    SELECT doc_id, teacher, score,
+           CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS pred,
+           CAST(teacher = CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END
+                AS INT) AS agree
+    FROM s
+    """,
+)
+def classifier_serve_frozen(spark, sf_dir):
+    """FROZEN-weights classifier serving (operators/classifier.py
+    score_linear, VERDICT r14 item 5): the deterministic twin of
+    quality_classifier_filter. Same teacher rule, same serving shape —
+    but the student's logistic weights are a COMMITTED registry
+    artifact (distilled offline, quantized 1e-6, 99.6% agreement with
+    the teacher), so scoring is one whole-stage-codegen projection
+    reproducible bit-for-bit on any engine: every float step (feature,
+    dot product, sigmoid) rounds to the 1e-6 grid, the dsir_importance
+    precedent. This moves the classifier-serve path from the rows-only
+    class to hash-green; the MLlib-trained entry stays rows-only for
+    the training story (L-BFGS float accumulation is partition-order
+    sensitive by construction)."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    cls = X.char_classes(t)
+    safe_n = F.when(cls["n_chars"] == 0, F.lit(1)).otherwise(
+        cls["n_chars"]
+    ).cast("double")
+    feat = docs.select(
+        "doc_id",
+        F.when(F.size(F.split(t, " ")) >= 56, "keep")
+        .otherwise("drop")
+        .alias("teacher"),
+        F.round(F.log1p(X.token_count(t)), 6).alias("lt"),
+        F.round(
+            cls["n_alpha"].cast("double") / safe_n, 6
+        ).alias("ar"),
+    )
+    scored = CL.score_linear(
+        feat,
+        {"lt": _FROZEN_QCLS["lt"], "ar": _FROZEN_QCLS["ar"]},
+        bias=_FROZEN_QCLS["bias"],
+    )
+    return scored.select(
+        "doc_id",
+        "teacher",
+        "score",
+        F.col("score_pred").alias("pred"),
+        (F.col("teacher") == F.col("score_pred")).cast("int").alias("agree"),
+    )
+
+
 @q(
     "k_anonymity_audit",
     """

@@ -88,3 +88,45 @@ def test_scores_unlabeled_frame(spark):
     got_l = {(r.doc_id, r.pred, r.pred_conf) for r in labeled.collect()}
     assert got_u == got_l and len(got_u) > 0
     assert all(p in ("keep", "drop") for _, p, _ in got_u)
+
+
+def test_score_linear_frozen_serve_deterministic_and_agrees(spark):
+    """The frozen-weights serve (score_linear + the committed
+    _FROZEN_QCLS constants, VERDICT r14 item 5): scores are in [0,1] on
+    the 1e-6 grid, pred matches the 0.5 threshold exactly, the whole
+    thing is a pure projection (rerun bit-identical), and the distilled
+    student agrees with the teacher rule on >=99% of sf0.001 docs."""
+    from empujar_spark.plans.corpus import CORPUS
+
+    fn = CORPUS["classifier_serve_frozen"].fn
+    out = fn(spark, "/root/testdata/sf0.001").cache()
+    rows = out.collect()
+    assert rows, "empty serve output"
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        assert r.pred == ("keep" if r.score >= 0.5 else "drop")
+        assert round(r.score, 6) == r.score
+    agree = sum(r.agree for r in rows) / len(rows)
+    assert agree >= 0.99, f"distilled agreement {agree}"
+    # rerun determinism: same plan, same grid-quantized floats
+    again = {r.doc_id: (r.score, r.pred) for r in fn(
+        spark, "/root/testdata/sf0.001"
+    ).collect()}
+    assert {r.doc_id: (r.score, r.pred) for r in rows} == again
+    out.unpersist()
+
+
+def test_score_linear_weight_direction(spark):
+    """score_linear is monotone in each feature times its weight sign —
+    the sanity check a registry reviewer runs on a frozen model."""
+    from empujar_spark.operators.classifier import score_linear
+
+    df = spark.createDataFrame(
+        [(0, 0.0), (1, 1.0), (2, 2.0)], "id long, x double"
+    )
+    got = {
+        r.id: r.score
+        for r in score_linear(df, {"x": 2.0}, bias=-2.0).collect()
+    }
+    assert got[0] < got[1] < got[2]
+    assert abs(got[1] - 0.5) < 1e-9  # z = 0 exactly at x = 1
