@@ -512,3 +512,48 @@ class TestPrunedJoinDispatch:
         # stops describing the frame — and the fallback count returns
         filtered = dim.filter(F.col("key") < 50)
         assert getattr(filtered, "_empujar_n_rows", None) is None
+
+
+def test_approx_stats_sketch_partials_pinned(spark):
+    """VERDICT r14 item 5 (sketch half): the production sketch entry is
+    rows-only by construction (HLL/KLL estimates are engine-specific),
+    so pin its merge behavior here instead — (a) the deterministic
+    sub-aggregates (n_rows, avg_price) equal the exact values bit for
+    bit, (b) the HLL distinct estimate lands within its configured 5%
+    rsd (x3 = the standard HLL tail bound) of the exact count and the
+    KLL median within 5% of the exact median, and (c) a rerun of the
+    same plan reproduces the sketch outputs exactly — merge partials
+    are deterministic for a fixed partitioning, which is what makes
+    the entry's bench timings comparable across rounds."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.plans.corpus import CORPUS
+
+    sf = "/root/testdata/sf0.001"
+    fn = CORPUS["approx_stats_sketch"].fn
+    got = {r.l_returnflag: r for r in fn(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,6)"))
+                .cast("double") / F.count(F.lit(1))
+            ).alias("avg_price"),
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("median"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        g = got[flag]
+        assert g.n_rows == e.n
+        assert g.avg_price == e.avg_price
+        assert abs(g.approx_parts - e.parts) <= 0.15 * e.parts
+        assert abs(g.approx_median - e.median) <= 0.05 * e.median
+    again = {r.l_returnflag: r for r in fn(spark, sf).collect()}
+    for flag, g in got.items():
+        assert tuple(g) == tuple(again[flag])
