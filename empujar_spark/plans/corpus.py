@@ -6897,6 +6897,52 @@ def streaming_contamination_gate(spark, sf_dir):
     )
 
 
+@q(
+    "streaming_semantic_gate",
+    """
+    WITH b AS (SELECT vec_id AS bench_id, embedding AS b_vec
+               FROM embeddings WHERE vec_id < 50),
+    c AS (SELECT vec_id, embedding AS c_vec
+          FROM embeddings WHERE vec_id >= 50),
+    scored AS (
+      SELECT c.vec_id, b.bench_id,
+             round(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(b.b_vec AS DOUBLE[])) /
+                   (sqrt(list_dot_product(CAST(c.c_vec AS DOUBLE[]), CAST(c.c_vec AS DOUBLE[]))) *
+                    sqrt(list_dot_product(CAST(b.b_vec AS DOUBLE[]), CAST(b.b_vec AS DOUBLE[])))),
+                   6) AS cosine
+      FROM c, b)
+    SELECT vec_id, bench_id, cosine FROM (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, bench_id ASC) AS rn
+      FROM scored WHERE cosine >= 0.35) t
+    WHERE rn = 1
+    """,
+)
+def streaming_semantic_gate(spark, sf_dir):
+    """STREAMING semantic-decontamination gate (streaming/stream_ops.py
+    semantic_gate_stream, r15): the arriving embedding stream (vec_id >=
+    50, 4 landing files read one per micro-batch) is cosine-checked per
+    batch against the FROZEN benchmark suite (vec_id < 50, broadcast
+    within each batch) — the paraphrase-leak admission gate that
+    completes the family (bloom = exact id, neardup = shingle
+    containment, contamination = exact n-gram, semantic = embedding).
+    Each vector's verdict INCLUDING its best-match argmax is per-vector
+    against the frozen suite, so the accumulated audit is micro-batch-
+    boundary-invariant and the batch twin's SQL (the embedding_decontam
+    oracle verbatim) is its EXACT oracle."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    emb = load(spark, sf_dir, "embeddings")
+    stream = SO.read_embeddings_stream(spark, sf_dir).filter(
+        F.col("vec_id") >= 50
+    )
+    return SO.semantic_gate_stream(
+        stream,
+        emb.filter(F.col("vec_id") < 50),
+        threshold=0.35,
+    )
+
+
 @q("quality_classifier_filter", None)
 def quality_classifier_filter(spark, sf_dir):
     """LEARNED quality filtering, DCLM / FineWeb-Edu shape

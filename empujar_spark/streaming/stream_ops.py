@@ -1358,3 +1358,99 @@ def moment_drift_stream(
             ).alias("fid_term"),
         )
     )
+
+
+SEMANTIC_AUDIT_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("bench_id", T.LongType()),
+        T.StructField("cosine", T.DoubleType()),
+    ]
+)
+
+
+def semantic_gate_stream(
+    vectors: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.95,
+    timeout_s: float = 240.0,
+    max_resident_rows: int | None = None,
+    spill_dir: str | None = None,
+) -> DataFrame:
+    """STREAMING semantic-decontamination gate: every micro-batch of
+    arriving embedding vectors is cosine-checked against the FROZEN
+    benchmark suite (operators/similarity.py embedding_decontam as an
+    ingest gate) — the arrival-time leg of EMBEDDING-space
+    decontamination, completing the admission-gate family: bloom
+    (exact id), neardup (shingle containment), contamination (exact
+    n-gram), and now semantic (the paraphrase leak none of the others
+    can see).
+
+    Each vector's verdict — including its per-vector best-match argmax
+    — depends only on itself and the frozen benchmark, so the
+    accumulated audit is micro-batch-boundary-invariant: the batch twin
+    (embedding_decontam on the whole stream input) is its EXACT oracle
+    however the arrival files split, the same additivity argument as
+    contamination_gate_stream. The benchmark side is suite-sized and
+    BROADCASTS inside each batch; per-batch cost is one scan of the
+    batch with the threshold filter ahead of the (hit-sized) argmax
+    exchange.
+
+    DRIVER MEMORY BOUND (``max_resident_rows``) and SPILL-PATH
+    ASSUMPTION: identical regime to contamination_gate_stream — the
+    audit is threshold-rare by construction, but a low threshold (or a
+    genuinely leaked corpus) makes it arrival-sized; past the bound,
+    resident rows append to a parquet spill (driver-local tempdir =
+    local-mode only; pass ``spill_dir`` on shared storage for a
+    cluster, where it gets a run-private uuid subdir) and the returned
+    DataFrame scans spill ∪ resident-tail. Output is bit-identical
+    across regimes."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from empujar_spark.operators.similarity import embedding_decontam
+
+    spark = vectors.sparkSession
+    rows: list = []
+    batch_ids: list = []
+    if spill_dir is not None:
+        spill_dir = spill_dir.rstrip("/") + "/run-" + _uuid.uuid4().hex
+    state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
+
+    def spill_df() -> DataFrame:
+        return spark.read.schema(SEMANTIC_AUDIT_SCHEMA).parquet(
+            state["spill_dir"]
+        )
+
+    def check_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        flagged = embedding_decontam(
+            batch_df, benchmark, threshold=threshold
+        ).collect()
+        rows.extend(tuple(r) for r in flagged)
+        if max_resident_rows is not None and len(rows) > max_resident_rows:
+            if state["spill_dir"] is None:
+                state["spill_dir"] = tempfile.mkdtemp(prefix="sem-gate-spill-")
+                atexit.register(
+                    shutil.rmtree, state["spill_dir"], ignore_errors=True
+                )
+            spark.createDataFrame(rows, SEMANTIC_AUDIT_SCHEMA).write.mode(
+                "append"
+            ).parquet(state["spill_dir"])
+            state["spills"] += 1
+            rows.clear()
+        state["max_resident"] = max(state["max_resident"], len(rows))
+
+    q = vectors.writeStream.foreachBatch(check_batch).start()
+    _drain_with_watchdog(q, timeout_s)
+    resident = spark.createDataFrame(rows, SEMANTIC_AUDIT_SCHEMA)
+    if state["spills"] > 0:
+        out = spill_df().unionByName(resident)
+    else:
+        out = resident
+    out._semantic_batches = batch_ids
+    out._semantic_spills = state["spills"]
+    out._semantic_max_resident = state["max_resident"]
+    out._semantic_spill_dir = state["spill_dir"]
+    return out

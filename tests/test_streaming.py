@@ -828,3 +828,46 @@ def test_moment_drift_stream_multibatch_and_scale6_agreement(spark):
         assert abs(r.mu_cur - b.mu_cur) <= 2e-6, d
         assert abs(r.var_cur - b.var_cur) <= 2e-6, d
         assert abs(r.fid_term - b.fid_term) <= 5e-6, d
+
+
+def test_semantic_gate_stream_equals_batch_twin_and_spills(spark, tmp_path):
+    """The streaming semantic-decontamination gate (r15): drains in real
+    multiple micro-batches, its audit equals embedding_decontam on the
+    whole stream input bit for bit (per-vector verdict + argmax vs the
+    frozen suite is batch-boundary-invariant), and past
+    max_resident_rows the audit spills to a run-private subdir of the
+    caller's dir with bit-identical output."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import similarity as S
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    bench = emb.filter(F.col("vec_id") < 50)
+    twin = S.embedding_decontam(
+        emb.filter(F.col("vec_id") >= 50), bench, threshold=0.3
+    )
+    expected = sorted(map(tuple, twin.collect()))
+    assert expected, "fixture has no semantic hits at 0.3 — tune threshold"
+
+    out = SO.semantic_gate_stream(
+        SO.read_embeddings_stream(spark, sf).filter(F.col("vec_id") >= 50),
+        bench,
+        threshold=0.3,
+    )
+    assert len(out._semantic_batches) > 1, "drained in a single batch"
+    assert sorted(map(tuple, out.collect())) == expected
+
+    spill = str(tmp_path / "sem-spill")
+    out2 = SO.semantic_gate_stream(
+        SO.read_embeddings_stream(spark, sf).filter(F.col("vec_id") >= 50),
+        bench,
+        threshold=0.3,
+        max_resident_rows=1,
+        spill_dir=spill,
+    )
+    assert out2._semantic_spills >= 1
+    assert out2._semantic_max_resident <= 1
+    assert out2._semantic_spill_dir.startswith(spill + "/run-")
+    assert sorted(map(tuple, out2.collect())) == expected
