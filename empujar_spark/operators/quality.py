@@ -207,3 +207,63 @@ def k_anonymity_violations(
         .agg(F.count(F.lit(1)).alias("group_size"))
         .filter(F.col("group_size") < k)
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: list[str],
+    compare_cols: list[str] | None = None,
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """Release diff between two snapshots of the same table — the audit
+    a dataset VERSIONING workflow runs before publishing v(N+1): which
+    keys were added, which removed, which rows' content changed. The
+    companion to the catalog's zero-copy snapshots/time-travel: those
+    give you the two frames cheaply; this says what moved between them.
+
+    Content comparison is by md5 over the ``compare_cols`` projection
+    (default: every non-key column common to both frames, sorted by
+    name so the fingerprint is column-order-stable). ``concat_ws``
+    skips NULLs identically in Spark and DuckDB, so the fingerprint —
+    and therefore the whole diff — is engine-exact; a NULL→value change
+    in any compared column changes the fingerprint.
+
+    Plan shape at 100 TB: each side reduces to a SLIM (key, fingerprint)
+    projection before the one FULL OUTER equi-join on the key — the
+    join is co-partitioned on the primary key (the same shuffle
+    insert_data's merge already pays), carries two hash columns instead
+    of the row bodies, and the emitted audit is change-sized once
+    ``unchanged`` rows are filtered (the default).
+
+    Output: (*key_cols, status ∈ added|removed|changed[|unchanged],
+    old_fingerprint, new_fingerprint).
+    """
+    if compare_cols is None:
+        compare_cols = sorted(
+            (set(old.columns) & set(new.columns)) - set(key_cols)
+        )
+
+    def slim(df: DataFrame, fp_name: str) -> DataFrame:
+        fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols]))
+        return df.select(*key_cols, fp.alias(fp_name))
+
+    o = slim(old, "old_fingerprint")
+    n = slim(new, "new_fingerprint")
+    joined = o.join(n, key_cols, "full_outer")
+    status = (
+        F.when(F.col("old_fingerprint").isNull(), F.lit("added"))
+        .when(F.col("new_fingerprint").isNull(), F.lit("removed"))
+        .when(
+            F.col("old_fingerprint") != F.col("new_fingerprint"),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    out = joined.select(
+        *key_cols, status.alias("status"),
+        "old_fingerprint", "new_fingerprint",
+    )
+    if not include_unchanged:
+        out = out.filter(F.col("status") != "unchanged")
+    return out

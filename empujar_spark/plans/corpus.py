@@ -7052,6 +7052,58 @@ def classifier_serve_frozen(spark, sf_dir):
 
 
 @q(
+    "corpus_release_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id,
+             md5(concat_ws('|', source,
+                 CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END))
+                 AS old_fingerprint
+      FROM documents WHERE doc_id % 7 <> 0),
+    v2 AS (
+      SELECT doc_id, md5(concat_ws('|', source, text)) AS new_fingerprint
+      FROM documents WHERE doc_id % 13 <> 0)
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.old_fingerprint IS NULL THEN 'added'
+                WHEN v2.new_fingerprint IS NULL THEN 'removed'
+                WHEN v1.old_fingerprint <> v2.new_fingerprint THEN 'changed'
+                ELSE 'unchanged' END AS status,
+           v1.old_fingerprint, v2.new_fingerprint
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    WHERE NOT (v1.old_fingerprint IS NOT NULL
+               AND v2.new_fingerprint IS NOT NULL
+               AND v1.old_fingerprint = v2.new_fingerprint)
+    """,
+)
+def corpus_release_diff(spark, sf_dir):
+    """Dataset release diff (operators/quality.py table_diff, r15): what
+    changed between corpus v1 and v2 — added/removed keys and
+    content-changed rows by md5 fingerprint over the compared columns,
+    the audit a versioning workflow publishes alongside v(N+1) (the
+    catalog's zero-copy snapshots/time-travel provide the two frames;
+    this says what moved). Fixture releases derive from the documents
+    table: v1 drops doc_id % 7 == 0 (those become 'added') and carries
+    an upper-cased text for doc_id % 11 == 0 ('changed'); v2 drops
+    doc_id % 13 == 0 ('removed'). Plan: each side reduces to a slim
+    (key, fingerprint) projection before ONE co-partitioned full-outer
+    join on the primary key; the audit is change-sized — unchanged rows
+    never leave the join."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.upper(F.col("text"))
+        ).otherwise(F.col("text")),
+    )
+    v2 = docs.filter(F.col("doc_id") % 13 != 0)
+    from empujar_spark.operators import quality as Q
+
+    return Q.table_diff(
+        v1, v2, key_cols=["doc_id"], compare_cols=["source", "text"]
+    )
+
+
+@q(
     "k_anonymity_audit",
     """
     SELECT c_nationkey, c_mktsegment,

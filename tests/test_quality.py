@@ -135,3 +135,37 @@ def test_k_anonymity_violations(spark):
     assert got == {("a", 2, 3), ("b", 1, 1)}
     # every reported group is genuinely below k
     assert all(r.group_size < 8 for r in out)
+
+
+def test_table_diff_statuses_and_null_semantics(spark):
+    """table_diff (r15): added/removed/changed classification, the
+    change-sized default output, include_unchanged opt-in, and the
+    NULL→value content change that a naive equality join would miss
+    (concat_ws skips NULLs, so the fingerprint shifts)."""
+    from empujar_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", None), (3, "c", "z")],
+        "id long, s string, t string",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", "now-set"), (3, "c", "z"), (4, "d", "w")],
+        "id long, s string, t string",
+    )
+    got = {
+        r.id: r.status for r in table_diff(old, new, ["id"]).collect()
+    }
+    assert got == {1: "removed", 2: "changed", 4: "added"}
+    full = {
+        r.id: r.status
+        for r in table_diff(
+            old, new, ["id"], include_unchanged=True
+        ).collect()
+    }
+    assert full[3] == "unchanged" and len(full) == 4
+    # restricting compare_cols makes the NULL→value change invisible
+    narrowed = {
+        r.id: r.status
+        for r in table_diff(old, new, ["id"], compare_cols=["s"]).collect()
+    }
+    assert 2 not in narrowed
