@@ -718,6 +718,22 @@ def main() -> None:
             # √f — this row pins the sub-linear claim the fused entry's
             # mixed curve dilutes.
             "ivf_dense_leg": lambda: noop(dense_leg()),
+            # Release diff over ×f corpus versions (r15): two pruned
+            # scans reduce to slim (key, md5) projections BEFORE the
+            # one co-partitioned full-outer PK join — the shuffle
+            # carries a 32-byte hash per row, never the text, so the
+            # curve should track the scans (~linear, flat on idle
+            # cores) exactly like segment_dedup's keyed shuffles.
+            "release_diff": lambda: noop(
+                __import__(
+                    "empujar_spark.operators.quality", fromlist=["q"]
+                ).table_diff(
+                    docs.filter(F.col("doc_id") % 7 != 0),
+                    docs.filter(F.col("doc_id") % 13 != 0),
+                    key_cols=["doc_id"],
+                    compare_cols=["source", "text"],
+                )
+            ),
         }
 
     # warmup (JVM + python workers)
