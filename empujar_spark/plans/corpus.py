@@ -6970,6 +6970,73 @@ def quality_classifier_filter(spark, sf_dir):
     )
 
 
+@q(
+    "cardinality_drift",
+    """
+    WITH r AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+                      CAST(count(DISTINCT event_type) AS BIGINT) AS e,
+                      CAST(count(DISTINCT value) AS BIGINT) AS v
+               FROM events WHERE event_id % 2 = 0),
+    c AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS u,
+                 CAST(count(DISTINCT event_type) AS BIGINT) AS e,
+                 CAST(count(DISTINCT value) AS BIGINT) AS v
+          FROM events WHERE event_id % 2 = 1)
+    SELECT 'event_type' AS feature, r.e AS n_ref_distinct,
+           c.e AS n_cur_distinct,
+           CASE WHEN r.e > 0
+                THEN round(CAST(c.e AS DOUBLE) / r.e, 6) END AS ratio
+    FROM r, c
+    UNION ALL
+    SELECT 'user_id', r.u, c.u,
+           CASE WHEN r.u > 0 THEN round(CAST(c.u AS DOUBLE) / r.u, 6) END
+    FROM r, c
+    UNION ALL
+    SELECT 'value', r.v, c.v,
+           CASE WHEN r.v > 0 THEN round(CAST(c.v AS DOUBLE) / r.v, 6) END
+    FROM r, c
+    """,
+)
+def cardinality_drift(spark, sf_dir):
+    """Feature-cardinality drift (operators/profile.py cardinality_drift,
+    r15): distinct counts per monitored feature on both snapshots + the
+    cur/ref ratio — the drift check the distributional family can't
+    express (a key column's distinct count can collapse or explode
+    under a near-identical histogram). One melted scan per side however
+    many features; the exact form is the oracle-paired gate, the
+    hll_sketch_agg production form (fixed 4 KB mergeable state per
+    feature) is tolerance-pinned in pytest."""
+    ev = load(spark, sf_dir, "events")
+    return P.cardinality_drift(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id", "event_type", "value"],
+    )
+
+
+@q("streaming_cardinality_drift", None)
+def streaming_cardinality_drift(spark, sf_dir):
+    """STREAMING feature-cardinality monitor (streaming/stream_ops.py
+    cardinality_stream, r15): arrivals reduce to one mergeable
+    DataSketches HLL partial per feature per micro-batch (fixed ~4 KB
+    state — exact distinct state would grow with the value universe);
+    the epilogue unions the partials and compares against the stored
+    reference sketched with the same estimator. Rows-only by
+    construction: a unioned sketch is not bit-equal to a directly-built
+    one, so there is no cross-engine hash — the estimate is
+    tolerance-pinned (≤5%) against the exact batch twin in
+    tests/test_streaming.py, the ANN-twin evidence pattern."""
+    from empujar_spark.streaming import stream_ops as SO
+
+    ev = load(spark, sf_dir, "events")
+    return SO.cardinality_stream(
+        SO.read_events_stream_split(spark, sf_dir).filter(
+            F.col("user_id") % 2 == 1
+        ),
+        ev.filter(F.col("user_id") % 2 == 0),
+        ["user_id", "event_type", "value"],
+    )
+
+
 # Frozen distilled student (VERDICT r14 item 5): logistic weights over
 # [ln(1+n_tokens), alpha_ratio], fit OFFLINE against the same teacher
 # rule quality_classifier_filter distills (token count >= 56), 20k GD

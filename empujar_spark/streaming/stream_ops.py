@@ -1454,3 +1454,103 @@ def semantic_gate_stream(
     out._semantic_max_resident = state["max_resident"]
     out._semantic_spill_dir = state["spill_dir"]
     return out
+
+
+def cardinality_stream(
+    cur: DataFrame,
+    ref: DataFrame,
+    cols: list[str],
+    timeout_s: float = 240.0,
+) -> DataFrame:
+    """STREAMING feature-cardinality monitor: arrivals drain as
+    micro-batches, each reducing to one DataSketches HLL partial per
+    monitored feature (``hll_sketch_agg`` over the melted (feature,
+    value) rows — a fixed ~4 KB binary per feature per batch); the
+    epilogue ``hll_union_agg``s the accumulated partials into the
+    stream's distinct estimate and compares it against the stored
+    reference sketched with the SAME estimator. The continuous form of
+    operators/profile.py cardinality_drift(exact=False) — the check
+    that catches a key column collapsing (join fan-out upstream) or
+    exploding (format change minting categories) while every
+    distributional monitor reads clean.
+
+    Why sketches are THE streaming answer here: exact distinct state
+    grows with the value universe (unbounded for id-like columns), but
+    an HLL sketch is fixed-size and its union is associative and
+    commutative over any batch split — driver state is F × batches tiny
+    binaries, and at 100 TB the per-batch partial aggregation is
+    map-side mergeable like any sum. Estimates are engine- and
+    merge-path-specific (a unioned sketch is not bit-equal to a
+    directly-built one), so this is tolerance-pinned against the exact
+    batch twin in pytest rather than oracle-paired — lgK=12 ⇒ ~1.6%
+    rsd.
+
+    Output: (feature, n_ref_distinct, n_cur_distinct, ratio[6dp]) —
+    the cardinality_drift schema."""
+    from empujar_spark.operators.profile import _melt_string
+
+    spark = cur.sparkSession
+    sketches: list = []
+    batch_ids: list = []
+
+    def partials(df: DataFrame) -> DataFrame:
+        return (
+            _melt_string(df, cols)
+            .groupBy("feature")
+            .agg(F.hll_sketch_agg("value").alias("sk"))
+        )
+
+    def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_ids.append(batch_id)
+        sketches.extend(
+            (r["feature"], bytes(r["sk"]))
+            for r in partials(batch_df).coalesce(4).collect()
+        )
+
+    q = cur.writeStream.foreachBatch(audit_batch).start()
+    _drain_with_watchdog(q, timeout_s)
+
+    sk_schema = T.StructType(
+        [
+            T.StructField("feature", T.StringType()),
+            T.StructField("sk", T.BinaryType()),
+        ]
+    )
+    cur_est = (
+        spark.createDataFrame(sketches, sk_schema)
+        .groupBy("feature")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk"))
+            .cast("bigint")
+            .alias("n_cur_distinct")
+        )
+    )
+    ref_est = (
+        _melt_string(ref, cols)
+        .groupBy("feature")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("value"))
+            .cast("bigint")
+            .alias("n_ref_distinct")
+        )
+    )
+    out = (
+        ref_est.join(cur_est, "feature", "full_outer")
+        .fillna(0, subset=["n_ref_distinct", "n_cur_distinct"])
+        .select(
+            "feature",
+            "n_ref_distinct",
+            "n_cur_distinct",
+            F.when(
+                F.col("n_ref_distinct") > 0,
+                F.round(
+                    F.col("n_cur_distinct").cast("double")
+                    / F.col("n_ref_distinct"),
+                    6,
+                ),
+            ).alias("ratio"),
+        )
+    )
+    out._cardinality_batches = batch_ids
+    out._cardinality_partials = len(sketches)
+    return out

@@ -1245,3 +1245,67 @@ def test_quantile_sliced_multi_drops_all_null_feature_slice_leg(spark):
     keys = {(r.feature, r.slice) for r in out.collect()}
     assert ("a", "s1") not in keys          # all-NULL ref leg dropped
     assert {("a", "s2"), ("b", "s1"), ("b", "s2")} <= keys
+
+
+def test_cardinality_drift_exact_and_sketch(spark):
+    """cardinality_drift (r15): exact form matches hand-computed distinct
+    counts including a one-sided feature (ref-NULL column -> 0 on the
+    ref side with a NULL ratio), and the hll_sketch_agg production form
+    lands within the lgK=12 tolerance (~5% = 3x rsd) of exact on every
+    feature, deterministically across reruns."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import profile as P
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ref = ev.filter(F.col("event_id") % 2 == 0)
+    cur = ev.filter(F.col("event_id") % 2 == 1)
+    got = {
+        r.feature: r
+        for r in P.cardinality_drift(
+            ref, cur, ["user_id", "event_type"]
+        ).collect()
+    }
+    for feat in ["user_id", "event_type"]:
+        assert got[feat].n_ref_distinct == (
+            ref.select(feat).distinct().count()
+        )
+        assert got[feat].n_cur_distinct == (
+            cur.select(feat).distinct().count()
+        )
+        assert got[feat].ratio == round(
+            got[feat].n_cur_distinct / got[feat].n_ref_distinct, 6
+        )
+    # one-sided feature: NULL on the ref side everywhere -> 0 distinct,
+    # NULL ratio — the new-feature onboarding case
+    ref2 = ref.withColumn("newcol", F.lit(None).cast("string"))
+    cur2 = cur.withColumn("newcol", F.concat(F.lit("v"), F.col("user_id")))
+    one = {
+        r.feature: r
+        for r in P.cardinality_drift(ref2, cur2, ["newcol"]).collect()
+    }
+    assert one["newcol"].n_ref_distinct == 0
+    assert one["newcol"].n_cur_distinct > 0
+    assert one["newcol"].ratio is None
+
+    sk = {
+        r.feature: r
+        for r in P.cardinality_drift(
+            ref, cur, ["user_id", "event_type"], exact=False
+        ).collect()
+    }
+    for feat, e in got.items():
+        g = sk[feat]
+        assert abs(g.n_ref_distinct - e.n_ref_distinct) <= max(
+            2, 0.05 * e.n_ref_distinct
+        )
+        assert abs(g.n_cur_distinct - e.n_cur_distinct) <= max(
+            2, 0.05 * e.n_cur_distinct
+        )
+    again = {
+        r.feature: tuple(r)
+        for r in P.cardinality_drift(
+            ref, cur, ["user_id", "event_type"], exact=False
+        ).collect()
+    }
+    assert {f: tuple(r) for f, r in sk.items()} == again

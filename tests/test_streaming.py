@@ -871,3 +871,45 @@ def test_semantic_gate_stream_equals_batch_twin_and_spills(spark, tmp_path):
     assert out2._semantic_max_resident <= 1
     assert out2._semantic_spill_dir.startswith(spill + "/run-")
     assert sorted(map(tuple, out2.collect())) == expected
+
+
+def test_cardinality_stream_tracks_exact_within_tolerance(spark):
+    """The streaming cardinality monitor (r15): drains in real multiple
+    micro-batches, accumulates one mergeable HLL partial per feature
+    per batch, and its unioned estimates land within the lgK=12
+    tolerance (~5% = 3x rsd, floor 2) of the EXACT batch twin on every
+    feature — the sketch-union path is not bit-pinnable (a unioned
+    sketch differs from a directly-built one), so tolerance against
+    exact is the contract."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import profile as P
+    from empujar_spark.streaming import stream_ops as SO
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    ref = ev.filter(F.col("user_id") % 2 == 0)
+    cols = ["user_id", "event_type", "value"]
+    exact = {
+        r.feature: r
+        for r in P.cardinality_drift(
+            ref, ev.filter(F.col("user_id") % 2 == 1), cols
+        ).collect()
+    }
+    out = SO.cardinality_stream(
+        SO.read_events_stream_split(spark, sf).filter(
+            F.col("user_id") % 2 == 1
+        ),
+        ref,
+        cols,
+    )
+    assert len(out._cardinality_batches) > 1, "drained in a single batch"
+    got = {r.feature: r for r in out.collect()}
+    assert set(got) == set(exact)
+    for feat, e in exact.items():
+        g = got[feat]
+        for col in ["n_ref_distinct", "n_cur_distinct"]:
+            assert abs(g[col] - e[col]) <= max(2, 0.05 * e[col]), (
+                feat, col, g[col], e[col],
+            )
+        assert g.ratio == round(g.n_cur_distinct / g.n_ref_distinct, 6)
