@@ -59,6 +59,7 @@ def run_monitor(
     spark: SparkSession, source_dir: str, warehouse_dir: str,
     thresholds: dict | None = None,
     sliced_thresholds: dict | None = None,
+    cardinality_cols: list | None = None,
 ) -> Warehouse:
     """Build + run the book, flush the audit table, return the warehouse."""
     wh = Warehouse(spark, warehouse_dir, primary_key="event_id")
@@ -67,6 +68,8 @@ def run_monitor(
         book.drift_thresholds = thresholds
     if sliced_thresholds is not None:
         book.sliced_thresholds = sliced_thresholds
+    if cardinality_cols is not None:
+        book.cardinality_cols = cardinality_cols
     book.run()
     book.flush_audit(wh)
     return wh

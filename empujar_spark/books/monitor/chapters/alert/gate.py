@@ -62,6 +62,9 @@ def chapter_loader(book):
         # restrict the gate to the feature set THIS run monitors
         # (ADVICE r13) so a stale signal can't keep raising the alarm.
         monitored = set(NUMERIC_COLS) | set(CATEGORICAL_COLS)
+        # cardinality signals cover whatever the book opted in to —
+        # those features are "monitored" for gating purposes too (r15)
+        monitored |= set(getattr(book, "cardinality_cols", []) or [])
         rows = wh.read("drift_report").collect()
         breaches = [
             f"{r.signal} stat={r.stat} > {thresholds[r.check_name]}"

@@ -68,6 +68,30 @@ def chapter_loader(book):
             "feature",
             "stat",
         )
+        # OPT-IN cardinality page (r15), folded into this page's write
+        # so drift_report has ONE writer (the sliced page writes a
+        # different table — two pages upserting the same table under
+        # threads=2 would race the staged-atomic pointer flip):
+        # collapse/explosion is invisible to every distributional
+        # check; its natural signal (a ratio) is two-sided, so publish
+        # stat = |ln ratio| and the one-sided alert gate thresholds it
+        # like any other check (ln 2 ≈ 0.693 = "halved or doubled").
+        # Off by default: books that don't monitor cardinality keep a
+        # bit-identical drift_report.
+        cols = getattr(book, "cardinality_cols", None)
+        if cols:
+            card = P.cardinality_drift(ref, cur, list(cols)).select(
+                F.concat_ws(
+                    ":", F.lit("cardinality"), F.col("feature")
+                ).alias("signal"),
+                F.lit("cardinality").alias("check_name"),
+                "feature",
+                F.when(
+                    F.col("ratio").isNotNull() & (F.col("ratio") > 0),
+                    F.round(F.abs(F.log(F.col("ratio"))), 6),
+                ).alias("stat"),
+            )
+            rep = rep.unionByName(card)
         wh.insert_data("drift_report", rep, merge_key="signal")
 
     def report_sliced():

@@ -205,3 +205,45 @@ def test_monitor_book_sliced_gate_catches_segment_local_drift(spark):
     assert "chi2:event_type:1" in msg
     assert "chi2:event_type:2" not in msg  # population-skipped
     assert "psi:" not in msg  # values did not move anywhere
+
+
+def test_monitor_book_cardinality_check_catches_key_collapse(spark):
+    """Opt-in cardinality check (r15): current-side value quantized to
+    floor(v/2)*2 — a ~3x distinct-count collapse that barely moves the
+    value histogram (every value shifts <2 against frozen PSI bins ~33
+    wide, so the distributional gates stay quiet) and leaves event_type
+    untouched. The default gate passes; a book that opts into
+    cardinality_cols with a |ln ratio| > ln 2 threshold must alarm on
+    value and only value."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="t-monitor-card-src-")
+    t = pq.read_table("/root/testdata/sf0.001/events.parquet")
+    odd = pc.equal(pc.bit_wise_and(t["event_id"], 1), 1)
+    collapsed = pc.multiply(pc.floor(pc.divide(t["value"], 2)), 2)
+    t = t.set_column(
+        t.schema.get_field_index("value"),
+        "value",
+        pc.cast(pc.if_else(odd, collapsed, t["value"]), pa.float64()),
+    )
+    # the corpus loader branches on the ts footer type; normalize to us
+    idx = t.schema.get_field_index("ts")
+    t = t.set_column(idx, "ts", pc.cast(t["ts"], pa.timestamp("us")))
+    pq.write_table(t, f"{src}/events.parquet")
+
+    # default run: no cardinality opt-in, distributional gates read clean
+    wh = run_monitor(spark, src, tempfile.mkdtemp(prefix="t-monitor-card1-"))
+    stored = {r.check_name for r in wh.read("drift_report").collect()}
+    assert "cardinality" not in stored  # off by default
+
+    with pytest.raises(Exception, match="drift alarm") as exc:
+        run_monitor(
+            spark, src, tempfile.mkdtemp(prefix="t-monitor-card2-"),
+            thresholds={"cardinality": 0.693},
+            cardinality_cols=["value", "event_type"],
+        )
+    msg = str(exc.value)
+    assert "cardinality:value" in msg
+    assert "cardinality:event_type" not in msg
