@@ -125,6 +125,20 @@ def main() -> None:
         docs = replicate(docs0, "doc_id", f, text_col="text")
         emb = replicate(emb0, "vec_id", f)
         ev = replicate(ev0, "event_id", f)
+        # ×f events with per-copy disjoint VALUE universes for the
+        # cardinality families: replicate() shifts only the id column,
+        # so distinct(value/user_id) would stay constant across copies
+        # and the exact-vs-sketch state claim would have nothing to
+        # measure. Derive the copy index back from the shifted
+        # event_id and displace the non-id features by it.
+        _ev_span = None
+        ev_card = None
+        if not only or {"cardinality_exact", "cardinality_hll"} & only:
+            _ev_span = ev0.agg(F.max("event_id")).collect()[0][0] + 1
+            _copy = (F.col("event_id") / F.lit(_ev_span)).cast("bigint")
+            ev_card = ev.withColumn(
+                "value", F.col("value") + _copy.cast("double") * 1000.0
+            ).withColumn("user_id", F.col("user_id") + _copy * 1000)
         from empujar_spark.operators import curation as C
         from empujar_spark.operators import dedup as D
         from empujar_spark.operators import sketch as K
@@ -718,6 +732,29 @@ def main() -> None:
             # √f — this row pins the sub-linear claim the fused entry's
             # mixed curve dilutes.
             "ivf_dense_leg": lambda: noop(dense_leg()),
+            # Cardinality drift, exact vs sketch (r15): ×f events with
+            # per-copy DISJOINT value universes (replicate() keeps
+            # non-id columns, so shift value by copy to make distinct
+            # counts actually grow ×f — the regime the sketch exists
+            # for). Exact distinct carries the value hash set through
+            # the shuffle (state ∝ universe); HLL carries a fixed 4 KB
+            # sketch per feature — the curves should separate as the
+            # universe outgrows the aggregation hash tables.
+            "cardinality_exact": lambda: noop(
+                P.cardinality_drift(
+                    ev_card.filter(F.col("event_id") % 2 == 0),
+                    ev_card.filter(F.col("event_id") % 2 == 1),
+                    ["user_id", "event_type", "value"],
+                )
+            ),
+            "cardinality_hll": lambda: noop(
+                P.cardinality_drift(
+                    ev_card.filter(F.col("event_id") % 2 == 0),
+                    ev_card.filter(F.col("event_id") % 2 == 1),
+                    ["user_id", "event_type", "value"],
+                    exact=False,
+                )
+            ),
             # Release diff over ×f corpus versions (r15): two pruned
             # scans reduce to slim (key, md5) projections BEFORE the
             # one co-partitioned full-outer PK join — the shuffle
