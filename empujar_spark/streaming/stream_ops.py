@@ -616,10 +616,14 @@ def neardup_ingest_stream(
     driver-local tempdir is used, which Spark jobs can only read back
     where driver and executors share a filesystem — i.e. local mode,
     exactly the mode this audit drain targets. On a real cluster pass
-    ``spill_dir`` pointing at shared storage (DFS/object store). The
-    default tempdir is registered for atexit cleanup (the returned
-    DataFrame reads it lazily, so it cannot be deleted here) and is
-    exposed as ``out._neardup_spill_dir`` so a caller that has
+    ``spill_dir`` pointing at shared storage (DFS/object store); the
+    gate spills into a RUN-PRIVATE ``run-<uuid>`` subpath of it
+    (ADVICE r14 — append-mode writes + a whole-dir epilogue scan would
+    otherwise union leftovers from a previous or concurrent run), and
+    the caller owns cleanup of the base dir. The default tempdir is
+    registered for atexit cleanup (the returned DataFrame reads it
+    lazily, so it cannot be deleted here); either way the actual spill
+    path is exposed as ``out._neardup_spill_dir`` so a caller that has
     materialized the audit can rmtree it earlier."""
     import atexit
     import shutil
@@ -1196,8 +1200,10 @@ def contamination_gate_stream(
     is one row per arrival, so a backfill drain can outgrow the driver;
     past the threshold resident rows append to a parquet spill
     (driver-local tempdir by default — local-mode only; pass
-    ``spill_dir`` on shared storage for a cluster; atexit-cleaned,
-    exposed as ``out._contam_spill_dir``) and the returned DataFrame
+    ``spill_dir`` on shared storage for a cluster, where the gate
+    spills into a run-private ``run-<uuid>`` subpath, ADVICE r14;
+    default tempdir atexit-cleaned; the actual path exposed as
+    ``out._contam_spill_dir``) and the returned DataFrame
     scans spill ∪ resident-tail. Output is bit-identical across
     regimes (pytest-pinned)."""
     import atexit
