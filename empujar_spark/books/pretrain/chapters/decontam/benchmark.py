@@ -15,6 +15,17 @@ carries). ``documents_decontam`` is REPLACED each run (the drop set is
 a pure function of curated × benchmark — replace keeps reruns
 idempotent where an upsert could never delete a doc that became
 contaminated when the benchmark grew).
+
+SEMANTIC LEG (opt-in, r15): exact n-grams miss paraphrased leaks. A
+book that sets ``book.semantic_decontam_threshold`` (cosine, e.g. 0.95
+against a trained encoder) also runs embedding_decontam — the curated
+docs' embeddings (the ingested embeddings table, vec_id = doc_id in
+this testdata's shared id space) against the benchmark slice's vectors
+— persists the hits to ``semantic_contamination_audit``, and excises
+BOTH drop sets in the one ``documents_decontam`` replace (single
+writer per table, the monitor-book cardinality rule). Off by default:
+pipelines without embeddings (or without a calibrated threshold) keep
+the n-gram-only behavior bit-identical.
 """
 
 from pyspark.sql import functions as F
@@ -35,8 +46,40 @@ def chapter_loader(book):
         audit = ngram_contamination(curated, bench, n=8)
         wh.insert_data("contamination_audit", audit, merge_key="doc_id")
         flagged = audit.filter(F.col("contaminated")).select("doc_id")
-        wh.replace_table(
-            "documents_decontam", curated.join(flagged, "doc_id", "left_anti")
-        )
+        clean = curated.join(flagged, "doc_id", "left_anti")
+
+        threshold = getattr(book, "semantic_decontam_threshold", None)
+        if threshold is not None:
+            from empujar_spark.operators.similarity import (
+                embedding_decontam,
+            )
+
+            emb = wh.read("embeddings")
+            hits = embedding_decontam(
+                # only curated docs' vectors can flag a curated doc
+                emb.join(
+                    curated.select(F.col("doc_id").alias("vec_id")),
+                    "vec_id",
+                    "left_semi",
+                ),
+                emb.join(
+                    F.broadcast(bench.select(
+                        F.col("doc_id").alias("vec_id")
+                    )),
+                    "vec_id",
+                    "left_semi",
+                ),
+                threshold=threshold,
+            )
+            wh.insert_data(
+                "semantic_contamination_audit", hits, merge_key="vec_id"
+            )
+            clean = clean.join(
+                hits.select(F.col("vec_id").alias("doc_id")),
+                "doc_id",
+                "left_anti",
+            )
+
+        wh.replace_table("documents_decontam", clean)
 
     chapter.add_page("benchmark-decontam", decontaminate)

@@ -203,3 +203,70 @@ def test_decontam_drops_planted_leak_and_audits(spark, tmp_path):
     assert audit[1].contaminated and audit[1].n_hits >= 1
     assert audit[0].contaminated and audit[0].hit_rate == 1.0  # self-leak
     assert not audit[2].contaminated and audit[2].n_grams > 0
+
+
+def test_pretrain_book_semantic_decontam_excises_paraphrase_leak(spark):
+    """Opt-in semantic decontam leg (r15): a planted PARAPHRASE leak — a
+    curated doc whose embedding is a benchmark vector's near-copy but
+    whose text shares no 8-gram with the benchmark — sails through the
+    n-gram gate and must be excised once the book opts into
+    ``semantic_decontam_threshold``; the hit lands in
+    semantic_contamination_audit with its benchmark match."""
+    import shutil
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="t-pretrain-sem-src-")
+    for t in ("documents", "embeddings"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{src}/{t}.parquet"
+        )
+
+    # n-gram-only run: pick a surviving non-benchmark doc as the plant
+    wh1 = run_pretrain(
+        spark, src, tempfile.mkdtemp(prefix="t-pretrain-sem1-")
+    )
+    survivors = [
+        r.doc_id
+        for r in wh1.read("documents_decontam").select("doc_id").collect()
+        if r.doc_id % 97 != 0
+    ]
+    assert survivors
+    plant = min(survivors)
+    bench_vec_id = 97  # doc_id % 97 == 0 benchmark member
+
+    # doctor the SOURCE embeddings: the plant's vector becomes the
+    # benchmark vector's exact copy (cosine 1.0) — text untouched
+    t = pq.read_table(f"{src}/embeddings.parquet").to_pandas()
+    bvec = t.loc[t.vec_id == bench_vec_id, "embedding"].iloc[0]
+    t.at[t.index[t.vec_id == plant][0], "embedding"] = bvec
+    import pyarrow as pa
+
+    pq.write_table(
+        pa.Table.from_pandas(t, preserve_index=False),
+        f"{src}/embeddings.parquet",
+    )
+
+    # n-gram-only rerun still keeps the plant (the gate is blind to it)
+    wh2 = run_pretrain(
+        spark, src, tempfile.mkdtemp(prefix="t-pretrain-sem2-")
+    )
+    kept = {r.doc_id for r in wh2.read("documents_decontam").collect()}
+    assert plant in kept
+
+    # semantic opt-in: the plant is excised and audited
+    wh3 = run_pretrain(
+        spark, src, tempfile.mkdtemp(prefix="t-pretrain-sem3-"),
+        semantic_decontam_threshold=0.95,
+    )
+    kept3 = {r.doc_id for r in wh3.read("documents_decontam").collect()}
+    assert plant not in kept3
+    hits = {
+        r.vec_id: r.bench_id
+        for r in wh3.read("semantic_contamination_audit").collect()
+    }
+    assert hits[plant] == bench_vec_id
+    # and nothing else was excised relative to the n-gram-only run
+    # beyond semantic hits
+    assert kept - kept3 <= set(hits)
