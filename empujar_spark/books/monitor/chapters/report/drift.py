@@ -76,8 +76,12 @@ def chapter_loader(book):
         # check; its natural signal (a ratio) is two-sided, so publish
         # stat = |ln ratio| and the one-sided alert gate thresholds it
         # like any other check (ln 2 ≈ 0.693 = "halved or doubled").
-        # Off by default: books that don't monitor cardinality keep a
-        # bit-identical drift_report.
+        # A FULLY-vanished feature (ratio 0 → ln unbounded) emits a
+        # NULL stat the gate skips — total feature loss is a
+        # schema/volume incident the data_quality_checks
+        # not-null/volume monitors own, the chi2 vanished-slice
+        # convention. Off by default: books that don't monitor
+        # cardinality keep a bit-identical drift_report.
         cols = getattr(book, "cardinality_cols", None)
         if cols:
             card = P.cardinality_drift(ref, cur, list(cols)).select(
