@@ -1442,3 +1442,78 @@ def cardinality_drift(
     return out.select(
         "feature", "n_ref_distinct", "n_cur_distinct", ratio.alias("ratio")
     )
+
+
+def cardinality_drift_sliced(
+    ref: DataFrame,
+    cur: DataFrame,
+    cols: list[str],
+    slice_col: str,
+    exact: bool = True,
+) -> DataFrame:
+    """Per-SLICE feature-cardinality drift — the sliced completion of
+    cardinality_drift, closing the same blind spot the other sliced
+    operators close: one segment's key space can collapse while another
+    mints new values, leaving the aggregate distinct count unmoved
+    (e.g. a migrated tenant re-keying its ids onto a shared range).
+    Distinct counts per (feature, slice) on both snapshots in one
+    melted scan per side — the slice key rides the unpivot, so F
+    features × S slices still cost TWO scans; one-sided (feature,
+    slice) pairs survive the full-outer merge with a 0 on the missing
+    side and a NULL ratio when ref is 0 (vanished slices stay visible
+    as ratio 0 rows — cardinality HAS a defined value there, unlike the
+    chi² mix).
+
+    ``exact=False`` swaps in hll_sketch_agg per (feature, slice) — a
+    fixed 4 KB sketch per signal instead of a distinct hash set per
+    signal, the same trade as the aggregate form.
+
+    Output: (feature, slice, n_ref_distinct, n_cur_distinct,
+    ratio[6dp])."""
+    def melt(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(slice_col).cast("string").alias("slice"),
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(c).alias("feature"),
+                                F.col(c).cast("string").alias("value"),
+                            )
+                            for c in cols
+                        ]
+                    )
+                ).alias("m"),
+            )
+            .select("slice", "m.feature", "m.value")
+            .filter(F.col("value").isNotNull() & F.col("slice").isNotNull())
+        )
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        agg = (
+            F.count_distinct(F.col("value"))
+            if exact
+            else F.hll_sketch_estimate(F.hll_sketch_agg("value"))
+        )
+        return melt(df).groupBy("feature", "slice").agg(
+            agg.cast("bigint").alias(name)
+        )
+
+    out = (
+        side(ref, "n_ref_distinct")
+        .join(side(cur, "n_cur_distinct"), ["feature", "slice"], "full_outer")
+        .fillna(0, subset=["n_ref_distinct", "n_cur_distinct"])
+    )
+    ratio = F.when(
+        F.col("n_ref_distinct") > 0,
+        F.round(
+            F.col("n_cur_distinct").cast("double")
+            / F.col("n_ref_distinct"),
+            6,
+        ),
+    )
+    return out.select(
+        "feature", "slice", "n_ref_distinct", "n_cur_distinct",
+        ratio.alias("ratio"),
+    )

@@ -7013,6 +7013,51 @@ def cardinality_drift(spark, sf_dir):
     )
 
 
+@q(
+    "cardinality_drift_sliced",
+    """
+    WITH v AS (SELECT event_id % 2 AS side,
+                      CAST(user_id % 4 AS VARCHAR) AS slice, user_id, value
+               FROM events WHERE user_id IS NOT NULL),
+    legs AS (
+      SELECT side, slice, 'user_id' AS feature,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS n
+      FROM v GROUP BY 1, 2
+      UNION ALL
+      SELECT side, slice, 'value',
+             CAST(count(DISTINCT value) AS BIGINT)
+      FROM v WHERE value IS NOT NULL GROUP BY 1, 2),
+    r AS (SELECT slice, feature, n FROM legs WHERE side = 0),
+    c AS (SELECT slice, feature, n FROM legs WHERE side = 1)
+    SELECT COALESCE(r.feature, c.feature) AS feature,
+           COALESCE(r.slice, c.slice) AS slice,
+           COALESCE(r.n, 0) AS n_ref_distinct,
+           COALESCE(c.n, 0) AS n_cur_distinct,
+           CASE WHEN COALESCE(r.n, 0) > 0
+                THEN round(CAST(COALESCE(c.n, 0) AS DOUBLE) / r.n, 6)
+           END AS ratio
+    FROM r FULL OUTER JOIN c
+      ON r.slice = c.slice AND r.feature = c.feature
+    """,
+)
+def cardinality_drift_sliced(spark, sf_dir):
+    """Per-slice feature-cardinality drift (operators/profile.py
+    cardinality_drift_sliced, r15): distinct counts of every monitored
+    feature WITHIN every user shard — one segment's key space can
+    collapse while another mints new values, leaving the aggregate
+    distinct count unmoved. F features × S slices in two melted scans;
+    the slice key rides the unpivot."""
+    ev = load(spark, sf_dir, "events").withColumn(
+        "shard", F.col("user_id") % 4
+    )
+    return P.cardinality_drift_sliced(
+        ev.filter(F.col("event_id") % 2 == 0),
+        ev.filter(F.col("event_id") % 2 == 1),
+        ["user_id", "value"],
+        "shard",
+    )
+
+
 @q("streaming_cardinality_drift", None)
 def streaming_cardinality_drift(spark, sf_dir):
     """STREAMING feature-cardinality monitor (streaming/stream_ops.py

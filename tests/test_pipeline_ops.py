@@ -1309,3 +1309,63 @@ def test_cardinality_drift_exact_and_sketch(spark):
         ).collect()
     }
     assert {f: tuple(r) for f, r in sk.items()} == again
+
+
+def test_cardinality_drift_sliced_matches_per_slice_aggregate(spark):
+    """Per-(feature, slice) results are bit-identical to the aggregate
+    cardinality_drift run on that slice's rows alone (the sliced-family
+    pinning rule), and a compensating re-key — one shard collapses its
+    key space while another mints the same number of new values — moves
+    the sliced ratios while the aggregate distinct count stays put."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import profile as P
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ref = ev.filter(F.col("event_id") % 2 == 0).withColumn(
+        "shard", F.col("user_id") % 2
+    )
+    cur = ev.filter(F.col("event_id") % 2 == 1).withColumn(
+        "shard", F.col("user_id") % 2
+    )
+    sliced = {
+        (r.feature, r.slice): (r.n_ref_distinct, r.n_cur_distinct, r.ratio)
+        for r in P.cardinality_drift_sliced(
+            ref, cur, ["value"], "shard"
+        ).collect()
+    }
+    for s in ("0", "1"):
+        agg = {
+            r.feature: (r.n_ref_distinct, r.n_cur_distinct, r.ratio)
+            for r in P.cardinality_drift(
+                ref.filter(F.col("shard").cast("string") == s),
+                cur.filter(F.col("shard").cast("string") == s),
+                ["value"],
+            ).collect()
+        }
+        assert sliced[("value", s)] == agg["value"]
+
+    # compensating re-key: shard-0 current values collapse to even ints
+    # (~halved distinct), shard 1 keeps its own — aggregate reads the
+    # union and barely moves, the sliced check sees shard 0 halve
+    cur2 = cur.withColumn(
+        "value",
+        F.when(
+            F.col("shard") == 0,
+            (F.floor(F.col("value") / 2) * 2).cast("double"),
+        ).otherwise(F.col("value")),
+    )
+    before = {
+        (r.feature, r.slice): r.ratio
+        for r in P.cardinality_drift_sliced(
+            ref, cur, ["value"], "shard"
+        ).collect()
+    }
+    after = {
+        (r.feature, r.slice): r.ratio
+        for r in P.cardinality_drift_sliced(
+            ref, cur2, ["value"], "shard"
+        ).collect()
+    }
+    assert after[("value", "0")] < 0.7 * before[("value", "0")]
+    assert after[("value", "1")] == before[("value", "1")]
