@@ -1243,3 +1243,88 @@ def embedding_incremental_pairs(
         F.col("id_b").alias("hist_id"),
         "cosine",
     )
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    method: str = "exact",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """CROSS-TABLE fuzzy join (record linkage / entity resolution): pairs
+    of (left row, right row) whose word-k-gram shingle sets reach
+    ``threshold`` Jaccard — the dedup machinery generalized from
+    "find my own near-duplicates" to "link two relations by approximate
+    content" (release-to-release linkage, vendor-feed reconciliation,
+    crawl-vs-crawl alignment).
+
+    ``method="exact"``: shingle equi-join across the two frames →
+    per-pair intersection counts → Jaccard (the ngram_jaccard_pairs
+    plan with two sources). One shuffle on the shingle key + one on the
+    pair key, never a cross join; exact, so oracle-pairable.
+
+    ``method="lsh"``: MinHash band tables on both sides join on
+    (band, bucket) — per-bucket candidate generation, the sub-quadratic
+    100 TB path — then candidates (only) are exactly re-scored. Same
+    shared-band parameters as minhash_lsh_pairs; false negatives
+    possible by construction (a true pair may share no band), so this
+    form is recall-pinned against the exact twin in pytest rather than
+    oracle-paired — the ANN-twin evidence pattern.
+
+    Output: (left_id, right_id, n_shared, jaccard ≥ threshold)."""
+    from pyspark.sql import Window
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        sh = doc_shingles(
+            df.select(F.col(id_col).alias("doc_id"), text_col), text_col, k
+        )
+        sh = sh.withColumn(
+            "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
+        )
+        return sh.select(
+            F.col("doc_id").alias(f"{name}_id"),
+            "shingle",
+            F.col("n_sh").alias(f"n_{name}"),
+        )
+
+    sh_l, sh_r = side(left, "left"), side(right, "right")
+    joined = sh_l.join(sh_r, "shingle")
+    if method == "lsh":
+        def bands(df: DataFrame, name: str) -> DataFrame:
+            sig = minhash_signatures(
+                df.select(F.col(id_col).alias("doc_id"), text_col),
+                text_col, k, num_hashes,
+            )
+            return _band_table(sig, num_hashes, band_size).select(
+                F.col("doc_id").alias(f"{name}_id"), "band", "bucket"
+            )
+
+        cand = (
+            bands(left, "left")
+            .join(bands(right, "right"), ["band", "bucket"])
+            .select("left_id", "right_id")
+            .distinct()
+        )
+        joined = joined.join(cand, ["left_id", "right_id"], "left_semi")
+    elif method != "exact":
+        raise ValueError(f"fuzzy_join: unknown method {method!r}")
+    shared = joined.groupBy("left_id", "right_id").agg(
+        F.count("*").alias("n_shared"),
+        F.first("n_left").alias("na"),
+        F.first("n_right").alias("nb"),
+    )
+    jac = F.round(
+        F.col("n_shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("n_shared")).cast("double"),
+        6,
+    )
+    return (
+        shared.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", "n_shared", "jaccard")
+    )

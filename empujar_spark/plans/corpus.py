@@ -1026,6 +1026,73 @@ def containment_dup_pairs(spark, sf_dir):
     return D.containment_pairs(docs, k=3, threshold=0.5)
 
 
+def _fuzzy_sh_sql(src: str) -> str:
+    """Shingle CTE body over an arbitrary (doc_id, text) subquery — the
+    _SHINGLES_SQL shape parameterized for the fuzzy-join oracle's two
+    release frames."""
+    return f"""
+      SELECT doc_id, unnest(list_distinct(
+               list_transform(generate_series(1, len(t) - 2),
+                              i -> concat_ws(' ', t[i], t[i+1], t[i+2])))) AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM ({src}))
+      WHERE len(t) >= 3
+      UNION ALL
+      SELECT doc_id, array_to_string(t, ' ') AS shingle
+      FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+            FROM ({src}))
+      WHERE len(t) < 3 AND array_to_string(t, ' ') <> ''
+    """
+
+
+_FUZZY_V1 = "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0"
+_FUZZY_V2 = (
+    "SELECT doc_id + 1000000 AS doc_id, text || ' v2extra' AS text "
+    "FROM documents WHERE doc_id % 3 = 0"
+)
+
+
+@q(
+    "fuzzy_link_releases",
+    f"""
+    WITH shl AS ({_fuzzy_sh_sql(_FUZZY_V1)}),
+    shr AS ({_fuzzy_sh_sql(_FUZZY_V2)}),
+    nl AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+    nr AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+    shared AS (
+      SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM shl l JOIN shr r ON l.shingle = r.shingle
+      GROUP BY 1, 2)
+    SELECT left_id, right_id, n_shared, jaccard FROM (
+      SELECT left_id, right_id, n_shared,
+             round(CAST(n_shared AS DOUBLE)
+                   / (nl.n + nr.n - n_shared), 6) AS jaccard
+      FROM shared
+      JOIN nl ON nl.doc_id = left_id
+      JOIN nr ON nr.doc_id = right_id) t
+    WHERE jaccard >= 0.5
+    """,
+)
+def fuzzy_link_releases(spark, sf_dir):
+    """CROSS-TABLE fuzzy join / record linkage (operators/dedup.py
+    fuzzy_join, r15): link two corpus releases by approximate content —
+    v2 re-keyed (+1,000,000) with an appended edit token, so every v2
+    doc must find its v1 original by shingle Jaccard despite the edit
+    and the broken key. The exact form: shingle equi-join across the
+    frames + per-pair Jaccard ≥ 0.5, one shingle shuffle + one pair
+    shuffle, never a cross join. The sub-quadratic LSH-banded form is
+    the recall-pinned production twin (tests/test_dedup_properties.py
+    fuzzy-join pin)."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 3 == 0)
+    v2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2extra")).alias("text"),
+    )
+    return D.fuzzy_join(v1, v2, threshold=0.5, method="exact")
+
+
 # Windowed md5 scheme (dedup._md5_bucket): seed i slices the 8-hex-char
 # window i%4 of md5('{i//4}|' || v) — 4 hash functions per digest.
 def _mh_hash(seed: int) -> str:

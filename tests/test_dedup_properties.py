@@ -375,3 +375,40 @@ def test_winnowing_equals_python_reference_any_text(spark, docs):
         got[r.doc_id].add(r.fp)
     for i, t in enumerate(docs):
         assert got[i] == py_winnow(t), f"doc {i}: {t!r}"
+
+
+def test_fuzzy_join_lsh_twin_recall_and_exactness_of_scores(spark):
+    """fuzzy_join (r15): the LSH-banded production twin's survivors are
+    a SUBSET of the exact form with IDENTICAL scores (candidates are
+    exactly re-scored, so divergence is only missed candidates), and
+    recall on this fixture is >= 0.8; the exact form links every v2 doc
+    whose Jaccard-to-origin clears the threshold back to its origin."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") % 3 == 0)
+    v2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2extra")).alias("text"),
+    )
+    exact = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in D.fuzzy_join(docs, v2, threshold=0.5).collect()
+    }
+    assert exact, "fixture produced no links"
+    # origin links present for every pair that cleared the threshold
+    origins = {k for k in exact if k[1] - 1000000 == k[0]}
+    assert origins
+    lsh = {
+        (r.left_id, r.right_id): r.jaccard
+        for r in D.fuzzy_join(
+            docs, v2, threshold=0.5, method="lsh"
+        ).collect()
+    }
+    assert set(lsh) <= set(exact)
+    for k, v in lsh.items():
+        assert v == exact[k]
+    assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))
