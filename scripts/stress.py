@@ -755,6 +755,21 @@ def main() -> None:
                     exact=False,
                 )
             ),
+            # Cross-table fuzzy join, LSH form (r15): link ×f docs to a
+            # re-keyed edited copy — band-bucket candidate join + exact
+            # re-score of candidates only; should track minhash_lsh's
+            # banded-join curve (same plan family, two sources).
+            "fuzzy_lsh": lambda: noop(
+                D.fuzzy_join(
+                    docs,
+                    docs.select(
+                        (F.col("doc_id") + 100000000).alias("doc_id"),
+                        F.concat(F.col("text"), F.lit(" vX")).alias("text"),
+                    ),
+                    threshold=0.5,
+                    method="lsh",
+                )
+            ),
             # Release diff over ×f corpus versions (r15): two pruned
             # scans reduce to slim (key, md5) projections BEFORE the
             # one co-partitioned full-outer PK join — the shuffle
