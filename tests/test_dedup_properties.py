@@ -412,3 +412,43 @@ def test_fuzzy_join_lsh_twin_recall_and_exactness_of_scores(spark):
     for k, v in lsh.items():
         assert v == exact[k]
     assert len(lsh) >= 0.8 * len(exact), (len(lsh), len(exact))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    left=st.lists(texts, min_size=1, max_size=6),
+    right=st.lists(texts, min_size=1, max_size=6),
+)
+def test_fuzzy_join_matches_python_jaccard(spark, left, right):
+    """For ANY two small corpora, fuzzy_join(method='exact') emits
+    exactly the cross-table pairs whose word-3-gram shingle-set Jaccard
+    (with the short-doc whole-text fallback) clears the threshold, with
+    the correct 6dp score."""
+    from empujar_spark.operators.dedup import fuzzy_join
+
+    def shingles(t):
+        toks = t.strip().lower().split()
+        if not toks or not t.strip():
+            return set()
+        if len(toks) < 3:
+            return {" ".join(toks)}
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    l = spark.createDataFrame(list(enumerate(left)), ["doc_id", "text"])
+    r = spark.createDataFrame(
+        [(100 + i, t) for i, t in enumerate(right)], ["doc_id", "text"]
+    )
+    got = {
+        (x.left_id, x.right_id): x.jaccard
+        for x in fuzzy_join(l, r, threshold=0.4).collect()
+    }
+    expected = {}
+    for i, lt in enumerate(left):
+        for j, rt in enumerate(right):
+            a, b = shingles(lt), shingles(rt)
+            if not a or not b:
+                continue
+            jac = round(len(a & b) / len(a | b), 6)
+            if jac >= 0.4 and len(a & b) > 0:
+                expected[(i, 100 + j)] = jac
+    assert got == expected

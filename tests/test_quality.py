@@ -169,3 +169,48 @@ def test_table_diff_statuses_and_null_semantics(spark):
         for r in table_diff(old, new, ["id"], compare_cols=["s"]).collect()
     }
     assert 2 not in narrowed
+
+
+def test_table_diff_partition_properties(spark):
+    """Property test (hypothesis): for ANY pair of keyed frames, the
+    diff's statuses partition the keys — added = keys(new)−keys(old),
+    removed = keys(old)−keys(new), changed ⊆ intersection with
+    differing compared values, and with include_unchanged=True the four
+    statuses cover keys(old) ∪ keys(new) exactly once each."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from empujar_spark.operators.quality import table_diff
+
+    vals = st.one_of(st.none(), st.sampled_from(["x", "y", "z"]))
+    frame = st.dictionaries(
+        st.integers(min_value=0, max_value=9), vals, max_size=8
+    )
+
+    @settings(max_examples=8, deadline=None)
+    @given(old=frame, new=frame)
+    def prop(old, new):
+        o = spark.createDataFrame(
+            [(k, v) for k, v in old.items()], "id long, v string"
+        )
+        n = spark.createDataFrame(
+            [(k, v) for k, v in new.items()], "id long, v string"
+        )
+        got = {
+            r.id: r.status
+            for r in table_diff(
+                o, n, ["id"], include_unchanged=True
+            ).collect()
+        }
+        assert set(got) == set(old) | set(new)
+        for k, status in got.items():
+            if k not in old:
+                assert status == "added"
+            elif k not in new:
+                assert status == "removed"
+            elif old[k] != new[k]:
+                assert status == "changed", (k, old[k], new[k])
+            else:
+                assert status == "unchanged"
+
+    prop()
