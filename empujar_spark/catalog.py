@@ -1716,18 +1716,34 @@ class Warehouse:
     ) -> DataFrame:
         """Keep the latest row per key (redshift.js:399-413: delete rows
         whose ``updated_at`` is not the max for a duplicated id). Order
-        column auto-detected from the sortkey candidates; falls back to
-        arbitrary-but-deterministic when absent."""
+        column auto-detected from the sortkey candidates.
+
+        Ties (equal or absent order column) break on a CONTENT
+        fingerprint of the whole row — md5 over fixed-width per-column
+        tokens, the table_diff encoding — so the survivor is a pure
+        function of the data, never of partition layout
+        (monotonically_increasing_id, the previous fallback, renumbers
+        whenever the input repartitions — two runs over the same rows
+        could keep different survivors; VERDICT r15 item 5). Rows that
+        tie on the fingerprint too are full duplicates, so either
+        survivor is the same content."""
         if order_col is None:
             order_col = next((c for c in _SORTKEY_CANDIDATES if c in df.columns), None)
         order_exprs = [F.col(order_col).desc_nulls_last()] if order_col else []
-        order_exprs.append(F.col("__pos").desc())
+        tie = F.md5(
+            F.concat(
+                *[
+                    F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-" * 32))
+                    for c in sorted(df.columns)
+                ]
+            )
+        )
+        order_exprs.append(tie.asc())
         w = Window.partitionBy(key).orderBy(*order_exprs)
         return (
-            df.withColumn("__pos", F.monotonically_increasing_id())
-            .withColumn("__rn", F.row_number().over(w))
+            df.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__pos", "__rn")
+            .drop("__rn")
         )
 
 

@@ -1255,6 +1255,7 @@ def fuzzy_join(
     method: str = "exact",
     num_hashes: int = 8,
     band_size: int = 2,
+    max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """CROSS-TABLE fuzzy join (record linkage / entity resolution): pairs
     of (left row, right row) whose word-k-gram shingle sets reach
@@ -1270,19 +1271,54 @@ def fuzzy_join(
 
     ``method="lsh"``: MinHash band tables on both sides join on
     (band, bucket) — per-bucket candidate generation, the sub-quadratic
-    100 TB path — then candidates (only) are exactly re-scored. Same
+    100 TB path — then the CANDIDATE PAIRS DRIVE the exact re-score:
+    ``cand ⋈ sh_l on left_id ⋈ sh_r on (right_id, shingle)``, so the
+    shingle-keyed work is ∝ |candidates| × shingles/doc, never the full
+    shingle×shingle join (which would silently re-pay the quadratic
+    cost LSH exists to avoid — a pair semi-join applied AFTER a shingle
+    equi-join does NOT push below it; tests/test_plans.py asserts the
+    lsh plan contains no unfiltered shingle⋈shingle join). Same
     shared-band parameters as minhash_lsh_pairs; false negatives
     possible by construction (a true pair may share no band), so this
     form is recall-pinned against the exact twin in pytest rather than
     oracle-paired — the ANN-twin evidence pattern.
 
+    ``max_shingle_freq``: optional stop-shingle skew cap (the
+    ngram_jaccard_pairs precedent) — shingles whose document frequency
+    across the UNION of both sides exceeds the cap are dropped before
+    set sizes are computed, so Jaccard is over the capped shingle
+    universe on both sides symmetrically (oracle-mirrorable). Without
+    it a hot shingle shared by f docs per side emits f² rows in exact
+    mode — and, inside the candidate re-score, up to |cand| rows per
+    hot shingle in lsh mode. Disabled by default so the exact form
+    stays a pure Jaccard.
+
     Output: (left_id, right_id, n_shared, jaccard ≥ threshold)."""
     from pyspark.sql import Window
+
+    freq_filter = None
+    if max_shingle_freq is not None:
+        sh_union = doc_shingles(
+            left.select(F.col(id_col).alias("doc_id"), text_col), text_col, k
+        ).unionByName(
+            doc_shingles(
+                right.select(F.col(id_col).alias("doc_id"), text_col),
+                text_col, k,
+            )
+        )
+        freq_filter = (
+            sh_union.groupBy("shingle")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_shingle_freq)
+            .select("shingle")
+        )
 
     def side(df: DataFrame, name: str) -> DataFrame:
         sh = doc_shingles(
             df.select(F.col(id_col).alias("doc_id"), text_col), text_col, k
         )
+        if freq_filter is not None:
+            sh = sh.join(freq_filter, "shingle")
         sh = sh.withColumn(
             "n_sh", F.count("*").over(Window.partitionBy("doc_id"))
         )
@@ -1293,7 +1329,6 @@ def fuzzy_join(
         )
 
     sh_l, sh_r = side(left, "left"), side(right, "right")
-    joined = sh_l.join(sh_r, "shingle")
     if method == "lsh":
         def bands(df: DataFrame, name: str) -> DataFrame:
             sig = minhash_signatures(
@@ -1310,8 +1345,16 @@ def fuzzy_join(
             .select("left_id", "right_id")
             .distinct()
         )
-        joined = joined.join(cand, ["left_id", "right_id"], "left_semi")
-    elif method != "exact":
+        # Candidates FIRST: expand each candidate pair by the left doc's
+        # shingles, then probe the right shingle table on the composite
+        # (right_id, shingle) key. Cost ∝ |candidates| × shingles/doc;
+        # no shingle-only join key exists anywhere in this branch.
+        joined = cand.join(sh_l, "left_id").join(
+            sh_r, ["right_id", "shingle"]
+        )
+    elif method == "exact":
+        joined = sh_l.join(sh_r, "shingle")
+    else:
         raise ValueError(f"fuzzy_join: unknown method {method!r}")
     shared = joined.groupBy("left_id", "right_id").agg(
         F.count("*").alias("n_shared"),

@@ -224,10 +224,17 @@ def table_diff(
 
     Content comparison is by md5 over the ``compare_cols`` projection
     (default: every non-key column common to both frames, sorted by
-    name so the fingerprint is column-order-stable). ``concat_ws``
-    skips NULLs identically in Spark and DuckDB, so the fingerprint —
-    and therefore the whole diff — is engine-exact; a NULL→value change
-    in any compared column changes the fingerprint.
+    name so the fingerprint is column-order-stable). Each column is
+    first hashed to a FIXED-WIDTH token — md5 of its string cast, or a
+    32-char non-hex sentinel for NULL — and the row fingerprint is md5
+    of the token concatenation. Fixed-width tokens make the encoding
+    injective: a NULL→value change in any column changes the
+    fingerprint, adjacent-column value swaps around a NULL cannot
+    collide (('x', NULL) vs (NULL, 'x') differ by token position), and
+    delimiter injection is impossible because there is no delimiter
+    ('x|y' vs ('x','y') produce different token sequences). Both md5
+    and string casts evaluate identically in Spark and DuckDB, so the
+    fingerprint — and therefore the whole diff — stays engine-exact.
 
     Plan shape at 100 TB: each side reduces to a SLIM (key, fingerprint)
     projection before the one FULL OUTER equi-join on the key — the
@@ -245,7 +252,11 @@ def table_diff(
         )
 
     def slim(df: DataFrame, fp_name: str) -> DataFrame:
-        fp = F.md5(F.concat_ws("|", *[F.col(c).cast("string") for c in compare_cols]))
+        tokens = [
+            F.coalesce(F.md5(F.col(c).cast("string")), F.lit("-" * 32))
+            for c in compare_cols
+        ]
+        fp = F.md5(F.concat(*tokens))
         return df.select(*key_cols, fp.alias(fp_name))
 
     o = slim(old, "old_fingerprint")

@@ -7175,10 +7175,14 @@ _FROZEN_QCLS = {"bias": -64.676624, "lt": 27.104891, "ar": -53.87007}
       FROM documents),
     s AS (
       SELECT doc_id, teacher,
+             -- term order matches score_linear's sorted-key fold
+             -- (bias + w_ar*ar + w_lt*lt): float addition is
+             -- non-associative, so both engines must evaluate the
+             -- identical expression tree for hash-exactness
              round(1.0 / (1.0 + exp(-round(
                  {_FROZEN_QCLS["bias"]}
-                 + {_FROZEN_QCLS["lt"]} * lt
-                 + {_FROZEN_QCLS["ar"]} * ar, 6))), 6) AS score
+                 + {_FROZEN_QCLS["ar"]} * ar
+                 + {_FROZEN_QCLS["lt"]} * lt, 6))), 6) AS score
       FROM f)
     SELECT doc_id, teacher, score,
            CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS pred,
@@ -7235,12 +7239,17 @@ def classifier_serve_frozen(spark, sf_dir):
     """
     WITH v1 AS (
       SELECT doc_id,
-             md5(concat_ws('|', source,
-                 CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END))
+             md5(coalesce(md5(CAST(source AS VARCHAR)), repeat('-', 32))
+                 || coalesce(md5(CAST(
+                      CASE WHEN doc_id % 11 = 0 THEN upper(text) ELSE text END
+                    AS VARCHAR)), repeat('-', 32)))
                  AS old_fingerprint
       FROM documents WHERE doc_id % 7 <> 0),
     v2 AS (
-      SELECT doc_id, md5(concat_ws('|', source, text)) AS new_fingerprint
+      SELECT doc_id,
+             md5(coalesce(md5(CAST(source AS VARCHAR)), repeat('-', 32))
+                 || coalesce(md5(CAST(text AS VARCHAR)), repeat('-', 32)))
+                 AS new_fingerprint
       FROM documents WHERE doc_id % 13 <> 0)
     SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
            CASE WHEN v1.old_fingerprint IS NULL THEN 'added'
@@ -10488,9 +10497,13 @@ def _evidence_rounds(repo: str | None = None) -> dict[str, dict[int, bool]]:
     (scripts/local_gate.py runs, keyed {round: {entry: row}}) — a local
     exact-equality re-green is evidence of the same strength as a
     driver hash match, so it refreshes staleness identically (VERDICT
-    r14 item 1). Where both sides carry the same (entry, round), a
-    green from either wins: a re-verified pass refutes a transient
-    miss, never the reverse.
+    r14 item 1). Local records only FILL (entry, round) pairs the
+    driver records don't carry: local_gate attributes runs to
+    max(driver round)+1, so a local record can predate the driver
+    rotation it shares a round number with — letting it overwrite
+    would shadow a later-landing driver red for that round (ADVICE
+    r15). A driver verdict, green or red, is therefore never
+    overridden by a local one at the same round.
 
     ``repo`` overrides the records directory (tests point it at a
     scratch layout to prove a NEW record re-rotates instead of breaking
@@ -10525,9 +10538,10 @@ def _evidence_rounds(repo: str | None = None) -> dict[str, dict[int, bool]]:
             continue
         n = int(rnd)
         for name, row in rows.items():
-            ok = bool(isinstance(row, dict) and row.get("hash_match"))
-            prev = out.setdefault(name, {}).get(n, False)
-            out[name][n] = prev or ok
+            slot = out.setdefault(name, {})
+            if n in slot:  # driver verdict for this round wins, either way
+                continue
+            slot[n] = bool(isinstance(row, dict) and row.get("hash_match"))
     return out
 
 

@@ -163,6 +163,31 @@ def test_evidence_age_never_exceeds_three_rounds():
         )
 
 
+def test_local_green_never_shadows_driver_red(tmp_path):
+    """ADVICE r15: local_gate attributes runs to max(driver round)+1, so
+    a local record can share a round number with a driver rotation that
+    lands AFTER it — a local green must only fill (entry, round) pairs
+    the driver records don't carry, never override a driver red (or
+    green) for the same round."""
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "x": {"hash_match": False},
+        "y": {"hash_match": True},
+    }))
+    (tmp_path / "CORRECTNESS_LOCAL.json").write_text(json.dumps({
+        "1": {
+            "x": {"hash_match": True},   # must NOT shadow the driver red
+            "y": {"hash_match": False},  # must NOT shadow the driver green
+            "z": {"hash_match": True},   # absent from driver: fills
+        },
+        "2": {"x": {"hash_match": True}},  # later round: counts normally
+    }))
+    ev = _evidence_rounds(str(tmp_path))
+    assert ev["x"][1] is False, "local green shadowed a driver red"
+    assert ev["y"][1] is True, "local red shadowed a driver green"
+    assert ev["z"][1] is True
+    assert ev["x"][2] is True
+
+
 def test_records_parse_and_name_known_entries():
     """Every committed record row names a corpus entry (renames must
     keep the evidence trail attached)."""

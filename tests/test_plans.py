@@ -830,3 +830,68 @@ def test_psi_sliced_multi_constant_scans(spark):
     assert "Scan ExistingRDD" in plan, plan  # the checkpointed ranges
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _shingle_only_joins(df) -> list[str]:
+    """Join nodes whose equi-condition involves the shingle key but NOT
+    the candidate right_id — the quadratic shingle×shingle hazard."""
+    import re
+
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    hits = []
+    for line in plan.splitlines():
+        if re.search(r"\bJoin\b", line) and "shingle#" in line:
+            if "right_id#" not in line:
+                hits.append(line.strip())
+    return hits
+
+
+def test_fuzzy_join_lsh_candidates_drive_the_rescore(spark):
+    """VERDICT r15 item 1: under method='lsh' the candidate pair set
+    must drive the exact re-score (cand ⋈ sh_l ⋈ sh_r on the composite
+    (right_id, shingle) key) — a pair semi-join applied AFTER a full
+    shingle⋈shingle equi-join does not push below it, so the old plan
+    paid the exact form's dominant quadratic shuffle on top of the band
+    tables. Assert the lsh optimized plan contains NO join keyed on
+    shingle alone, and sanity-check the detector against the exact form
+    (which legitimately joins on the bare shingle key)."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") % 5 == 0)
+    v2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    lsh = D.fuzzy_join(docs, v2, threshold=0.5, method="lsh")
+    assert _shingle_only_joins(lsh) == []
+    exact = D.fuzzy_join(docs, v2, threshold=0.5, method="exact")
+    assert _shingle_only_joins(exact), "detector lost the shingle join"
+
+
+def test_fuzzy_join_shingle_freq_cap_filters_before_pair_join(spark):
+    """max_shingle_freq (VERDICT r15 item 2): the stop-shingle document
+    frequency cap must land as a FILTER on the frequency aggregate
+    below the shingle/pair joins in both modes — the skew control runs
+    before the blowup, not after."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") % 5 == 0)
+    v2 = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2")).alias("text"),
+    )
+    for method in ("exact", "lsh"):
+        df = D.fuzzy_join(
+            docs, v2, threshold=0.5, method=method, max_shingle_freq=64
+        )
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "__df" in plan, (method, plan)
+        assert "CartesianProduct" not in plan, method

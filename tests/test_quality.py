@@ -140,8 +140,7 @@ def test_k_anonymity_violations(spark):
 def test_table_diff_statuses_and_null_semantics(spark):
     """table_diff (r15): added/removed/changed classification, the
     change-sized default output, include_unchanged opt-in, and the
-    NULL→value content change that a naive equality join would miss
-    (concat_ws skips NULLs, so the fingerprint shifts)."""
+    NULL→value content change that a naive equality join would miss."""
     from empujar_spark.operators.quality import table_diff
 
     old = spark.createDataFrame(
@@ -169,6 +168,37 @@ def test_table_diff_statuses_and_null_semantics(spark):
         for r in table_diff(old, new, ["id"], compare_cols=["s"]).collect()
     }
     assert 2 not in narrowed
+
+
+def test_table_diff_fingerprint_injective_under_null_swaps(spark):
+    """VERDICT r15 item 3 / ADVICE: the old concat_ws('|') fingerprint
+    SKIPPED NULLs, so (a='x', b=NULL) vs (a=NULL, b='x') collided —
+    'unchanged' for a genuinely changed row — and 'x|y' in one column
+    collided with ('x','y') split across two. Fixed-width per-column
+    md5 tokens make the encoding injective; both cases must now read
+    'changed' (and a genuinely unchanged NULL-carrying row must not)."""
+    from empujar_spark.operators.quality import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "x", None), (2, "x|y", None), (3, None, "same"),
+         (4, None, None)],
+        "id long, a string, b string",
+    )
+    new = spark.createDataFrame(
+        [(1, None, "x"), (2, "x", "y"), (3, None, "same"),
+         (4, None, None)],
+        "id long, a string, b string",
+    )
+    got = {
+        r.id: r.status
+        for r in table_diff(old, new, ["id"], include_unchanged=True).collect()
+    }
+    assert got == {
+        1: "changed",    # NULL-adjacent column swap
+        2: "changed",    # delimiter injection
+        3: "unchanged",  # NULL in the same position stays unchanged
+        4: "unchanged",  # all-NULL rows match each other
+    }
 
 
 def test_table_diff_partition_properties(spark):

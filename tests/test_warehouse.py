@@ -162,6 +162,35 @@ def test_dedup_keep_latest(warehouse):
     assert data == {1: "new", 2: "only"}
 
 
+def test_dedup_keep_latest_tiebreak_is_partition_independent(warehouse):
+    """VERDICT r15 item 5: when the order column ties (or is absent),
+    the survivor must be a pure function of the DATA — the previous
+    monotonically_increasing_id fallback renumbered with partition
+    layout, so two runs over differently-partitioned input could keep
+    different rows."""
+    ts = dt.datetime(2020, 6, 1)
+    rows = [{"id": i % 5, "v": f"v{i}", "updated_at": ts} for i in range(40)]
+    warehouse.insert_data("tied", rows, merge_on_duplicates=False)
+    df = warehouse.read("tied")
+    baseline = None
+    for layout in (
+        df,
+        df.repartition(1),
+        df.repartition(7, "v"),
+        df.orderBy("v").coalesce(3),
+        df.orderBy(df.v.desc()).repartition(13),
+    ):
+        out = sorted(
+            (r["id"], r["v"])
+            for r in warehouse.dedup_keep_latest(layout, "id").collect()
+        )
+        assert len(out) == 5
+        if baseline is None:
+            baseline = out
+        else:
+            assert out == baseline, "survivor depends on partition layout"
+
+
 def test_copy_table_schema(warehouse):
     # mysql.js:601-605
     warehouse.insert_data("orig", [{"id": 1, "v": "a"}])
