@@ -63,12 +63,15 @@ def build_pretrain_book(
 def run_pretrain(
     spark: SparkSession, source_dir: str, warehouse_dir: str,
     semantic_decontam_threshold: float | None = None,
+    frozen_quality_classifier: bool = False,
 ) -> Warehouse:
     """Build + run the book, flush the audit table, return the warehouse."""
     wh = Warehouse(spark, warehouse_dir, primary_key="doc_id")
     book = build_pretrain_book(spark, source_dir, wh)
     if semantic_decontam_threshold is not None:
         book.semantic_decontam_threshold = semantic_decontam_threshold
+    if frozen_quality_classifier:
+        book.frozen_quality_classifier = True
     book.run()
     book.flush_audit(wh)
     return wh

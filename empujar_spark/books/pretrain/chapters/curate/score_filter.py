@@ -24,6 +24,18 @@ to the documents table on doc_id to pick up text for the curated
 write. At 100 TB that halves the pipeline's dominant IO; the join is
 one co-partitioned shuffle on the primary key versus a full second
 copy of the corpus.
+
+FROZEN CLASSIFIER LEG (opt-in, r16 / VERDICT r15 item 4): a book that
+sets ``book.frozen_quality_classifier = True`` also gates survivors
+through the committed frozen-weights quality student
+(operators/classifier.py FROZEN_QUALITY_WEIGHTS via score_linear) —
+one whole-stage-codegen projection over the scored table's OWN
+quantized signal columns (lt = round(ln(1+n_tokens), 6),
+ar = alpha_ratio as written, 4dp), no MLlib and no second corpus scan
+at serve, so the filter decisions are hash-reproducible across reruns
+and engines (the quality_classifier_filter_frozen corpus entry is the
+oracle-paired twin of this decision). Off by default: the rule-only
+chain stays bit-identical.
 """
 
 from pyspark.sql import functions as F
@@ -61,6 +73,22 @@ def chapter_loader(book):
             & (F.col("frac_dup_ngrams") <= 0.9)
             & (F.col("lang_pred") != "und")
         )
+        if getattr(book, "frozen_quality_classifier", False):
+            from empujar_spark.operators import classifier as CL
+
+            w = CL.FROZEN_QUALITY_WEIGHTS
+            kept = (
+                CL.score_linear(
+                    kept.withColumn(
+                        "lt", F.round(F.log1p(F.col("n_tokens")), 6)
+                    ).withColumn("ar", F.col("alpha_ratio")),
+                    {"lt": w["lt"], "ar": w["ar"]},
+                    bias=w["bias"],
+                    out_col="q_score",
+                )
+                .filter(F.col("q_score_pred") == "keep")
+                .drop("lt", "ar", "q_score_pred")
+            )
         curated = kept.join(docs.select("doc_id", "text"), "doc_id")
         wh.insert_data("documents_curated", curated, merge_key="doc_id")
 

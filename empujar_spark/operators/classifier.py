@@ -28,6 +28,21 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Frozen distilled quality student (VERDICT r14 item 5 / r15 item 4):
+# logistic weights over [lt = ln(1+n_tokens), ar = alpha_ratio], fit
+# OFFLINE against the teacher rule quality_classifier_filter distills
+# (token count >= 56), 20k GD steps at sf0.01, quantized to 1e-6 —
+# 99.6% holdout agreement. The committed constants are the REGISTRY
+# ARTIFACT that makes the serve path exactly reproducible on any engine
+# (the thing MLlib's partition-order-sensitive L-BFGS can't be); both
+# the classifier_serve_frozen corpus entry and the pretrain book's
+# opt-in frozen curate leg serve these same weights.
+FROZEN_QUALITY_WEIGHTS = {
+    "bias": -64.676624,
+    "lt": 27.104891,
+    "ar": -53.87007,
+}
+
 
 def train_text_classifier(
     train_df: DataFrame,

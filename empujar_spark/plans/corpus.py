@@ -1093,6 +1093,56 @@ def fuzzy_link_releases(spark, sf_dir):
     return D.fuzzy_join(v1, v2, threshold=0.5, method="exact")
 
 
+@q(
+    "fuzzy_link_capped",
+    f"""
+    WITH shl0 AS ({_fuzzy_sh_sql(_FUZZY_V1)}),
+    shr0 AS ({_fuzzy_sh_sql(_FUZZY_V2)}),
+    f AS (SELECT shingle, count(*) AS df
+          FROM (SELECT * FROM shl0 UNION ALL SELECT * FROM shr0)
+          GROUP BY 1),
+    shl AS (SELECT shl0.doc_id, shl0.shingle FROM shl0 JOIN f USING (shingle)
+            WHERE f.df <= 6),
+    shr AS (SELECT shr0.doc_id, shr0.shingle FROM shr0 JOIN f USING (shingle)
+            WHERE f.df <= 6),
+    nl AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+    nr AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+    shared AS (
+      SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM shl l JOIN shr r ON l.shingle = r.shingle
+      GROUP BY 1, 2)
+    SELECT left_id, right_id, n_shared, jaccard FROM (
+      SELECT left_id, right_id, n_shared,
+             round(CAST(n_shared AS DOUBLE)
+                   / (nl.n + nr.n - n_shared), 6) AS jaccard
+      FROM shared
+      JOIN nl ON nl.doc_id = left_id
+      JOIN nr ON nr.doc_id = right_id) t
+    WHERE jaccard >= 0.5
+    """,
+)
+def fuzzy_link_capped(spark, sf_dir):
+    """Stop-shingle-capped fuzzy join (operators/dedup.py fuzzy_join
+    max_shingle_freq, VERDICT r15 item 2): the ngram_jaccard_capped
+    skew control generalized to the cross-table form — shingles whose
+    document frequency across the UNION of both releases exceeds 6 are
+    dropped before set sizes, so a hot shingle shared by f docs per
+    side can never emit its f² pair rows (exact mode) or flood the
+    candidate re-score (lsh mode). Jaccard is then over the capped
+    universe on both engines symmetrically, keeping the entry
+    oracle-exact; same release fixture as fuzzy_link_releases."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 3 == 0)
+    v2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2extra")).alias("text"),
+    )
+    return D.fuzzy_join(
+        v1, v2, threshold=0.5, method="exact", max_shingle_freq=6
+    )
+
+
 # Windowed md5 scheme (dedup._md5_bucket): seed i slices the 8-hex-char
 # window i%4 of md5('{i//4}|' || v) — 4 hash functions per digest.
 def _mh_hash(seed: int) -> str:
@@ -7149,13 +7199,11 @@ def streaming_cardinality_drift(spark, sf_dir):
     )
 
 
-# Frozen distilled student (VERDICT r14 item 5): logistic weights over
-# [ln(1+n_tokens), alpha_ratio], fit OFFLINE against the same teacher
-# rule quality_classifier_filter distills (token count >= 56), 20k GD
-# steps at sf0.01, quantized to 1e-6 — 99.6% holdout agreement. The
-# committed constants make the SERVE path exactly reproducible on any
-# engine (the thing MLlib's partition-order-sensitive L-BFGS can't be).
-_FROZEN_QCLS = {"bias": -64.676624, "lt": 27.104891, "ar": -53.87007}
+# Frozen distilled student — the committed registry artifact lives in
+# operators/classifier.py (FROZEN_QUALITY_WEIGHTS, r15 item 4: one
+# source of truth shared by these entries and the pretrain book's
+# opt-in frozen curate leg).
+_FROZEN_QCLS = CL.FROZEN_QUALITY_WEIGHTS
 
 
 @q(
@@ -7231,6 +7279,66 @@ def classifier_serve_frozen(spark, sf_dir):
         "score",
         F.col("score_pred").alias("pred"),
         (F.col("teacher") == F.col("score_pred")).cast("int").alias("agree"),
+    )
+
+
+@q(
+    "quality_classifier_filter_frozen",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             round(ln(1 + CASE WHEN COALESCE(trim(text), '') = '' THEN 0
+                          ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                          END), 6) AS lt,
+             round((length(text) -
+                    length(regexp_replace(text, '[A-Za-z]', '', 'g'))) /
+                   CAST(CASE WHEN length(text) = 0 THEN 1
+                        ELSE length(text) END AS DOUBLE), 4) AS ar
+      FROM documents),
+    s AS (
+      SELECT doc_id,
+             -- same sorted-key term order as score_linear (ar then lt)
+             round(1.0 / (1.0 + exp(-round(
+                 {_FROZEN_QCLS["bias"]}
+                 + {_FROZEN_QCLS["ar"]} * ar
+                 + {_FROZEN_QCLS["lt"]} * lt, 6))), 6) AS q_score
+      FROM f)
+    SELECT doc_id, q_score FROM s WHERE q_score >= 0.5
+    """,
+)
+def quality_classifier_filter_frozen(spark, sf_dir):
+    """The pretrain book's frozen curate-stage FILTER decision (VERDICT
+    r15 item 4), oracle-paired: which documents the committed
+    frozen-weights quality student KEEPS. Same registry artifact and
+    serving shape as classifier_serve_frozen, but quantized exactly as
+    the book's scored-table leg serves it — ar at the 4dp the curate
+    chapter writes into documents_scored, lt at 6dp — and returning the
+    change-making output (survivor ids + scores) instead of the
+    evaluation table. Hash-exact across engines AND across reruns:
+    every float step rounds to a fixed grid and the weights are plan
+    literals, so the pipeline's filter decisions are reproducible —
+    the thing the MLlib-trained quality_classifier_filter (rows-only,
+    agreement-pinned) cannot promise. One whole-stage-codegen
+    projection; nothing shuffles, nothing broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    cls = X.char_classes(t)
+    safe_n = F.when(cls["n_chars"] == 0, F.lit(1)).otherwise(
+        cls["n_chars"]
+    ).cast("double")
+    feat = docs.select(
+        "doc_id",
+        F.round(F.log1p(X.token_count(t)), 6).alias("lt"),
+        F.round(cls["n_alpha"].cast("double") / safe_n, 4).alias("ar"),
+    )
+    scored = CL.score_linear(
+        feat,
+        {"lt": _FROZEN_QCLS["lt"], "ar": _FROZEN_QCLS["ar"]},
+        bias=_FROZEN_QCLS["bias"],
+        out_col="q_score",
+    )
+    return scored.filter(F.col("q_score") >= 0.5).select(
+        "doc_id", "q_score"
     )
 
 

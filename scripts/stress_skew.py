@@ -121,8 +121,8 @@ def main() -> None:
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--only", default="",
                     help="comma list of sections (agg,join,join_prune,"
-                    "join_prune_keys,heavy_hitters,minhash); results "
-                    "MERGE into an existing --out capture")
+                    "join_prune_keys,heavy_hitters,minhash,fuzzy_cap); "
+                    "results MERGE into an existing --out capture")
     ap.add_argument("--hot-clusters", default="200,800,3200",
                     help="minhash hot-cluster sizes")
     args = ap.parse_args()
@@ -394,6 +394,58 @@ def main() -> None:
     if wanted("minhash"):
         mb["_capture"] = {**cap, "hot_clusters": clusters}
         out["minhash_hot_band"] = mb
+
+    # -------------- fuzzy_join under a hot (stop-)shingle --------------
+    # VERDICT r15 item 2: a shingle shared by c docs PER SIDE emits c²
+    # pair rows inside the cross-table shingle join (exact mode) or the
+    # candidate re-score (lsh mode); max_shingle_freq drops it before
+    # set sizes. Fixture: c synthetic docs per side all opening with the
+    # same 10-token phrase (8 hot shingles, union-df = 2c) but unique
+    # tails, on top of the sf corpus background — so uncapped cost bends
+    # as c² while the capped curve tracks the corpus scan.
+    fz = out.get("fuzzy_hot_shingle", {}) if wanted("fuzzy_cap") else {}
+    for key in ("uncapped", "capped_50"):
+        fz.setdefault(key, {})
+    hot_phrase = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fuzz_clusters = [int(x) for x in args.hot_clusters.split(",")]
+    for c in fuzz_clusters if wanted("fuzzy_cap") else []:
+        hot_l = spark.range(c).select(
+            (F.col("id") + base_id).alias("doc_id"),
+            F.concat(F.lit(hot_phrase + " left tail token "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+        hot_r = spark.range(c).select(
+            (F.col("id") + base_id).alias("doc_id"),
+            F.concat(F.lit(hot_phrase + " right tail token "),
+                     F.col("id").cast("string")).alias("text"),
+        )
+        left = docs0.select("doc_id", "text").unionByName(hot_l)
+        right = docs0.select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" vX")).alias("text"),
+        ).unionByName(hot_r.select(
+            (F.col("doc_id") + 100_000_000).alias("doc_id"), "text"
+        ))
+        fz["uncapped"][str(c)] = timed(lambda: noop(
+            D.fuzzy_join(left, right, threshold=0.3)), args.runs)
+        fz["capped_50"][str(c)] = timed(lambda: noop(
+            D.fuzzy_join(left, right, threshold=0.3,
+                         max_shingle_freq=50)), args.runs)
+        # no silent caps: record the links the cap sacrifices
+        fz.setdefault("pairs_uncapped", {})[str(c)] = (
+            D.fuzzy_join(left, right, threshold=0.3).count()
+        )
+        fz.setdefault("pairs_capped_50", {})[str(c)] = (
+            D.fuzzy_join(left, right, threshold=0.3,
+                         max_shingle_freq=50).count()
+        )
+        print(f"fuzzy hot_shingle c={c}: uncapped={fz['uncapped'][str(c)]}s "
+              f"capped={fz['capped_50'][str(c)]}s pairs "
+              f"{fz['pairs_uncapped'][str(c)]}→{fz['pairs_capped_50'][str(c)]}",
+              file=sys.stderr)
+    if wanted("fuzzy_cap"):
+        fz["_capture"] = {**cap, "hot_clusters": fuzz_clusters}
+        out["fuzzy_hot_shingle"] = fz
 
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)

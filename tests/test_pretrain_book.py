@@ -270,3 +270,60 @@ def test_pretrain_book_semantic_decontam_excises_paraphrase_leak(spark):
     # and nothing else was excised relative to the n-gram-only run
     # beyond semantic hits
     assert kept - kept3 <= set(hits)
+
+
+def test_pretrain_book_frozen_classifier_decisions_reproduce(spark):
+    """Opt-in frozen quality-classifier leg (r16 / VERDICT r15 item 4):
+    with ``frozen_quality_classifier=True`` the curate stage also gates
+    survivors through the committed FROZEN_QUALITY_WEIGHTS student —
+    and because every float step is grid-quantized with the weights as
+    plan literals, two independent runs (fresh warehouses) must keep
+    EXACTLY the same documents with EXACTLY the same 6dp scores. The
+    frozen gate must also genuinely bite (a strict subset of the
+    rule-only survivors on this fixture) and agree with the operator
+    serving the same artifact directly."""
+    import tempfile
+
+    from empujar_spark.operators import classifier as CL
+    from empujar_spark.plans.corpus import load
+
+    rule_only = run_pretrain(
+        spark, SF, tempfile.mkdtemp(prefix="t-pretrain-frz0-")
+    )
+    rule_ids = {
+        r.doc_id for r in rule_only.read("documents_curated").collect()
+    }
+
+    def frozen_run():
+        wh = run_pretrain(
+            spark, SF, tempfile.mkdtemp(prefix="t-pretrain-frz-"),
+            frozen_quality_classifier=True,
+        )
+        return {
+            (r.doc_id, r.q_score)
+            for r in wh.read("documents_curated")
+            .select("doc_id", "q_score").collect()
+        }
+
+    run1, run2 = frozen_run(), frozen_run()
+    assert run1 == run2, "frozen filter decisions differ across reruns"
+    frozen_ids = {d for d, _ in run1}
+    assert frozen_ids < rule_ids, "frozen gate did not bite"
+
+    # same decisions as score_linear served directly over the book's
+    # quantized signals (lt 6dp over n_tokens, ar as written at 4dp)
+    w = CL.FROZEN_QUALITY_WEIGHTS
+    scored = rule_only.read("documents_scored")
+    direct = CL.score_linear(
+        scored.withColumn("lt", F.round(F.log1p(F.col("n_tokens")), 6))
+        .withColumn("ar", F.col("alpha_ratio")),
+        {"lt": w["lt"], "ar": w["ar"]},
+        bias=w["bias"],
+        out_col="q_score",
+    ).filter(F.col("q_score_pred") == "keep")
+    expect = {
+        (r.doc_id, r.q_score)
+        for r in direct.select("doc_id", "q_score").collect()
+        if r.doc_id in rule_ids
+    }
+    assert run1 == expect
