@@ -33,9 +33,11 @@ def chapter_loader(book):
     from empujar_spark.books.monitor import CATEGORICAL_COLS, NUMERIC_COLS
     from empujar_spark.operators import profile as P
 
-    # threads=2: the two report pages are independent reads of the same
-    # checkpointed snapshots — they really do run concurrently (the
-    # default bound of 1 had been serializing them, r15)
+    # threads=2: the two snapshot-scanning report pages are independent
+    # reads of the same checkpointed snapshots — they really do run
+    # concurrently (the default bound of 1 had been serializing them,
+    # r15). The meta-only schema-audit page (r16) queues behind them,
+    # which costs nothing: it reads table metas, not data.
     chapter = book.add_chapter(200, "report", threads=2)
     wh = book.destination
 
@@ -123,6 +125,27 @@ def chapter_loader(book):
         )
         wh.insert_data("drift_report_sliced", rep, merge_key="signal")
 
+    def schema_audit():
+        # SCHEMA drift companion (r16 / VERDICT r15 item 6): the
+        # distributional checks above assume the two snapshots still
+        # share a shape — a column the feed dropped or re-typed (the
+        # stringly-typed regression) never reaches them. Diff the two
+        # stored METAS through the §1.2 lattice (meta-sized, no scan)
+        # and persist the change rows; an empty audit is the green
+        # state. Uses the warehouse metas, not the checkpointed frames:
+        # the audit should describe what was WRITTEN, and it must not
+        # wait on the snapshot loader.
+        diff = wh.schema_diff("events_reference", "events_current")
+        wh.insert_data(
+            "schema_audit",
+            diff.select(
+                F.col("column").alias("feature"),
+                "status", "old_type", "new_type",
+            ),
+            merge_key="feature",
+        )
+
     chapter.add_loader("load-snapshots", load_snapshots)
     chapter.add_page("drift-report", report)
     chapter.add_page("drift-report-sliced", report_sliced)
+    chapter.add_page("schema-audit", schema_audit)

@@ -1142,6 +1142,25 @@ class Warehouse:
         self._write(dest, empty, meta)
         self.show_tables()
 
+    def schema_diff(
+        self, old_table: str, new_table: str,
+        include_unchanged: bool = False,
+    ) -> DataFrame:
+        """Schema release diff between two warehouse tables — the
+        evolution surface (mysql.js:277-358 add-column / widen /
+        retype) as an AUDIT instead of a mutation: which columns were
+        added, removed, or re-typed between v(N) and v(N+1), in the
+        §1.2 lattice's rendered vocabulary. The companion to
+        operators/quality.table_diff (content); meta-sized, no scan."""
+        from empujar_spark.operators.quality import schema_diff as _sd
+
+        return _sd(
+            self.spark,
+            {n: ct.render() for n, ct in self.column_types(old_table).items()},
+            {n: ct.render() for n, ct in self.column_types(new_table).items()},
+            include_unchanged=include_unchanged,
+        )
+
     def get_variable(self, name: str, default=None):
         """Read an engine setting (reference getVariable, mysql.js:181-191
         — used there for max_allowed_packet batch budgets; Spark's

@@ -278,3 +278,66 @@ def table_diff(
     if not include_unchanged:
         out = out.filter(F.col("status") != "unchanged")
     return out
+
+
+def lattice_schema(df: DataFrame) -> dict[str, str]:
+    """A DataFrame's schema rendered through the §1.2 engine-type
+    lattice (types.from_spark_type → ColumnType.render — the exact
+    strings show_columns publishes, mysql.js:85-111 parity), so two
+    frames from different sources diff in ONE vocabulary: bigint(20) /
+    float / varchar(n) / text / datetime / tinyint(1) / blob /
+    array<t>, not Spark's."""
+    from empujar_spark import types as lattice
+
+    return {
+        f.name: lattice.from_spark_type(f.dataType).render()
+        for f in df.schema.fields
+    }
+
+
+def schema_diff(
+    spark,
+    old_schema: dict[str, str],
+    new_schema: dict[str, str],
+    include_unchanged: bool = False,
+) -> DataFrame:
+    """SCHEMA release diff — the companion audit to table_diff (which
+    compares CONTENT): which columns were added, removed, or re-typed
+    between two versions of a table. The reference's schema-evolution
+    surface (mysql.js:277-358 add-column / widen / retype mutations)
+    expressed as an AUDIT instead of a mutation: the diff a versioning
+    workflow publishes alongside v(N+1) so every reader knows what the
+    writer's evolution machinery did.
+
+    Inputs are rendered-type maps ({column: type string}) in the §1.2
+    lattice vocabulary — Warehouse.show_columns metas and
+    ``lattice_schema(df)`` both produce them, so warehouse tables and
+    raw frames diff interchangeably. 'changed' covers every retype the
+    lattice can express: widenings (varchar(10)→varchar(20),
+    varchar→text), promotions (bigint→float), and unknown-column
+    resolution (varchar(0)→anything).
+
+    Schema-sized driver data by construction (a table has thousands of
+    columns at most, never billions), so this builds the audit frame
+    directly — the one place in the quality family where driver-side
+    assembly IS the scale-correct plan.
+
+    Output: (column, status ∈ added|removed|changed[|unchanged],
+    old_type, new_type)."""
+    rows = []
+    for col in sorted(set(old_schema) | set(new_schema)):
+        o, n = old_schema.get(col), new_schema.get(col)
+        if o is None:
+            status = "added"
+        elif n is None:
+            status = "removed"
+        elif o != n:
+            status = "changed"
+        else:
+            status = "unchanged"
+            if not include_unchanged:
+                continue
+        rows.append((col, status, o, n))
+    return spark.createDataFrame(
+        rows, "column string, status string, old_type string, new_type string"
+    )

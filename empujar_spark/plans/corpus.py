@@ -7400,6 +7400,41 @@ def corpus_release_diff(spark, sf_dir):
 
 
 @q(
+    "schema_diff",
+    """
+    SELECT * FROM (VALUES
+      ('o_ingest_ts',     'added',   CAST(NULL AS VARCHAR), 'datetime'),
+      ('o_orderpriority', 'removed', 'varchar(255)', CAST(NULL AS VARCHAR)),
+      ('o_totalprice',    'changed', 'float', 'varchar(255)'))
+      AS t("column", status, old_type, new_type)
+    """,
+)
+def schema_diff(spark, sf_dir):
+    """SCHEMA release diff (operators/quality.py schema_diff, r16 /
+    VERDICT r15 item 6): the reference's evolution surface
+    (mysql.js:277-358 add-column / widen / retype) as an AUDIT — which
+    columns were added, removed, or re-typed between two versions of a
+    table, rendered through the §1.2 lattice so warehouse metas and raw
+    frames diff in one vocabulary. Fixture evolution over orders:
+    v2 drops o_orderpriority, retypes o_totalprice float→varchar (the
+    stringly-typed-feed regression this audit exists to catch), and
+    adds an o_ingest_ts timestamp. Change-sized, meta-only — no data
+    scan at any corpus size; the oracle is the expected VALUES literal."""
+    from empujar_spark.operators.quality import (
+        lattice_schema,
+        schema_diff as _sd,
+    )
+
+    v1 = load(spark, sf_dir, "orders")
+    v2 = (
+        v1.drop("o_orderpriority")
+        .withColumn("o_totalprice", F.col("o_totalprice").cast("string"))
+        .withColumn("o_ingest_ts", F.current_timestamp())
+    )
+    return _sd(spark, lattice_schema(v1), lattice_schema(v2))
+
+
+@q(
     "k_anonymity_audit",
     """
     SELECT c_nationkey, c_mktsegment,

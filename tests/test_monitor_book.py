@@ -247,3 +247,32 @@ def test_monitor_book_cardinality_check_catches_key_collapse(spark):
     msg = str(exc.value)
     assert "cardinality:value" in msg
     assert "cardinality:event_type" not in msg
+
+
+def test_monitor_book_schema_audit_flags_retype(spark):
+    """SCHEMA drift page (r16): the nightly report also diffs the two
+    stored snapshot METAS through the type lattice — on the clean
+    testdata the audit is empty (identical shapes), and a planted
+    retype on the current snapshot (value re-written stringly-typed)
+    surfaces as a 'changed' row while the distributional pages stay
+    blind to it."""
+    tmp = tempfile.mkdtemp(prefix="t-monitor-schema-")
+    wh = run_monitor(spark, SF, tmp)
+    assert "schema_audit" in set(wh.show_tables())
+    assert wh.table_size("schema_audit") == 0  # same shape = green
+
+    # plant the stringly-typed feed regression: replace events_current
+    # with a value-as-varchar copy — the warehouse's evolution machinery
+    # PROMOTES the stored column through the lattice (float ∨ varchar =
+    # text, the safe sink), and the audit reports exactly that retype
+    cur = wh.read("events_current").withColumn(
+        "value", F.col("value").cast("string")
+    )
+    wh.replace_table("events_current", cur)
+    diff = {
+        (r["column"], r.status): (r.old_type, r.new_type)
+        for r in wh.schema_diff(
+            "events_reference", "events_current"
+        ).collect()
+    }
+    assert diff == {("value", "changed"): ("float", "text")}

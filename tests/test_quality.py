@@ -244,3 +244,34 @@ def test_table_diff_partition_properties(spark):
                 assert status == "unchanged"
 
     prop()
+
+
+def test_schema_diff_classification(spark):
+    """schema_diff (r16): status partition over the union of columns,
+    change-only default, include_unchanged opt-in; lattice_schema
+    renders a raw frame into the same vocabulary as warehouse metas."""
+    from empujar_spark.operators.quality import lattice_schema, schema_diff
+
+    old = {"a": "bigint(20)", "b": "varchar(255)", "c": "float"}
+    new = {"a": "bigint(20)", "b": "text", "d": "datetime"}
+    got = {
+        r["column"]: (r.status, r.old_type, r.new_type)
+        for r in schema_diff(spark, old, new).collect()
+    }
+    assert got == {
+        "b": ("changed", "varchar(255)", "text"),
+        "c": ("removed", "float", None),
+        "d": ("added", None, "datetime"),
+    }
+    full = {
+        r["column"]: r.status
+        for r in schema_diff(spark, old, new, include_unchanged=True).collect()
+    }
+    assert full["a"] == "unchanged" and len(full) == 4
+
+    df = spark.createDataFrame(
+        [(1, "x", 1.5)], "id long, s string, v double"
+    )
+    assert lattice_schema(df) == {
+        "id": "bigint(20)", "s": "varchar(255)", "v": "float"
+    }
