@@ -10626,15 +10626,22 @@ def drift_monitor_summary(spark, sf_dir):
 #       entries: the newest round with any record, + 0.5 so at equal
 #       staleness the stronger oracle-paired check runs first).
 #
-# Sort ascending by (effective round, registration order): stalest and
-# never-gated entries lead, the freshest yield their slots. When the
-# driver lands CORRECTNESS_r08.json, the next import re-rotates
-# automatically — there is no list to re-pin and no round-close
-# bookkeeping. Invariants are asserted in tests/test_gate_order.py
-# against the same committed records.
+# Sort ascending by (driver-never-gated?, effective round, registration
+# order): entries the DRIVER has never successfully checked lead the
+# whole walk (r16 / VERDICT r15 item 7 — a new entry greened only by
+# the local gate must not hide behind its own local freshness until the
+# rotation happens to reach it; the driver's record is the independent
+# environment), then stalest-first over the union evidence, the
+# freshest yield their slots. When the driver lands
+# CORRECTNESS_r08.json, the next import re-rotates automatically —
+# there is no list to re-pin and no round-close bookkeeping. Invariants
+# are asserted in tests/test_gate_order.py against the same committed
+# records.
 
 
-def _evidence_rounds(repo: str | None = None) -> dict[str, dict[int, bool]]:
+def _evidence_rounds(
+    repo: str | None = None, include_local: bool = True
+) -> dict[str, dict[int, bool]]:
     """entry -> {round: hash_matched} from the committed records: the
     driver's CORRECTNESS_r*.json UNIONED with CORRECTNESS_LOCAL.json
     (scripts/local_gate.py runs, keyed {round: {entry: row}}) — a local
@@ -10676,36 +10683,57 @@ def _evidence_rounds(repo: str | None = None) -> dict[str, dict[int, bool]]:
             local = _json.load(fh)
     except (OSError, ValueError):
         local = {}
-    for rnd, rows in local.items():
-        if not (isinstance(rnd, str) and rnd.isdigit() and isinstance(rows, dict)):
-            continue
-        n = int(rnd)
-        for name, row in rows.items():
-            slot = out.setdefault(name, {})
-            if n in slot:  # driver verdict for this round wins, either way
+    if include_local:
+        for rnd, rows in local.items():
+            if not (isinstance(rnd, str) and rnd.isdigit() and isinstance(rows, dict)):
                 continue
-            slot[n] = bool(isinstance(row, dict) and row.get("hash_match"))
+            n = int(rnd)
+            for name, row in rows.items():
+                slot = out.setdefault(name, {})
+                if n in slot:  # driver verdict for this round wins, either way
+                    continue
+                slot[n] = bool(isinstance(row, dict) and row.get("hash_match"))
     return out
+
+
+def _effective_round(
+    corpus: dict[str, Query], name: str, evidence: dict[str, dict[int, bool]]
+) -> float:
+    rounds = evidence.get(name, {})
+    if corpus[name].sql is None:
+        # rows-only: any record is the strongest check it can get
+        return (max(rounds) + 0.5) if rounds else 0.5
+    good = [r for r, ok in rounds.items() if ok]
+    return max(good) if good else 0.0
 
 
 def gate_order(
     corpus: dict[str, Query],
     evidence: dict[str, dict[int, bool]] | None = None,
+    driver_evidence: dict[str, dict[int, bool]] | None = None,
 ) -> list[str]:
-    """The driver-gate walk order, derived from the committed records."""
+    """The driver-gate walk order, derived from the committed records:
+    (never-driver-gated first, then stalest-first over the union,
+    registration order breaking ties). The first key (r16) pins entries
+    whose only green is the LOCAL gate to the head of the walk — the
+    driver's independent run must see every entry at least once, and
+    without the pin a local re-green would keep deferring exactly the
+    entries that have never had one (VERDICT r15 item 7)."""
     if evidence is None:
         evidence = _evidence_rounds()
+    if driver_evidence is None:
+        driver_evidence = _evidence_rounds(include_local=False)
     reg = {n: i for i, n in enumerate(corpus)}
 
-    def effective(name: str) -> float:
-        rounds = evidence.get(name, {})
-        if corpus[name].sql is None:
-            # rows-only: any record is the strongest check it can get
-            return (max(rounds) + 0.5) if rounds else 0.5
-        good = [r for r, ok in rounds.items() if ok]
-        return max(good) if good else 0.0
+    def key(name: str):
+        never_driver = _effective_round(corpus, name, driver_evidence) <= 0.5
+        return (
+            0 if never_driver else 1,
+            _effective_round(corpus, name, evidence),
+            reg[name],
+        )
 
-    return sorted(corpus, key=lambda n: (effective(n), reg[n]))
+    return sorted(corpus, key=key)
 
 
 # Stable walk order for benchmarking (VERDICT r8 item 1): the census

@@ -7,8 +7,12 @@ committed records at corpus import (plans/corpus.py gate_order), so
 there is nothing to re-pin at round close — these tests assert the
 computation's invariants against the same records instead:
 
-- stalest-first: effective evidence round is non-decreasing along
-  CORPUS order, with registration order breaking ties;
+- never-driver-gated first (r16): an entry whose only green is the
+  LOCAL gate leads the whole walk — the driver's independent record
+  must cover every entry at least once, and local freshness must not
+  keep deferring exactly the entries that have never had one;
+- stalest-first within each class: effective evidence round is
+  non-decreasing, with registration order breaking ties;
 - never-gated entries (and oracle-paired entries no record ever
   hash-matched, e.g. an entry gated only before its oracle pairing)
   lead the walk;
@@ -38,29 +42,58 @@ def _effective(name: str, evidence) -> float:
     return max(good) if good else 0.0
 
 
+def _key(name: str, evidence, driver_evidence):
+    never_driver = _effective(name, driver_evidence) <= 0.5
+    return (0 if never_driver else 1, _effective(name, evidence))
+
+
 def test_corpus_is_in_computed_gate_order():
     assert list(CORPUS) == gate_order(CORPUS)
 
 
 def test_order_is_stalest_first():
     evidence = _evidence_rounds()
-    effs = [_effective(n, evidence) for n in CORPUS]
-    assert effs == sorted(effs), "gate order is not stalest-first"
+    driver = _evidence_rounds(include_local=False)
+    keys = [_key(n, evidence, driver) for n in CORPUS]
+    assert keys == sorted(keys), "gate order is not (never-driver, stalest)-first"
+
+
+def test_local_only_entries_lead_driver_gated_ones():
+    """r16 pin (VERDICT r15 item 7): every oracle-paired entry whose
+    only green is local (driver never hash-matched it) must sort before
+    every driver-gated entry — otherwise its own local freshness defers
+    the one check it still lacks."""
+    evidence = _evidence_rounds()
+    driver = _evidence_rounds(include_local=False)
+    local_only = [
+        n for n in CORPUS
+        if _effective(n, driver) <= 0.5 and _effective(n, evidence) > 0.5
+    ]
+    assert local_only, "expected at least one locally-greened new entry"
+    order = list(CORPUS)
+    last_local_only = max(order.index(n) for n in local_only)
+    first_driver_gated = min(
+        order.index(n) for n in CORPUS if _effective(n, driver) > 0.5
+    )
+    assert last_local_only < first_driver_gated
 
 
 def test_never_gated_and_never_hash_matched_lead():
-    """Entries with no usable evidence sort before every evidenced one
-    — new entries gate first, and an oracle-paired entry whose only
-    records predate its pairing (no hash row ever) re-gates as if new."""
+    """Entries with no usable evidence AT ALL sort before every
+    driver-evidenced one — new entries gate first, and an oracle-paired
+    entry whose only records predate its pairing (no hash row ever)
+    re-gates as if new. (Locally-greened-only entries share the leading
+    class — see test_local_only_entries_lead_driver_gated_ones.)"""
     evidence = _evidence_rounds()
-    seen_evidenced = False
-    for n in CORPUS:
-        if _effective(n, evidence) <= 0.5:
-            assert not seen_evidenced, (
-                f"unevidenced entry {n} sorts after evidenced entries"
-            )
-        else:
-            seen_evidenced = True
+    driver = _evidence_rounds(include_local=False)
+    order = list(CORPUS)
+    unevidenced = [n for n in CORPUS if _effective(n, evidence) <= 0.5]
+    if unevidenced:
+        last_unevidenced = max(order.index(n) for n in unevidenced)
+        first_driver_gated = min(
+            order.index(n) for n in CORPUS if _effective(n, driver) > 0.5
+        )
+        assert last_unevidenced < first_driver_gated
 
 
 def test_failed_hash_regates_before_fresh_green():
@@ -94,11 +127,13 @@ def test_new_driver_record_rerotates_instead_of_breaking(tmp_path):
     (tmp_path / f"CORRECTNESS_r{newest + 1:02d}.json").write_text(json.dumps(fake))
 
     ev2 = _evidence_rounds(str(tmp_path))
-    order2 = gate_order(CORPUS, ev2)
+    drv2 = _evidence_rounds(str(tmp_path), include_local=False)
+    order2 = gate_order(CORPUS, ev2, drv2)
     for n in fake:
         assert max(ev2[n]) == newest + 1
-    # the freshly-gated entries hold the newest effective round, so they
-    # demote to exactly the last |fake| positions of the walk
+    # the freshly-gated entries hold the newest effective round (and a
+    # driver record, so no pin), so they demote to exactly the last
+    # |fake| positions of the walk
     assert set(order2[-len(fake):]) == set(fake)
 
 
