@@ -66,7 +66,7 @@ def _parse_image_dims(content: bytes) -> tuple[int, int] | None:
     and JPEG (first SOF0/SOF2 marker walk). Returns (width, height) or
     None when the payload is not a recognized image container. Full PIXEL
     decode still needs a codec library (PIL/libvips — absence re-checked
-    every round, latest r15: PIL/cv2/soundfile/librosa/av/torchaudio/
+    every round, latest r16: PIL/cv2/soundfile/librosa/av/torchaudio/
     imageio/skimage/pydub all unimportable in this container) — but
     width/height/metadata extraction, the common 100 TB curation filter,
     is done for real."""

@@ -1,8 +1,8 @@
 """JdbcSource: the MySQL/Redshift/Snowflake *source* surface as Spark
 JDBC reads (no MySQL/Postgres driver jars in this container and no live
-DB endpoints — re-probed r15: only hive-jdbc/spark-connect jars under
-/opt/spark/jars, ports 3306/5432/9200 closed. Construction works, reads
-raise a clear error until a jar is provided; covered by contract tests).
+DB endpoints — re-probed r16: only hive-jdbc under /opt/spark/jars,
+ports 3306/5432/9200 closed. Construction works, reads raise a clear
+error until a jar is provided; covered by contract tests).
 
 Reference parity (lib/connections/mysql.js):
 - ``get_all(query, …)``  — the LIMIT-offset pagination loop (mysql.js:
