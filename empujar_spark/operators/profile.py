@@ -84,6 +84,42 @@ def stratified_split(
     return df.withColumn("split", split)
 
 
+def leakage_safe_split(
+    df: DataFrame,
+    group_col: str,
+    val_permille: int = 100,
+    test_permille: int = 100,
+) -> DataFrame:
+    """stratified_split keyed on a GROUP instead of the row id — the
+    split-leakage control (r16): every member of a duplicate group
+    lands in the SAME split, so eval never scores content the model
+    trained on under a different doc_id. Splitting by row id silently
+    violates this the moment the corpus contains duplication — the
+    exact contamination path dedup-then-split pipelines exist to close,
+    and the reason the split must key on CONTENT identity, not storage
+    identity.
+
+    ``group_col`` is the identity the caller chose: a content
+    fingerprint (text.fingerprint_col — exact duplicates), a near-dup
+    cluster id (dedup.connected components / minhash clusters), or any
+    other grouping whose members must never straddle train/eval. Same
+    bucket math as stratified_split (md5 mod 1000, pure projection, no
+    shuffle, engine-exact, stable under corpus growth) — only the key
+    differs, which is the whole point."""
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint")
+        % 1000
+    )
+    split = (
+        F.when(bucket < test_permille, F.lit("test"))
+        .when(bucket < test_permille + val_permille, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
 def numeric_histogram(
     df: DataFrame, col: str, n_bins: int = 20
 ) -> DataFrame:

@@ -1207,3 +1207,48 @@ def token_js_divergence(
             ).alias("jsd")
         )
     )
+
+
+def normalize_text(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_norm"
+) -> DataFrame:
+    """Unicode text canonicalization — the normalization pass a 100 TB
+    corpus runs BEFORE fingerprint/shingle dedup, so that byte-different
+    encodings of the same content ('é' composed vs 'e'+U+0301 decomposed,
+    stray control characters, ragged whitespace) collapse to one
+    canonical form and dedup sees them as the duplicates they are:
+
+    1. NFC composition (Unicode normal form C). The one step built-in
+       Spark functions cannot express — served by an Arrow-batched
+       pandas UDF over Python's unicodedata, gated behind a JVM-side
+       non-ASCII ``rlike`` fast path: ASCII text (the overwhelming bulk
+       of a web corpus) never leaves whole-stage codegen, so the Python
+       lane prices only the rows that need it.
+    2. Control/format character strip: Unicode categories Cc (controls)
+       and Cf (zero-widths, BOM, directional marks) become spaces —
+       Java ``\\p{Cntrl}``/``\\p{Cf}`` here, RE2 ``\\p{Cc}``/``\\p{Cf}``
+       in the DuckDB twin, the same category sets.
+    3. Whitespace collapse + trim.
+
+    Map-only per-row projection: no shuffle, pushdown preserved; output
+    adds ``out_col`` next to the original column (callers drop the raw
+    text when they want the slim frame). Oracle-paired as the
+    ``text_normalize`` corpus entry (DuckDB ``nfc_normalize`` — both
+    engines implement the same Unicode NFC)."""
+    import pandas as pd  # noqa: F401 — pandas_udf signature
+
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda t: None if t is None else unicodedata.normalize("NFC", t)
+        )
+
+    raw = F.col(text_col)
+    composed = F.when(
+        raw.rlike(r"[^\x00-\x7F]"), _nfc(raw)
+    ).otherwise(raw)
+    stripped = F.regexp_replace(composed, r"[\p{Cntrl}\p{Cf}]", " ")
+    collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
+    return df.withColumn(out_col, collapsed)

@@ -1345,6 +1345,66 @@ def token_count(spark, sf_dir):
 
 
 @q(
+    "text_normalize",
+    r"""
+    WITH fx AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0
+                  THEN base || chr(1) || 'tail' || chr(8203)
+                  ELSE base END AS text
+      FROM (SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 0
+                        THEN 'Cafe' || chr(769) || ' ' || text
+                        ELSE text END AS base
+            FROM documents)),
+    n AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(
+                 nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'),
+                 '\s+', ' ', 'g')) AS text_norm
+      FROM fx)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_raw,
+           CAST(length(text_norm) AS BIGINT) AS n_norm,
+           text_norm
+    FROM n
+    """,
+)
+def text_normalize(spark, sf_dir):
+    """Unicode canonicalization (operators/text.py normalize_text, r16):
+    NFC composition + control/format-char strip + whitespace collapse —
+    the pass that makes byte-different encodings of the same content
+    dedup as duplicates. Fixture injects the cases the clean synthetic
+    corpus lacks: doc_id % 7 gets a DECOMPOSED prefix ('Cafe'+U+0301,
+    composing to 'Café' — one char shorter after NFC), doc_id % 11 gets
+    a control byte and a zero-width space appended (both stripped).
+    Engine parity: DuckDB nfc_normalize vs Python unicodedata implement
+    the same Unicode NFC; Java \\p{Cntrl}/\\p{Cf} and RE2
+    \\p{Cc}/\\p{Cf} are the same category sets. The Spark plan gates
+    the Python NFC lane behind a non-ASCII rlike, so the ASCII bulk of
+    the corpus never leaves codegen."""
+    docs = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    base = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("Cafe\u0301 "), t),  # decomposed e + combining acute
+    ).otherwise(t)
+    injected = F.when(
+        F.col("doc_id") % 11 == 0,
+        F.concat(base, F.lit("\u0001tail\u200b")),  # control + ZWSP
+    ).otherwise(base)
+    out = X.normalize_text(
+        docs.select("doc_id", injected.alias("text"))
+    )
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_raw"),
+        F.length("text_norm").cast("bigint").alias("n_norm"),
+        "text_norm",
+    )
+
+
+@q(
     "text_quality",
     r"""
     WITH c AS (
@@ -4940,6 +5000,36 @@ def stratified_split(spark, sf_dir):
         P.stratified_split(docs, val_permille=100, test_permille=100)
         .groupBy("lang", "split")
         .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@q(
+    "leakage_safe_split",
+    f"""
+    SELECT doc_id, fingerprint,
+           CASE WHEN CAST(('0x' || substr(md5(fingerprint), 1, 8)) AS BIGINT)
+                     % 1000 < 100 THEN 'test'
+                WHEN CAST(('0x' || substr(md5(fingerprint), 1, 8)) AS BIGINT)
+                     % 1000 < 200 THEN 'val'
+                ELSE 'train' END AS split
+    FROM (SELECT doc_id, md5({_NORM_TEXT_SQL}) AS fingerprint
+          FROM documents) t
+    """,
+)
+def leakage_safe_split(spark, sf_dir):
+    """Split-LEAKAGE control (operators/profile.py leakage_safe_split,
+    r16): train/val/test assignment keyed on the CONTENT fingerprint
+    instead of the doc_id, so exact duplicates — same bytes filed under
+    different ids — can never straddle train and eval (the
+    contamination-by-duplication path an id-keyed split leaves open).
+    Same md5-mod-1000 bucket math as stratified_split; the key choice
+    is the semantics. Duplicate-group co-assignment is pinned in
+    tests/test_corpus.py; near-dup-cluster keying (connected-components
+    ids) uses the same operator with the cluster id as group_col."""
+    docs = load(spark, sf_dir, "documents")
+    fp = X.fingerprint(docs)
+    return P.leakage_safe_split(fp, "fingerprint").select(
+        "doc_id", "fingerprint", "split"
     )
 
 

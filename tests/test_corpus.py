@@ -146,3 +146,52 @@ def test_admission_entry_reruns_are_isolated(spark):
     second = sorted(r[0] for r in fn(spark, SF_DIR).collect())
     assert first == second and first  # same admissions, and some exist
     assert snapshot(pristine) == before  # pristine never mutated
+
+
+def test_leakage_safe_split_co_assigns_duplicate_groups(spark):
+    """leakage_safe_split (r16): every member of a content group gets
+    the SAME split; the id-keyed stratified_split demonstrably straddles
+    groups on the same fixture (the failure mode the operator closes);
+    and over many groups the permille proportions hold roughly."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators.profile import (
+        leakage_safe_split,
+        stratified_split,
+    )
+    from empujar_spark.operators.text import fingerprint
+
+    # 300 distinct contents, each filed under 4 different doc_ids
+    docs = spark.range(1200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("content number "), (F.col("id") % 300).cast("string"))
+        .alias("text"),
+    )
+    fp = fingerprint(docs)
+    safe = leakage_safe_split(fp, "fingerprint")
+    per_group = (
+        safe.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .agg(F.max("n_splits"))
+        .collect()[0][0]
+    )
+    assert per_group == 1, "a duplicate group straddles splits"
+
+    # the id-keyed split scatters those same groups across splits
+    naive = stratified_split(fp.join(docs, "doc_id"), "doc_id")
+    straddlers = (
+        naive.groupBy("fingerprint")
+        .agg(F.countDistinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddlers > 0
+
+    # proportions: ~10/10/80 over 300 group draws (binomial, wide bars)
+    shares = {
+        r.split: r.n
+        for r in safe.select("fingerprint", "split").distinct()
+        .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert shares.get("train", 0) > 200
+    assert 10 <= shares.get("test", 0) + shares.get("val", 0) <= 100

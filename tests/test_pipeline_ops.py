@@ -1369,3 +1369,40 @@ def test_cardinality_drift_sliced_matches_per_slice_aggregate(spark):
     }
     assert after[("value", "0")] < 0.7 * before[("value", "0")]
     assert after[("value", "1")] == before[("value", "1")]
+
+
+def test_normalize_text_nfc_controls_and_whitespace(spark):
+    """normalize_text (r16): decomposed sequences compose (NFC), Cc/Cf
+    characters strip to spaces, whitespace collapses, pure-ASCII text
+    passes through unchanged (the JVM fast path), NULL stays NULL, and
+    the pass is idempotent (normalizing a normalized column is a
+    no-op)."""
+    rows = [
+        (1, "Cafe\u0301 au lait"),          # decomposed -> composed
+        (2, "ab\u0001\u200bc"),             # control + ZWSP -> spaced
+        (3, "  plain   ascii\ttext "),       # collapse + trim only
+        (4, "caf\u00e9"),                    # already composed: unchanged
+        (5, None),
+        (6, "\ufeffbom lead"),               # BOM is Cf -> stripped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: r.text_norm for r in X.normalize_text(df).collect()
+    }
+    assert got[1] == "Caf\u00e9 au lait" and len(got[1]) == 12
+    assert got[2] == "ab c"  # both specials -> spaces, then collapse
+    assert got[3] == "plain ascii text"
+    assert got[4] == "caf\u00e9"
+    assert got[5] is None
+    assert got[6] == "bom lead"
+    # idempotence: run the pass again over its own output
+    again = {
+        r.doc_id: r.norm2
+        for r in X.normalize_text(
+            X.normalize_text(df).select(
+                "doc_id", F.col("text_norm").alias("text")
+            ),
+            out_col="norm2",
+        ).collect()
+    }
+    assert again == got
