@@ -64,6 +64,7 @@ def run_pretrain(
     spark: SparkSession, source_dir: str, warehouse_dir: str,
     semantic_decontam_threshold: float | None = None,
     frozen_quality_classifier: bool = False,
+    leakage_safe_split: bool = False,
 ) -> Warehouse:
     """Build + run the book, flush the audit table, return the warehouse."""
     wh = Warehouse(spark, warehouse_dir, primary_key="doc_id")
@@ -72,6 +73,8 @@ def run_pretrain(
         book.semantic_decontam_threshold = semantic_decontam_threshold
     if frozen_quality_classifier:
         book.frozen_quality_classifier = True
+    if leakage_safe_split:
+        book.leakage_safe_split = True
     book.run()
     book.flush_audit(wh)
     return wh

@@ -351,6 +351,14 @@ def main() -> None:
             "token_count": lambda: noop(
                 docs.select("doc_id", X.token_count(F.col("text")).alias("n"))
             ),
+            # Unicode canonicalization (r16): NFC pandas-UDF lane gated
+            # behind a non-ASCII rlike — on this (ASCII) corpus every
+            # row takes the JVM fast path, so the curve should track
+            # token_count's pure-projection shape; the replicate()
+            # suffix injection keeps the gate exercised per copy.
+            "text_normalize": lambda: noop(
+                X.normalize_text(docs.select("doc_id", "text"))
+            ),
             # span dedup: two high-cardinality shuffles
             "segment_dedup": lambda: noop(D.segment_dedup(docs, seg_tokens=5)),
             # banded LSH candidate join

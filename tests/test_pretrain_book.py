@@ -327,3 +327,46 @@ def test_pretrain_book_frozen_classifier_decisions_reproduce(spark):
         if r.doc_id in rule_ids
     }
     assert run1 == expect
+
+
+def test_pretrain_book_leakage_safe_split_option(spark):
+    """Opt-in fingerprint-keyed split (r16): with
+    ``leakage_safe_split=True`` the pack stage keys train/val/test on
+    the ingest-stage content fingerprint — the assignment matches
+    leakage_safe_split applied directly to the same frames, and stays
+    deterministic across reruns."""
+    import tempfile
+
+    from empujar_spark.operators.profile import leakage_safe_split
+
+    def run():
+        wh = run_pretrain(
+            spark, SF, tempfile.mkdtemp(prefix="t-pretrain-lss-"),
+            leakage_safe_split=True,
+        )
+        return wh
+
+    wh = run()
+    got = {
+        r.doc_id: r.split
+        for r in wh.read("train_sequences").select("doc_id", "split")
+        .distinct().collect()
+    }
+    assert got and set(got.values()) == {"train"}  # only train is packed
+    # direct-operator parity on the same inputs
+    clean = wh.read("documents_clean")
+    fp = wh.read("documents").select("doc_id", "fingerprint")
+    direct = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(clean.join(fp, "doc_id"), "fingerprint")
+        .select("doc_id", "split").collect()
+    }
+    packed_ids = set(got)
+    assert packed_ids == {d for d, s in direct.items() if s == "train"}
+    # rerun determinism: a fresh warehouse packs the identical id set
+    wh2 = run()
+    got2 = {
+        r.doc_id
+        for r in wh2.read("train_sequences").select("doc_id").collect()
+    }
+    assert got2 == packed_ids
