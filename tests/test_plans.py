@@ -895,3 +895,32 @@ def test_fuzzy_join_shingle_freq_cap_filters_before_pair_join(spark):
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert "__df" in plan, (method, plan)
         assert "CartesianProduct" not in plan, method
+
+
+def test_text_normalize_single_scan_arrow_no_shuffle(spark):
+    """normalize_text (r16): ONE scan, ZERO exchanges, and the Python
+    NFC lane is Arrow-batched (ArrowEvalPython) — never row-at-a-time
+    BatchEvalPython — behind the non-ASCII gate."""
+    plan = plan_of(spark, "text_normalize")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_leakage_safe_split_pure_projection(spark):
+    """leakage_safe_split (r16): the group-keyed split is a pure
+    projection exactly like stratified_split — one scan, no shuffle,
+    no Python."""
+    plan = plan_of(spark, "leakage_safe_split")
+    assert plan.count("Scan parquet") == 1, plan
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_schema_diff_no_data_scan(spark):
+    """schema_diff (r16): a META-only audit — zero parquet scans at any
+    corpus size (the one place driver-side assembly IS the
+    scale-correct plan: schemas are thousands of columns at most)."""
+    plan = plan_of(spark, "schema_diff")
+    assert "Scan parquet" not in plan, plan
