@@ -738,3 +738,92 @@ def ngram_contamination(
             (F.col("n_hits") > 0).alias("contaminated"),
         )
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-level blocklist gate — the C4-style "bad words" filter
+    every public pretrain pipeline runs (C4 dropped any page containing
+    a term from the List-of-Dirty-Naughty-Obscene-etc list; policy/
+    compliance blocklists use the same mechanism). A document is
+    flagged when ANY normalized whitespace token exactly equals a
+    blocked term — token-exact matching, so 'class' never trips a
+    blocklist that contains 'ass' (the substring false-positive the
+    naive LIKE approach suffers).
+
+    Plan: a PURE per-row projection — the blocklist becomes an array
+    literal inside a higher-order ``filter`` over the token split, so
+    there is no explode, no shuffle, no broadcast table and no Python;
+    at 100 TB the gate rides the ingest scan for free. Blocklists are
+    small by nature (thousands of terms); a list too large for a plan
+    literal would switch to the explode + broadcast-join form with the
+    same semantics.
+
+    Adds ``n_blocked`` (count of blocked token occurrences) and
+    ``blocked`` (any hit) — callers filter on ``~blocked`` to enforce,
+    or keep both columns as the audit."""
+    norm = F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"\s+", " "
+    )
+    toks = F.when(
+        F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "",
+        F.array().cast("array<string>"),
+    ).otherwise(F.split(norm, " "))
+    blocked_arr = F.array(*[F.lit(t.lower()) for t in terms])
+    n_blocked = F.size(
+        F.filter(toks, lambda t: F.array_contains(blocked_arr, t))
+    )
+    return df.withColumn("n_blocked", n_blocked.cast("bigint")).withColumn(
+        "blocked", n_blocked > 0
+    )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    cuts: tuple = (1.0 / 3.0, 2.0 / 3.0),
+) -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition by LM-quality
+    score (Wenzek et al. 2020): CCNet scores every document with a
+    cheap language model, splits the corpus at fixed perplexity
+    quantiles, and downstream consumers sample by bucket (head = most
+    fluent). Here the score is unigram_doc_score's mean corpus
+    token frequency (its documented perplexity stand-in — higher =
+    more fluent), and the bucket edges are the EXACT interpolated
+    corpus quantiles at ``cuts``.
+
+    Plan: the scoring pass (vocabulary aggregate broadcast onto one
+    occurrence stream, the unigram_doc_score shape) plus ONE tiny
+    2-value quantile aggregate whose single row broadcasts back onto
+    the scored frame — no extra corpus scan, no window. Thresholds are
+    1e-6-quantized (Spark percentile ≡ DuckDB quantile_cont, the
+    quantiles-entry equivalence) and scores are exact integer-ratio
+    doubles, so the assignment is engine-exact and oracle-paired.
+
+    Output: scored columns + (bucket ∈ head|middle|tail)."""
+    from empujar_spark.operators.text import unigram_doc_score
+
+    scored = unigram_doc_score(df, text_col, id_col)
+    lo_q, hi_q = float(cuts[0]), float(cuts[1])
+    thresholds = scored.agg(
+        F.round(
+            F.percentile(F.col("mean_token_freq"), F.lit(lo_q)), 6
+        ).alias("__lo"),
+        F.round(
+            F.percentile(F.col("mean_token_freq"), F.lit(hi_q)), 6
+        ).alias("__hi"),
+    )
+    bucket = (
+        F.when(F.col("mean_token_freq") >= F.col("__hi"), F.lit("head"))
+        .when(F.col("mean_token_freq") >= F.col("__lo"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        scored.crossJoin(F.broadcast(thresholds))
+        .withColumn("bucket", bucket)
+        .drop("__lo", "__hi")
+    )

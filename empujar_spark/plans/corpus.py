@@ -1653,6 +1653,81 @@ def unigram_doc_score(spark, sf_dir):
 
 
 @q(
+    "ccnet_buckets",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+'))
+             AS token
+      FROM documents WHERE trim(text) <> ''),
+    vocab AS (SELECT token, count(*) AS freq FROM toks GROUP BY token),
+    scored0 AS (SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+                       CAST(sum(v.freq) AS BIGINT) AS sum_freq
+                FROM toks t JOIN vocab v USING (token) GROUP BY t.doc_id),
+    scored AS (
+      SELECT d.doc_id,
+             coalesce(s.n_tokens, 0) AS n_tokens,
+             coalesce(s.sum_freq, 0) AS sum_freq,
+             CASE WHEN coalesce(s.n_tokens, 0) = 0 THEN 0.0
+                  ELSE CAST(s.sum_freq AS DOUBLE) / CAST(s.n_tokens AS DOUBLE)
+             END AS mean_token_freq
+      FROM documents d LEFT JOIN scored0 s USING (doc_id)),
+    th AS (SELECT round(quantile_cont(mean_token_freq, 1.0/3.0), 6) AS lo,
+                  round(quantile_cont(mean_token_freq, 2.0/3.0), 6) AS hi
+           FROM scored)
+    SELECT doc_id, n_tokens, sum_freq, mean_token_freq,
+           CASE WHEN mean_token_freq >= hi THEN 'head'
+                WHEN mean_token_freq >= lo THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM scored, th
+    """,
+)
+def ccnet_buckets(spark, sf_dir):
+    """CCNet-style head/middle/tail partition (operators/curation.py
+    perplexity_buckets, r16; Wenzek et al. 2020): every doc scored by
+    the unigram LM-quality stand-in, the corpus split at the exact 1/3
+    and 2/3 score quantiles, head = most fluent — the bucketing that
+    lets downstream mixtures sample by quality band instead of a hard
+    filter. One tiny 2-value quantile aggregate broadcasts back onto
+    the scored frame: no extra corpus scan, no window; thresholds
+    1e-6-quantized (Spark percentile ≡ DuckDB quantile_cont), scores
+    exact integer-ratio doubles, so the assignment is engine-exact."""
+    return C.perplexity_buckets(load(spark, sf_dir, "documents"))
+
+
+@q(
+    "blocklist_filter",
+    r"""
+    SELECT doc_id,
+           CAST(CASE WHEN coalesce(trim(text), '') = '' THEN 0
+                ELSE len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> list_contains(['slow', 'broken', 'error'], t)))
+                END AS BIGINT) AS n_blocked,
+           CASE WHEN coalesce(trim(text), '') = '' THEN FALSE
+                ELSE len(list_filter(
+                     regexp_split_to_array(trim(lower(text)), '\s+'),
+                     t -> list_contains(['slow', 'broken', 'error'], t))) > 0
+                END AS blocked
+    FROM documents
+    """,
+)
+def blocklist_filter(spark, sf_dir):
+    """Token-exact blocklist gate (operators/curation.py, r16): the
+    C4-style bad-words filter — a doc is flagged when any normalized
+    whitespace token EQUALS a blocked term (token-exact, so 'class'
+    never trips a list containing 'ass'; fixture list ['slow',
+    'broken', 'error'] stands in for a policy blocklist). Pure per-row
+    projection: the list is an array literal inside a higher-order
+    filter over the token split — no explode, no shuffle, no
+    broadcast, no Python; the gate rides the ingest scan for free at
+    100 TB."""
+    docs = load(spark, sf_dir, "documents")
+    return C.blocklist_filter(
+        docs, ["slow", "broken", "error"]
+    ).select("doc_id", "n_blocked", "blocked")
+
+
+@q(
     "oov_rate",
     r"""
     WITH toks AS (

@@ -445,3 +445,53 @@ def test_ngram_contamination_self_scan_is_total(spark):
             ), r
         else:
             assert not r.contaminated
+
+
+def test_blocklist_filter_token_exact_semantics(spark):
+    """blocklist_filter (r16): token-EXACT matching (substrings never
+    trip the list), occurrence counting, case/whitespace normalization,
+    blank and NULL text unflagged."""
+    from empujar_spark.operators.curation import blocklist_filter
+
+    rows = [
+        (1, "a perfectly classy sentence"),   # 'ass' inside words: clean
+        (2, "this is Bad and bad again"),     # 2 hits, case-folded
+        (3, "  bad  "),                       # ragged whitespace
+        (4, ""),
+        (5, None),
+        (6, "nothing wrong here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_blocked, r.blocked)
+        for r in blocklist_filter(df, ["bad", "ass"]).collect()
+    }
+    assert got[1] == (0, False)
+    assert got[2] == (2, True)
+    assert got[3] == (1, True)
+    assert got[4] == (0, False)
+    assert got[5] == (0, False)
+    assert got[6] == (0, False)
+
+
+def test_perplexity_buckets_partition_and_order(spark):
+    """perplexity_buckets (r16): the three buckets partition the corpus,
+    and bucket membership is monotone in the score (every head score >=
+    every middle score >= every tail score)."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators.curation import perplexity_buckets
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    out = perplexity_buckets(docs).select(
+        "doc_id", "mean_token_freq", "bucket"
+    ).collect()
+    assert len(out) == docs.count()
+    by_bucket = {}
+    for r in out:
+        by_bucket.setdefault(r.bucket, []).append(r.mean_token_freq)
+    assert set(by_bucket) == {"head", "middle", "tail"}
+    assert min(by_bucket["head"]) >= max(by_bucket["middle"])
+    assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
