@@ -65,6 +65,7 @@ def run_pretrain(
     semantic_decontam_threshold: float | None = None,
     frozen_quality_classifier: bool = False,
     leakage_safe_split: bool = False,
+    blocklist: list[str] | None = None,
 ) -> Warehouse:
     """Build + run the book, flush the audit table, return the warehouse."""
     wh = Warehouse(spark, warehouse_dir, primary_key="doc_id")
@@ -75,6 +76,8 @@ def run_pretrain(
         book.frozen_quality_classifier = True
     if leakage_safe_split:
         book.leakage_safe_split = True
+    if blocklist:
+        book.blocklist = list(blocklist)
     book.run()
     book.flush_audit(wh)
     return wh

@@ -55,17 +55,24 @@ def chapter_loader(book):
         n = cls["n_chars"]
         safe_n = F.when(n == 0, F.lit(1)).otherwise(n).cast("double")
         lang_pred, _hits = X.lang_cols(t)
-        scored = C.repetition_signals(
-            docs,
-            carry=[
-                (F.col("source"), "source"),
-                (F.round(cls["n_alpha"].cast("double") / safe_n, 4), "alpha_ratio"),
-                (lang_pred, "lang_pred"),
-            ],
-        ).select(
-            "doc_id", "source", "lang_pred", "n_tokens",
-            "alpha_ratio", "frac_dup_ngrams",
-        )
+        # BLOCKLIST LEG (opt-in, r16): a book that sets ``book.blocklist``
+        # (a term list) rides the C4-style token-exact gate on the SAME
+        # single corpus scan — the blocked count is a pure column
+        # expression (curation.blocked_count_col), so it joins the
+        # signal projection through the carry hook for free and the
+        # filter below reads it like any other stat column.
+        terms = getattr(book, "blocklist", None)
+        carry = [
+            (F.col("source"), "source"),
+            (F.round(cls["n_alpha"].cast("double") / safe_n, 4), "alpha_ratio"),
+            (lang_pred, "lang_pred"),
+        ]
+        cols = ["doc_id", "source", "lang_pred", "n_tokens",
+                "alpha_ratio", "frac_dup_ngrams"]
+        if terms:
+            carry.append((C.blocked_count_col(t, list(terms)), "n_blocked"))
+            cols.append("n_blocked")
+        scored = C.repetition_signals(docs, carry=carry).select(*cols)
         wh.insert_data("documents_scored", scored, merge_key="doc_id")
         kept = wh.read("documents_scored").filter(
             F.col("n_tokens").between(10, 5000)
@@ -73,6 +80,8 @@ def chapter_loader(book):
             & (F.col("frac_dup_ngrams") <= 0.9)
             & (F.col("lang_pred") != "und")
         )
+        if terms:
+            kept = kept.filter(F.col("n_blocked") == 0)
         if getattr(book, "frozen_quality_classifier", False):
             from empujar_spark.operators import classifier as CL
 

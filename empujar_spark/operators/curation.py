@@ -764,21 +764,28 @@ def blocklist_filter(
 
     Adds ``n_blocked`` (count of blocked token occurrences) and
     ``blocked`` (any hit) — callers filter on ``~blocked`` to enforce,
-    or keep both columns as the audit."""
-    norm = F.regexp_replace(
-        F.trim(F.lower(F.col(text_col))), r"\s+", " "
+    or keep both columns as the audit. ``blocked_count_col`` exposes
+    the count as a bare Column for composing into an existing
+    projection (the pretrain book rides it on the curate chapter's
+    single signal scan via repetition_signals' carry hook)."""
+    n_blocked = blocked_count_col(F.col(text_col), terms)
+    return df.withColumn("n_blocked", n_blocked).withColumn(
+        "blocked", n_blocked > 0
     )
+
+
+def blocked_count_col(text: Column, terms: list[str]) -> Column:
+    """Count of blocked token occurrences as a pure COLUMN expression —
+    the blocklist_filter kernel, composable into any projection."""
+    norm = F.regexp_replace(F.trim(F.lower(text)), r"\s+", " ")
     toks = F.when(
-        F.coalesce(F.trim(F.col(text_col)), F.lit("")) == "",
+        F.coalesce(F.trim(text), F.lit("")) == "",
         F.array().cast("array<string>"),
     ).otherwise(F.split(norm, " "))
     blocked_arr = F.array(*[F.lit(t.lower()) for t in terms])
-    n_blocked = F.size(
+    return F.size(
         F.filter(toks, lambda t: F.array_contains(blocked_arr, t))
-    )
-    return df.withColumn("n_blocked", n_blocked.cast("bigint")).withColumn(
-        "blocked", n_blocked > 0
-    )
+    ).cast("bigint")
 
 
 def perplexity_buckets(

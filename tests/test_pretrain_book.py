@@ -370,3 +370,56 @@ def test_pretrain_book_leakage_safe_split_option(spark):
         for r in wh2.read("train_sequences").select("doc_id").collect()
     }
     assert got2 == packed_ids
+
+
+def test_pretrain_book_blocklist_option_excises_planted_doc(spark):
+    """Opt-in blocklist leg (r16): the curate stage rides the C4-style
+    token-exact gate on its single signal scan. A planted doc carrying
+    a blocked term survives the default run and is excised (with its
+    n_blocked audit column in documents_scored) once the book sets a
+    blocklist; clean docs are untouched."""
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = tempfile.mkdtemp(prefix="t-pretrain-bl-src-")
+    for t in ("documents", "embeddings"):
+        shutil.copyfile(
+            f"/root/testdata/sf0.001/{t}.parquet", f"{src}/{t}.parquet"
+        )
+    # plant a blocked term into one otherwise-surviving doc's text
+    tbl = pq.read_table(f"{src}/documents.parquet").to_pandas()
+    base = run_pretrain(spark, src, tempfile.mkdtemp(prefix="t-pre-bl0-"))
+    survivor_ids = {
+        r.doc_id for r in base.read("documents_curated").collect()
+    }
+    plant = min(survivor_ids)
+    idx = tbl.index[tbl.doc_id == plant][0]
+    tbl.at[idx, "text"] = tbl.at[idx, "text"] + " zzzforbidden"
+    pq.write_table(
+        pa.Table.from_pandas(tbl, preserve_index=False),
+        f"{src}/documents.parquet",
+    )
+
+    # default run: the planted doc still survives (no blocklist)
+    wh1 = run_pretrain(spark, src, tempfile.mkdtemp(prefix="t-pre-bl1-"))
+    kept1 = {r.doc_id for r in wh1.read("documents_curated").collect()}
+    assert plant in kept1
+
+    # blocklist run: the planted doc is excised, audit column present
+    wh2 = run_pretrain(
+        spark, src, tempfile.mkdtemp(prefix="t-pre-bl2-"),
+        blocklist=["zzzforbidden"],
+    )
+    kept2 = {r.doc_id for r in wh2.read("documents_curated").collect()}
+    assert plant not in kept2
+    assert kept2 == kept1 - {plant}
+    audit = {
+        r.doc_id: r.n_blocked
+        for r in wh2.read("documents_scored")
+        .select("doc_id", "n_blocked").collect()
+    }
+    assert audit[plant] == 1
+    assert all(v == 0 for d, v in audit.items() if d != plant)
