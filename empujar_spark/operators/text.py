@@ -1226,8 +1226,12 @@ def normalize_text(
        lane prices only the rows that need it.
     2. Control/format character strip: Unicode categories Cc (controls)
        and Cf (zero-widths, BOM, directional marks) become spaces —
-       Java ``\\p{Cntrl}``/``\\p{Cf}`` here, RE2 ``\\p{Cc}``/``\\p{Cf}``
-       in the DuckDB twin, the same category sets.
+       Java ``\\p{gc=Cc}``/``\\p{gc=Cf}`` here, RE2
+       ``\\p{Cc}``/``\\p{Cf}`` in the DuckDB twin, the same category
+       sets. (NOT Java's ``\\p{Cntrl}``: that is the POSIX class,
+       ASCII-ONLY — C1 controls U+0080–U+009F slip through it, a real
+       divergence from RE2's Cc that the normalize_text hypothesis
+       property test caught.)
     3. Whitespace collapse + trim.
 
     Map-only per-row projection: no shuffle, pushdown preserved; output
@@ -1249,6 +1253,6 @@ def normalize_text(
     composed = F.when(
         raw.rlike(r"[^\x00-\x7F]"), _nfc(raw)
     ).otherwise(raw)
-    stripped = F.regexp_replace(composed, r"[\p{Cntrl}\p{Cf}]", " ")
+    stripped = F.regexp_replace(composed, r"[\p{gc=Cc}\p{gc=Cf}]", " ")
     collapsed = F.trim(F.regexp_replace(stripped, r"\s+", " "))
     return df.withColumn(out_col, collapsed)

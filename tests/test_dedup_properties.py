@@ -452,3 +452,48 @@ def test_fuzzy_join_matches_python_jaccard(spark, left, right):
             if jac >= 0.4 and len(a & b) > 0:
                 expected[(i, 100 + j)] = jac
     assert got == expected
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    docs=st.lists(
+        st.text(
+            alphabet=st.characters(
+                codec="utf-8",
+                categories=(
+                    "Lu", "Ll", "Nd", "Zs", "Cc", "Cf", "Mn", "Po",
+                ),
+            ),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_normalize_text_matches_python_reference(spark, docs):
+    """For ANY unicode corpus (letters, digits, spaces, controls,
+    format chars, combining marks, punctuation): normalize_text equals
+    the pure-Python reference — unicodedata NFC, Cc/Cf -> space,
+    whitespace collapse, trim. Pins the JVM fast-path/Python-lane split
+    and the Java-vs-RE2 category-class equivalence the oracle relies
+    on."""
+    import re
+    import unicodedata
+
+    from empujar_spark.operators.text import normalize_text
+
+    def ref(t):
+        t = unicodedata.normalize("NFC", t)
+        t = "".join(
+            " " if unicodedata.category(c) in ("Cc", "Cf") else c
+            for c in t
+        )
+        return re.sub(r"\s+", " ", t).strip()
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: r.text_norm for r in normalize_text(df).collect()
+    }
+    assert got == {i: ref(t) for i, t in enumerate(docs)}
