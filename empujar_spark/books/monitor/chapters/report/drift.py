@@ -134,15 +134,18 @@ def chapter_loader(book):
         # and persist the change rows; an empty audit is the green
         # state. Uses the warehouse metas, not the checkpointed frames:
         # the audit should describe what was WRITTEN, and it must not
-        # wait on the snapshot loader.
+        # wait on the snapshot loader. REPLACED each run, not upserted:
+        # the diff is a pure function of the two current metas, and an
+        # upsert could never delete the row for a drift that has since
+        # been RESOLVED — a healthy schema would read red forever (r16
+        # code-review catch; the documents_decontam replace precedent).
         diff = wh.schema_diff("events_reference", "events_current")
-        wh.insert_data(
+        wh.replace_table(
             "schema_audit",
             diff.select(
                 F.col("column").alias("feature"),
                 "status", "old_type", "new_type",
             ),
-            merge_key="feature",
         )
 
     chapter.add_loader("load-snapshots", load_snapshots)

@@ -1296,27 +1296,27 @@ def fuzzy_join(
     Output: (left_id, right_id, n_shared, jaccard ≥ threshold)."""
     from pyspark.sql import Window
 
+    # ONE shingle derivation per side: the frequency cap's df aggregate
+    # reuses the same frames side() consumes (a second doc_shingles()
+    # call would re-run the tokenize/explode tree above the reusable
+    # repartition exchange — the r16 code-review catch).
+    sh_l0 = doc_shingles(
+        left.select(F.col(id_col).alias("doc_id"), text_col), text_col, k
+    )
+    sh_r0 = doc_shingles(
+        right.select(F.col(id_col).alias("doc_id"), text_col), text_col, k
+    )
     freq_filter = None
     if max_shingle_freq is not None:
-        sh_union = doc_shingles(
-            left.select(F.col(id_col).alias("doc_id"), text_col), text_col, k
-        ).unionByName(
-            doc_shingles(
-                right.select(F.col(id_col).alias("doc_id"), text_col),
-                text_col, k,
-            )
-        )
         freq_filter = (
-            sh_union.groupBy("shingle")
+            sh_l0.unionByName(sh_r0)
+            .groupBy("shingle")
             .agg(F.count("*").alias("__df"))
             .filter(F.col("__df") <= max_shingle_freq)
             .select("shingle")
         )
 
-    def side(df: DataFrame, name: str) -> DataFrame:
-        sh = doc_shingles(
-            df.select(F.col(id_col).alias("doc_id"), text_col), text_col, k
-        )
+    def side(sh: DataFrame, name: str) -> DataFrame:
         if freq_filter is not None:
             sh = sh.join(freq_filter, "shingle")
         sh = sh.withColumn(
@@ -1328,7 +1328,7 @@ def fuzzy_join(
             F.col("n_sh").alias(f"n_{name}"),
         )
 
-    sh_l, sh_r = side(left, "left"), side(right, "right")
+    sh_l, sh_r = side(sh_l0, "left"), side(sh_r0, "right")
     if method == "lsh":
         def bands(df: DataFrame, name: str) -> DataFrame:
             sig = minhash_signatures(

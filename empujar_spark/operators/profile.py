@@ -102,22 +102,11 @@ def leakage_safe_split(
     ``group_col`` is the identity the caller chose: a content
     fingerprint (text.fingerprint_col — exact duplicates), a near-dup
     cluster id (dedup.connected components / minhash clusters), or any
-    other grouping whose members must never straddle train/eval. Same
-    bucket math as stratified_split (md5 mod 1000, pure projection, no
-    shuffle, engine-exact, stable under corpus growth) — only the key
-    differs, which is the whole point."""
-    bucket = (
-        F.conv(
-            F.substring(F.md5(F.col(group_col).cast("string")), 1, 8), 16, 10
-        ).cast("bigint")
-        % 1000
-    )
-    split = (
-        F.when(bucket < test_permille, F.lit("test"))
-        .when(bucket < test_permille + val_permille, F.lit("val"))
-        .otherwise(F.lit("train"))
-    )
-    return df.withColumn("split", split)
+    other grouping whose members must never straddle train/eval. The
+    bucket math IS stratified_split's (delegated, not copied — one
+    source of truth for the md5-mod-1000 rule); only the key differs,
+    which is the whole point."""
+    return stratified_split(df, group_col, val_permille, test_permille)
 
 
 def numeric_histogram(

@@ -1360,7 +1360,8 @@ def token_count(spark, sf_dir):
     n AS (
       SELECT doc_id, text,
              trim(regexp_replace(regexp_replace(
-                 nfc_normalize(text), '[\p{Cc}\p{Cf}]', ' ', 'g'),
+                 nfc_normalize(text),
+                 '[\p{Cc}\p{Cf}\p{Zs}\p{Zl}\p{Zp}]', ' ', 'g'),
                  '\s+', ' ', 'g')) AS text_norm
       FROM fx)
     SELECT doc_id,
@@ -10823,6 +10824,17 @@ def _evidence_rounds(
     ``repo`` overrides the records directory (tests point it at a
     scratch layout to prove a NEW record re-rotates instead of breaking
     the census)."""
+    driver, union = _evidence_pair(repo)
+    return union if include_local else driver
+
+
+def _evidence_pair(
+    repo: str | None = None,
+) -> tuple[dict[str, dict[int, bool]], dict[str, dict[int, bool]]]:
+    """(driver, driver∪local) built in ONE pass over the record files —
+    the import-time census needs both maps, and the driver map's inputs
+    are a strict subset of the union's, so parsing the CORRECTNESS_r*
+    set twice (the pre-r16 shape) doubled the per-import record I/O."""
     import glob as _glob
     import json as _json
     import os as _os
@@ -10831,7 +10843,7 @@ def _evidence_rounds(
     repo = repo or _os.path.dirname(
         _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
     )
-    out: dict[str, dict[int, bool]] = {}
+    driver: dict[str, dict[int, bool]] = {}
     for f in sorted(_glob.glob(_os.path.join(repo, "CORRECTNESS_r*.json"))):
         n = int(_re.search(r"r(\d+)", _os.path.basename(f)).group(1))
         try:
@@ -10840,25 +10852,25 @@ def _evidence_rounds(
         except (OSError, ValueError):
             continue
         for name, row in rec.items():
-            out.setdefault(name, {})[n] = bool(
+            driver.setdefault(name, {})[n] = bool(
                 isinstance(row, dict) and row.get("hash_match")
             )
+    union = {name: dict(rounds) for name, rounds in driver.items()}
     try:
         with open(_os.path.join(repo, "CORRECTNESS_LOCAL.json")) as fh:
             local = _json.load(fh)
     except (OSError, ValueError):
         local = {}
-    if include_local:
-        for rnd, rows in local.items():
-            if not (isinstance(rnd, str) and rnd.isdigit() and isinstance(rows, dict)):
+    for rnd, rows in local.items():
+        if not (isinstance(rnd, str) and rnd.isdigit() and isinstance(rows, dict)):
+            continue
+        n = int(rnd)
+        for name, row in rows.items():
+            slot = union.setdefault(name, {})
+            if n in slot:  # driver verdict for this round wins, either way
                 continue
-            n = int(rnd)
-            for name, row in rows.items():
-                slot = out.setdefault(name, {})
-                if n in slot:  # driver verdict for this round wins, either way
-                    continue
-                slot[n] = bool(isinstance(row, dict) and row.get("hash_match"))
-    return out
+            slot[n] = bool(isinstance(row, dict) and row.get("hash_match"))
+    return driver, union
 
 
 def _effective_round(
@@ -10883,11 +10895,20 @@ def gate_order(
     whose only green is the LOCAL gate to the head of the walk — the
     driver's independent run must see every entry at least once, and
     without the pin a local re-green would keep deferring exactly the
-    entries that have never had one (VERDICT r15 item 7)."""
+    entries that have never had one (VERDICT r15 item 7).
+
+    Purity contract (r16 code-review): a caller-supplied ``evidence``
+    with no ``driver_evidence`` makes the order a pure function of the
+    ARGUMENT — the supplied dict stands in for both maps (the pin then
+    reduces to never-green-anywhere) — never a mix of synthetic
+    evidence with whatever records happen to be on disk."""
     if evidence is None:
-        evidence = _evidence_rounds()
-    if driver_evidence is None:
-        driver_evidence = _evidence_rounds(include_local=False)
+        drv, uni = _evidence_pair()
+        evidence = uni
+        if driver_evidence is None:
+            driver_evidence = drv
+    elif driver_evidence is None:
+        driver_evidence = evidence
     reg = {n: i for i, n in enumerate(corpus)}
 
     def key(name: str):

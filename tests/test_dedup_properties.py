@@ -461,7 +461,8 @@ def test_fuzzy_join_matches_python_jaccard(spark, left, right):
             alphabet=st.characters(
                 codec="utf-8",
                 categories=(
-                    "Lu", "Ll", "Nd", "Zs", "Cc", "Cf", "Mn", "Po",
+                    "Lu", "Ll", "Nd", "Zs", "Zl", "Zp", "Cc", "Cf",
+                    "Mn", "Po",
                 ),
             ),
             max_size=40,
@@ -485,7 +486,9 @@ def test_normalize_text_matches_python_reference(spark, docs):
     def ref(t):
         t = unicodedata.normalize("NFC", t)
         t = "".join(
-            " " if unicodedata.category(c) in ("Cc", "Cf") else c
+            " "
+            if unicodedata.category(c) in ("Cc", "Cf", "Zs", "Zl", "Zp")
+            else c
             for c in t
         )
         return re.sub(r"\s+", " ", t).strip()

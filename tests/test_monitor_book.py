@@ -276,3 +276,41 @@ def test_monitor_book_schema_audit_flags_retype(spark):
         ).collect()
     }
     assert diff == {("value", "changed"): ("float", "text")}
+
+
+def test_monitor_book_schema_audit_clears_when_drift_resolves(spark):
+    """The audit is REPLACED each run, not upserted (r16 code-review):
+    a drift that has been resolved must leave an EMPTY audit on the
+    next run — an upsert can never delete the stale red row, so a
+    healthy schema would read red forever."""
+    from empujar_spark.books.monitor import build_monitor_book
+    from empujar_spark.catalog import Warehouse
+
+    tmp = tempfile.mkdtemp(prefix="t-monitor-schema-clear-")
+    wh = run_monitor(spark, SF, tmp)
+
+    # plant a retype directly in the CURRENT snapshot table, then
+    # re-run the book: snapshot re-upserts don't undo the promotion
+    # (text is above float in the lattice), so the audit goes red
+    wh.replace_table(
+        "events_current",
+        wh.read("events_current").withColumn(
+            "value", F.col("value").cast("string")
+        ),
+    )
+    book = build_monitor_book(spark, SF, wh)
+    book.run()
+    red = {
+        r.feature: r.status for r in wh.read("schema_audit").collect()
+    }
+    assert red == {"value": "changed"}
+
+    # resolve: drop the corrupted snapshot and re-run the book — the
+    # snapshot chapter rebuilds events_current from source with the
+    # correct types (a replace alone can't narrow: widening is one-way
+    # in the lattice, so drop-and-rebuild is the real remediation path)
+    wh2 = Warehouse(spark, tmp, primary_key="event_id")
+    wh2.drop_table("events_current")
+    book2 = build_monitor_book(spark, SF, wh2)
+    book2.run()
+    assert wh2.table_size("schema_audit") == 0, "stale audit row survived"

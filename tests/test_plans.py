@@ -897,15 +897,20 @@ def test_fuzzy_join_shingle_freq_cap_filters_before_pair_join(spark):
         assert "CartesianProduct" not in plan, method
 
 
-def test_text_normalize_single_scan_arrow_no_shuffle(spark):
-    """normalize_text (r16): ONE scan, ZERO exchanges, and the Python
-    NFC lane is Arrow-batched (ArrowEvalPython) — never row-at-a-time
-    BatchEvalPython — behind the non-ASCII gate."""
+def test_text_normalize_split_union_arrow_no_shuffle(spark):
+    """normalize_text (r16): the split-and-union plan — TWO pushdown
+    scans (ASCII leg / Python leg), ZERO exchanges, and exactly ONE
+    Arrow-batched Python node that only the non-ASCII leg feeds. A
+    `when(non_ascii, udf)` gate would show the same single
+    ArrowEvalPython but evaluate it for EVERY row (Spark extracts UDFs
+    out of conditionals) — the Union + filter structure is what makes
+    the ASCII fast path real."""
     plan = plan_of(spark, "text_normalize")
-    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Scan parquet") == 2, plan
     assert "Exchange" not in plan, plan
     assert plan.count("ArrowEvalPython") == 1, plan
     assert "BatchEvalPython" not in plan, plan
+    assert "Union" in plan, plan
 
 
 def test_leakage_safe_split_pure_projection(spark):
