@@ -15,7 +15,11 @@ glob-and-call-every-export contract as books/etl and books/pretrain):
    (operators/profile.py) over the STORED snapshots — total PSI per
    numeric feature via the single-scan multi-feature pass, chi-square
    per categorical feature, max per-quantile location shift — upserted
-   into ``drift_report`` keyed by check:feature.
+   into ``drift_report`` keyed by check:feature. Plus (r16) a
+   meta-only ``schema_audit`` page: the two snapshot metas diffed
+   through the §1.2 lattice (added/removed/re-typed columns — the
+   shape regressions the distributional checks can't see), REPLACED
+   each run so a resolved drift reads green again.
 3. chapters/alert/gate.py      (priority 300): the alarm — THIS run's
    report rows gate against thresholds (psi > 0.25 the classic retrain
    alarm; chi2 > the K−1-dof critical value; optional quantile
