@@ -162,6 +162,8 @@ _CROSS_JOIN_ALLOWED = {
     "population_stability",  # the frozen-reference (min,max) one-row
                              # scalar broadcast, histogram_price pattern
                              # (twice — once per side's binning)
+    "ccnet_buckets",  # the 2-value quantile-threshold one-row scalar
+                      # broadcast (r16), population_stability pattern
     "temperature_mixture",
     "embedding_decontam",
     "q22_dormant_customers",
