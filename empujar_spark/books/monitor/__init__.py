@@ -64,6 +64,7 @@ def run_monitor(
     thresholds: dict | None = None,
     sliced_thresholds: dict | None = None,
     cardinality_cols: list | None = None,
+    schema_strict: bool = False,
 ) -> Warehouse:
     """Build + run the book, flush the audit table, return the warehouse."""
     wh = Warehouse(spark, warehouse_dir, primary_key="event_id")
@@ -74,6 +75,8 @@ def run_monitor(
         book.sliced_thresholds = sliced_thresholds
     if cardinality_cols is not None:
         book.cardinality_cols = cardinality_cols
+    if schema_strict:
+        book.schema_strict = True
     book.run()
     book.flush_audit(wh)
     return wh

@@ -32,6 +32,15 @@ this is not just the aggregate gate re-run per slice:
   bins contributes one chi-square-like term per side), so a slice with
   5k rows must clear a slightly higher bar than one with 5M. B follows
   the report page's n_bins (10).
+
+SCHEMA GATE (opt-in, r16): a book that sets ``book.schema_strict =
+True`` also fail-fasts when this run's ``schema_audit`` (the report
+chapter's meta-diff page) is non-empty — a column added, removed, or
+re-typed between the two snapshots is a pipeline-shape incident the
+distributional thresholds can't price, and a strict deployment wants
+it to page, not just to sit in the audit table. Off by default: the
+audit-only behavior (observe, don't alarm) is the right default for
+shapes that evolve legitimately.
 """
 
 from pyspark.sql import functions as F
@@ -117,6 +126,14 @@ def chapter_loader(book):
                         f"{r.signal} stat={r.stat} > {round(thr, 6)}"
                         f" (slice n_ref={nr} n_cur={nc})"
                     )
+
+        if getattr(book, "schema_strict", False):
+            # change-sized by construction (the audit only holds diffs)
+            for r in wh.read("schema_audit").collect():
+                breaches.append(
+                    f"schema:{r.feature} {r.status}"
+                    f" {r.old_type}->{r.new_type}"
+                )
 
         if breaches:
             raise ValueError(f"drift alarm: {breaches}")

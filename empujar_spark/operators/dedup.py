@@ -1371,3 +1371,50 @@ def fuzzy_join(
         .filter(F.col("jaccard") >= threshold)
         .select("left_id", "right_id", "n_shared", "jaccard")
     )
+
+
+def fuzzy_join_best(
+    left: DataFrame,
+    right: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    method: str = "exact",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """RESOLVED record linkage: fuzzy_join's candidate pairs reduced to
+    ONE best match per left row — the assignment step an entity-
+    resolution pipeline runs after candidate scoring (a release-to-
+    release link table wants 'v2 doc X IS v1 doc Y', not every pair
+    above threshold). Best = highest Jaccard; ties break on n_shared
+    descending (more shared evidence wins at equal ratio) then right_id
+    ascending, so the assignment is a pure function of the data — the
+    dedup_keep_latest determinism rule applied to linkage.
+
+    One row_number window over the pair table partitioned by left_id —
+    pair-table-sized, a sliver of the corpus, so the resolution is free
+    next to the candidate generation it follows. Same oracle story as
+    the underlying mode: exact is SQL-expressible (oracle-paired as
+    fuzzy_link_resolved), lsh inherits the recall pin.
+
+    Output: (left_id, right_id, n_shared, jaccard) — at most one row
+    per left_id."""
+    from pyspark.sql import Window
+
+    pairs = fuzzy_join(
+        left, right, text_col, id_col, k, threshold, method,
+        num_hashes, band_size, max_shingle_freq,
+    )
+    w = Window.partitionBy("left_id").orderBy(
+        F.col("jaccard").desc(),
+        F.col("n_shared").desc(),
+        F.col("right_id").asc(),
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

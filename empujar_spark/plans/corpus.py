@@ -1094,6 +1094,53 @@ def fuzzy_link_releases(spark, sf_dir):
 
 
 @q(
+    "fuzzy_link_resolved",
+    f"""
+    WITH shl AS ({_fuzzy_sh_sql(_FUZZY_V1)}),
+    shr AS ({_fuzzy_sh_sql(_FUZZY_V2)}),
+    nl AS (SELECT doc_id, count(*) AS n FROM shl GROUP BY 1),
+    nr AS (SELECT doc_id, count(*) AS n FROM shr GROUP BY 1),
+    shared AS (
+      SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM shl l JOIN shr r ON l.shingle = r.shingle
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT left_id, right_id, n_shared, jaccard FROM (
+        SELECT left_id, right_id, n_shared,
+               round(CAST(n_shared AS DOUBLE)
+                     / (nl.n + nr.n - n_shared), 6) AS jaccard
+        FROM shared
+        JOIN nl ON nl.doc_id = left_id
+        JOIN nr ON nr.doc_id = right_id) t
+      WHERE jaccard >= 0.3)
+    SELECT left_id, right_id, n_shared, jaccard FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY left_id
+               ORDER BY jaccard DESC, n_shared DESC, right_id) AS rn
+      FROM pairs) t
+    WHERE rn = 1
+    """,
+)
+def fuzzy_link_resolved(spark, sf_dir):
+    """RESOLVED record linkage (operators/dedup.py fuzzy_join_best,
+    r16): the assignment step after candidate scoring — at most ONE
+    best right match per left row (highest Jaccard, ties by shared
+    evidence then right_id, so the link table is a pure function of
+    the data). Threshold lowered to 0.3 so the fixture produces
+    competing candidates for the argmax to resolve, not just the
+    1:1 origin links. One row_number window over the pair table —
+    pair-sized, free next to the candidate generation."""
+    docs = load(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 3 == 0)
+    v2 = docs.filter(F.col("doc_id") % 3 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" v2extra")).alias("text"),
+    )
+    return D.fuzzy_join_best(v1, v2, threshold=0.3, method="exact")
+
+
+@q(
     "fuzzy_link_capped",
     f"""
     WITH shl0 AS ({_fuzzy_sh_sql(_FUZZY_V1)}),

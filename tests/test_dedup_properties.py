@@ -500,3 +500,56 @@ def test_normalize_text_matches_python_reference(spark, docs):
         r.doc_id: r.text_norm for r in normalize_text(df).collect()
     }
     assert got == {i: ref(t) for i, t in enumerate(docs)}
+
+
+def test_fuzzy_join_best_resolves_one_match_per_left(spark):
+    """fuzzy_join_best (r16): at most one row per left_id, and each
+    kept row is the argmax of the full pair table under
+    (jaccard desc, n_shared desc, right_id asc) — verified against
+    fuzzy_join's own output on a fixture with competing candidates."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators import dedup as D
+
+    left = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"],
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),       # exact copy
+            (11, "alpha beta gamma delta epsilon zeta extra"), # near copy
+            (12, "alpha beta gamma delta other tail words"),   # weaker
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.left_id, r.right_id): (r.jaccard, r.n_shared)
+        for r in D.fuzzy_join(left, right, threshold=0.1).collect()
+    }
+    assert len(pairs) >= 2, "fixture must produce competing candidates"
+    best = D.fuzzy_join_best(left, right, threshold=0.1).collect()
+    assert len(best) == 1
+    assert best[0].right_id == 10  # the exact copy wins
+
+    # invariant on real data: one row per left, and each equals the
+    # pair-table argmax under the documented order
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).filter(F.col("doc_id") % 4 == 0)
+    v2 = docs.select(
+        (F.col("doc_id") + 500000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"),
+    )
+    all_pairs = D.fuzzy_join(docs, v2, threshold=0.3).collect()
+    resolved = D.fuzzy_join_best(docs, v2, threshold=0.3).collect()
+    lefts = [r.left_id for r in resolved]
+    assert len(lefts) == len(set(lefts))
+    expect = {}
+    for r in all_pairs:
+        key = (-r.jaccard, -r.n_shared, r.right_id)
+        if r.left_id not in expect or key < expect[r.left_id][0]:
+            expect[r.left_id] = (key, r.right_id)
+    assert {r.left_id: r.right_id for r in resolved} == {
+        l: rid for l, (_, rid) in expect.items()
+    }

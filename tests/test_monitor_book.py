@@ -314,3 +314,36 @@ def test_monitor_book_schema_audit_clears_when_drift_resolves(spark):
     book2 = build_monitor_book(spark, SF, wh2)
     book2.run()
     assert wh2.table_size("schema_audit") == 0, "stale audit row survived"
+
+
+def test_monitor_book_schema_strict_gate_fail_fasts_on_retype(spark):
+    """schema_strict opt-in (r16): a planted snapshot retype must raise
+    out of book.run() with the schema breach named; the same corrupted
+    warehouse passes when the flag is off (audit-only default), and a
+    clean warehouse passes with the flag on."""
+    from empujar_spark.books.monitor import build_monitor_book
+    from empujar_spark.catalog import Warehouse
+
+    tmp = tempfile.mkdtemp(prefix="t-monitor-strict-")
+    # clean run with the flag on: no schema diff, gate stays green
+    wh = run_monitor(spark, SF, tmp, schema_strict=True)
+    assert wh.table_size("schema_audit") == 0
+
+    # corrupt the current snapshot (float -> text promotion)
+    wh.replace_table(
+        "events_current",
+        wh.read("events_current").withColumn(
+            "value", F.col("value").cast("string")
+        ),
+    )
+    # audit-only default: the book reruns green, audit records the diff
+    book = build_monitor_book(spark, SF, wh)
+    book.run()
+    assert wh.table_size("schema_audit") == 1
+
+    # strict: the same state fail-fasts with the breach named
+    wh2 = Warehouse(spark, tmp, primary_key="event_id")
+    strict = build_monitor_book(spark, SF, wh2)
+    strict.schema_strict = True
+    with pytest.raises(Exception, match="schema:value changed"):
+        strict.run()
