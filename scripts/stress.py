@@ -351,11 +351,12 @@ def main() -> None:
             "token_count": lambda: noop(
                 docs.select("doc_id", X.token_count(F.col("text")).alias("n"))
             ),
-            # Unicode canonicalization (r16): NFC pandas-UDF lane gated
-            # behind a non-ASCII rlike — on this (ASCII) corpus every
-            # row takes the JVM fast path, so the curve should track
-            # token_count's pure-projection shape; the replicate()
-            # suffix injection keeps the gate exercised per copy.
+            # Unicode canonicalization (r16): split-and-union — the
+            # Arrow NFC leg only sees rows with non-ASCII bytes, so on
+            # this (ASCII) corpus the Python leg is empty and the curve
+            # should stay flat like the other per-row projections (two
+            # pushdown scans instead of one is the price of keeping
+            # the ASCII bulk out of Arrow serialization entirely).
             "text_normalize": lambda: noop(
                 X.normalize_text(docs.select("doc_id", "text"))
             ),
