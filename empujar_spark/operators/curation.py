@@ -834,3 +834,79 @@ def perplexity_buckets(
         .withColumn("bucket", bucket)
         .drop("__lo", "__hi")
     )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budget: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "tbs1",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """Deterministic TOKEN-BUDGET subsample — "give me a ~10B-token
+    subset of this corpus": documents are taken in seeded md5-hash
+    order (a reproducible uniform shuffle, the shard_assignments rule)
+    until the running token total reaches ``budget``; the last admitted
+    doc may overshoot (docs are atomic). Pure function of
+    (seed, budget, data) — rerunning, repartitioning, or growing the
+    corpus with later-hashing docs yields the identical subset, which
+    is what makes a sampled pretraining mix auditable.
+
+    The 100 TB plan is a DISTRIBUTED PREFIX SUM, because the naive form
+    — one window cumsum over the global hash order — funnels the whole
+    corpus through a single-partition sort:
+
+    1. bucket = first 2 hex digits of the hash key (``n_buckets``
+       lexicographic ranges of the md5 space, so bucket order IS global
+       hash order);
+    2. one groupBy(bucket) aggregate → per-bucket token totals —
+       n_buckets rows, collected driver-side (bounded by construction);
+    3. exclusive bucket offsets via a tiny Python scan, broadcast back;
+    4. per-bucket window cumsum (+ offset) — each window sorts only its
+       bucket, ~corpus/n_buckets rows, embarrassingly parallel.
+
+    Admission rule: keep while (offset + intra-bucket cumsum) − the
+    doc's own tokens < budget, i.e. every doc whose PREDECESSOR total
+    leaves room — the "first doc to cross the line is still admitted"
+    convention, so the result is nonempty whenever budget > 0.
+
+    Output: (id, n_tokens, cum_tokens) for admitted docs only."""
+    hk = F.md5(
+        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
+    )
+    # 2 hex digits = 256 ranges; scale n_buckets via substring length
+    n_hex = max(1, (n_buckets - 1).bit_length() // 4 + 1)
+    toks = df.select(
+        F.col(id_col),
+        hk.alias("__hk"),
+        F.substring(hk, 1, n_hex).alias("__bucket"),
+        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+    )
+    per_bucket = (
+        toks.groupBy("__bucket")
+        .agg(F.sum("n_tokens").alias("__bucket_total"))
+        .collect()
+    )
+    offsets, running = {}, 0
+    for row in sorted(per_bucket, key=lambda r: r["__bucket"]):
+        offsets[row["__bucket"]] = running
+        running += row["__bucket_total"]
+    off_df = toks.sparkSession.createDataFrame(
+        [(b, o) for b, o in offsets.items()],
+        "__bucket string, __offset bigint",
+    )
+    w = (
+        Window.partitionBy("__bucket")
+        .orderBy("__hk", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        toks.join(F.broadcast(off_df), "__bucket")
+        .withColumn(
+            "cum_tokens", (F.col("__offset") + F.sum("n_tokens").over(w))
+        )
+        .filter(F.col("cum_tokens") - F.col("n_tokens") < budget)
+        .select(id_col, "n_tokens", "cum_tokens")
+    )
+    return out

@@ -5157,6 +5157,43 @@ def leakage_safe_split(spark, sf_dir):
 
 
 @q(
+    "token_budget_sample",
+    r"""
+    WITH t AS (
+      SELECT doc_id,
+             md5('tbs1|' || CAST(doc_id AS VARCHAR)) AS hk,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\s+'))
+                  END AS BIGINT) AS n_tokens
+      FROM documents),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (
+               ORDER BY hk, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_tokens
+      FROM t)
+    SELECT doc_id, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens - n_tokens < 10000
+    """,
+)
+def token_budget_sample(spark, sf_dir):
+    """Token-BUDGET subsample (operators/curation.py, r16): "give me a
+    ~10k-token subset" — docs taken in seeded md5 order until the
+    running token total crosses the budget, a pure function of
+    (seed, budget, data) so the sampled mix is auditable and rerun-
+    stable. The Spark plan is a DISTRIBUTED PREFIX SUM (256 hash-prefix
+    buckets: per-bucket totals → driver-side exclusive offsets,
+    256-row bounded collect → per-bucket window cumsum + offset), so
+    no global single-partition sort ever happens — while the DuckDB
+    twin IS the naive one global window, which is exactly the point:
+    bucket order is hash-prefix order, so the two plans are provably
+    the same ordering and the oracle checks the decomposition."""
+    docs = load(spark, sf_dir, "documents")
+    return C.token_budget_sample(docs, budget=10000)
+
+
+@q(
     "source_quota_cap",
     """
     SELECT doc_id, source, quota_rank FROM (

@@ -495,3 +495,38 @@ def test_perplexity_buckets_partition_and_order(spark):
     assert set(by_bucket) == {"head", "middle", "tail"}
     assert min(by_bucket["head"]) >= max(by_bucket["middle"])
     assert min(by_bucket["middle"]) >= max(by_bucket["tail"])
+
+
+def test_token_budget_sample_semantics_and_partition_independence(spark):
+    """token_budget_sample (r16): admitted docs are exactly the hash-
+    order prefix whose predecessor total leaves room (last admitted doc
+    may overshoot); the subset is identical under any input
+    partitioning; and growing the budget only EXTENDS the prefix."""
+    from pyspark.sql import functions as F
+
+    from empujar_spark.operators.curation import token_budget_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = token_budget_sample(docs, budget=3000).collect()
+    assert out, "nonempty whenever budget > 0"
+    rows = sorted(out, key=lambda r: r.cum_tokens)
+    # running-total consistency and the admission rule
+    prev = 0
+    for r in rows:
+        assert r.cum_tokens == prev + r.n_tokens
+        assert prev < 3000  # predecessor total left room
+        prev = r.cum_tokens
+    # everything except possibly the last stays under budget
+    assert all(r.cum_tokens < 3000 for r in rows[:-1])
+
+    base = sorted((r.doc_id, r.cum_tokens) for r in out)
+    for layout in (docs.repartition(3, "lang"), docs.orderBy("text"),
+                   docs.coalesce(1)):
+        again = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in token_budget_sample(layout, budget=3000).collect()
+        )
+        assert again == base, "subset depends on partition layout"
+
+    bigger = {r.doc_id for r in token_budget_sample(docs, budget=6000).collect()}
+    assert {d for d, _ in base} < bigger, "budget growth must extend the prefix"

@@ -931,3 +931,15 @@ def test_schema_diff_no_data_scan(spark):
     scale-correct plan: schemas are thousands of columns at most)."""
     plan = plan_of(spark, "schema_diff")
     assert "Scan parquet" not in plan, plan
+
+
+def test_token_budget_sample_no_global_sort(spark):
+    """token_budget_sample (r16): the distributed prefix sum — the
+    window cumsum partitions on the hash-prefix bucket (one hash
+    exchange), the 256-row bucket offsets broadcast back, and NOTHING
+    funnels through a single partition (the hazard of the naive
+    one-global-window form the DuckDB oracle runs)."""
+    plan = plan_of(spark, "token_budget_sample")
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Window") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
