@@ -360,6 +360,15 @@ def main() -> None:
             "text_normalize": lambda: noop(
                 X.normalize_text(docs.select("doc_id", "text"))
             ),
+            # Token-budget subsample (r16): the distributed prefix sum —
+            # per-bucket totals + driver offsets + per-bucket cumsum.
+            # Budget scales with f so the admitted prefix stays ~1/3 of
+            # the corpus at every factor (a fixed budget would make the
+            # kept set a shrinking sliver and measure only the totals
+            # pass). Should stay near-flat: two bucket-keyed passes.
+            "token_budget": lambda: noop(
+                C.token_budget_sample(docs, budget=100_000 * f)
+            ),
             # span dedup: two high-cardinality shuffles
             "segment_dedup": lambda: noop(D.segment_dedup(docs, seg_tokens=5)),
             # banded LSH candidate join
