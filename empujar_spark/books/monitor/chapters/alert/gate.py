@@ -130,10 +130,11 @@ def chapter_loader(book):
         if getattr(book, "schema_strict", False):
             # change-sized by construction (the audit only holds diffs)
             for r in wh.read("schema_audit").collect():
-                breaches.append(
-                    f"schema:{r.feature} {r.status}"
-                    f" {r.old_type}->{r.new_type}"
-                )
+                if r.status == "changed":
+                    detail = f" {r.old_type}->{r.new_type}"
+                else:  # added/removed carry one one-sided type
+                    detail = f" ({r.new_type or r.old_type})"
+                breaches.append(f"schema:{r.feature} {r.status}{detail}")
 
         if breaches:
             raise ValueError(f"drift alarm: {breaches}")

@@ -26,6 +26,13 @@ PHONE_RE = r"\+\d{7,15}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 
 
+def _seeded_hash_key(seed: str, id_col: Column) -> Column:
+    """md5(seed || '|' || id) — THE seeded shuffle-order key
+    (shard_assignments and token_budget_sample share this single
+    definition so their orderings can never silently diverge)."""
+    return F.md5(F.concat(F.lit(seed + "|"), id_col.cast("string")))
+
+
 def _hash_unit(id_col: Column, offset: int, modulus: int) -> Column:
     """Deterministic uniform integer in [0, modulus) from an md5 slice —
     the only cross-engine-stable hash (corpus header rule). Different
@@ -411,9 +418,7 @@ def shard_assignments(
     Output: (id, shard, pos) with pos = 1..|shard| in md5 order,
     id as tiebreak on the (astronomically unlikely) digest collision.
     """
-    hk = F.md5(
-        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
-    )
+    hk = _seeded_hash_key(seed, F.col(id_col))
     shard = (
         F.conv(F.substring(hk, 1, 8), 16, 10).cast("bigint") % n_shards
     )
@@ -857,9 +862,12 @@ def token_budget_sample(
     — one window cumsum over the global hash order — funnels the whole
     corpus through a single-partition sort:
 
-    1. bucket = first 2 hex digits of the hash key (``n_buckets``
-       lexicographic ranges of the md5 space, so bucket order IS global
-       hash order);
+    1. one SLIM projection (id, hash key, bucket = the hash key's
+       leading hex digits — ``n_buckets`` lexicographic ranges of the
+       md5 space, so bucket order IS global hash order, and per-doc
+       token count), localCheckpointed: ~40 bytes/row at any corpus
+       size, and the snapshot guarantees the offsets and the cumsum
+       read the SAME rows even over a nondeterministic source;
     2. one groupBy(bucket) aggregate → per-bucket token totals —
        n_buckets rows, collected driver-side (bounded by construction);
     3. exclusive bucket offsets via a tiny Python scan, broadcast back;
@@ -872,17 +880,31 @@ def token_budget_sample(
     convention, so the result is nonempty whenever budget > 0.
 
     Output: (id, n_tokens, cum_tokens) for admitted docs only."""
-    hk = F.md5(
-        F.concat(F.lit(seed + "|"), F.col(id_col).cast("string"))
-    )
-    # 2 hex digits = 256 ranges; scale n_buckets via substring length
-    n_hex = max(1, (n_buckets - 1).bit_length() // 4 + 1)
+    hk = _seeded_hash_key(seed, F.col(id_col))
+    # hex digits covering n_buckets ranges: ceil(bit_length/4) — e.g.
+    # 256 → 2 digits, 4096 → 3 (the old `//4 + 1` overshot by one digit
+    # for power-of-16 counts, 16x the documented collect; r16 review)
+    n_hex = max(1, ((n_buckets - 1).bit_length() + 3) // 4)
     toks = df.select(
         F.col(id_col),
         hk.alias("__hk"),
         F.substring(hk, 1, n_hex).alias("__bucket"),
-        token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+        # NULL text counts 0 tokens (the token_count blank convention
+        # extended to NULL) — otherwise a NULL would both poison its
+        # bucket total (sum → NULL → driver TypeError) and silently
+        # vanish from the output
+        F.coalesce(token_count(F.col(text_col)), F.lit(0))
+        .cast("bigint")
+        .alias("n_tokens"),
     )
+    # Materialize before the totals collect: the offsets and the cumsum
+    # leg MUST see the same rows — two independent evaluations of a
+    # nondeterministic source (a sample(), a re-optimized shuffle) could
+    # freeze offsets from different rows than the prefix they anchor,
+    # breaking the global-prefix-sum invariant with no error. Also
+    # spares the corpus a second scan+tokenize (the monitor book's
+    # load_snapshots precedent).
+    toks = toks.localCheckpoint(eager=True)
     per_bucket = (
         toks.groupBy("__bucket")
         .agg(F.sum("n_tokens").alias("__bucket_total"))

@@ -530,3 +530,35 @@ def test_token_budget_sample_semantics_and_partition_independence(spark):
 
     bigger = {r.doc_id for r in token_budget_sample(docs, budget=6000).collect()}
     assert {d for d, _ in base} < bigger, "budget growth must extend the prefix"
+
+
+def test_token_budget_sample_null_text_and_bucket_invariance(spark):
+    """r16 review fixes: NULL text counts 0 tokens (neither poisons its
+    bucket total nor vanishes from the output), and the admitted subset
+    is INVARIANT to n_buckets — the bucket decomposition is plumbing,
+    not semantics (this also pins the hex-prefix width formula: an
+    over- or under-wide prefix would still decompose correctly, but a
+    mismatch between offsets and bucket keys would break the prefix
+    sum instantly)."""
+    from empujar_spark.operators.curation import token_budget_sample
+
+    rows = [(i, f"tok {'w ' * (i % 7)}") for i in range(40)]
+    rows += [(100, None), (101, ""), (102, "   ")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.n_tokens for r in
+           token_budget_sample(df, budget=10_000).collect()}
+    # budget exceeds the corpus: every doc admitted, zero-token docs too
+    assert set(out) == {i for i, _ in rows}
+    assert out[100] == 0 and out[101] == 0 and out[102] == 0
+
+    base = sorted(
+        (r.doc_id, r.cum_tokens)
+        for r in token_budget_sample(df, budget=60).collect()
+    )
+    assert base
+    for nb in (1, 16, 64, 4096):
+        again = sorted(
+            (r.doc_id, r.cum_tokens)
+            for r in token_budget_sample(df, budget=60, n_buckets=nb).collect()
+        )
+        assert again == base, f"subset depends on n_buckets={nb}"
