@@ -630,16 +630,18 @@ class Warehouse:
                     shutil.rmtree(self._version_dir(table, v), ignore_errors=True)
             # Row-count estimate for planners (sketch.pruned_join's auto
             # probe pick, VERDICT r11 #5): footer-only count of the
-            # committed file set — the empty projection reads parquet
-            # metadata, not data pages — recorded in the meta the caller
+            # committed file set, recorded in the meta the caller
             # persists (and re-persisted here for callers that save meta
-            # before the write, e.g. _create_table). Best-effort: an
+            # before the write, e.g. _create_table). r16: read the
+            # footers directly on the driver (pyarrow metadata reads, no
+            # Spark job — the count job cost ~0.4s of scheduling per
+            # write, billed to every book chapter and stream epilogue);
+            # past a file-count threshold fall back to the distributed
+            # metadata count, where per-file driver round-trips would
+            # exceed one job's scheduling cost. Best-effort: an
             # estimate must never fail a committed write.
             try:
-                meta["n_rows"] = (
-                    self.spark.read.schema(self._physical_schema(meta))
-                    .parquet(new_dir).count()
-                )
+                meta["n_rows"] = self._footer_row_count(new_dir, meta)
                 self._save_meta(table, meta)
             except Exception:
                 meta.pop("n_rows", None)
@@ -653,6 +655,30 @@ class Warehouse:
                     # raw schema-inference error, and never consumes a
                     # keep_old_versions retention slot.
                     shutil.rmtree(new_dir, ignore_errors=True)
+
+    def _footer_row_count(self, data_dir: str, meta: dict) -> int:
+        """Exact row count of a committed file set from parquet footer
+        metadata. Driver-side pyarrow reads for small file sets (the
+        local/bench regime: a handful of files, microseconds each, zero
+        Spark jobs); the distributed metadata-only count past 256 files,
+        where serial per-file footer reads on the driver would cost more
+        than one job's scheduling (and on object stores, one round-trip
+        per file)."""
+        files = []
+        for root, _dirs, names in os.walk(data_dir):
+            files.extend(
+                os.path.join(root, n)
+                for n in names
+                if n.endswith(".parquet")
+            )
+        if len(files) <= 256:
+            import pyarrow.parquet as pq
+
+            return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        return (
+            self.spark.read.schema(self._physical_schema(meta))
+            .parquet(data_dir).count()
+        )
 
     def _reconcile_schema(
         self, table: str, incoming: dict[str, ColumnType]
@@ -743,7 +769,10 @@ class Warehouse:
                     df, key, keep=dedup_keep, order_col=dedup_order_col
                 )
             self._create_table(table, df, incoming)
-            return self.table_size(table)
+            # the commit just recorded the exact footer row count; a
+            # separate count job would recompute the same number
+            n = self._load_meta(table).get("n_rows")
+            return n if n is not None else self.table_size(table)
 
         # read existing under the OLD physical schema (the lazy plan captures
         # it before files are swapped), then reconcile + cast both sides
@@ -757,16 +786,28 @@ class Warehouse:
             new_df = self._dedup_batch(
                 new_df, key, keep=dedup_keep, order_col=dedup_order_col
             )
-            # broadcast the (typically small) incremental batch for the
-            # anti-join so the big stored table never shuffles
-            kept = existing.join(
-                F.broadcast(new_df.select(*key)), on=key, how="left_anti"
-            )
-            result = kept.unionByName(new_df)
-        else:
-            result = existing.unionByName(new_df)
-        n = new_df.count()
-        self._write(table, result, meta)
+        # r16: materialize the incoming batch ONCE. Without the persist
+        # the batch's whole chain (source scan + conform casts + the
+        # dedup window's shuffle) executed up to three times — the
+        # count job, the broadcast key build, and the union side of the
+        # copy-on-write rewrite. The batch is incremental-sized by
+        # contract; blocks are dropped right after the commit
+        # (blocking=False: removal needn't gate the caller).
+        new_df = new_df.persist()
+        try:
+            n = new_df.count()
+            if merge_on_duplicates and all(k in table_cols for k in key):
+                # broadcast the (typically small) incremental batch for
+                # the anti-join so the big stored table never shuffles
+                kept = existing.join(
+                    F.broadcast(new_df.select(*key)), on=key, how="left_anti"
+                )
+                result = kept.unionByName(new_df)
+            else:
+                result = existing.unionByName(new_df)
+            self._write(table, result, meta)
+        finally:
+            new_df.unpersist()
         self._save_meta(table, meta)
         return n
 
