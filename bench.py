@@ -117,9 +117,15 @@ def main() -> None:
     # memory-sink tables, checkpoint blocks, broadcast remnants) × runs.
     # At the 8g default the tail of a 192-entry × 3-run session GC-
     # thrashes and random entries read 3-16× slow (observed: quantiles
-    # 0.37s -> 5.99s median with all three samples elevated). The box
-    # has 128 GiB; give the capture headroom unless the caller pinned it.
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "24g")
+    # 0.37s -> 5.99s median with all three samples elevated). r11 set
+    # 24g for a 192-entry corpus; at 246 entries a 24g capture again
+    # showed mid-session entries 2-5× their fresh-session standalone
+    # cost (r16 baseline: 24 entries needed mover re-verification,
+    # spreads of 1-5s), while a 48g session's cumulative GC measured
+    # ~6s over the whole capture (jstat: old-gen oscillating 40-75%,
+    # no full GCs). The box has 128 GiB; give the capture headroom
+    # unless the caller pinned it.
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "48g")
     spark = get_spark("bench")
     # Untimed warmup: the first Spark action pays one-off JVM/codegen/
     # parquet-footer costs (~5s), and the first Python-kernel action pays

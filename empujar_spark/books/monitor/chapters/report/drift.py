@@ -48,12 +48,17 @@ def chapter_loader(book):
     snaps: dict[str, object] = {}
 
     def load_snapshots():
-        snaps["ref"] = wh.read("events_reference").localCheckpoint(
-            eager=True
-        )
-        snaps["cur"] = wh.read("events_current").localCheckpoint(
-            eager=True
-        )
+        # persist + eager count over localCheckpoint (r16): same
+        # one-materialization contract, but the blocks are released by
+        # the explicit release chapter below the moment the report
+        # pages finish — checkpoint blocks would sit on the shared
+        # local-mode heap until a driver GC let the ContextCleaner at
+        # them, once per monitor run.
+        for name, table in (("ref", "events_reference"),
+                            ("cur", "events_current")):
+            df = wh.read(table).persist()
+            df.count()
+            snaps[name] = df
 
     def _splits():
         return snaps["ref"], snaps["cur"]
@@ -152,3 +157,14 @@ def chapter_loader(book):
     chapter.add_page("drift-report", report)
     chapter.add_page("drift-report-sliced", report_sliced)
     chapter.add_page("schema-audit", schema_audit)
+
+    # chapters run serially, so this executes only after every report
+    # page has finished with the shared snapshots
+    release = book.add_chapter(210, "release-snapshots")
+
+    def release_snapshots():
+        for df in snaps.values():
+            df.unpersist()
+        snaps.clear()
+
+    release.add_page("unpersist-snapshots", release_snapshots)

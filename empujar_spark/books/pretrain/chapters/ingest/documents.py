@@ -75,21 +75,27 @@ def chapter_loader(book):
         if bloom_live:
             # one materialization of the batch: insert_data scans it for
             # the write and the bitmap FOLD scans its fingerprints again —
-            # without the checkpoint the fold re-derives the whole
-            # admission lineage (source scan + flag + confirm join) per
-            # maintenance. First runs skip it: the register path below
-            # reads the written table, so nothing consumes `fresh` twice.
-            fresh = fresh.localCheckpoint(eager=True)
+            # without this the fold re-derives the whole admission
+            # lineage (source scan + flag + confirm join) per
+            # maintenance. persist over localCheckpoint (r16): blocks
+            # release explicitly below instead of waiting on a driver GC
+            # for the ContextCleaner. First runs skip it: the register
+            # path below reads the written table, so nothing consumes
+            # `fresh` twice.
+            fresh = fresh.persist()
         wh.insert_data("documents", fresh, merge_key="doc_id")
         if bloom_live:
-            # fold ONLY the inserted keys into the stored bitmap
-            # (bloom_union is exact); pinned pre-fold provenance
-            reg.ensure_fresh_fold(
-                IDX,
-                lambda pinned: K.bloom_fold_into_registry(
-                    reg, IDX, fresh, "fingerprint", pinned=pinned
-                ),
-            )
+            try:
+                # fold ONLY the inserted keys into the stored bitmap
+                # (bloom_union is exact); pinned pre-fold provenance
+                reg.ensure_fresh_fold(
+                    IDX,
+                    lambda pinned: K.bloom_fold_into_registry(
+                        reg, IDX, fresh, "fingerprint", pinned=pinned
+                    ),
+                )
+            finally:
+                fresh.unpersist()
         else:
             # first run (or bitmap stale/missing): full register over the
             # table as written, sized with fold headroom

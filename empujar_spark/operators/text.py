@@ -719,8 +719,14 @@ def bm25_search(
     # sizes), and doclen stays one row per doc_id so the scoring join
     # cannot fan out. The shuffle is on the slim (doc_id, size) pair
     # with map-side partials — still no token materialization.
+    # no _spread on this branch (r16): size(split(...)) is one column
+    # expression on the scan — the CPU-bound explode the spread exists
+    # for never happens here, and the groupBy's own exchange already
+    # spreads the slim (doc_id, size) pairs; the keyless repartition
+    # was shipping the full text column (plus sort-before-repartition)
+    # for nothing (~0.35s per derivation at sf0.1).
     doclen = (
-        spread.select(
+        df.select(
             F.col(id_col).alias("doc_id"),
             F.size(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
@@ -734,20 +740,31 @@ def bm25_search(
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dfreq = tf.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    # df (document frequency) derives IN-PLAN from tf (dfreq=None below):
+    # a separate dfreq aggregate re-ran the whole tokenize/explode/tf
+    # subtree a second time for its broadcast build — Spark shares no
+    # subplans — doubling the corpus token pass (r16 plan audit). tf is
+    # unique on (doc_id, term), so a count over the term partition is
+    # exactly count_distinct(doc_id), on the already-query-term-sized
+    # sliver.
     stats = df.agg(F.count(F.lit(1)).alias("__N")).crossJoin(
         doclen.agg(F.avg("dl").alias("__avgdl"))
     )
-    return _bm25_score(tf, dfreq, qterms, doclen, stats, k1, b, top_n)
+    return _bm25_score(tf, None, qterms, doclen, stats, k1, b, top_n)
 
 
 def _bm25_score(tf, dfreq, qterms, doclen, stats, k1, b, top_n) -> DataFrame:
     """Shared BM25 scoring tail (from-scratch and indexed paths produce
     bit-identical scores because they share this exact expression
     tree): idf·saturated-tf partials rounded to 6 dp, per-(query, doc)
-    sums to 4 dp, per-query top-n by (score desc, doc_id asc)."""
+    sums to 4 dp, per-query top-n by (score desc, doc_id asc).
+
+    ``dfreq=None`` derives the per-term document frequency from ``tf``
+    itself via a window (tf is unique on (doc_id, term), so the term
+    partition's row count IS count_distinct(doc_id)) — one small
+    exchange of the query-term sliver instead of re-deriving the whole
+    tf subtree for a broadcast build. The indexed path passes its
+    stored df table explicitly."""
     n = F.col("__N").cast("double")
     idf = F.round(
         F.log(
@@ -762,9 +779,16 @@ def _bm25_score(tf, dfreq, qterms, doclen, stats, k1, b, top_n) -> DataFrame:
         * (k1 + 1.0)
         / (tf_d + k1 * (1.0 - b + b * F.col("dl") / F.col("__avgdl")))
     )
+    from pyspark.sql import Window
+
+    if dfreq is None:
+        tf = tf.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("term"))
+        )
+    else:
+        tf = tf.join(F.broadcast(dfreq), "term")
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(F.broadcast(qterms), "term")
+        tf.join(F.broadcast(qterms), "term")
         .join(doclen, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
@@ -775,8 +799,6 @@ def _bm25_score(tf, dfreq, qterms, doclen, stats, k1, b, top_n) -> DataFrame:
         .groupBy("query_id", "doc_id")
         .agg(F.round(F.sum("__s"), 4).alias("score"))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("doc_id").asc()
     )
@@ -816,8 +838,14 @@ def bm25_build_index(
     )
     # (doc_id, term) is unique after the groupBy, so df is a plain count
     dfreq = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # no _spread on this branch (r16): size(split(...)) is one column
+    # expression on the scan — the CPU-bound explode the spread exists
+    # for never happens here, and the groupBy's own exchange already
+    # spreads the slim (doc_id, size) pairs; the keyless repartition
+    # was shipping the full text column (plus sort-before-repartition)
+    # for nothing (~0.35s per derivation at sf0.1).
     doclen = (
-        spread.select(
+        df.select(
             F.col(id_col).alias("doc_id"),
             F.size(
                 F.split(F.trim(F.lower(F.col(text_col))), r"\s+")

@@ -840,28 +840,40 @@ def bloom_admission_stream(
 
     def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
+        # persist (not localCheckpoint, r16): both give the two
+        # consumers below one materialization of the flagged batch, but
+        # persist's blocks are released explicitly right after the
+        # collect — checkpoint blocks hang on the driver heap until a
+        # JVM GC lets the ContextCleaner at them, and a multi-run bench
+        # session accumulates one batch-sized block set per micro-batch
+        # until then.
         flagged = K.with_bloom_flag(
             batch_df, key_col, state["bits"], m, k
-        ).localCheckpoint(eager=True)
-        sure_fresh = flagged.filter(~F.col("__maybe_seen")).drop("__maybe_seen")
-        maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
-        seen = hist_keys
-        if resident:
-            seen = seen.unionByName(resident_df().select(key_col))
-        if state["spill_dir"] is not None:
-            seen = seen.unionByName(spill_df().select(key_col))
-        confirmed = maybe.join(seen, key_col, "left_anti")
-        rows = (
-            sure_fresh.unionByName(confirmed)
-            .groupBy(key_col)
-            .agg(F.min("doc_id").alias("doc_id"))
-            .select(
-                "doc_id", key_col,
-                F.xxhash64(key_col).alias("__h1"),
-                F.xxhash64(key_col, F.lit("empujar-bloom-2")).alias("__h2"),
+        ).persist()
+        try:
+            sure_fresh = flagged.filter(~F.col("__maybe_seen")).drop(
+                "__maybe_seen"
             )
-            .collect()
-        )
+            maybe = flagged.filter(F.col("__maybe_seen")).drop("__maybe_seen")
+            seen = hist_keys
+            if resident:
+                seen = seen.unionByName(resident_df().select(key_col))
+            if state["spill_dir"] is not None:
+                seen = seen.unionByName(spill_df().select(key_col))
+            confirmed = maybe.join(seen, key_col, "left_anti")
+            rows = (
+                sure_fresh.unionByName(confirmed)
+                .groupBy(key_col)
+                .agg(F.min("doc_id").alias("doc_id"))
+                .select(
+                    "doc_id", key_col,
+                    F.xxhash64(key_col).alias("__h1"),
+                    F.xxhash64(key_col, F.lit("empujar-bloom-2")).alias("__h2"),
+                )
+                .collect()
+            )
+        finally:
+            flagged.unpersist()
         if not rows:
             return
         state["bits"] = K.fold_hashes_into_bloom(
