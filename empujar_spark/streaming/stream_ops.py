@@ -348,6 +348,28 @@ def _drain_with_watchdog(q, timeout_s: float) -> None:
         )
 
 
+def _drain_foreach_batch(
+    df: DataFrame, batch_fn, timeout_s: float, batch_partitions: int = 4
+):
+    """Start a foreachBatch query and drain it under the watchdog, with
+    ``spark.sql.shuffle.partitions`` bound to ``batch_partitions`` for
+    the WHOLE drain (set before start, restored after it settles): the
+    jobs the callback launches shuffle batch-sized slivers, and the
+    session's batch-scale partition count only buys task-scheduling
+    overhead per micro-batch — drain_to_memory's state-store rationale
+    applied to the callback's own jobs. On a real cluster size it to
+    batch volume, not the batch-analytics shuffle default."""
+    spark = df.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    spark.conf.set(key, str(batch_partitions))
+    try:
+        q = df.writeStream.foreachBatch(batch_fn).start()
+        _drain_with_watchdog(q, timeout_s)
+    finally:
+        spark.conf.set(key, old)
+
+
 def drain_to_memory(
     df: DataFrame,
     name: str,
@@ -462,8 +484,7 @@ def quality_monitor_stream(
         rows.extend((r.check, r.n_violations) for r in checks.collect())
 
     spark = events.sparkSession
-    q = events.writeStream.foreachBatch(audit_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(events, audit_batch, timeout_s)
     agg: dict[str, int] = {}
     for check, n in rows:
         agg[check] = agg.get(check, 0) + n
@@ -679,8 +700,7 @@ def neardup_ingest_stream(
         # verdict — the operator's per-batch cost either way)
         state["max_resident"] = max(state["max_resident"], len(rows))
 
-    q = docs.writeStream.foreachBatch(check_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(docs, check_batch, timeout_s)
     resident = spark.createDataFrame(rows, NEARDUP_AUDIT_SCHEMA)
     if state["spills"] > 0:
         out = spill_df().unionByName(resident)
@@ -820,8 +840,14 @@ def bloom_admission_stream(
     batch_ids: list = []
     # the stored history never moves during the drain (its single
     # append happens in the epilogue), so resolve the version and build
-    # the key-set plan ONCE, not per micro-batch
-    hist_keys = wh.read(history_table).select(key_col).distinct()
+    # the key-set plan ONCE, not per micro-batch — and MATERIALIZE it
+    # once (r16): every batch's confirm anti-join was re-running the
+    # history scan + DISTINCT shuffle (one full exchange of the key set
+    # per micro-batch); persist computes it on the first batch and the
+    # later batches probe the cached slim key column. MEMORY_AND_DISK
+    # (the default) spills gracefully when the key set outgrows
+    # executor memory at scale; released in the epilogue.
+    hist_keys = wh.read(history_table).select(key_col).distinct().persist()
     key_schema = hist_keys.schema
     # epilogue-append rows must carry the STREAM's own types — a
     # hardcoded `{key} string` would push a miscast batch through
@@ -894,8 +920,10 @@ def bloom_admission_stream(
         # construction — that collect is the operator's per-batch cost)
         state["max_resident"] = max(state["max_resident"], len(resident))
 
-    q = docs.writeStream.foreachBatch(admit_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    try:
+        _drain_foreach_batch(docs, admit_batch, timeout_s)
+    finally:
+        hist_keys.unpersist()
     spilled = state["spill_dir"] is not None
     if resident or spilled:
         # epilogue: ONE history write of the drain's admissions (fresh
@@ -990,8 +1018,7 @@ def kmeans_drift_stream(
     # reduce task per session shuffle partition) while keeping map-side
     # partial aggregation — scoped to this query, so a concurrent query
     # on the shared session keeps its own shuffle width (ADVICE r13)
-    q = probe.writeStream.foreachBatch(audit_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(probe, audit_batch, timeout_s)
     out = spark.createDataFrame(
         [
             (c, n, s)
@@ -1091,8 +1118,7 @@ def psi_drift_stream(
     # ≤ n_bins rows per batch reduce — coalesce(4) above scopes the
     # small task count to this query instead of mutating the session
     # shuffle default under concurrent queries (ADVICE r13)
-    q = cur.writeStream.foreachBatch(audit_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(cur, audit_batch, timeout_s)
     spine = spark.range(n_bins).select(F.col("id").alias("bin"))
     ref_counts = binned(ref).groupBy("bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ref")
@@ -1157,8 +1183,7 @@ def chi2_drift_stream(
 
     # coalesce(4) above scopes the small reduce-task count to this
     # query — no session-global shuffle.partitions mutation (ADVICE r13)
-    q = cur.writeStream.foreachBatch(audit_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(cur, audit_batch, timeout_s)
     ref_counts = cat(ref).groupBy("category").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ref")
     )
@@ -1259,8 +1284,7 @@ def contamination_gate_stream(
             rows.clear()
         state["max_resident"] = max(state["max_resident"], len(rows))
 
-    q = docs.writeStream.foreachBatch(check_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(docs, check_batch, timeout_s)
     resident = spark.createDataFrame(rows, CONTAM_AUDIT_SCHEMA)
     if state["spills"] > 0:
         out = spill_df().unionByName(resident)
@@ -1338,8 +1362,7 @@ def moment_drift_stream(
             slot[1] += int(r["s1"])
             slot[2] += int(r["s2"])
 
-    q = cur.writeStream.foreachBatch(audit_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(cur, audit_batch, timeout_s)
     cur_m = spark.createDataFrame(
         [(d, n, s1, s2) for d, (n, s1, s2) in sorted(acc.items())],
         "dim bigint, n bigint, s1 bigint, s2 bigint",
@@ -1460,8 +1483,7 @@ def semantic_gate_stream(
             rows.clear()
         state["max_resident"] = max(state["max_resident"], len(rows))
 
-    q = vectors.writeStream.foreachBatch(check_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(vectors, check_batch, timeout_s)
     resident = spark.createDataFrame(rows, SEMANTIC_AUDIT_SCHEMA)
     if state["spills"] > 0:
         out = spill_df().unionByName(resident)
@@ -1525,8 +1547,7 @@ def cardinality_stream(
             for r in partials(batch_df).coalesce(4).collect()
         )
 
-    q = cur.writeStream.foreachBatch(audit_batch).start()
-    _drain_with_watchdog(q, timeout_s)
+    _drain_foreach_batch(cur, audit_batch, timeout_s)
 
     sk_schema = T.StructType(
         [
