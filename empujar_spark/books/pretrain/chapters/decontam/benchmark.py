@@ -43,7 +43,12 @@ def chapter_loader(book):
         bench = load(book.spark, book.source_dir, "documents").filter(
             F.col("doc_id") % 97 == 0
         )
-        audit = ngram_contamination(curated, bench, n=8)
+        # persist: the audit plan (corpus gram scan + broadcast
+        # eval-gram join, ~1.4s/run at sf0.1) is consumed twice — the
+        # audit upsert and the drop-set filter — and Spark shares no
+        # subplans across the two. Slim per-doc rows; released after
+        # the decontam replace commits.
+        audit = ngram_contamination(curated, bench, n=8).persist()
         wh.insert_data("contamination_audit", audit, merge_key="doc_id")
         flagged = audit.filter(F.col("contaminated")).select("doc_id")
         clean = curated.join(flagged, "doc_id", "left_anti")
@@ -80,6 +85,9 @@ def chapter_loader(book):
                 "left_anti",
             )
 
-        wh.replace_table("documents_decontam", clean)
+        try:
+            wh.replace_table("documents_decontam", clean)
+        finally:
+            audit.unpersist()
 
     chapter.add_page("benchmark-decontam", decontaminate)
