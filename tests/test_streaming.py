@@ -913,3 +913,39 @@ def test_cardinality_stream_tracks_exact_within_tolerance(spark):
                 feat, col, g[col], e[col],
             )
         assert g.ratio == round(g.n_cur_distinct / g.n_ref_distinct, 6)
+
+
+def test_drain_foreach_batch_binds_and_restores_partitions(spark, tmp_path):
+    """r16: _drain_foreach_batch pins batch-sized shuffle partitions for
+    the whole drain (the callback's jobs see the bound value) and
+    restores the session conf afterwards, also on callback failure."""
+    import pyspark.sql.functions as F
+
+    from empujar_spark.streaming.stream_ops import _drain_foreach_batch
+
+    src = str(tmp_path / "src")
+    spark.range(8).selectExpr("id", "id * 2 AS v").write.parquet(src)
+    stream = spark.readStream.schema("id long, v long").parquet(src)
+    key = "spark.sql.shuffle.partitions"
+    before = spark.conf.get(key)
+    seen = {}
+
+    def cb(batch_df, batch_id):
+        seen["parts"] = spark.conf.get(key)
+        # a shuffle inside the callback actually uses the bound value
+        seen["n"] = batch_df.groupBy("id").count().rdd.getNumPartitions()
+
+    _drain_foreach_batch(stream, cb, timeout_s=120.0, batch_partitions=3)
+    assert seen["parts"] == "3"
+    assert seen["n"] <= 3
+    assert spark.conf.get(key) == before
+
+    def boom(batch_df, batch_id):
+        raise RuntimeError("callback failure")
+
+    stream2 = spark.readStream.schema("id long, v long").parquet(src)
+    try:
+        _drain_foreach_batch(stream2, boom, timeout_s=120.0)
+    except Exception:
+        pass
+    assert spark.conf.get(key) == before

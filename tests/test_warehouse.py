@@ -1274,3 +1274,31 @@ def test_write_records_footer_row_count_estimate(spark, tmp_path):
     wh.insert_data("t", spark.range(37, 50).selectExpr("id", "id * 2 AS v"))
     assert wh._load_meta("t").get("n_rows") == 50
     assert wh.read("t")._empujar_n_rows == 50
+
+
+def test_footer_row_count_partitioned_and_merge_return(spark, tmp_path):
+    """r16: meta n_rows comes from driver-side pyarrow footer reads (no
+    Spark job). It must stay exact for hive-partitioned layouts (rows
+    live under event_type=... subdirs) and insert_data's return value
+    must still count the DEDUPED incoming batch on both paths."""
+    from empujar_spark.catalog import Warehouse
+
+    wh = Warehouse(spark, str(tmp_path / "wh"), primary_key="id",
+                   partition_cols={"ev": ["et"]})
+    df = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "a", 3.0)],
+        "id long, et string, v double",
+    )
+    n = wh.insert_data("ev", df)
+    assert n == 3
+    assert wh._load_meta("ev").get("n_rows") == 3
+    # merge path: batch repeats key 3 (in-batch dedup -> 2 written),
+    # return value counts the deduped batch, meta counts the table
+    batch = spark.createDataFrame(
+        [(3, "a", 30.0), (3, "a", 31.0), (4, "c", 4.0)],
+        "id long, et string, v double",
+    )
+    n2 = wh.insert_data("ev", batch)
+    assert n2 == 2, n2
+    assert wh._load_meta("ev").get("n_rows") == 4
+    assert wh.table_size("ev") == 4
