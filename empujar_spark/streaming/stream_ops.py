@@ -1450,7 +1450,10 @@ def semantic_gate_stream(
     import shutil
     import tempfile
 
-    from empujar_spark.operators.similarity import embedding_decontam
+    from empujar_spark.operators.similarity import (
+        _guard_brute_force,
+        embedding_decontam,
+    )
 
     spark = vectors.sparkSession
     rows: list = []
@@ -1458,6 +1461,13 @@ def semantic_gate_stream(
     if spill_dir is not None:
         spill_dir = spill_dir.rstrip("/") + "/run-" + _uuid.uuid4().hex
     state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
+    # The benchmark is FROZEN for the whole drain: guard its size ONCE
+    # here (embedding_decontam's per-call guard is a count job, and the
+    # loop was paying it — plus the suite's scan/norm re-derivation —
+    # per micro-batch, r16) and persist the suite across batches;
+    # force=True below skips the now-redundant in-call guard.
+    _guard_brute_force(benchmark, "semantic_gate_stream benchmark", False)
+    benchmark = benchmark.persist()
 
     def spill_df() -> DataFrame:
         return spark.read.schema(SEMANTIC_AUDIT_SCHEMA).parquet(
@@ -1467,7 +1477,7 @@ def semantic_gate_stream(
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
         flagged = embedding_decontam(
-            batch_df, benchmark, threshold=threshold
+            batch_df, benchmark, threshold=threshold, force=True
         ).collect()
         rows.extend(tuple(r) for r in flagged)
         if max_resident_rows is not None and len(rows) > max_resident_rows:
@@ -1483,7 +1493,10 @@ def semantic_gate_stream(
             rows.clear()
         state["max_resident"] = max(state["max_resident"], len(rows))
 
-    _drain_foreach_batch(vectors, check_batch, timeout_s)
+    try:
+        _drain_foreach_batch(vectors, check_batch, timeout_s)
+    finally:
+        benchmark.unpersist()
     resident = spark.createDataFrame(rows, SEMANTIC_AUDIT_SCHEMA)
     if state["spills"] > 0:
         out = spill_df().unionByName(resident)
