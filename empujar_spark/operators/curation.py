@@ -514,9 +514,20 @@ def dsir_importance(
             % n_buckets
         ).alias("__b"),
     )
+    # Reduce the feature stream to per-(doc, bucket) counts FIRST (the
+    # unigram_doc_score r16 pattern): bucket count per doc is capped at
+    # ``n_buckets``, so this relation is ≤ |docs|·n_buckets rows at ANY
+    # corpus size, its subtree ends in an exchange (AQE exchange reuse
+    # shares the single tokenize+hash pass between the stats aggregate
+    # and the scoring join), and the per-doc score sums cnt·w over ≤256
+    # grid-quantized terms instead of one w per occurrence — same 1e-6
+    # re-snap, values verified oracle-exact at sf0.001/0.01/0.1.
+    bucketed = bucketed.groupBy(id_col, "__tgt", "__b").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     stats = bucketed.groupBy("__b").agg(
-        F.count(F.lit(1)).alias("__n_raw"),
-        F.sum(F.when(F.col("__tgt"), 1).otherwise(0))
+        F.sum("__cnt").cast("bigint").alias("__n_raw"),
+        F.sum(F.when(F.col("__tgt"), F.col("__cnt")).otherwise(0))
         .cast("bigint")
         .alias("__n_tgt"),
     )
@@ -542,8 +553,10 @@ def dsir_importance(
         bucketed.join(F.broadcast(weights), "__b")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.round(F.sum("__w"), 6).alias("lr_score"),
+            F.sum("__cnt").cast("bigint").alias("n_tokens"),
+            F.round(F.sum(F.col("__cnt") * F.col("__w")), 6).alias(
+                "lr_score"
+            ),
         )
     )
 
@@ -819,7 +832,16 @@ def perplexity_buckets(
     Output: scored columns + (bucket ∈ head|middle|tail)."""
     from empujar_spark.operators.text import unigram_doc_score
 
-    scored = unigram_doc_score(df, text_col, id_col)
+    # scored is consumed twice (the quantile aggregate and the bucket
+    # projection) and Spark shares no subplans — without a boundary the
+    # whole scoring tree (tokenize + vocab aggregate + scoring join) ran
+    # twice (6 documents scans in the compiled plan). Materialize the
+    # per-doc scored frame once; it is corpus-row-sized and slim (4
+    # columns), so at cluster scale this is persist(MEMORY_AND_DISK) on
+    # the standard scored-corpus intermediate.
+    scored = unigram_doc_score(df, text_col, id_col).localCheckpoint(
+        eager=True
+    )
     lo_q, hi_q = float(cuts[0]), float(cuts[1])
     thresholds = scored.agg(
         F.round(

@@ -1308,6 +1308,14 @@ def fuzzy_join(
     )
     freq_filter = None
     if max_shingle_freq is not None:
+        # No materialization boundary here, deliberately (r16 measured):
+        # the static plan re-derives each side's tokenize/shingle tree
+        # under every consumer (6 documents scans), but AQE's runtime
+        # exchange reuse dedups the identical shuffle subtrees — an
+        # explicit localCheckpoint/persist of the shingle frames timed
+        # 0.4-10s SLOWER (fresh-session A/B, warm medians 2.48s ckpt /
+        # 2.08s base at sf0.1) because it replaces shared exchange
+        # files with an extra materialize-and-rescan round trip.
         freq_filter = (
             sh_l0.unionByName(sh_r0)
             .groupBy("shingle")

@@ -190,9 +190,12 @@ def tfidf_top_terms(
         F.explode(F.split(F.trim(F.lower(F.col(text_col))), r"\s+")).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = toks.groupBy("term").agg(
-        F.count_distinct("doc_id").alias("df")
-    )
+    # tf is unique on (doc_id, term), so count(*) over tf's term groups
+    # IS count_distinct(doc_id) over the occurrence stream — and deriving
+    # df from tf lets AQE exchange reuse share tf's exchange between the
+    # df build and the scoring join (the occurrence-stream formulation
+    # tokenized the corpus twice; same derivation the BM25 scorer uses).
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     n_docs = df.select(F.count("*").alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
@@ -410,13 +413,26 @@ def unigram_doc_score(
         .filter(~F.col("__blank"))
         .select(id_col, F.explode("__toks").alias("token"))
     )
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__freq"))
+    # Reduce the occurrence stream to per-(doc, token) counts FIRST: the
+    # vocabulary aggregate and the scoring join both consume tok_counts,
+    # whose subtree ENDS IN AN EXCHANGE — so AQE exchange reuse shares
+    # one tokenize pass between them (the raw-occurrence formulation
+    # tokenized twice: the vocab exchange subtree and the broadcast-join
+    # stream side are not exchange-shareable). Downstream arithmetic is
+    # pure integers (freq(token) = Σ cnt; per-doc sums weight each
+    # distinct token by cnt), so results are bit-identical.
+    toks = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    vocab = toks.groupBy("token").agg(F.sum("__cnt").alias("__freq"))
     scored = (
         toks.join(F.broadcast(vocab), "token")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum("__freq").cast("bigint").alias("sum_freq"),
+            F.sum("__cnt").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("__cnt") * F.col("__freq"))
+            .cast("bigint")
+            .alias("sum_freq"),
         )
         .select(
             id_col,
@@ -470,13 +486,24 @@ def oov_rate(
         .filter(~F.col("__blank"))
         .select(id_col, F.explode("__toks").alias("token"))
     )
-    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("__freq"))
+    # Same exchange-rooted reduction as unigram_doc_score: tok_counts is
+    # the shared subtree (one tokenize via AQE exchange reuse), and the
+    # OOV sum weights each distinct OOV token by its in-doc count —
+    # integer-exact, bit-identical to the per-occurrence form.
+    toks = toks.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    vocab = toks.groupBy("token").agg(F.sum("__cnt").alias("__freq"))
     scored = (
         toks.join(F.broadcast(vocab), "token")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-            F.sum((F.col("__freq") < min_df).cast("int"))
+            F.sum("__cnt").cast("bigint").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("__freq") < min_df, F.col("__cnt")).otherwise(
+                    F.lit(0)
+                )
+            )
             .cast("bigint")
             .alias("n_oov"),
         )
@@ -645,13 +672,21 @@ def bigram_doc_score(
         lambda a, b: F.concat_ws(" ", a, b),
     )
     occ = base.select(id_col, F.explode(grams).alias("bigram"))
-    vocab = occ.groupBy("bigram").agg(F.count(F.lit(1)).alias("__freq"))
+    # Exchange-rooted reduction (the unigram_doc_score r16 pattern): one
+    # slide+explode pass shared between the vocabulary aggregate and the
+    # scoring join via AQE exchange reuse; integer-exact.
+    occ = occ.groupBy(id_col, "bigram").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+    vocab = occ.groupBy("bigram").agg(F.sum("__cnt").alias("__freq"))
     return (
         occ.join(F.broadcast(vocab), "bigram")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
-            F.sum("__freq").cast("bigint").alias("sum_freq"),
+            F.sum("__cnt").cast("bigint").alias("n_bigrams"),
+            F.sum(F.col("__cnt") * F.col("__freq"))
+            .cast("bigint")
+            .alias("sum_freq"),
         )
         .select(
             id_col,
@@ -1202,10 +1237,17 @@ def token_js_divergence(
             .agg(F.count(F.lit(1)).cast("bigint").alias(name))
         )
 
+    # merged is consumed twice (the totals aggregate and the JS-term
+    # projection) and Spark shares no subplans: without a boundary BOTH
+    # sides' tokenize + vocab aggregates and the full-outer join ran
+    # twice (4 documents scans in the compiled plan). merged is already
+    # reduced to the union vocabulary, so materializing it is cheap at
+    # any scale — the canonical vocab-sized intermediate.
     merged = (
         side(ref, "n_ref")
         .join(side(cur, "n_cur"), "token", "full_outer")
         .fillna(0, subset=["n_ref", "n_cur"])
+        .localCheckpoint(eager=True)
     )
     totals = merged.agg(
         F.sum("n_ref").cast("bigint").alias("__R"),
