@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from empujar_spark.operators.common import HEAVY_KERNEL_BYTES
 from empujar_spark.operators.text import _spread, token_count
 
 # PII patterns: RE2-compatible (no lookaround/backrefs) so the Java-regex
@@ -73,7 +74,7 @@ def repetition_signals(
     its own per-row stats (quality ratios, lang-id) into this same
     single scan instead of paying a join (see corpus curated_corpus).
     """
-    df = _spread(df)
+    df = _spread(df, target_bytes=HEAVY_KERNEL_BYTES)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     # Materialize the token array in its OWN projection: expression trees
     # inside higher-order lambdas get no common-subexpression elimination,
@@ -195,7 +196,7 @@ def redact_pii(
         IPV4_RE,
         "<IP>",
     )
-    return _spread(df).select(
+    return _spread(df, target_bytes=HEAVY_KERNEL_BYTES).select(
         id_col,
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),

@@ -56,7 +56,10 @@ def text_as_binary(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("content", F.encode(F.col(text_col), "UTF-8"))
 
 
-from empujar_spark.operators.common import spread as _spread  # noqa: E402
+from empujar_spark.operators.common import (  # noqa: E402
+    HEAVY_KERNEL_BYTES,
+    spread as _spread,
+)
 
 
 # --------------------------------------------------------------------- kernels
@@ -398,7 +401,7 @@ def binary_simhash_pairs(
     # projection and re-evaluate the whole gram+md5 array once more just
     # to test emptiness (measured 7.3s → 1.1s warm at sf0.1)
     hexed = (
-        _spread(df)
+        _spread(df, target_bytes=HEAVY_KERNEL_BYTES)
         .select(
             F.col(id_col).alias("doc_id"),
             F.hex(F.col(content_col)).alias("__hx"),

@@ -43,14 +43,17 @@ def char_classes(text: Column) -> dict[str, Column]:
     }
 
 
-from empujar_spark.operators.common import spread as _spread  # noqa: E402
+from empujar_spark.operators.common import (  # noqa: E402
+    HEAVY_KERNEL_BYTES,
+    spread as _spread,
+)
 
 
 def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Quality features: length, token count, punctuation/digit/alpha
     ratios (4-dp rounded doubles), short-doc flag. Mirrors the standard
     pretraining-quality heuristics (length + symbol ratios)."""
-    df = _spread(df)
+    df = _spread(df, target_bytes=HEAVY_KERNEL_BYTES)
     t = F.col(text_col)
     cls = char_classes(t)
     tokens = token_count(t)
@@ -110,7 +113,7 @@ def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     ties broken by language code order; 'und' (undetermined) when no marker
     hits. Deterministic and SQL-twinned."""
     lang_pred, marker_hits = lang_cols(F.col(text_col))
-    return _spread(df).select(
+    return _spread(df, target_bytes=HEAVY_KERNEL_BYTES).select(
         "doc_id",
         lang_pred.alias("lang_pred"),
         marker_hits.alias("marker_hits"),
@@ -231,7 +234,7 @@ def _kgram_hashes(
     regexp_replace chain would re-normalize the document once per gram.
     Spark's sequence(1, stop) runs DESCENDING when stop < 1 (text shorter
     than k) — emit no grams instead."""
-    normed = _spread(df).select(
+    normed = _spread(df, target_bytes=HEAVY_KERNEL_BYTES).select(
         "doc_id",
         F.regexp_replace(
             F.trim(F.lower(F.col(text_col))), r"\s+", " "
@@ -344,7 +347,7 @@ def benchmark_contamination(
     # Tokenize in a separate projection (see shingles_of_tokens docstring:
     # no CSE inside the gram lambda — inline split() re-tokenizes per gram).
     c_sh = (
-        _spread(corpus)
+        _spread(corpus, target_bytes=HEAVY_KERNEL_BYTES)
         .select(
             "doc_id",
             F.split(F.trim(F.lower(F.col(text_col))), r"\s+").alias("__toks"),

@@ -378,10 +378,12 @@ def test_dedup_keep_best_no_giant_shuffle(spark):
 
 
 def test_doc_chunks_single_scan_no_shuffle_but_spread(spark):
-    """Chunking is a pure per-row map: the only Exchange is the explicit
-    round-robin spread, never a hash/range shuffle, and no join/window."""
+    """Chunking is a pure per-row map: at most one Exchange (the explicit
+    round-robin spread — skipped entirely at sub-slice input sizes since
+    the r16 scale-adaptive spread), never a hash/range shuffle, and no
+    join/window."""
     plan = plan_of(spark, "doc_chunks")
-    assert plan.count("Exchange") == 1, plan[:800]
+    assert plan.count("Exchange") <= 1, plan[:800]
     assert "hashpartitioning" not in plan and "rangepartitioning" not in plan
     assert "Join" not in plan and "Window" not in plan
 
@@ -943,3 +945,41 @@ def test_token_budget_sample_no_global_sort(spark):
     assert "SinglePartition" not in plan, plan
     assert plan.count("Window") == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_spread_scale_adaptive_three_regimes(spark):
+    """spread() (r16): the parallelism exchange is size-derived, not
+    unconditional — skipped when the input is smaller than one per-core
+    slice (shuffle > single-core work), present in the one-fat-file /
+    idle-cores gap, and skipped again when the source already splits at
+    least that wide (the 100 TB regime, where repartitioning the corpus
+    is a pure extra shuffle)."""
+    from empujar_spark.operators.common import spread
+
+    df = spark.range(2_000).selectExpr("id", "repeat('x', 40) AS text")
+
+    def n_exchanges(frame):
+        return frame._jdf.queryExecution().executedPlan().toString().count(
+            "Exchange"
+        )
+
+    # tiny input vs per-core slice: no exchange
+    assert n_exchanges(spread(df, target_bytes=256 * 1024 * 1024)) == 0
+    # fat input vs slice, narrow source: the round-robin spread appears
+    assert n_exchanges(spread(df, target_bytes=1024)) == 1
+    # fat input but the source is already wider than the desired width
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "64")
+    try:
+        assert n_exchanges(spread(df, target_bytes=1024)) == 0
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # unavailable estimate falls back to the unconditional spread
+    from empujar_spark.operators import common as C
+
+    orig = C._plan_size_bytes
+    C._plan_size_bytes = lambda _df: None
+    try:
+        assert n_exchanges(spread(df, target_bytes=1024)) == 1
+    finally:
+        C._plan_size_bytes = orig
