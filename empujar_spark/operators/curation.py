@@ -74,7 +74,7 @@ def repetition_signals(
     its own per-row stats (quality ratios, lang-id) into this same
     single scan instead of paying a join (see corpus curated_corpus).
     """
-    df = _spread(df, target_bytes=HEAVY_KERNEL_BYTES)
+    df = _spread(df)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     # Materialize the token array in its OWN projection: expression trees
     # inside higher-order lambdas get no common-subexpression elimination,
@@ -480,7 +480,14 @@ def dsir_importance(
     """
     if n_max not in (1, 2):
         raise ValueError(f"n_max must be 1 or 2, got {n_max}")
-    df = _spread(df)
+    # The bigram form is heavy-kernel class (zip_with concat + ~2× the
+    # md5-per-feature work): fanning out even sub-MB inputs measured
+    # 1.68s→1.12s at sf0.1. The unigram kernel is light enough that the
+    # round-robin exchange costs more than it parallelizes (1.05s→1.21s
+    # measured) — keep the size-derived default there.
+    df = _spread(
+        df, target_bytes=HEAVY_KERNEL_BYTES if n_max == 2 else None
+    )
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     toks_arr = F.filter(F.split(norm, " "), lambda x: x != "")
     if n_max == 2:
