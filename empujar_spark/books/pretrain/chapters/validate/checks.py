@@ -20,18 +20,28 @@ def chapter_loader(book):
         clean = wh.read("documents_clean")
         curated = wh.read("documents_curated")
         seqs = wh.read("train_sequences")
+        # per-table aggregate checks fuse into ONE aggregate per table
+        # (expect_fused, r16): clean and seqs are each scanned once for
+        # their 2-3 constraints instead of once per check; the FK checks
+        # stay separate (anti-joins, not single-table aggregates). Check
+        # names and counts are identical, so the audit/gate semantics
+        # and the quality_audit upsert (keyed on check) are unchanged.
         audit = Q.run_checks([
-            Q.expect_unique(clean, ["doc_id"], name="clean.unique(doc_id)"),
-            Q.expect_unique(seqs, ["doc_id"], name="seqs.unique(doc_id)"),
+            Q.expect_fused(clean, [
+                Q.unique_spec(["doc_id"], name="clean.unique(doc_id)"),
+                Q.not_null_spec("clean_text"),
+            ]),
+            Q.expect_fused(seqs, [
+                Q.unique_spec(["doc_id"], name="seqs.unique(doc_id)"),
+                Q.accepted_values_spec("split", ["train"]),
+                Q.in_range_spec("seq_offset", 0, 255),
+            ]),
             Q.expect_references(
                 clean, "doc_id", curated, "doc_id",
                 name="clean.doc_id->curated"),
             Q.expect_references(
                 seqs, "doc_id", clean, "doc_id",
                 name="seqs.doc_id->clean"),
-            Q.expect_accepted_values(seqs, "split", ["train"]),
-            Q.expect_in_range(seqs, "seq_offset", 0, 255),
-            Q.expect_not_null(clean, "clean_text"),
         ])
         # Gate on THIS run's audit, not the upserted history: a stale row
         # from a renamed/removed check would otherwise fail the gate

@@ -30,6 +30,46 @@ def _one(df: DataFrame, name: str, violations: Column) -> DataFrame:
     )
 
 
+def unique_spec(cols: list[str], name: str | None = None) -> tuple[str, Column]:
+    """(name, violations-column) for key uniqueness — rows beyond the
+    first per key (0 ⇔ unique). The column form exists so several checks
+    on ONE table can fuse into one aggregate (``expect_fused``)."""
+    key = F.struct(*[F.col(c) for c in cols])
+    return (
+        name or f"unique({','.join(cols)})",
+        F.count(F.lit(1)) - F.count_distinct(key),
+    )
+
+
+def not_null_spec(col: str, name: str | None = None) -> tuple[str, Column]:
+    return (
+        name or f"not_null({col})",
+        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
+    )
+
+
+def in_range_spec(
+    col: str, lo, hi, name: str | None = None
+) -> tuple[str, Column]:
+    c = F.col(col)
+    bad = c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))
+    return (
+        name or f"in_range({col},{lo},{hi})",
+        F.sum(F.when(bad, 1).otherwise(0)),
+    )
+
+
+def accepted_values_spec(
+    col: str, values: list, name: str | None = None
+) -> tuple[str, Column]:
+    c = F.col(col)
+    bad = c.isNotNull() & ~c.isin(values)
+    return (
+        name or f"accepted_values({col})",
+        F.sum(F.when(bad, 1).otherwise(0)),
+    )
+
+
 def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> DataFrame:
     """Violations = rows beyond the first per key (0 ⇔ key is unique).
 
@@ -40,20 +80,11 @@ def expect_unique(df: DataFrame, cols: list[str], name: str | None = None) -> Da
     (unlike SQL's count(DISTINCT col), which skips NULL rows — mirror
     this tuple semantics in any oracle twin, e.g. DuckDB
     ``count(DISTINCT (a, b))``)."""
-    key = F.struct(*[F.col(c) for c in cols])
-    return _one(
-        df,
-        name or f"unique({','.join(cols)})",
-        F.count(F.lit(1)) - F.count_distinct(key),
-    )
+    return _one(df, *unique_spec(cols, name))
 
 
 def expect_not_null(df: DataFrame, col: str, name: str | None = None) -> DataFrame:
-    return _one(
-        df,
-        name or f"not_null({col})",
-        F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)),
-    )
+    return _one(df, *not_null_spec(col, name))
 
 
 def expect_in_range(
@@ -61,24 +92,47 @@ def expect_in_range(
 ) -> DataFrame:
     """Violations = non-NULL values outside [lo, hi] (NULLs are
     expect_not_null's concern, not a range violation)."""
-    c = F.col(col)
-    bad = c.isNotNull() & ((c < F.lit(lo)) | (c > F.lit(hi)))
-    return _one(
-        df,
-        name or f"in_range({col},{lo},{hi})",
-        F.sum(F.when(bad, 1).otherwise(0)),
-    )
+    return _one(df, *in_range_spec(col, lo, hi, name))
 
 
 def expect_accepted_values(
     df: DataFrame, col: str, values: list, name: str | None = None
 ) -> DataFrame:
-    c = F.col(col)
-    bad = c.isNotNull() & ~c.isin(values)
-    return _one(
-        df,
-        name or f"accepted_values({col})",
-        F.sum(F.when(bad, 1).otherwise(0)),
+    return _one(df, *accepted_values_spec(col, values, name))
+
+
+def expect_fused(
+    df: DataFrame, specs: list[tuple[str, Column]]
+) -> DataFrame:
+    """Several expectations on ONE table evaluated in ONE aggregate —
+    one scan instead of one per check (each expect_* helper's aggregate
+    subtree re-scans its input; Spark shares no subplans across a
+    union's branches). Value-identical to unioning the individual
+    helpers: same check names, same bigint violation counts, empty-input
+    rows coalesce to 0 the way ``_one`` does. ``specs`` are
+    (name, violations-column) pairs from the ``*_spec`` builders; the
+    N aggregate values pivot back to N (check, n_violations) rows via
+    ``inline`` on a literal-keyed struct array — a 1×N→N×2 reshape of an
+    already-aggregated single row, no second pass. Composes with
+    ``run_checks`` exactly like the single-check helpers."""
+    agged = df.agg(
+        *[
+            F.coalesce(col.cast("bigint"), F.lit(0)).alias(f"__v{i}")
+            for i, (_n, col) in enumerate(specs)
+        ]
+    )
+    return agged.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(n).alias("check"),
+                        F.col(f"__v{i}").alias("n_violations"),
+                    )
+                    for i, (n, _c) in enumerate(specs)
+                ]
+            )
+        )
     )
 
 

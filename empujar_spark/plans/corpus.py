@@ -2240,11 +2240,16 @@ def data_quality_checks(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     cust = load(spark, sf_dir, "customer")
     ev = load(spark, sf_dir, "events")
+    # the two lineitem checks fuse into ONE aggregate over ONE scan
+    # (expect_fused, r16): same names/values, lineitem scanned once —
+    # the audit's row order is irrelevant (gate sorts before hashing)
     return Q.run_checks([
         Q.expect_unique(orders, ["o_orderkey"]),
         Q.expect_not_null(ev, "ts"),
-        Q.expect_in_range(li, "l_discount", 0.0, 0.1),
-        Q.expect_accepted_values(li, "l_returnflag", ["A", "N", "R"]),
+        Q.expect_fused(li, [
+            Q.in_range_spec("l_discount", 0.0, 0.1),
+            Q.accepted_values_spec("l_returnflag", ["A", "N", "R"]),
+        ]),
         Q.expect_references(orders, "o_custkey", cust, "c_custkey"),
     ])
 

@@ -473,13 +473,19 @@ def quality_monitor_stream(
     rows: list = []
 
     def audit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # all three additive checks fuse into ONE aggregate (expect_fused,
+        # r16): the micro-batch is scanned once per trigger instead of
+        # once per check — same names/counts, so the cross-batch sums
+        # (and the boundary-invariance contract) are unchanged
         checks = Q.run_checks([
-            Q.expect_not_null(batch_df, "ts"),
-            Q.expect_in_range(batch_df, "value", 0.0, 1000.0),
-            Q.expect_accepted_values(
-                batch_df, "event_type",
-                ["view", "click", "purchase", "signup", "error"],
-            ),
+            Q.expect_fused(batch_df, [
+                Q.not_null_spec("ts"),
+                Q.in_range_spec("value", 0.0, 1000.0),
+                Q.accepted_values_spec(
+                    "event_type",
+                    ["view", "click", "purchase", "signup", "error"],
+                ),
+            ]),
         ])
         rows.extend((r.check, r.n_violations) for r in checks.collect())
 

@@ -81,6 +81,62 @@ def test_expect_fresh_stale_and_fresh(spark):
     assert (empty.n_violations, empty.passed) == (1, 0)
 
 
+def test_expect_fused_matches_individual_checks(spark):
+    """The fused single-scan evaluator (expect_fused) must be value-
+    identical to unioning the individual expect_* helpers — same check
+    names, same violation counts — including the distinct-aggregate
+    (unique) next to plain sums, and the NULL-skipping range/accepted
+    semantics. One scan instead of one per check is the optimization;
+    this pins that it is ONLY a plan change."""
+    df = spark.createDataFrame(
+        [(1, 10, 0.05, "A"), (1, 11, 0.5, "X"), (2, None, None, None)],
+        "id int, fk int, d double, flag string",
+    )
+    specs = [
+        Q.unique_spec(["id"]),
+        Q.not_null_spec("fk"),
+        Q.in_range_spec("d", 0.0, 0.1),
+        Q.accepted_values_spec("flag", ["A", "B"]),
+    ]
+    fused = {
+        (r.check, r.n_violations, r.passed)
+        for r in Q.run_checks([Q.expect_fused(df, specs)]).collect()
+    }
+    individual = {
+        (r.check, r.n_violations, r.passed)
+        for r in Q.run_checks([
+            Q.expect_unique(df, ["id"]),
+            Q.expect_not_null(df, "fk"),
+            Q.expect_in_range(df, "d", 0.0, 0.1),
+            Q.expect_accepted_values(df, "flag", ["A", "B"]),
+        ]).collect()
+    }
+    assert fused == individual
+    # one scan for the whole bundle: the fused plan holds exactly one
+    # leaf over the input (the union-of-aggregates form holds one per
+    # check — the redundancy the fusion removes)
+    plan = Q.expect_fused(df, specs)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("LocalTableScan") == 1
+
+
+def test_expect_fused_empty_input_coalesces_to_zero(spark):
+    """Fused checks over an EMPTY table: the single aggregate row still
+    materializes and every count coalesces to 0 / passed=1 (the _one
+    empty-input rule, preserved through the inline pivot)."""
+    empty = spark.createDataFrame([], "id int, d double, flag string")
+    out = Q.run_checks([
+        Q.expect_fused(empty, [
+            Q.unique_spec(["id"]),
+            Q.not_null_spec("id"),
+            Q.in_range_spec("d", 0.0, 1.0),
+            Q.accepted_values_spec("flag", ["A"]),
+        ]),
+    ]).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.n_violations == 0 and r.passed == 1, r
+
+
 def test_checks_pass_on_empty_input(spark):
     """Aggregating an EMPTY table must yield n_violations=0 / passed=1 —
     sum() over zero rows is NULL, and a NULL passed flag silently slips
