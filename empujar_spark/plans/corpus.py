@@ -72,6 +72,31 @@ def _events_ts_unit(path: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a testdata table, caching the LAZY DataFrame handle per
+    (session, file generation). spark.read.parquet pays driver-side
+    schema inference (file listing + footer read + py4j) on EVERY call —
+    measured ~100-150 ms per call on this box, and one bench pass makes
+    274 load() calls (~27 s/pass of pure re-inference). A production
+    engine registers tables once in a catalog and reuses the resolved
+    relation; this cache is that catalog. Nothing is materialized or
+    persisted — the handle is a logical plan, every action still
+    computes from the parquet input — and the cache key carries the
+    file's (mtime, size) so in-place testdata regeneration gets a fresh
+    read (the _as_stream_dir discipline)."""
+    import os as _os
+
+    path = f"{sf_dir}/{name}.parquet"
+    st = _os.stat(path)
+    key = (_session_key(spark), path, st.st_mtime_ns, st.st_size)
+    hit = _LOAD_CACHE.get(key)
+    if hit is not None:
+        return hit
+    df = _load_uncached(spark, sf_dir, name)
+    _LOAD_CACHE[key] = df
+    return df
+
+
+def _load_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts has shipped as both TIMESTAMP(NANOS) (which Spark can
         # only read via the nanos-as-long legacy flag, floored to micros the
@@ -130,6 +155,12 @@ def _session_key(spark: SparkSession) -> str:
         for k in stale:
             del cache[k]
     return app
+
+
+# Lazy-handle cache for load(): see its docstring. Registered in
+# _SESSION_CACHES so dead-session entries are purged like every other
+# per-session cache.
+_LOAD_CACHE: dict = _session_cache()
 
 
 _TMP_WAREHOUSE_DIRS: list[str] = []
@@ -9148,16 +9179,32 @@ def dedup_quality(spark, sf_dir):
     # twice — once for the scalar count, once for the hit join (verified
     # on the compiled plan: 8 documents scans, 0 ReusedExchange). Same
     # materialization rule as simhash_dup_pairs' signature relation.
-    truth = (
-        D.ngram_jaccard_pairs(docs, k=3, threshold=0.3)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
-    cand = (
-        D.minhash_lsh_pairs(docs, num_hashes=8, band_size=2)
-        .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
-    )
+    # The two materializations are INDEPENDENT eager jobs, and each one
+    # underfills the cluster (sliver-sized shuffles) — submit them from
+    # two driver threads so the second job back-fills the first one's
+    # idle slots (guide §2.6; the monitor book's page parallelism applied
+    # to a single entry). Values are untouched: same frames, same
+    # aggregates, just overlapped wall-clock (measured 1.94s → 1.46s
+    # fresh-session warm medians at sf0.1).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _truth():
+        return (
+            D.ngram_jaccard_pairs(docs, k=3, threshold=0.3)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    def _cand():
+        return (
+            D.minhash_lsh_pairs(docs, num_hashes=8, band_size=2)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        truth_f, cand_f = pool.submit(_truth), pool.submit(_cand)
+        truth, cand = truth_f.result(), cand_f.result()
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
     h = truth.join(cand, ["id_a", "id_b"]).agg(
