@@ -676,12 +676,37 @@ def importance_resample_grouped(
     )
 
 
+def eval_gram_set(
+    eval_docs: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+) -> DataFrame:
+    """The DISTINCT word-n-gram set of an evaluation/benchmark corpus —
+    exactly the frame :func:`ngram_contamination` derives internally.
+    Exposed so a caller checking MANY batches against one frozen eval
+    set (the streaming contamination gate) can build it once, persist
+    it, and pass it via ``eval_grams=`` instead of re-deriving the
+    explode + distinct per batch."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    g = F.transform(
+        F.sequence(F.lit(1), F.size("__t") - n + 1),
+        lambda i: F.concat_ws(" ", F.slice("__t", i, n)),
+    )
+    return (
+        eval_docs.select(toks.alias("__t"))
+        .filter(F.size("__t") >= n)
+        .select(F.explode(g).alias("gram"))
+        .distinct()
+    )
+
+
 def ngram_contamination(
     docs: DataFrame,
     eval_docs: DataFrame,
     n: int = 8,
     text_col: str = "text",
     id_col: str = "doc_id",
+    eval_grams: DataFrame | None = None,
 ) -> DataFrame:
     """Benchmark DECONTAMINATION rate audit (the GPT-3 appendix-C /
     PaLM-style check): flag training documents sharing any word n-gram
@@ -728,7 +753,10 @@ def ngram_contamination(
             *([id_col] if with_id else []), F.explode(g).alias("gram")
         )
 
-    eval_grams = grams(eval_docs, with_id=False).distinct()
+    if eval_grams is None:
+        # identical construction to eval_gram_set (kept inline so the
+        # default single-shot call builds its own tiny broadcast side)
+        eval_grams = grams(eval_docs, with_id=False).distinct()
     # ONE corpus gram pass: left-broadcast-join the eval set and count
     # positions and hits in the same aggregate (a separate hits branch
     # would re-scan and re-explode the whole corpus — measured as the

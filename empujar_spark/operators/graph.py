@@ -62,19 +62,33 @@ def pagerank(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     ).localCheckpoint()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg")).localCheckpoint()
-    ew = e.join(F.broadcast(deg), "src").localCheckpoint()
     # The dangling SET is static (only its rank mass changes), so find it
     # once; symmetrized graphs have none, and then every iteration skips
     # the mass aggregate entirely — zero overhead vs the no-sink formula.
     # Nodes = srcs ∪ dst-only: deg already holds the distinct srcs, so
     # only the dst column pays a distinct shuffle (|E| rows once), and
     # the two legs are disjoint by construction — no final distinct.
-    dangling_nodes = (
-        e.select(F.col("dst").alias("node"))
-        .distinct()
-        .join(F.broadcast(deg), F.col("node") == deg.src, "left_anti")
-        .localCheckpoint()
-    )
+    # ew and the dangling set both depend only on (e, deg) and are
+    # INDEPENDENT eager jobs, each underfilling the cluster — submit
+    # them from two driver threads so the second back-fills the first's
+    # idle slots (guide §2.6, the dedup_quality overlap). Same frames,
+    # same checkpoints, overlapped wall-clock.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _ew() -> DataFrame:
+        return e.join(F.broadcast(deg), "src").localCheckpoint()
+
+    def _dangling() -> DataFrame:
+        return (
+            e.select(F.col("dst").alias("node"))
+            .distinct()
+            .join(F.broadcast(deg), F.col("node") == deg.src, "left_anti")
+            .localCheckpoint()
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        ew_f, dang_f = pool.submit(_ew), pool.submit(_dangling)
+        ew, dangling_nodes = ew_f.result(), dang_f.result()
     has_dangling = bool(dangling_nodes.head(1))
     nodes = (
         deg.select(F.col("src").alias("node"))

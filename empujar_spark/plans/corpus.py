@@ -7986,8 +7986,16 @@ def bloom_fold_lifecycle(spark, sf_dir):
     wh = Warehouse(spark, _tmp_warehouse_dir("bloom-fold-"),
                    primary_key="doc_id")
     reg = IndexRegistry(wh)
-    fp = X.fingerprint(load(spark, sf_dir, "documents")).select(
-        "doc_id", "fingerprint"
+    # The fingerprint kernel (regex-normalize + md5 over every document)
+    # feeds FOUR independent eager consumers below — the history insert,
+    # the batch append, the fold's key projection, and the probe count —
+    # and each action would re-run it from the parquet scan (Spark shares
+    # no subplans across separate jobs). Persist the slim (doc_id, md5)
+    # frame once inside the entry; released before returning.
+    fp = (
+        X.fingerprint(load(spark, sf_dir, "documents"))
+        .select("doc_id", "fingerprint")
+        .persist()
     )
     n_hist = wh.insert_data("fingerprints", fp.filter(F.col("doc_id") % 7 != 0))
     m, k = SK.bloom_params(2 * n_hist, fpp=0.01)
@@ -8018,6 +8026,7 @@ def bloom_fold_lifecycle(spark, sf_dir):
         SK.with_bloom_flag(batch, "fingerprint", *bloom_art)
         .filter(~F.col("__maybe_seen")).count()
     )
+    fp.unpersist()
     rows = sorted([
         ("batch_missed_by_bitmap", missed),
         ("fold_ran", fold_ran),

@@ -672,6 +672,15 @@ def neardup_ingest_stream(
     if spill_dir is not None:
         spill_dir = spill_dir.rstrip("/") + "/run-" + _uuid.uuid4().hex
     state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
+    # NOT persisted across batches (r16 negative result, measured):
+    # the frozen history shingle table IS re-scanned from storage every
+    # micro-batch, but a .persist() measured ~0.3s WORSE per drain at
+    # sf0.1 (interleaved fresh-session A/B, 2 rounds) — the
+    # InMemoryRelation columnar build of the wide string table costs
+    # more than the 3 extra pre-clustered parquet scans it saves. Same
+    # finding as the monitor snapshot persist (commit 3473129); the
+    # admission stream's hist_keys persist wins only because its cached
+    # side is a slim single-column DISTINCT, not a full shingle table.
 
     def spill_df() -> DataFrame:
         # re-plan per call: a parquet plan resolves its file list once,
@@ -1253,7 +1262,10 @@ def contamination_gate_stream(
     import shutil
     import tempfile
 
-    from empujar_spark.operators.curation import ngram_contamination
+    from empujar_spark.operators.curation import (
+        eval_gram_set,
+        ngram_contamination,
+    )
 
     spark = docs.sparkSession
     rows: list = []
@@ -1265,6 +1277,13 @@ def contamination_gate_stream(
     if spill_dir is not None:
         spill_dir = spill_dir.rstrip("/") + "/run-" + _uuid.uuid4().hex
     state = {"spill_dir": spill_dir, "spills": 0, "max_resident": 0}
+    # The eval set is FROZEN for the whole drain, but each
+    # ngram_contamination call re-derives its distinct gram set (scan +
+    # 8-gram explode + DISTINCT exchange) before broadcasting — one full
+    # re-derivation per micro-batch (r16; the semantic gate's frozen-
+    # benchmark persist applied to the gram set). Build it once, persist
+    # across batches, release after the drain. Same frame, same values.
+    frozen_grams = eval_gram_set(eval_docs, n=n).persist()
 
     def spill_df() -> DataFrame:
         # re-plan per call: a parquet plan resolves its file list once,
@@ -1275,7 +1294,9 @@ def contamination_gate_stream(
 
     def check_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch_ids.append(batch_id)
-        flagged = ngram_contamination(batch_df, eval_docs, n=n).collect()
+        flagged = ngram_contamination(
+            batch_df, eval_docs, n=n, eval_grams=frozen_grams
+        ).collect()
         rows.extend(tuple(r) for r in flagged)
         if max_resident_rows is not None and len(rows) > max_resident_rows:
             if state["spill_dir"] is None:
@@ -1290,7 +1311,10 @@ def contamination_gate_stream(
             rows.clear()
         state["max_resident"] = max(state["max_resident"], len(rows))
 
-    _drain_foreach_batch(docs, check_batch, timeout_s)
+    try:
+        _drain_foreach_batch(docs, check_batch, timeout_s)
+    finally:
+        frozen_grams.unpersist()
     resident = spark.createDataFrame(rows, CONTAM_AUDIT_SCHEMA)
     if state["spills"] > 0:
         out = spill_df().unionByName(resident)
