@@ -52,6 +52,14 @@ def chapter_loader(book):
         # columnar InMemoryRelation build costs ~0.8s more per monitor
         # run than checkpoint blocks on these snapshots, which outweighs
         # the explicit-release benefit the persist form would buy.
+        # NOT thread-overlapped (r16 negative result, measured): the two
+        # checkpoints are independent jobs, but submitting them from two
+        # driver threads measured the whole book ~1.2-1.7s WORSE
+        # (interleaved fresh-session A/B, 2 rounds: 4.78/4.79 serial vs
+        # 6.46/5.98 overlapped) — unlike the dedup_quality/pagerank
+        # overlaps, these jobs each saturate the executor with a full
+        # snapshot scan + block write, so concurrency only adds
+        # contention ahead of a chapter whose pages already parallelize.
         snaps["ref"] = wh.read("events_reference").localCheckpoint(
             eager=True
         )
