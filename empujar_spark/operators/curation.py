@@ -74,7 +74,14 @@ def repetition_signals(
     its own per-row stats (quality ratios, lang-id) into this same
     single scan instead of paying a join (see corpus curated_corpus).
     """
-    df = _spread(df)
+    # HEAVY class: the per-row work is a multi-gram array build + a SORT
+    # of the gram array + two aggregate folds (plus whatever regex/char
+    # work the caller carries through this same scan) — µs/byte, same
+    # class as the winnowing/binary kernels. The r16 default 8 MB slice
+    # skipped the fan-out at gate scale and single-partition hashing
+    # dominated (driver r16: curated_corpus 0.93s->1.93s; A/B this round:
+    # 2.74s->1.53s with the heavy budget).
+    df = _spread(df, target_bytes=HEAVY_KERNEL_BYTES)
     norm = F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ")
     # Materialize the token array in its OWN projection: expression trees
     # inside higher-order lambdas get no common-subexpression elimination,
