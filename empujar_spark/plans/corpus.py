@@ -9675,7 +9675,8 @@ def population_stability(spark, sf_dir):
 def streaming_kmeans_drift(spark, sf_dir):
     """STREAMING drift monitor over the stored k-means model (streaming/
     stream_ops.py kmeans_drift_stream): arrivals drain as multi-file
-    micro-batches (4 landing files, maxFilesPerTrigger=1), each batch
+    micro-batches (4 landing files, batched per
+    spark.empujar.stream.filesPerTrigger), each batch
     assigns against the registry-stored centroids and folds per-cluster
     (n, Σ round(dist²·10⁶)) — EXACT scale-6 integer partials, so the
     audit is micro-batch-boundary-invariant and the batch SQL is the

@@ -515,6 +515,35 @@ DOCS_SCHEMA = T.StructType(
 )
 
 
+# Landing files consumed per micro-batch on a bounded (backfill-shaped)
+# drain. Every split-stream consumer is micro-batch-boundary-invariant
+# by contract (additive partials / mergeable sketches / accumulated
+# audits — each entry's docstring carries the argument, and the batch
+# twin is the oracle), so the trigger size is purely a throughput knob:
+# each trigger pays a fixed offset-log/commit-log/planning floor
+# (~0.3s measured locally), and batching a backlog into fewer, larger
+# triggers is exactly what Trigger.AvailableNow exists for in
+# production (guide §2.2's fewer-larger rule applied to micro-batches).
+# Default 2 keeps REAL multi-micro-batch execution (boundaries still
+# crossed, state carried across triggers) at half the per-trigger
+# machinery; tests that pin boundary-invariance build their own
+# 1-file-per-trigger streams and are unaffected.
+STREAM_FILES_PER_TRIGGER_CONF = "spark.empujar.stream.filesPerTrigger"
+_DEFAULT_FILES_PER_TRIGGER = 2
+
+
+def _files_per_trigger(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                STREAM_FILES_PER_TRIGGER_CONF,
+                str(_DEFAULT_FILES_PER_TRIGGER),
+            )
+        )
+    except Exception:
+        return _DEFAULT_FILES_PER_TRIGGER
+
+
 def _split_table_stream(
     spark: SparkSession, src: str, schema: T.StructType, n_files: int,
     tag: str,
@@ -522,9 +551,11 @@ def _split_table_stream(
     """File-source stream over a single-file testdata table, split once
     into ``n_files`` landing files (cached per source generation, same
     build-then-rename discipline as read_events_stream_flushed) and read
-    with maxFilesPerTrigger=1 — a bounded drain then exercises REAL
-    multi-micro-batch execution instead of swallowing the single file in
-    one batch."""
+    with maxFilesPerTrigger (``spark.empujar.stream.filesPerTrigger``,
+    default 2 — see STREAM_FILES_PER_TRIGGER_CONF above) — a bounded
+    drain then exercises REAL multi-micro-batch execution instead of
+    swallowing the single file in one batch, without paying the
+    per-trigger floor once per landing file."""
     import os
     import shutil
     import tempfile
@@ -548,7 +579,7 @@ def _split_table_stream(
             shutil.rmtree(build, ignore_errors=True)  # concurrent winner
     return (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
+        .option("maxFilesPerTrigger", _files_per_trigger(spark))
         .parquet(d)
     )
 
