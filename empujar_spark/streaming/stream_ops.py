@@ -38,6 +38,22 @@ EVENTS_SCHEMA = T.StructType(
 )
 
 
+def _stream_session(spark: SparkSession) -> SparkSession:
+    """Private SQL session for one streaming pipeline (newSession: same
+    SparkContext, same builder-time conf, separate runtime SQLConf and
+    temp-view catalog). The drain helpers bind
+    ``spark.sql.shuffle.partitions`` to a batch-sized value for the
+    whole drain — doing that on the CALLER's session is a write to
+    shared state that races any job another driver thread submits on it
+    (the graph/dedup_quality eager-job overlap introduced in r16), and
+    that job would silently run batch-sized shuffles. Starting every
+    file stream on its own session makes the drain-time bind private by
+    construction. Memory-sink tables also register on the private
+    session, so a long bench capture no longer accumulates one memory
+    table per streaming entry per run on the shared session."""
+    return spark.newSession()
+
+
 def _as_stream_dir(path: str) -> str:
     """Spark's file stream source requires a DIRECTORY. The testdata tables
     are single files, so expose one through a cached symlink dir (real
@@ -65,7 +81,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events table (real deployments swap in
     kafka/kinesis — the downstream operators are source-agnostic)."""
     raw = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        _stream_session(spark).readStream.schema(EVENTS_SCHEMA)
         .parquet(_as_stream_dir(f"{sf_dir}/events.parquet"))
     )
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -121,7 +137,7 @@ def read_events_stream_flushed(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.rename(build, d)  # atomic publish
         except OSError:
             shutil.rmtree(build, ignore_errors=True)  # concurrent winner
-    raw = spark.readStream.schema(EVENTS_SCHEMA).option(
+    raw = _stream_session(spark).readStream.schema(EVENTS_SCHEMA).option(
         "recursiveFileLookup", "true"
     ).parquet(d)
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -578,7 +594,7 @@ def _split_table_stream(
         except OSError:
             shutil.rmtree(build, ignore_errors=True)  # concurrent winner
     return (
-        spark.readStream.schema(schema)
+        _stream_session(spark).readStream.schema(schema)
         .option("maxFilesPerTrigger", _files_per_trigger(spark))
         .parquet(d)
     )

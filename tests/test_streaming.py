@@ -15,7 +15,9 @@ SF = "/root/testdata/sf0.001"
 def drain(spark, df, name, mode="append"):
     q = SO.memory_sink(df, name, mode)
     SO.run_to_completion(q)
-    return spark.sql(f"SELECT * FROM {name}")
+    # memory-sink tables are session-scoped, and reader streams run on a
+    # private session (_stream_session) — look the table up there
+    return df.sparkSession.sql(f"SELECT * FROM {name}")
 
 
 def test_hourly_counts_matches_batch(spark):
