@@ -763,6 +763,11 @@ def bm25_search(
     # spreads the slim (doc_id, size) pairs; the keyless repartition
     # was shipping the full text column (plus sort-before-repartition)
     # for nothing (~0.35s per derivation at sf0.1).
+    # __nr rides the doclen aggregate so BOTH corpus-level stats derive
+    # from this one subtree (see stats below): per-doc row counts sum to
+    # exactly the raw row count (groupBy includes a NULL-id group, so no
+    # row is lost), keeping the N = raw-row-count contract of the
+    # duplicate-doc_id test bit-identical.
     doclen = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -771,7 +776,10 @@ def bm25_search(
             ).cast("bigint").alias("__sz"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("__sz").alias("dl"))
+        .agg(
+            F.sum("__sz").alias("dl"),
+            F.count(F.lit(1)).alias("__nr"),
+        )
     )
     tf = (
         toks.filter(F.col("term").isin(all_terms))
@@ -785,10 +793,18 @@ def bm25_search(
     # unique on (doc_id, term), so a count over the term partition is
     # exactly count_distinct(doc_id), on the already-query-term-sized
     # sliver.
-    stats = df.agg(F.count(F.lit(1)).alias("__N")).crossJoin(
-        doclen.agg(F.avg("dl").alias("__avgdl"))
+    # Both one-row stats fold out of the SAME doclen aggregate (r17):
+    # the old form paid a third full-corpus scan (a columnless count
+    # over df) plus a second single-partition exchange and a cross-join
+    # of the two one-row halves. sum(__nr) IS count(*) over the raw
+    # frame (exact bigint), and avg(dl) is unchanged — identical floats
+    # flow into the scoring tail.
+    stats = doclen.agg(
+        F.sum("__nr").alias("__N"), F.avg("dl").alias("__avgdl")
     )
-    return _bm25_score(tf, None, qterms, doclen, stats, k1, b, top_n)
+    return _bm25_score(
+        tf, None, qterms, doclen.drop("__nr"), stats, k1, b, top_n
+    )
 
 
 def _bm25_score(tf, dfreq, qterms, doclen, stats, k1, b, top_n) -> DataFrame:
@@ -882,6 +898,10 @@ def bm25_build_index(
     # spreads the slim (doc_id, size) pairs; the keyless repartition
     # was shipping the full text column (plus sort-before-repartition)
     # for nothing (~0.35s per derivation at sf0.1).
+    # one subtree for the doclen table AND both corpus stats (the
+    # bm25_search r17 fusion): sum(__nr) is exactly the raw row count,
+    # so the stored stats values are bit-identical to the old
+    # count-scan + cross-join form at one fewer full-corpus pass.
     doclen = (
         df.select(
             F.col(id_col).alias("doc_id"),
@@ -890,15 +910,18 @@ def bm25_build_index(
             ).cast("bigint").alias("__sz"),
         )
         .groupBy("doc_id")
-        .agg(F.sum("__sz").alias("dl"))
+        .agg(
+            F.sum("__sz").alias("dl"),
+            F.count(F.lit(1)).alias("__nr"),
+        )
     )
-    stats = df.agg(F.count(F.lit(1)).alias("__N")).crossJoin(
-        doclen.agg(F.avg("dl").alias("__avgdl"))
+    stats = doclen.agg(
+        F.sum("__nr").alias("__N"), F.avg("dl").alias("__avgdl")
     )
     return {
         "postings": postings,
         "dfreq": dfreq,
-        "doclen": doclen,
+        "doclen": doclen.drop("__nr"),
         "stats": stats,
     }
 
