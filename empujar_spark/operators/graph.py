@@ -75,6 +75,8 @@ def pagerank(
     # same checkpoints, overlapped wall-clock.
     from concurrent.futures import ThreadPoolExecutor
 
+    from pyspark import inheritable_thread_target
+
     def _ew() -> DataFrame:
         return e.join(F.broadcast(deg), "src").localCheckpoint()
 
@@ -87,7 +89,13 @@ def pagerank(
         )
 
     with ThreadPoolExecutor(max_workers=2) as pool:
-        ew_f, dang_f = pool.submit(_ew), pool.submit(_dangling)
+        # inheritable_thread_target (ADVICE r16): under pinned-thread
+        # mode a plain pool thread drops the caller's job group /
+        # scheduler pool / job tags, so a user's cancelJobGroup would
+        # silently miss these two jobs
+        sess = edges.sparkSession
+        ew_f = pool.submit(inheritable_thread_target(sess)(_ew))
+        dang_f = pool.submit(inheritable_thread_target(sess)(_dangling))
         ew, dangling_nodes = ew_f.result(), dang_f.result()
     has_dangling = bool(dangling_nodes.head(1))
     nodes = (

@@ -115,6 +115,11 @@ def expect_fused(
     ``inline`` on a literal-keyed struct array — a 1×N→N×2 reshape of an
     already-aggregated single row, no second pass. Composes with
     ``run_checks`` exactly like the single-check helpers."""
+    if not specs:
+        # df.agg() with zero columns dies with an opaque py4j/analysis
+        # error; an empty list is an easy slip when specs are built
+        # conditionally (ADVICE r16)
+        raise ValueError("expect_fused requires at least one spec")
     agged = df.agg(
         *[
             F.coalesce(col.cast("bigint"), F.lit(0)).alias(f"__v{i}")

@@ -30,6 +30,7 @@ Reference query provenance is cited per entry (files under
 from __future__ import annotations
 
 import datetime as dt
+import glob
 from dataclasses import dataclass
 from typing import Callable
 
@@ -87,7 +88,19 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     path = f"{sf_dir}/{name}.parquet"
     st = _os.stat(path)
-    key = (_session_key(spark), path, st.st_mtime_ns, st.st_size)
+    if _os.path.isdir(path):
+        # ADVICE r16: a directory table's inode stat does not change when
+        # a contained part file is overwritten in place — key on the
+        # (name, mtime, size) of the contained parquet files instead, so
+        # a regenerated table can never be served a stale FileIndex.
+        gen = tuple(
+            (_os.path.basename(p), s.st_mtime_ns, s.st_size)
+            for p in sorted(glob.glob(_os.path.join(path, "*.parquet")))
+            for s in (_os.stat(p),)
+        )
+    else:
+        gen = (st.st_mtime_ns, st.st_size)
+    key = (_session_key(spark), path, gen)
     hit = _LOAD_CACHE.get(key)
     if hit is not None:
         return hit
@@ -151,9 +164,14 @@ def _session_key(spark: SparkSession) -> str:
     a stale-cache collision waiting to happen (r5 ADVICE)."""
     app = spark.sparkContext.applicationId
     for cache in _SESSION_CACHES:
-        stale = [k for k in cache if k[0] != app]
-        for k in stale:
-            del cache[k]
+        # snapshot the keys: driver work now runs on multiple threads
+        # (eager-job overlap), and a concurrent insert during this purge
+        # would raise 'dictionary changed size during iteration' on a
+        # live iterator; pop tolerates a key another purge already took
+        # (ADVICE r16)
+        for k in list(cache.keys()):
+            if k[0] != app:
+                cache.pop(k, None)
     return app
 
 
@@ -7997,6 +8015,16 @@ def bloom_fold_lifecycle(spark, sf_dir):
         .select("doc_id", "fingerprint")
         .persist()
     )
+    # try/finally (ADVICE r16): an exception in any of the five eager
+    # consumers below would otherwise leak the cached frame for the rest
+    # of the session
+    try:
+        return _bloom_fold_lifecycle_body(spark, wh, reg, fp)
+    finally:
+        fp.unpersist()
+
+
+def _bloom_fold_lifecycle_body(spark, wh, reg, fp):
     n_hist = wh.insert_data("fingerprints", fp.filter(F.col("doc_id") % 7 != 0))
     m, k = SK.bloom_params(2 * n_hist, fpp=0.01)
     reg.ensure_fresh(
@@ -8026,7 +8054,6 @@ def bloom_fold_lifecycle(spark, sf_dir):
         SK.with_bloom_flag(batch, "fingerprint", *bloom_art)
         .filter(~F.col("__maybe_seen")).count()
     )
-    fp.unpersist()
     rows = sorted([
         ("batch_missed_by_bitmap", missed),
         ("fold_ran", fold_ran),
@@ -9211,8 +9238,13 @@ def dedup_quality(spark, sf_dir):
             .localCheckpoint(eager=True)
         )
 
+    from pyspark import inheritable_thread_target
+
     with ThreadPoolExecutor(max_workers=2) as pool:
-        truth_f, cand_f = pool.submit(_truth), pool.submit(_cand)
+        # inheritable_thread_target (ADVICE r16): propagate job group /
+        # pool / tags into the worker threads under pinned-thread mode
+        truth_f = pool.submit(inheritable_thread_target(spark)(_truth))
+        cand_f = pool.submit(inheritable_thread_target(spark)(_cand))
         truth, cand = truth_f.result(), cand_f.result()
     t = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
     c = cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_cand"))
