@@ -387,6 +387,12 @@ def main() -> None:
     # runs / n_queries / a pointer to the full capture (written below
     # to --out with all entries + spreads; BENCH_DRIVER.json by
     # default, BENCH_LOCAL.json when committing a round-close).
+    # Self-describing environment (VERDICT r16 item 8): the r15/r16
+    # captures ran with different driver heaps and nothing in the
+    # committed record said so — carry heap + cpus in the payload so
+    # cross-round comparisons are self-checking.
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4))
+    heap = os.environ.get("SPARK_DRIVER_MEMORY", "48g")
     line_payload = {
         "metric": "corpus_total_wall",
         "value": round(total, 2),
@@ -396,6 +402,8 @@ def main() -> None:
         "runs": args.runs,
         "stat": "median" if args.runs >= 3 else "min",
         "n_queries": len(timings),
+        "cpus": int(cpus),
+        "heap": heap,
         "full": os.path.basename(args.out),
     }
     _budget = 1900 - len(json.dumps(line_payload, separators=(",", ":")))
@@ -412,6 +420,17 @@ def main() -> None:
     # regression diagnosis can tell signal from box noise.
     local = dict(payload)
     local["runs"] = args.runs
+    local["cpus"] = int(cpus)
+    local["heap"] = heap
+    # box fingerprint: enough to tell "same code, different box" apart
+    # from a code regression when reading cross-round records
+    try:
+        local["box"] = {
+            "kernel": os.uname().release,
+            "loadavg_1m": round(os.getloadavg()[0], 2),
+        }
+    except OSError:
+        pass
     local["spread"] = {
         n: round(v[-1] - v[0], 3) for n, v in samples.items()
     }
